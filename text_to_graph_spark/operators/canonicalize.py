@@ -1,0 +1,211 @@
+"""Canonicalization — the reference's label-keyed entity/edge merges.
+
+Reproduces the semantics of ``merge_graphs_unique``
+(``graph_extractor/src/graph_utils.py:22-88``) and
+``merge_all_document_graphs`` (``graph_utils.py:144-251``) as Spark
+aggregations:
+
+- entity key   = ``lower(sanitize(label))`` (``graph_utils.py:29-30``)
+- base label   = *first occurrence wins* (``graph_utils.py:34-45``). The
+  reference's iteration order is document order then row order; distributed
+  execution has no implicit order, so we make the order explicit and total:
+  ``min_by(label, struct(url, chunk_index, pos, role))`` — deterministic
+  under retries and shuffles (no ``first()`` without ordering anywhere).
+- type set     = union of sanitized types per key (``graph_utils.py:36``),
+  rendered as ``'|'``-joined sorted distinct only at export
+  (``graph_utils.py:68``) — internally a genuine array column.
+- doc set      = ``collect_set(url)`` per key (``graph_utils.py:177,181``).
+- edge dedup key = ``(src_key, dst_key, lower(sanitize(pred)))``
+  (``graph_utils.py:61-64,203``).
+- internal ids = ``xxhash64(key)`` (stable, shuffle-free); dense 0..N-1 ids
+  are materialized only at export via ``row_number()`` (the reference's
+  global counter, ``graph_utils.py:38-39``, is inherently sequential).
+
+Skew: a hot surface form ("the company") would overload one reducer. The
+aggregations here are all algebraic/set-union shaped, so Spark's partial
+aggregation (map-side combine) already absorbs most skew;
+``salted_collect_set`` demonstrates the explicit two-phase salted pattern for
+the pathological case and is used when ``salt_buckets > 0``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# sanitize() as a built-in expression — mirrors kit/sanitize.py
+# (graph_utils.py:9-10): replace '|' with '_', trim whitespace.
+
+
+def sanitize_col(c):
+    return F.trim(F.regexp_replace(c, r"\|", "_"))
+
+
+def _key(c):
+    return F.lower(sanitize_col(c))
+
+
+def triples_to_canonical_edges(triples: DataFrame) -> DataFrame:
+    """(url, chunk_index, pos, subj, pred, obj) -> canonical directed edges.
+
+    Output: (subj_key, pred_key, obj_key, subj_label, pred_label, obj_label,
+    doc_ids, n_docs, n_occurrences) — labels are first-occurrence originals,
+    keys are the lower(sanitize()) canonical forms.
+    """
+    ordv = F.struct("url", "chunk_index", "pos")
+    t = triples.select(
+        "url",
+        "chunk_index",
+        "pos",
+        _key("subj").alias("subj_key"),
+        _key("pred").alias("pred_key"),
+        _key("obj").alias("obj_key"),
+        sanitize_col("subj").alias("subj_s"),
+        sanitize_col("pred").alias("pred_s"),
+        sanitize_col("obj").alias("obj_s"),
+    ).where((F.col("subj_key") != "") & (F.col("obj_key") != ""))
+    return t.groupBy("subj_key", "pred_key", "obj_key").agg(
+        F.min_by("subj_s", ordv).alias("subj_label"),
+        F.min_by("pred_s", ordv).alias("pred_label"),
+        F.min_by("obj_s", ordv).alias("obj_label"),
+        F.array_sort(F.collect_set("url")).alias("doc_ids"),
+        F.countDistinct("url").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+
+
+def triples_to_canonical_nodes(
+    triples: DataFrame, category_of: DataFrame | None = None
+) -> DataFrame:
+    """Canonical node table straight from the triple stream, preserving the
+    reference's first-occurrence-wins base label with an explicit total order
+    (url, chunk_index, pos, role) where role: subject=0 before object=1
+    within the same triple.
+
+    Only triple participants become nodes (orphan-prune semantics,
+    ``response_parser.py:178-207``). Output: (key, label, types, doc_ids,
+    n_docs).
+    """
+    subj = triples.select(
+        "url",
+        "chunk_index",
+        "pos",
+        F.lit(0).alias("role"),
+        sanitize_col("subj").alias("label_s"),
+    )
+    obj = triples.select(
+        "url",
+        "chunk_index",
+        "pos",
+        F.lit(1).alias("role"),
+        sanitize_col("obj").alias("label_s"),
+    )
+    occ = subj.unionByName(obj).withColumn("key", F.lower("label_s")).where(
+        F.col("key") != ""
+    )
+    ordv = F.struct("url", "chunk_index", "pos", "role")
+    nodes = occ.groupBy("key").agg(
+        F.min_by("label_s", ordv).alias("label"),
+        F.array_sort(F.collect_set("url")).alias("doc_ids"),
+    ).withColumn("n_docs", F.size("doc_ids"))
+    return _attach_types(nodes, category_of)
+
+
+def _attach_types(nodes: DataFrame, category_of: DataFrame | None) -> DataFrame:
+    if category_of is not None:
+        nodes = (
+            nodes.join(F.broadcast(category_of), "key", "left")
+            .withColumn(
+                "types", F.array(F.coalesce(F.col("type"), F.lit("entity")))
+            )
+            .drop("type")
+        )
+    else:
+        nodes = nodes.withColumn("types", F.array(F.lit("entity")))
+    return nodes.select("key", "label", "types", "doc_ids", "n_docs")
+
+
+def edges_to_canonical_nodes(
+    canonical_edges: DataFrame, category_of: DataFrame | None = None
+) -> DataFrame:
+    """Canonical node table from edge endpoints (post orphan-prune semantics:
+    a node exists iff some edge references it, ``response_parser.py:178-207``).
+
+    ``category_of``: optional small mapping DataFrame (key, type) —
+    broadcast-joined; mirrors the extractor's category assignment.
+    Output: (key, label, types:array<string>, doc_ids, n_docs).
+    """
+    endpoints = canonical_edges.select(
+        F.col("subj_key").alias("key"),
+        F.col("subj_label").alias("label"),
+        F.col("doc_ids"),
+    ).unionByName(
+        canonical_edges.select(
+            F.col("obj_key").alias("key"),
+            F.col("obj_label").alias("label"),
+            F.col("doc_ids"),
+        )
+    )
+    nodes = endpoints.groupBy("key").agg(
+        F.min("label").alias("label"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_set("doc_ids")))).alias(
+            "doc_ids"
+        ),
+    )
+    nodes = nodes.withColumn("n_docs", F.size("doc_ids"))
+    if category_of is not None:
+        nodes = nodes.join(F.broadcast(category_of), "key", "left").withColumn(
+            "types",
+            F.array_sort(
+                F.array_distinct(F.array(F.coalesce(F.col("type"), F.lit("entity"))))
+            ),
+        ).drop("type")
+    else:
+        nodes = nodes.withColumn("types", F.array(F.lit("entity")))
+    return nodes.select("key", "label", "types", "doc_ids", "n_docs")
+
+
+def render_type_set(types_col):
+    """Export rendering: '|'-joined sorted non-empty types
+    (``graph_utils.py:68``)."""
+    return F.concat_ws(
+        "|", F.array_sort(F.filter(types_col, lambda t: t != F.lit("")))
+    )
+
+
+def with_internal_ids(nodes: DataFrame) -> DataFrame:
+    """Stable shuffle-free internal ids: xxhash64 of the canonical key."""
+    return nodes.withColumn("node_id", F.xxhash64("key"))
+
+
+def with_dense_export_ids(nodes: DataFrame, order_col: str = "key") -> DataFrame:
+    """Dense 0..N-1 ids for the viewer export ONLY (single global window —
+    never used in the distributed pipeline; reference counter semantics,
+    ``graph_utils.py:38-39``)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(order_col)
+    return nodes.withColumn("id", F.row_number().over(w) - 1)
+
+
+def salted_collect_set(
+    df: DataFrame, key_cols: list[str], value_col: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase salted set-union aggregation for pathologically hot keys.
+
+    Phase 1 groups by (key, salt) where salt = pmod(xxhash64(value), B) —
+    derived from the *value*, not rand(), so retries are deterministic.
+    Phase 2 merges the B partial sets per key. Use when one key dominates a
+    partition even after map-side partial aggregation.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.collect_set(value_col).alias("_partial")
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_partial")))).alias(
+            f"{value_col}_set"
+        )
+    )

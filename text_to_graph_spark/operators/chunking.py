@@ -1,0 +1,103 @@
+"""Chunking stage — greedy token-budget packing + neighbor-context windows.
+
+``chunk_pages``: one ``groupBy(url).applyInPandas`` call runs the reference's
+sequential packer (``kit/chunker.py``, mirroring
+``graph_extractor/src/chunk_utils.py:56-135``) per document. Packing is
+order-dependent *within* a document and embarrassingly parallel *across*
+documents — the groupBy is the only shuffle, keyed by url, which is also the
+table's bucket key at scale so the exchange is avoidable with bucketed input.
+Giant documents are the skew risk (AQE cannot split one group): callers cap
+document length upstream and record truncation in the metrics rows.
+
+``with_neighbor_context``: the reference's L0 overlap / L2 padding assembly
+(``graph_generator.py:250-275`` and ``:194-199``) as a ``lag``/``lead``
+window over ``(url, chunk_index)`` — prepend the trailing
+``overlap/chunk_size`` fraction of the previous chunk's text and append the
+leading fraction of the next (fraction slicing by whitespace tokens, matching
+``text.split()[-n:]`` semantics via JVM built-ins ``slice``/``split``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from text_to_graph_spark.kit.chunker import pack_units
+
+CHUNK_SCHEMA = (
+    "url string, chunk_index int, chunk_size int, "
+    "token_start int, token_end int, text string"
+)
+
+
+def chunk_pages(extracted: DataFrame, chunk_size: int = 1000) -> DataFrame:
+    """(url, text) -> one row per chunk, reference packing semantics."""
+    cols = extracted.select("url", "text")
+
+    def _pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        url = key[0]
+        out: list[dict] = []
+        for text in pdf["text"]:
+            for row in pack_units(text, chunk_size):
+                row["url"] = url
+                out.append(row)
+        return pd.DataFrame(
+            out,
+            columns=[
+                "url",
+                "chunk_index",
+                "chunk_size",
+                "token_start",
+                "token_end",
+                "text",
+            ],
+        )
+
+    return cols.groupBy("url").applyInPandas(_pack, schema=CHUNK_SCHEMA)
+
+
+def with_neighbor_context(
+    chunks: DataFrame, chunk_size: int = 1000, overlap: int = 100
+) -> DataFrame:
+    """Add ``context_text``: prev-tail + chunk + next-head (reference L0
+    overlap, ``graph_generator.py:250-275``).
+
+    frac = overlap / chunk_size of the neighbor's *whitespace tokens*. Pure
+    built-ins: split + slice + concat_ws, window lag/lead — no UDF.
+    """
+    w = Window.partitionBy("url").orderBy("chunk_index")
+    prev_toks = F.split(F.lag("text").over(w), " ")
+    next_toks = F.split(F.lead("text").over(w), " ")
+    n_prev = F.floor(F.size(prev_toks) * F.lit(overlap) / F.lit(chunk_size)).cast(
+        "int"
+    )
+    n_next = F.floor(F.size(next_toks) * F.lit(overlap) / F.lit(chunk_size)).cast(
+        "int"
+    )
+    prev_tail = F.when(
+        n_prev > 0,
+        F.concat_ws(" ", F.slice(prev_toks, F.size(prev_toks) - n_prev + 1, n_prev)),
+    )
+    next_head = F.when(n_next > 0, F.concat_ws(" ", F.slice(next_toks, F.lit(1), n_next)))
+    return chunks.withColumn(
+        "context_text",
+        F.concat_ws(
+            " ",
+            *[c for c in (prev_tail, F.col("text"), next_head)],
+        ),
+    )
+
+
+def with_full_padding(chunks: DataFrame) -> DataFrame:
+    """L2 big-context assembly: full prev + cur + next chunk texts
+    (``graph_generator.py:194-199``)."""
+    w = Window.partitionBy("url").orderBy("chunk_index")
+    return chunks.withColumn(
+        "context_text",
+        F.concat_ws(
+            " ", F.lag("text").over(w), F.col("text"), F.lead("text").over(w)
+        ),
+    )

@@ -1,0 +1,156 @@
+"""Iterative graph algorithms: connected components + BFS.
+
+``connected_components``: alternating large-star/small-star over a DataFrame
+edge list (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — public algorithm). Used to merge coreferent entity nodes after
+near-duplicate blocking (the beyond-exact-label linking mode). Converges in
+O(log n) rounds; each round is two self-joins + an aggregation, with
+``localCheckpoint`` per round to cut lineage (no Catalyst fixpoint exists).
+
+``bfs_distances``: multi-source BFS as an iterative frontier join — the
+distributed analog of the viewer's ``calculateRootDistances``
+(``webpages/standalone_graph_viewer/template/dev/data_renderer.js:487-554``),
+with ``direction`` in {"out", "in", "both"} matching the viewer's modes.
+
+Both return DataFrames; both are driver-loop fixpoints over pure DataFrame
+ops (no RDDs, no collect of the data itself — only the convergence counter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Return (node, component) where component = min node id reachable.
+
+    ``edges`` must have two long/string columns; ids are compared with <, so
+    any orderable type works. Undirected semantics.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    )
+    # parent(x) starts as min(x, min neighbor)
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    parent = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    parent = parent.select(
+        F.col("u").alias("node"), F.least(F.col("u"), F.col("mv")).alias("comp")
+    )
+    parent = parent.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # propagate: comp(node) <- min(comp(node), min over neighbors comp(nb))
+        nb = (
+            sym.join(parent.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("comp").alias("nb_comp"))
+            .withColumnRenamed("u", "node")
+        )
+        new_parent = (
+            parent.join(nb, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer-jump: comp(node) <- comp(comp(node)) — the star shrink
+        jumped = (
+            new_parent.alias("a")
+            .join(
+                new_parent.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("b"),
+                "comp",
+                "left",
+            )
+            .select(
+                F.col("node"),
+                F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"),
+            )
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.alias("n")
+            .join(parent.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        parent = jumped
+        if changed == 0:
+            break
+    return parent.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    roots: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    direction: str = "both",
+    max_hops: int = 20,
+) -> DataFrame:
+    """Multi-source BFS. ``roots`` has one column ``node_col``.
+
+    Returns (node, distance) for every reachable node (roots at 0). Frontier
+    expansion is one hash join per hop; visited set grows by union +
+    dedup. ``direction``: "out" follows src->dst, "in" follows dst->src,
+    "both" follows both (viewer parity, data_renderer.js:497-513).
+    """
+    if direction == "out":
+        adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    elif direction == "in":
+        adj = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    else:
+        adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    adj = adj.distinct()
+
+    visited = roots.select(
+        F.col(node_col).alias("node"), F.lit(0).alias("distance")
+    ).distinct()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        next_frontier = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("distance", F.lit(hop))
+        )
+        next_frontier = next_frontier.localCheckpoint(eager=True)
+        if next_frontier.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(next_frontier)
+        frontier = next_frontier
+    return visited
+
+
+def k_hop_subgraph(
+    edges: DataFrame,
+    roots: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    direction: str = "both",
+) -> tuple[DataFrame, DataFrame]:
+    """Viewer G3 semantics (``data_renderer.js:668-790``): nodes with
+    root-distance <= k, edges whose both endpoints are included."""
+    dist = bfs_distances(edges, roots, src, dst, direction=direction, max_hops=k)
+    nodes = dist.where(F.col("distance") <= k)
+    kept = nodes.select("node")
+    sub_edges = (
+        edges.join(kept.withColumnRenamed("node", src), src, "left_semi")
+        .join(kept.withColumnRenamed("node", dst), dst, "left_semi")
+    )
+    return nodes, sub_edges

@@ -1,0 +1,155 @@
+"""Text -> text / chunk -> mentions / chunk -> triples stages.
+
+Stage 1 — ``extract_text``: html:binary -> text via a vectorized pandas UDF
+(``mapInPandas`` batch transform). Byte-identical per url to the synthesized
+``text`` (the per-row invariant). Analog of the reference's extractor stage
+(``graph_extractor/src/pdf_extractor.py:6-27``), which the reference caches
+by content hash (``graph_generator.py:341-358``); our resume primitive is an
+anti-join against the stage checkpoint (see ``sources/checkpoint.py``).
+
+Stage 3/4 — ``extract_mentions`` / ``extract_triples``: the deterministic
+batched model (see ``kit/extract.py``) inside ``mapInPandas``. One model
+invocation per Arrow batch; the model body is vectorized pandas (explode +
+group-shift), not per-row Python. Mirrors the reference's L1 mention pass
+(``graph_generator.py:215-243``) and L0/L2 triple pass
+(``graph_generator.py:160-212,247-288``) with the LLM replaced per contract.
+
+A pure-Catalyst implementation (``impl="sql"``) of the vocab model is also
+provided: the trigram scan as ``transform(sequence(...))`` over the token
+array — whole-stage-codegen'd JVM execution, no Python at all. It is the
+fastest path when the model is expressible relationally; the benchmark runs
+both so the tradeoff is measured, and tests assert they agree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from text_to_graph_spark.kit.extract import get_model
+from text_to_graph_spark.kit.htmlcodec import extract_text_from_html
+
+_TEXT_SCHEMA = "url string, text string"
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """html:binary -> (url, text), byte-identical per url."""
+    cols = pages.select("url", "html")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {"url": pdf["url"], "text": pdf["html"].map(extract_text_from_html)}
+            )
+
+    return cols.mapInPandas(_batches, schema=_TEXT_SCHEMA)
+
+
+_MENTION_SCHEMA = "url string, chunk_index int, pos int, mention string"
+_TRIPLE_SCHEMA = (
+    "url string, chunk_index int, pos int, subj string, pred string, obj string"
+)
+
+
+def extract_mentions(chunks: DataFrame, model_name: str = "vocab") -> DataFrame:
+    """Chunk text -> positional mention rows (url, chunk_index, pos, mention).
+
+    Deterministic batched model inference inside mapInPandas (reference L1,
+    ``prompts.py:3-11``).
+    """
+    cols = chunks.select("url", "chunk_index", "text")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = get_model(model_name)
+        for pdf in it:
+            m = model.mentions(pdf["text"])
+            if m.empty:
+                yield pd.DataFrame(
+                    columns=["url", "chunk_index", "pos", "mention"]
+                ).astype({"chunk_index": "int32", "pos": "int32"})
+                continue
+            m = m.join(pdf[["url", "chunk_index"]], on="row")
+            yield m[["url", "chunk_index", "pos", "mention"]]
+
+    return cols.mapInPandas(_batches, schema=_MENTION_SCHEMA)
+
+
+def extract_triples(
+    chunks: DataFrame, model_name: str = "vocab", impl: str = "pandas"
+) -> DataFrame:
+    """Chunk text -> positional triple rows (url, chunk_index, pos, subj,
+    pred, obj).
+
+    ``impl="pandas"``: the contract path — batched model in mapInPandas.
+    ``impl="sql"``:    vocab model as pure Catalyst expressions (JVM-side,
+                       whole-stage codegen); only valid for the vocab model.
+    """
+    if impl == "sql":
+        if model_name != "vocab":
+            raise ValueError("sql impl only supports the vocab model")
+        return _vocab_triples_sql(chunks)
+
+    cols = chunks.select("url", "chunk_index", "text")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = get_model(model_name)
+        for pdf in it:
+            t = model.triples(pdf["text"])
+            if t.empty:
+                yield pd.DataFrame(
+                    columns=["url", "chunk_index", "pos", "subj", "pred", "obj"]
+                ).astype({"chunk_index": "int32", "pos": "int32"})
+                continue
+            t = t.join(pdf[["url", "chunk_index"]], on="row")
+            yield t[["url", "chunk_index", "pos", "subj", "pred", "obj"]]
+
+    return cols.mapInPandas(_batches, schema=_TRIPLE_SCHEMA)
+
+
+def _vocab_triples_sql(chunks: DataFrame) -> DataFrame:
+    """Vocab trigram extraction as built-in expressions only.
+
+    tokens = split(text,' '); for i in 0..n-3 emit (t[i],t[i+1],t[i+2]) when
+    the vocab predicate holds. transform+filter stay inside codegen; one
+    explode produces the triple rows.
+    """
+    from text_to_graph_spark.kit.extract import ENTITY_CATEGORIES, PREDICATES
+
+    ents = ", ".join(f"'{e}'" for e in sorted(ENTITY_CATEGORIES))
+    preds = ", ".join(f"'{p}'" for p in PREDICATES)
+    return (
+        chunks.select("url", "chunk_index", F.split("text", " ").alias("w"))
+        .select(
+            "url",
+            "chunk_index",
+            F.expr(
+                f"""
+                filter(
+                  transform(
+                    CASE WHEN size(w) >= 3 THEN sequence(0, size(w) - 3)
+                         ELSE cast(array() as array<int>) END,
+                    i -> struct(i as pos, w[i] as subj,
+                                w[i+1] as pred, w[i+2] as obj)),
+                  s -> s.subj IN ({ents}) AND s.pred IN ({preds})
+                       AND s.obj IN ({ents})
+                )
+                """
+            ).alias("ts"),
+        )
+        .select(
+            "url",
+            "chunk_index",
+            F.explode("ts").alias("t"),
+        )
+        .select(
+            "url",
+            "chunk_index",
+            F.col("t.pos").alias("pos"),
+            F.col("t.subj").alias("subj"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj"),
+        )
+    )

@@ -1,0 +1,100 @@
+"""Graph read-path queries — the viewer's query semantics, distributed.
+
+Each function mirrors a query the reference's HTML/D3 viewer executes
+client-side over the produced nodes/edges tables
+(``webpages/standalone_graph_viewer/template/dev/data_renderer.js``):
+
+- ``node_type_counts``  — A6, ``data_renderer.js:104-110``
+- ``edge_label_counts`` — A8, ``data_renderer.js:125-131``
+- ``node_degrees``      — A7, ``computeNodeLabelEdgeCounts``,
+  ``data_renderer.js:439-485``
+- ``merge_parallel_edges`` — A9, ``data_renderer.js:623-646``
+- ``filter_subgraph``   — G1/G5 multi-filter, ``data_renderer.js:275-436``
+- top-k + the 1500-edge viewer cap — T3/T4, ``data_renderer.js:148-202,602``
+
+All are single groupBy/join shapes — broadcast where one side is known-small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def node_type_counts(nodes: DataFrame) -> DataFrame:
+    """count(*) per node type; types is array<string> -> per-element."""
+    return (
+        nodes.select(F.explode("types").alias("type"))
+        .groupBy("type")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def edge_label_counts(edges: DataFrame, label_col: str = "pred_key") -> DataFrame:
+    return edges.groupBy(F.col(label_col).alias("predicate")).agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+
+
+def node_degrees(edges: DataFrame, src: str = "subj_key", dst: str = "obj_key") -> DataFrame:
+    """Per-node degree: out + in over the deduped canonical edge list."""
+    endpoints = edges.select(F.col(src).alias("key"), F.lit(1).alias("out_d"), F.lit(0).alias("in_d")).unionByName(
+        edges.select(F.col(dst).alias("key"), F.lit(0).alias("out_d"), F.lit(1).alias("in_d"))
+    )
+    return endpoints.groupBy("key").agg(
+        F.sum("out_d").alias("out_degree"),
+        F.sum("in_d").alias("in_degree"),
+        F.count(F.lit(1)).alias("degree"),
+    )
+
+
+def merge_parallel_edges(
+    edges: DataFrame, src: str = "subj_key", dst: str = "obj_key", label: str = "pred_key"
+) -> DataFrame:
+    """Group parallel edges per (src, dst): sorted distinct predicate list,
+    rendered '|'-joined at export (viewer A9)."""
+    return edges.groupBy(src, dst).agg(
+        F.array_sort(F.collect_set(label)).alias("predicates"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+
+
+def filter_subgraph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_types: list[str] | None = None,
+    edge_labels: list[str] | None = None,
+    edge_cap: int | None = 1500,
+) -> tuple[DataFrame, DataFrame]:
+    """G1/G5 multi-filter + the viewer's 1500-edge render cap (T4).
+
+    Nodes filtered by type membership; edges kept only when both endpoints
+    survive (left_semi, the viewer's set-membership check,
+    ``data_renderer.js:718-723``).
+    """
+    n = nodes
+    if node_types:
+        n = n.where(F.arrays_overlap("types", F.array(*[F.lit(t) for t in node_types])))
+    e = edges
+    if edge_labels:
+        e = e.where(F.col("pred_key").isin(edge_labels))
+    kept = n.select(F.col("key").alias("_k"))
+    e = (
+        e.join(kept.withColumnRenamed("_k", "subj_key"), "subj_key", "left_semi")
+        .join(kept.withColumnRenamed("_k", "obj_key"), "obj_key", "left_semi")
+    )
+    if edge_cap is not None:
+        e = e.orderBy("subj_key", "pred_key", "obj_key").limit(edge_cap)
+    # keep only nodes referenced by surviving edges (viewer draws from edges)
+    ref = e.select(F.col("subj_key").alias("key")).unionByName(
+        e.select(F.col("obj_key").alias("key"))
+    ).distinct()
+    n = n.join(ref, "key", "left_semi")
+    return n, e
+
+
+def top_k_by_count(counts: DataFrame, count_col: str, k: int) -> DataFrame:
+    """T3 — deterministic top-k: count desc, then all remaining columns asc
+    as tiebreak."""
+    others = [c for c in counts.columns if c != count_col]
+    return counts.orderBy(F.desc(count_col), *[F.asc(c) for c in others]).limit(k)

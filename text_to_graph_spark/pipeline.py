@@ -1,0 +1,90 @@
+"""End-to-end KG construction pipeline: pages -> canonical nodes/edges.
+
+The stage DAG (SURVEY.md §7.1), each stage a DataFrame transformation; at
+scale each stage boundary is an Iceberg checkpoint table (sandbox: parquet —
+see ``sources/checkpoint.py``):
+
+    pages (url, warc_ts, html, text, lang)
+      -> extracted (url, text)            mapInPandas, byte-identical
+      -> chunks (url, chunk_index, ...)   applyInPandas greedy packer
+      -> triples (url, chunk_index, pos, subj, pred, obj)   mapInPandas model
+      -> canonical edges + nodes          groupBy/min_by/collect_set
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_to_graph_spark.kit.extract import ENTITY_CATEGORIES
+from text_to_graph_spark.operators.canonicalize import (
+    triples_to_canonical_edges,
+    triples_to_canonical_nodes,
+)
+from text_to_graph_spark.operators.chunking import chunk_pages
+from text_to_graph_spark.operators.extraction import (
+    extract_mentions,
+    extract_text,
+    extract_triples,
+)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Identity of a run — hashed into every checkpoint key (the reference's
+    Configurations row, ``sqlite_support.py:50-60``)."""
+
+    model: str = "vocab"
+    chunk_size: int = 1000
+    overlap: int = 0
+    impl: str = "pandas"  # extraction impl: "pandas" (contract) | "sql"
+    lang_filter: str | None = None
+
+    def config_id(self) -> str:
+        import hashlib
+        import json
+
+        blob = json.dumps(self.__dict__, sort_keys=True)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def vocab_category_table(spark: SparkSession) -> DataFrame:
+    rows = [(k, v) for k, v in sorted(ENTITY_CATEGORIES.items())]
+    return spark.createDataFrame(rows, "key string, type string")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: PipelineConfig = PipelineConfig(),
+) -> dict[str, DataFrame]:
+    """Run pages -> graph; returns every stage for checkpointing/inspection."""
+    if cfg.lang_filter:
+        pages = pages.where(F.col("lang") == cfg.lang_filter)
+    extracted = extract_text(pages)
+    chunks = chunk_pages(extracted, chunk_size=cfg.chunk_size)
+    if cfg.overlap > 0:
+        from text_to_graph_spark.operators.chunking import with_neighbor_context
+
+        ctx = with_neighbor_context(chunks, cfg.chunk_size, cfg.overlap)
+        chunk_input = ctx.select(
+            "url", "chunk_index", F.col("context_text").alias("text")
+        )
+    else:
+        chunk_input = chunks.select("url", "chunk_index", "text")
+    mentions = extract_mentions(chunk_input, cfg.model)
+    triples = extract_triples(chunk_input, cfg.model, impl=cfg.impl)
+    edges = triples_to_canonical_edges(triples)
+    cats = vocab_category_table(spark) if cfg.model == "vocab" else None
+    nodes = triples_to_canonical_nodes(triples, category_of=cats)
+    return {
+        "pages": pages,
+        "extracted": extracted,
+        "chunks": chunks,
+        "mentions": mentions,
+        "triples": triples,
+        "edges": edges,
+        "nodes": nodes,
+    }
