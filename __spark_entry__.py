@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is built from the engine's public operators
+(``text_to_graph_spark/``); every entry in ``oracle_sql()`` is an
+independently-written DuckDB SQL over the same pre-registered parquet views
+that must match by row-count + schema + order-insensitive value hash.
+
+Portability rules that keep the two engines bit-identical:
+- all hashing is md5/sha256 hex strings (never xxhash64 across engines),
+- every float aggregate is either an integer-count division or a fixed-order
+  left fold in double precision (``F.aggregate`` == ``list_reduce``),
+- no session-timezone-dependent expression (events.ts is TIMESTAMP_NTZ),
+- explicit deterministic tiebreaks on every rank/top-k.
 """
 
 from __future__ import annotations
@@ -12,27 +18,690 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_to_graph_spark.kit.extract import ENTITY_CATEGORIES, PREDICATES
+from text_to_graph_spark.operators import dedup as D
+from text_to_graph_spark.operators import events as EV
+from text_to_graph_spark.operators import graphq as G
+from text_to_graph_spark.operators import multimodal as MM
+from text_to_graph_spark.operators import similarity as SIM
+from text_to_graph_spark.operators import textstats as TS
+from text_to_graph_spark.operators.canonicalize import (
+    triples_to_canonical_edges,
+    triples_to_canonical_nodes,
+)
+from text_to_graph_spark.operators.chunking import chunk_pages
+from text_to_graph_spark.operators.components import bfs_distances, connected_components
+from text_to_graph_spark.operators.extraction import (
+    extract_mentions,
+    extract_text,
+    extract_triples,
+)
+from text_to_graph_spark.pipeline import vocab_category_table
+from text_to_graph_spark.sources.pages import PAGES_ORACLE_CTE, synthesize_pages
+
+# ---------------------------------------------------------------------------
+# shared vocab literals (single source of truth: kit/extract.py)
+# ---------------------------------------------------------------------------
+_ENTS_SQL = ", ".join(f"'{e}'" for e in sorted(ENTITY_CATEGORIES))
+_PREDS_SQL = ", ".join(f"'{p}'" for p in PREDICATES)
+_CATEGORY_CASE = "CASE " + " ".join(
+    f"WHEN label = '{k}' THEN '{v}'" for k, v in sorted(ENTITY_CATEGORIES.items())
+) + " ELSE 'entity' END"
+
+# shared oracle CTE prefix: pages -> tokens -> triples -> canonical edges
+_KG_PREFIX = f"""
+WITH RECURSIVE {PAGES_ORACLE_CTE.strip()},
+toks AS (SELECT url, string_split(text, ' ') AS w FROM pages),
+triples AS (
+  SELECT url, CAST(i - 1 AS int) AS pos, w[i] AS subj, w[i+1] AS pred, w[i+2] AS obj
+  FROM toks, unnest(generate_series(1, len(w) - 2)) AS g(i)
+  WHERE w[i] IN ({_ENTS_SQL}) AND w[i+1] IN ({_PREDS_SQL}) AND w[i+2] IN ({_ENTS_SQL})
+),
+edges AS (
+  SELECT subj, pred, obj,
+         count(DISTINCT url) AS n_docs,
+         count(*)            AS n_occurrences
+  FROM triples GROUP BY 1, 2, 3
+),
+sym AS (SELECT subj AS u, obj AS v FROM edges UNION SELECT obj, subj FROM edges)
+"""
+
+# ---------------------------------------------------------------------------
+# Spark-side pipeline stages, cached per (session, sf_dir)
+# ---------------------------------------------------------------------------
+_CACHE: dict = {}
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _stages(spark: SparkSession, sf_dir: str) -> dict:
+    key = (id(spark), sf_dir)
+    if key not in _CACHE:
+        pages = synthesize_pages(spark, sf_dir)
+        extracted = extract_text(pages)
+        chunks = chunk_pages(extracted).localCheckpoint(eager=False)
+        triples = extract_triples(chunks, "vocab", impl="pandas").localCheckpoint(
+            eager=False
+        )
+        _CACHE[key] = {
+            "pages": pages,
+            "extracted": extracted,
+            "chunks": chunks,
+            "triples": triples,
+        }
+    return _CACHE[key]
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triples_to_canonical_edges(_stages(spark, sf_dir)["triples"]).select(
+        F.col("subj_key").alias("subj"),
+        F.col("pred_key").alias("pred"),
+        F.col("obj_key").alias("obj"),
+        "n_docs",
+        "n_occurrences",
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_kg_pages(spark, sf_dir):
+    return synthesize_pages(spark, sf_dir).select(
+        "url",
+        F.col("warc_ts").cast("long").alias("warc_epoch"),
+        "lang",
+        "text",
+    )
+
+
+def _q_kg_extract_text(spark, sf_dir):
+    # html binary -> text must be byte-identical to the source text per url
+    return extract_text(synthesize_pages(spark, sf_dir))
+
+
+def _q_kg_chunks(spark, sf_dir):
+    return _stages(spark, sf_dir)["chunks"]
+
+
+def _q_kg_mentions(spark, sf_dir):
+    m = extract_mentions(_stages(spark, sf_dir)["chunks"], "vocab")
+    return m.select("url", "mention").distinct()
+
+
+def _q_kg_mention_counts(spark, sf_dir):
+    m = extract_mentions(_stages(spark, sf_dir)["chunks"], "vocab")
+    return m.groupBy("mention").agg(F.count(F.lit(1)).alias("n_occurrences"))
+
+
+def _q_kg_triples(spark, sf_dir):
+    return (
+        _stages(spark, sf_dir)["triples"]
+        .select("url", "subj", "pred", "obj")
+        .distinct()
+    )
+
+
+def _q_kg_triples_sql_impl(spark, sf_dir):
+    # the pure-Catalyst extraction path must agree with the pandas model
+    t = extract_triples(_stages(spark, sf_dir)["chunks"], "vocab", impl="sql")
+    return t.select("url", "subj", "pred", "obj").distinct()
+
+
+def _q_kg_edges(spark, sf_dir):
+    return _edges(spark, sf_dir)
+
+
+def _q_kg_nodes(spark, sf_dir):
+    nodes = triples_to_canonical_nodes(
+        _stages(spark, sf_dir)["triples"], category_of=vocab_category_table(spark)
+    )
+    return nodes.select(
+        "label", F.concat_ws("|", "types").alias("node_type"), "n_docs"
+    )
+
+
+def _q_kg_top_predicates(spark, sf_dir):
+    return G.edge_label_counts(_edges(spark, sf_dir), label_col="pred")
+
+
+def _q_kg_degree(spark, sf_dir):
+    return G.node_degrees(_edges(spark, sf_dir), src="subj", dst="obj").withColumnRenamed(
+        "key", "label"
+    )
+
+
+def _q_kg_parallel_edges(spark, sf_dir):
+    return G.merge_parallel_edges(
+        _edges(spark, sf_dir), src="subj", dst="obj", label="pred"
+    ).select(
+        "subj",
+        "obj",
+        F.concat_ws("|", "predicates").alias("predicates"),
+        "n_edges",
+    )
+
+
+def _q_kg_khop2(spark, sf_dir):
+    roots = spark.createDataFrame([("customer",)], "node string")
+    return bfs_distances(
+        _edges(spark, sf_dir), roots, src="subj", dst="obj", direction="both", max_hops=2
+    )
+
+
+def _q_kg_components(spark, sf_dir):
+    return connected_components(_edges(spark, sf_dir), src="subj", dst="obj")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    return D.minhash_signatures(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+
+
+def _q_dedup_minhash_pairs(spark, sf_dir):
+    return D.minhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), group_col="source", threshold=0.05)
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    return D.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
+
+
+def _q_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return SIM.topk_bruteforce(emb, emb.where("vec_id < 10"), k=5)
+
+
+def _q_ann_topk_bucketed(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return SIM.topk_bucketed(emb, emb.where("vec_id < 10"), k=5)
+
+
+def _q_text_quality(spark, sf_dir):
+    return TS.quality_stats(_docs(spark, sf_dir))
+
+
+def _q_text_tokens(spark, sf_dir):
+    return TS.token_counts(_docs(spark, sf_dir))
+
+
+def _q_text_langid(spark, sf_dir):
+    return TS.language_id(_docs(spark, sf_dir))
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    return TS.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_corpus_rollup(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("sum_tokens"),
+        )
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    return EV.hourly_rollup(_events(spark, sf_dir))
+
+
+def _q_events_sessionize(spark, sf_dir):
+    return EV.sessionize(_events(spark, sf_dir))
+
+
+def _q_events_enrich(spark, sf_dir):
+    return EV.enrich_with_customer(
+        _events(spark, sf_dir), spark.read.parquet(f"{sf_dir}/customer.parquet")
+    )
+
+
+def _q_mm_meta(spark, sf_dir):
+    return MM.decode_metadata(MM.attach_payload(_docs(spark, sf_dir)))
+
+
+def _q_mm_frames(spark, sf_dir):
+    return MM.frame_sample(MM.attach_payload(_docs(spark, sf_dir)), k=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_pages": _q_kg_pages,
+        "kg_extract_text": _q_kg_extract_text,
+        "kg_chunks": _q_kg_chunks,
+        "kg_mentions": _q_kg_mentions,
+        "kg_mention_counts": _q_kg_mention_counts,
+        "kg_triples": _q_kg_triples,
+        "kg_triples_sql_impl": _q_kg_triples_sql_impl,
+        "kg_edges": _q_kg_edges,
+        "kg_nodes": _q_kg_nodes,
+        "kg_top_predicates": _q_kg_top_predicates,
+        "kg_degree": _q_kg_degree,
+        "kg_parallel_edges": _q_kg_parallel_edges,
+        "kg_khop2": _q_kg_khop2,
+        "kg_components": _q_kg_components,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_embedding": _q_dedup_embedding,
+        "ann_topk": _q_ann_topk,
+        "ann_topk_bucketed": _q_ann_topk_bucketed,
+        "text_quality": _q_text_quality,
+        "text_tokens": _q_text_tokens,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "corpus_rollup": _q_corpus_rollup,
+        "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "events_enrich": _q_events_enrich,
+        "mm_meta": _q_mm_meta,
+        "mm_frames": _q_mm_frames,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect) — independently written mirrors
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS double), "
+    "list_transform(list_zip({a}, {b}), z -> CAST(z[1] AS double) * CAST(z[2] AS double))), "
+    "(x, y) -> x + y)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS double), "
+    "list_transform({v}, x -> CAST(x AS double) * CAST(x AS double))), "
+    "(x, y) -> x + y))"
+)
+
+_SHINGLES_CTE = """
+shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(generate_series(1, len(w) - 2)) AS g(i)
+)
+"""
+
+_MINHASH_CTE = (
+    _SHINGLES_CTE
+    + """,
+sig AS (
+  SELECT doc_id,
+         min(md5('0#' || shingle)) AS mh0,
+         min(md5('1#' || shingle)) AS mh1,
+         min(md5('2#' || shingle)) AS mh2,
+         min(md5('3#' || shingle)) AS mh3
+  FROM shingles GROUP BY doc_id
+)
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ents, preds, cat = _ENTS_SQL, _PREDS_SQL, _CATEGORY_CASE
+    return {
+        "kg_pages": f"""
+{_KG_PREFIX}
+SELECT url, CAST(epoch(warc_ts) AS bigint) AS warc_epoch, lang, text FROM pages
+""",
+        "kg_extract_text": f"""
+{_KG_PREFIX}
+SELECT url, text FROM pages
+""",
+        # each synthetic document is a single unit (no blank lines / sentence
+        # punctuation), so the greedy packer emits exactly one chunk per url
+        "kg_chunks": f"""
+{_KG_PREFIX}
+SELECT url,
+       CAST(0 AS int) AS chunk_index,
+       CAST(len(string_split(trim(text), ' ')) AS int) AS chunk_size,
+       CAST(0 AS int) AS token_start,
+       CAST(len(string_split(trim(text), ' ')) AS int) AS token_end,
+       trim(text) AS text
+FROM pages
+""",
+        "kg_mentions": f"""
+{_KG_PREFIX}
+SELECT DISTINCT url, mention FROM (
+  SELECT url, unnest(string_split(text, ' ')) AS mention FROM pages
+) WHERE mention IN ({ents})
+""",
+        "kg_mention_counts": f"""
+{_KG_PREFIX}
+SELECT mention, count(*) AS n_occurrences FROM (
+  SELECT url, unnest(string_split(text, ' ')) AS mention FROM pages
+) WHERE mention IN ({ents}) GROUP BY mention
+""",
+        "kg_triples": f"""
+{_KG_PREFIX}
+SELECT DISTINCT url, subj, pred, obj FROM triples
+""",
+        "kg_triples_sql_impl": f"""
+{_KG_PREFIX}
+SELECT DISTINCT url, subj, pred, obj FROM triples
+""",
+        "kg_edges": f"""
+{_KG_PREFIX}
+SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
+""",
+        "kg_nodes": f"""
+{_KG_PREFIX}
+SELECT label, {cat} AS node_type, count(DISTINCT url) AS n_docs
+FROM (
+  SELECT url, subj AS label FROM triples
+  UNION ALL
+  SELECT url, obj FROM triples
+) GROUP BY label
+""",
+        "kg_top_predicates": f"""
+{_KG_PREFIX}
+SELECT pred AS predicate, count(*) AS n_edges FROM edges GROUP BY pred
+""",
+        "kg_degree": f"""
+{_KG_PREFIX}
+SELECT label, CAST(sum(out_d) AS bigint) AS out_degree, CAST(sum(in_d) AS bigint) AS in_degree,
+       count(*) AS degree
+FROM (
+  SELECT subj AS label, 1 AS out_d, 0 AS in_d FROM edges
+  UNION ALL
+  SELECT obj, 0, 1 FROM edges
+) GROUP BY label
+""",
+        "kg_parallel_edges": f"""
+{_KG_PREFIX}
+SELECT subj, obj,
+       string_agg(DISTINCT pred, '|' ORDER BY pred) AS predicates,
+       count(*) AS n_edges
+FROM edges GROUP BY subj, obj
+""",
+        "kg_khop2": f"""
+{_KG_PREFIX},
+d1 AS (
+  SELECT DISTINCT v AS node FROM sym WHERE u = 'customer' AND v <> 'customer'
+),
+d2 AS (
+  SELECT DISTINCT s.v AS node FROM sym s JOIN d1 ON s.u = d1.node
+  WHERE s.v <> 'customer' AND s.v NOT IN (SELECT node FROM d1)
+)
+SELECT 'customer' AS node, CAST(0 AS int) AS distance
+UNION ALL SELECT node, CAST(1 AS int) FROM d1
+UNION ALL SELECT node, CAST(2 AS int) FROM d2
+""",
+        "kg_components": f"""
+{_KG_PREFIX},
+verts AS (SELECT DISTINCT u AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM verts
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+""",
+        "dedup_exact": """
+SELECT md5(text) AS fingerprint, min(doc_id) AS representative,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+        "dedup_minhash": f"""
+WITH {_MINHASH_CTE}
+SELECT doc_id, mh0, mh1, mh2, mh3,
+       md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bucket
+FROM sig
+""",
+        "dedup_minhash_pairs": f"""
+WITH {_MINHASH_CTE},
+bands AS (
+  SELECT doc_id, mh0 AS h, 0 AS band FROM sig
+  UNION ALL SELECT doc_id, mh1, 1 FROM sig
+  UNION ALL SELECT doc_id, mh2, 2 FROM sig
+  UNION ALL SELECT doc_id, mh3, 3 FROM sig
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(DISTINCT a.band) AS n_bands_shared
+FROM bands a JOIN bands b ON a.h = b.h AND a.band = b.band
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+        "dedup_simhash": """
+WITH toks AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN substr(h, bit, 1) IN
+             ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+  FROM toks, unnest(generate_series(1, 32)) AS g(bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit)
+         AS simhash
+FROM votes GROUP BY doc_id
+""",
+        "dedup_jaccard": f"""
+WITH sh AS (
+  SELECT DISTINCT d.doc_id, d.source AS grp,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents) d,
+       unnest(generate_series(1, len(w) - 2)) AS g(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.grp = b.grp AND a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       (floor((inter / CAST(sa.sz + sb.sz - inter AS double)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE (floor((inter / CAST(sa.sz + sb.sz - inter AS double)) * 10000.0 + 0.5) / 10000.0) >= 0.05
+""",
+        "dedup_embedding": f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       (floor(({_DOT.format(a='a.embedding', b='b.embedding')}
+             / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE (floor(({_DOT.format(a='a.embedding', b='b.embedding')}
+            / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= 0.3
+""",
+        "ann_topk": f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm
+  FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_DOT.format(a='q.embedding', b='e.embedding')} / (q.nrm * e.nrm) AS c
+  FROM q JOIN e ON e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS int) AS rank, (floor((c) * 1000000.0 + 0.5) / 1000000.0) AS cos
+FROM ranked WHERE rnk <= 5
+""",
+        "ann_topk_bucketed": f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm,
+         CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS int) AS bucket
+  FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_DOT.format(a='q.embedding', b='e.embedding')} / (q.nrm * e.nrm) AS c
+  FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS int) AS rank, (floor((c) * 1000000.0 + 0.5) / 1000000.0) AS cos
+FROM ranked WHERE rnk <= 5
+""",
+        "text_quality": """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS bigint) AS n_tokens,
+       CAST(len(list_distinct(w)) AS bigint) AS n_distinct_tokens,
+       CAST(n_chars AS bigint) AS n_chars,
+       (floor((len(list_distinct(w)) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS type_token_ratio,
+       (floor((len(list_filter(w, x -> x IN ('the', 'a'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS stopword_ratio,
+       (floor(((n_chars - (len(w) - 1)) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS avg_token_len,
+       (floor(((floor((len(list_distinct(w)) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) * 0.5 + (1.0 - (floor((len(list_filter(w, x -> x IN ('the', 'a'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0)) * 0.3 + least(len(w) / 100.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0) AS quality_score
+FROM t
+""",
+        "text_tokens": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS bigint) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+            AS bigint) AS n_regex_tokens,
+       CAST(length(text) AS bigint) AS n_chars
+FROM documents
+""",
+        "text_langid": """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    (floor((len(list_filter(w, x -> x IN ('the','a','and','of'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS s_en,
+    (floor((len(list_filter(w, x -> x IN ('der','die','und','das'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS s_de,
+    (floor((len(list_filter(w, x -> x IN ('le','la','et','les'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS s_fr,
+    (floor((len(list_filter(w, x -> x IN ('el','la','y','los'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS s_es
+  FROM t
+)
+SELECT doc_id, lang AS lang_declared,
+  CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+       WHEN s_en >= s_de THEN 'en'
+       ELSE 'de' END AS lang_pred,
+  CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN s_fr
+       WHEN s_es >= s_en AND s_es >= s_de THEN s_es
+       WHEN s_en >= s_de THEN s_en
+       ELSE s_de END AS lang_score,
+  (lang = CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+               WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+               WHEN s_en >= s_de THEN 'en'
+               ELSE 'de' END) AS is_match
+FROM s
+""",
+        "text_fingerprint": """
+SELECT doc_id, md5(trim(text)) AS fp_md5,
+       CAST(('0x' || substr(md5(trim(text)), 1, 15)) AS bigint) AS fp_int60
+FROM documents
+""",
+        "corpus_rollup": """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS bigint) AS sum_chars,
+       CAST(sum(len(string_split(text, ' '))) AS bigint) AS sum_tokens
+FROM documents GROUP BY lang, source
+""",
+        "events_hourly": """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS bigint)) AS bigint) AS sum_value_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""",
+        "events_sessionize": """
+WITH x AS (
+  SELECT user_id, event_id,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec,
+         lag(date_diff('second', TIMESTAMP '1970-01-01', ts))
+           OVER (PARTITION BY user_id
+                 ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts))
+           AS prev_sec
+  FROM events
+),
+flagged AS (
+  SELECT user_id, sec,
+         CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM x
+),
+w AS (
+  SELECT user_id, sec,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         max(sec) - min(sec) AS duration_s
+  FROM w GROUP BY 1, 2
+)
+SELECT user_id, CAST(max(session_id) AS bigint) AS n_sessions,
+       max(n_events) AS max_session_events,
+       max(duration_s) AS max_session_duration_s
+FROM per_session GROUP BY user_id
+""",
+        "events_enrich": """
+SELECT c.c_mktsegment, count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       CAST(sum(CAST(round(e.value * 100) AS bigint)) AS bigint) AS sum_value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+        "mm_meta": """
+SELECT doc_id, 'image/fake' AS media_type,
+       CAST(octet_length(encode(text)) AS bigint) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(octet_length(encode(text)) % 640 AS int) AS width,
+       CAST(octet_length(encode(text)) % 480 AS int) AS height
+FROM documents
+""",
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query: the full KG pipeline at sf0.001 — canonical edge table
+    ordered by support."""
+    edges = _edges(spark, "/root/testdata/sf0.001")
+    return edges.orderBy(F.desc("n_occurrences"), "subj", "pred", "obj")

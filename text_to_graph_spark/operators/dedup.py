@@ -1,0 +1,209 @@
+"""Corpus deduplication operators — exact, MinHash/LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+A Common-Crawl-scale corpus is massively duplicated; dedup runs before the
+KG pipeline (the reference's content-hash skip, ``graph_generator.py:341-358``,
+generalized). All hashing is md5-hex (portable across engines for the oracle
+check); everything is JVM built-ins — `split`/`transform`/`explode`/`min` —
+no Python in the hot path.
+
+Scale notes (100 TB): exact dedup is one hash-shuffle; MinHash banding makes
+near-dup candidate generation linear (band-bucket join instead of n²); the
+verify step only touches candidate pairs. Shingle explosion multiplies rows
+by ~doc length — keep shingles as md5 hex (fixed 32 bytes) so shuffle width
+is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from text_to_graph_spark.functions.portable import round_half_up
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    representative (min id) and duplicate count."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("id").alias("representative"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array<string> (space-joined)."""
+    w = F.split(text_col, " ")
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct shingles."""
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Per-doc MinHash signature: band b's hash = min over shingles of
+    md5(b || '#' || shingle) (hex-lexicographic min — portable). Plus the
+    LSH bucket = md5 of the full signature."""
+    sh = shingle_rows(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{b}#"), F.col("shingle")))).alias(f"mh{b}")
+        for b in range(bands)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.withColumn(
+        "bucket", F.md5(F.concat_ws("|", *[f"mh{b}" for b in range(bands)]))
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any single band hash (each band
+    is its own LSH bucket join). Output (id_a, id_b, n_bands_shared)."""
+    sig = minhash_signatures(docs, id_col, text_col, n, bands)
+    per_band = None
+    for b in range(bands):
+        part = sig.select("id", F.col(f"mh{b}").alias("h"), F.lit(b).alias("band"))
+        per_band = part if per_band is None else per_band.unionByName(part)
+    a = per_band.select(F.col("id").alias("id_a"), "h", "band")
+    bdf = per_band.select(F.col("id").alias("id_b"), "h", "band")
+    return (
+        a.join(bdf, ["h", "band"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band").alias("n_bands_shared"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for doc pairs within a blocking group
+    (``group_col``) — the verify step after LSH blocking. Output
+    (id_a, id_b, jaccard rounded to 4 dp). Integer intersection/union counts,
+    so the double division is order-independent and engine-portable."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "grp", "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "grp", "shingle")
+    inter = (
+        a.join(b, ["grp", "shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            round_half_up(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over the (non-distinct) token stream.
+
+    Bit i of a token = high bit of nibble i of md5(token); simhash bit i =
+    sign of the +-1 vote sum. Rendered as a bit-string column (portable).
+    Implemented as token x bit cross-explode -> two-key groupBy -> ordered
+    string_agg; identical shape in the SQL oracle.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(F.split(text_col, " ")).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    votes = (
+        toks.select(
+            "id", "h", F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("bit")
+        )
+        .withColumn(
+            "vote",
+            F.when(
+                F.substring(F.col("h"), F.col("bit"), 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                1,
+            ).otherwise(-1),
+        )
+        .groupBy("id", "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return votes.groupBy("id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("bit", "s"))
+                ),
+                lambda st: F.when(st["s"] > 0, "1").otherwise("0"),
+            ),
+        ).alias("simhash")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force; see
+    operators/similarity.py for the LSH-bucketed scale path). Cosine is a
+    fixed-order left fold in double precision so results are bit-identical
+    across engines. Output (id_a, id_b, cos rounded 6)."""
+    from text_to_graph_spark.operators.similarity import cosine_expr, with_norm
+
+    a = with_norm(emb, id_col, vec_col, "a")
+    b = with_norm(emb, id_col, vec_col, "b")
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", round_half_up(cosine_expr("vec_a", "vec_b", "norm_a", "norm_b"), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``topk_bruteforce``: exact cosine top-k — the correctness baseline. The
+  dot product is a *fixed-order left fold* (``F.aggregate`` over
+  ``zip_with``) in double precision: bit-identical across engines and across
+  shuffle orders (a shuffled explode-sum would not be).
+- ``topk_bucketed``: the scale path — a deterministic sign-bit LSH (bucket =
+  sign pattern of the first ``sign_bits`` components; a fixed random-
+  hyperplane family in production), search within the query's bucket only.
+  Trades recall for a ~2^bits fan-in reduction; at 100 TB the bucket id is
+  the shuffle/partition key so each query touches one partition.
+
+Ties are broken deterministically by (score desc, candidate id asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from text_to_graph_spark.functions.portable import round_half_up
+
+
+def dot_expr(a: str, b: str):
+    """Fixed-order fold: 0.0 + a1*b1 + a2*b2 + ... (index order)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(v: str):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(v), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def with_norm(emb: DataFrame, id_col: str, vec_col: str, suffix: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias(f"id_{suffix}"),
+        F.col(vec_col).alias(f"vec_{suffix}"),
+        norm_expr(vec_col).alias(f"norm_{suffix}"),
+    )
+
+
+def cosine_expr(vec_a: str, vec_b: str, norm_a: str, norm_b: str):
+    return dot_expr(vec_a, vec_b) / (F.col(norm_a) * F.col(norm_b))
+
+
+def topk_bruteforce(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For each query row, the k nearest other vectors by cosine.
+
+    ``queries`` is a (usually small) subset with the same schema — it is
+    broadcast; candidates stream. Output (query_id, neighbor_id, rank, cos).
+    """
+    q = with_norm(queries, id_col, vec_col, "q")
+    c = with_norm(emb, id_col, vec_col, "c")
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("id_q") != F.col("id_c"))
+        .withColumn("cos", cosine_expr("vec_q", "vec_c", "norm_q", "norm_c"))
+    )
+    w = Window.partitionBy("id_q").orderBy(F.desc("cos"), F.asc("id_c"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id_q").alias("query_id"),
+            F.col("id_c").alias("neighbor_id"),
+            "rank",
+            round_half_up(F.col("cos"), 6).alias("cos"),
+        )
+    )
+
+
+def sign_bucket_expr(vec_col: str, sign_bits: int = 3):
+    """Deterministic LSH bucket: integer from the sign bits of the first
+    ``sign_bits`` components (1-indexed element_at — portable)."""
+    b = F.lit(0)
+    for i in range(sign_bits):
+        b = b + F.when(F.element_at(F.col(vec_col), i + 1) > 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
+    return b.cast("int")
+
+
+def topk_bucketed(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_bits: int = 3,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+    The bucket id is the join key — an equi-join Catalyst can hash/broadcast,
+    instead of the brute-force cross join."""
+    q = with_norm(queries, id_col, vec_col, "q").withColumn(
+        "bucket", sign_bucket_expr("vec_q", sign_bits)
+    )
+    c = with_norm(emb, id_col, vec_col, "c").withColumn(
+        "bucket", sign_bucket_expr("vec_c", sign_bits)
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("id_q") != F.col("id_c"))
+        .withColumn("cos", cosine_expr("vec_q", "vec_c", "norm_q", "norm_c"))
+    )
+    w = Window.partitionBy("id_q").orderBy(F.desc("cos"), F.asc("id_c"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id_q").alias("query_id"),
+            F.col("id_c").alias("neighbor_id"),
+            "rank",
+            round_half_up(F.col("cos"), 6).alias("cos"),
+        )
+    )

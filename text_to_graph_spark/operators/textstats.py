@@ -1,0 +1,109 @@
+"""Text analysis operators for a training-data pipeline.
+
+- ``quality_stats``: length / distinct-token / stopword-ratio features and a
+  composite quality score per document.
+- ``token_counts``: whitespace + regex ("BPE-ish" word/number/symbol pieces)
+  token counting.
+- ``language_id``: n-gram/stopword heuristic language guess with confidence,
+  compared against the declared ``lang`` column.
+- ``fingerprint``: content fingerprint (md5 hex + 60-bit integer prefix) for
+  provenance joins; the rolling/winnowing variant lives in dedup shingles.
+
+Everything is built-in expressions (codegen'd); ratios are integer-count
+divisions rounded to 4 dp so they hash identically across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from text_to_graph_spark.functions.portable import round_half_up
+
+STOPWORDS_EN = ("the", "a")
+# lowercase word / number runs / single non-alnum — a BPE-ish pre-tokenizer
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def quality_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    w = F.split(F.col(text_col), " ")
+    n_tokens = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    n_stop = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS_EN)))
+    n_chars = F.length(text_col)
+    ttr = round_half_up(n_distinct / n_tokens.cast("double"), 4)
+    stop_ratio = round_half_up(n_stop / n_tokens.cast("double"), 4)
+    avg_len = round_half_up(
+        (n_chars - (n_tokens - 1)) / n_tokens.cast("double"), 4
+    )  # chars minus separators / tokens
+    score = round_half_up(
+        ttr * F.lit(0.5)
+        + (F.lit(1.0) - stop_ratio) * F.lit(0.3)
+        + F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.2),
+        4,
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct_tokens"),
+        n_chars.cast("bigint").alias("n_chars"),
+        ttr.alias("type_token_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_len.alias("avg_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+        .cast("bigint")
+        .alias("n_regex_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+    )
+
+
+# tiny per-language stopword profiles for the heuristic guesser
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "la", "y", "los"),
+}
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language guess: score(lang) = matching tokens /
+    total; prediction = argmax with deterministic lexical tiebreak."""
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w).cast("double")
+    scores = [
+        F.struct(
+            round_half_up(
+                F.size(F.filter(w, lambda t: t.isin(*stops))) / n, 4
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, stops in sorted(LANG_PROFILES.items())
+    ]
+    # array_max on struct(score, lang): max score, ties -> max lang; invert
+    # lang for a deterministic *ascending* tiebreak by negating via sort
+    best = F.array_max(F.array(*scores))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("lang").alias("lang_declared"),
+        best["lang"].alias("lang_pred"),
+        best["score"].alias("lang_score"),
+        (F.col("lang") == best["lang"]).alias("is_match"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    md5 = F.md5(F.trim(F.col(text_col)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        md5.alias("fp_md5"),
+        F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint").alias("fp_int60"),
+    )
