@@ -1,0 +1,122 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints
+
+    {"metric": "e2e_bench_wall", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "triples_per_sec": ...,
+     "cpus": ...}
+
+Each query is forced end-to-end with a noop-format write (full computation,
+no driver collect). The flagship ``kg_pipeline`` is the complete
+pages -> extract -> chunk -> triples -> canonical nodes+edges DAG; its
+triples/sec is the BASELINE.json headline metric. ``tools/scaling.py`` runs
+this same file at two parallelism levels for the N-vs-4N scaling evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ONLY = {q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q}
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from text_to_graph_spark.operators import dedup as D
+    from text_to_graph_spark.operators import events as EV
+    from text_to_graph_spark.operators import similarity as SIM
+    from text_to_graph_spark.operators import textstats as TS
+    from text_to_graph_spark.operators.canonicalize import (
+        triples_to_canonical_edges,
+        triples_to_canonical_nodes,
+    )
+    from text_to_graph_spark.operators.chunking import chunk_pages
+    from text_to_graph_spark.operators.components import connected_components
+    from text_to_graph_spark.operators.extraction import extract_text, extract_triples
+    from text_to_graph_spark.pipeline import vocab_category_table
+    from text_to_graph_spark.session import get_spark
+    from text_to_graph_spark.sources.pages import synthesize_pages
+
+    spark = get_spark(app_name="t2g-bench", master=f"local[{CPUS}]")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+    n_triples = 0
+
+    def q_kg_pipeline():
+        nonlocal n_triples
+        pages = synthesize_pages(spark, SF_DIR)
+        chunks = chunk_pages(extract_text(pages))
+        triples = extract_triples(chunks, "vocab", impl="pandas")
+        triples = triples.localCheckpoint(eager=True)  # reuse for edges+nodes
+        n_triples = triples.count()
+        _force(triples_to_canonical_edges(triples))
+        _force(triples_to_canonical_nodes(triples, vocab_category_table(spark)))
+
+    def q_kg_triples_sql():
+        pages = synthesize_pages(spark, SF_DIR)
+        chunks = chunk_pages(extract_text(pages))
+        _force(extract_triples(chunks, "vocab", impl="sql"))
+
+    def q_kg_components():
+        pages = synthesize_pages(spark, SF_DIR)
+        chunks = chunk_pages(extract_text(pages))
+        t = extract_triples(chunks, "vocab", impl="sql")
+        e = triples_to_canonical_edges(t)
+        _force(connected_components(e, "subj_key", "obj_key"))
+
+    benches = {
+        "kg_pipeline": q_kg_pipeline,
+        "kg_triples_sql": q_kg_triples_sql,
+        "kg_components": q_kg_components,
+        "dedup_exact": lambda: _force(D.exact_duplicates(docs)),
+        "dedup_minhash_pairs": lambda: _force(D.minhash_candidate_pairs(docs)),
+        "dedup_simhash": lambda: _force(D.simhash(docs)),
+        "ann_topk": lambda: _force(
+            SIM.topk_bruteforce(emb, emb.where("vec_id < 10"), k=5)
+        ),
+        "text_quality": lambda: _force(TS.quality_stats(docs)),
+        "events_sessionize": lambda: _force(EV.sessionize(events)),
+    }
+
+    results: dict[str, float] = {}
+    for name, fn in benches.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.monotonic()
+        fn()
+        results[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "e2e_bench_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+    }
+    if "kg_pipeline" in results and results["kg_pipeline"] > 0:
+        out["n_triples"] = n_triples
+        out["triples_per_sec"] = round(n_triples / results["kg_pipeline"], 1)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

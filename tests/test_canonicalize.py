@@ -1,0 +1,108 @@
+"""Canonicalization semantics on crafted inputs — the reference's merge
+contract (graph_utils.py:22-88,144-251) under explicit total orders."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from text_to_graph_spark.operators.canonicalize import (
+    render_type_set,
+    salted_collect_set,
+    sanitize_col,
+    triples_to_canonical_edges,
+    triples_to_canonical_nodes,
+    with_dense_export_ids,
+    with_internal_ids,
+)
+
+TRIPLE_SCHEMA = (
+    "url string, chunk_index int, pos int, subj string, pred string, obj string"
+)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+
+def test_first_occurrence_wins_label(spark):
+    # "ACME" appears first (url a, chunk 0, pos 0); "acme" later — the first
+    # occurrence's casing is the display label (graph_utils.py:34-45)
+    t = _triples(
+        spark,
+        [
+            ("a", 0, 0, "ACME", "join", "Widget"),
+            ("b", 0, 0, "acme", "join", "widget"),
+        ],
+    )
+    nodes = {r["key"]: r["label"] for r in triples_to_canonical_nodes(t).collect()}
+    assert nodes == {"acme": "ACME", "widget": "Widget"}
+    edges = triples_to_canonical_edges(t).collect()
+    assert len(edges) == 1  # same canonical (subj,pred,obj) key
+    assert edges[0]["subj_label"] == "ACME"
+    assert edges[0]["n_docs"] == 2
+    assert edges[0]["n_occurrences"] == 2
+
+
+def test_pipe_sanitized_and_empty_keys_dropped(spark):
+    t = _triples(
+        spark,
+        [
+            ("a", 0, 0, " A|B ", "r|s", "C"),
+            ("a", 0, 1, "", "join", "C"),  # empty subj key -> dropped
+            ("a", 0, 2, " | ", "join", "C"),  # sanitizes to "_" -> kept
+        ],
+    )
+    edges = triples_to_canonical_edges(t).collect()
+    keys = {(e["subj_key"], e["pred_key"], e["obj_key"]) for e in edges}
+    assert keys == {("a_b", "r_s", "c"), ("_", "join", "c")}
+
+
+def test_subject_before_object_order(spark):
+    # same key as subj(role 0) and obj(role 1) at the same (url,chunk,pos):
+    # the subject occurrence wins the label
+    t = _triples(spark, [("a", 0, 0, "Foo", "join", "FOO")])
+    nodes = {r["key"]: r["label"] for r in triples_to_canonical_nodes(t).collect()}
+    assert nodes["foo"] == "Foo"
+
+
+def test_render_type_set(spark):
+    df = spark.createDataFrame(
+        [(["b", "", "a"],)], "types array<string>"
+    ).select(render_type_set(F.col("types")).alias("r"))
+    assert df.collect()[0]["r"] == "a|b"
+
+
+def test_internal_and_dense_ids(spark):
+    t = _triples(
+        spark,
+        [
+            ("a", 0, 0, "X", "join", "Y"),
+            ("a", 0, 1, "Y", "join", "Z"),
+        ],
+    )
+    nodes = triples_to_canonical_nodes(t)
+    internal = with_internal_ids(nodes)
+    assert internal.select("node_id").distinct().count() == 3  # stable, unique
+    dense = with_dense_export_ids(nodes)
+    assert sorted(r["id"] for r in dense.collect()) == [0, 1, 2]
+
+
+def test_salted_collect_set_equals_plain(spark):
+    rows = [("k%d" % (i % 3), "v%d" % (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    plain = {
+        r["k"]: sorted(r["s"])
+        for r in df.groupBy("k").agg(F.collect_set("v").alias("s")).collect()
+    }
+    salted = {
+        r["k"]: list(r["v_set"])
+        for r in salted_collect_set(df, ["k"], "v", salt_buckets=4).collect()
+    }
+    assert plain == salted
+
+
+def test_sanitize_col(spark):
+    df = spark.createDataFrame([("  a|b  ",)], "x string").select(
+        sanitize_col(F.col("x")).alias("s")
+    )
+    assert df.collect()[0]["s"] == "a_b"

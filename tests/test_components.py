@@ -1,0 +1,107 @@
+"""Iterative graph operators vs exact single-process oracles.
+
+connected_components vs union-find; bfs_distances vs Python BFS in all three
+direction modes (viewer parity, data_renderer.js:487-554); k_hop_subgraph
+endpoint closure."""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pytest
+
+from text_to_graph_spark.operators.components import (
+    bfs_distances,
+    connected_components,
+    k_hop_subgraph,
+)
+
+# deterministic sparse graph: 3 components + isolated-ish chains
+EDGES = (
+    [(i, i + 1) for i in range(0, 20)]          # chain 0..20
+    + [(100 + i, 100 + (i * 7) % 23) for i in range(23)]  # tangle 100..122
+    + [(200, 201), (202, 201), (203, 202), (204, 204)]    # small + self-loop
+)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def _bfs_oracle(edges, roots, direction, max_hops=20):
+    adj = {}
+    for u, v in edges:
+        if direction in ("out", "both"):
+            adj.setdefault(u, set()).add(v)
+        if direction in ("in", "both"):
+            adj.setdefault(v, set()).add(u)
+    dist = {r: 0 for r in roots}
+    q = deque(roots)
+    while q:
+        n = q.popleft()
+        if dist[n] >= max_hops:
+            continue
+        for m in adj.get(n, ()):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    return dist
+
+
+def test_connected_components_vs_union_find(spark):
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    exp = _uf_components(EDGES)
+    assert got == exp
+    # sanity: chain, tangle (minus isolated 100), small comp, 2 self-loop isolates
+    comps = {}
+    for n, c in got.items():
+        comps.setdefault(c, set()).add(n)
+    assert len(comps) == 5
+
+
+@pytest.mark.parametrize("direction", ["out", "in", "both"])
+def test_bfs_all_directions(spark, direction):
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    roots = spark.createDataFrame([(0,), (100,)], "node long")
+    got = {
+        r["node"]: r["distance"]
+        for r in bfs_distances(edges, roots, direction=direction).collect()
+    }
+    assert got == _bfs_oracle(EDGES, [0, 100], direction)
+
+
+def test_k_hop_subgraph_closure(spark):
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    roots = spark.createDataFrame([(5,)], "node long")
+    nodes, sub_edges = k_hop_subgraph(edges, roots, k=2)
+    kept = {r["node"] for r in nodes.collect()}
+    assert kept == {3, 4, 5, 6, 7}
+    for r in sub_edges.collect():
+        assert r["src"] in kept and r["dst"] in kept
+    # every edge fully inside the ball is present
+    exp_edges = {(u, v) for u, v in EDGES if u in kept and v in kept}
+    assert {(r["src"], r["dst"]) for r in sub_edges.collect()} == exp_edges
+
+
+def test_cc_empty_and_null_edges(spark):
+    edges = spark.createDataFrame(
+        [(1, None), (None, 2)], "src long, dst long"
+    )
+    assert connected_components(edges, "src", "dst").count() == 0

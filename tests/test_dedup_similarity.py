@@ -1,0 +1,136 @@
+"""Dedup + similarity operators vs brute-force Python oracles on crafted
+corpora (the sf0.01 driver tables are covered by tools/check_correctness.py;
+these tests pin the *semantics* on inputs with known answers)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_to_graph_spark.operators.dedup import (
+    exact_duplicates,
+    embedding_neardup_pairs,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from text_to_graph_spark.operators.similarity import topk_bruteforce, topk_bucketed
+
+DOCS = [
+    (1, "g", "alpha beta gamma delta epsilon zeta"),
+    (2, "g", "alpha beta gamma delta epsilon zeta"),          # exact dup of 1
+    (3, "g", "alpha beta gamma delta epsilon eta"),           # near dup of 1
+    (4, "g", "one two three four five six seven"),            # unrelated
+    (5, "g", "tiny"),                                         # < n tokens
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, source string, text string")
+
+
+def _shingle_set(text, n=3):
+    w = text.split(" ")
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)} if len(w) >= n else set()
+
+
+def test_exact_duplicates(docs):
+    got = {r["fingerprint"]: (r["representative"], r["n_docs"])
+           for r in exact_duplicates(docs).collect()}
+    fp = hashlib.md5(DOCS[0][2].encode()).hexdigest()
+    assert got[fp] == (1, 2)  # docs 1 and 2 collapse, min id representative
+    assert len(got) == 4      # 5 docs, one exact pair
+
+
+def test_minhash_signature_is_min_banded_md5(docs):
+    sig = {r["id"]: r for r in minhash_signatures(docs).collect()}
+    sh1 = _shingle_set(DOCS[0][2])
+    for b in range(4):
+        exp = min(hashlib.md5(f"{b}#{s}".encode()).hexdigest() for s in sh1)
+        assert sig[1][f"mh{b}"] == exp
+    # doc 5 has no shingles -> no signature row
+    assert 5 not in sig
+    # exact dups share every band and the bucket
+    assert sig[1]["bucket"] == sig[2]["bucket"]
+
+
+def test_minhash_pairs_find_exact_and_near(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["n_bands_shared"]
+             for r in minhash_candidate_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 4           # identical docs share all 4 bands
+    # near-dup (1,3) shares the bands whose min-shingle survives the edit
+    if (1, 3) in pairs:
+        assert 1 <= pairs[(1, 3)] <= 4
+    # unrelated docs share nothing
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_ngram_jaccard_exact_values(docs):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, group_col="source", threshold=0.0).collect()}
+    s1, s3 = _shingle_set(DOCS[0][2]), _shingle_set(DOCS[2][2])
+    exp_13 = round(len(s1 & s3) / len(s1 | s3), 4)
+    assert got[(1, 2)] == 1.0
+    assert abs(got[(1, 3)] - exp_13) < 1e-9
+    assert (1, 4) not in got  # zero intersection never emitted
+
+
+def test_simhash_identical_docs_equal_bits(docs):
+    got = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert got[1] == got[2]
+    assert len(got[1]) == 32 and set(got[1]) <= {"0", "1"}
+    # hamming(1,3) strictly less than hamming(1,4): near-dup closer than unrelated
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(got[1], got[3]) < ham(got[1], got[4])
+
+
+EMB = [
+    (1, [1.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0]),
+    (3, [0.0, 1.0, 0.0]),
+    (4, [-1.0, 0.0, 0.0]),
+    (5, [0.5, 0.5, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(EMB, "vec_id long, embedding array<float>")
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_topk_bruteforce_matches_python(emb):
+    got = [
+        (r["neighbor_id"], r["rank"])
+        for r in topk_bruteforce(emb, emb.where("vec_id = 1"), k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    scores = sorted(
+        ((_cos(EMB[0][1], v), -i) for i, v in EMB if i != 1), reverse=True
+    )
+    exp = [(-neg_i, rank + 1) for rank, (_, neg_i) in enumerate(scores[:3])]
+    assert got == exp
+
+
+def test_topk_bucketed_subset_of_bucket(emb):
+    got = topk_bucketed(emb, emb.where("vec_id = 1"), k=5, sign_bits=3).collect()
+    # query [1,0,0] bucket = sign bits (1,0,0) -> only candidates with x>0,
+    # y<=0, z<=0 share it: vec 2? (0.9,0.1,0) has y>0 -> different bucket.
+    for r in got:
+        assert r["neighbor_id"] not in (3, 4)  # different sign pattern
+
+
+def test_embedding_neardup_threshold(emb):
+    got = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(emb, threshold=0.99).collect()}
+    assert (1, 2) in got          # cos(1,2) ~ 0.9939
+    assert all(p == (1, 2) for p in got)
