@@ -31,8 +31,18 @@ from text_to_graph_spark.operators.canonicalize import (
     triples_to_canonical_edges,
     triples_to_canonical_nodes,
 )
+from text_to_graph_spark.functions.edge_mappings import (
+    EDGE_MAPPINGS,
+    apply_edge_mappings,
+    edge_mapping_table,
+)
+from text_to_graph_spark.operators import linking as L
 from text_to_graph_spark.operators.chunking import chunk_pages
-from text_to_graph_spark.operators.components import bfs_distances, connected_components
+from text_to_graph_spark.operators.components import (
+    bfs_distances,
+    connected_components,
+    pairwise_shortest_paths,
+)
 from text_to_graph_spark.operators.extraction import (
     extract_mentions,
     extract_text,
@@ -206,6 +216,75 @@ def _q_kg_components(spark, sf_dir):
     return connected_components(_edges(spark, sf_dir), src="subj", dst="obj")
 
 
+def _q_kg_node_type_counts(spark, sf_dir):
+    nodes = triples_to_canonical_nodes(
+        _stages(spark, sf_dir)["triples"], category_of=vocab_category_table(spark)
+    )
+    return G.node_type_counts(nodes)
+
+
+def _q_kg_linked_mentions(spark, sf_dir):
+    m = extract_mentions(_stages(spark, sf_dir)["chunks"], "vocab")
+    return L.linked_mention_counts(m, L.alias_table(spark))
+
+
+def _q_kg_linked_mentions_salted(spark, sf_dir):
+    # same result as kg_linked_mentions through the explicit two-phase
+    # salted aggregation (skew path) — the oracle is shared
+    m = extract_mentions(_stages(spark, sf_dir)["chunks"], "vocab")
+    return L.linked_mention_counts(m, L.alias_table(spark), salted=True)
+
+
+def _coref_labels(spark, sf_dir):
+    # blocking runs over the full surface-form dictionary: raw mention labels
+    # plus the linker's canonical labels — that is where near-duplicate
+    # variants ("agg" vs "aggregate", "part" vs "partition") coexist
+    m = extract_mentions(_stages(spark, sf_dir)["chunks"], "vocab")
+    linked = L.link_mentions(m, L.alias_table(spark))
+    return (
+        m.select(F.col("mention").alias("label"))
+        .union(linked.select(F.col("canonical_label").alias("label")))
+        .distinct()
+    )
+
+
+def _q_kg_coref_pairs(spark, sf_dir):
+    return L.coref_candidate_pairs(
+        _coref_labels(spark, sf_dir), threshold=0.12
+    )
+
+
+def _q_kg_coref_nodes(spark, sf_dir):
+    return L.coref_components(_coref_labels(spark, sf_dir), threshold=0.12)
+
+
+def _q_kg_edge_mapped(spark, sf_dir):
+    e = triples_to_canonical_edges(_stages(spark, sf_dir)["triples"])
+    mapped = apply_edge_mappings(e, edge_mapping_table(spark))
+    return mapped.select(
+        F.col("subj_key").alias("subj"),
+        F.col("pred_key").alias("pred"),
+        F.col("obj_key").alias("obj"),
+        "n_docs",
+        "n_occurrences",
+    )
+
+
+_PATH_ROOTS = ("customer", "hash", "window")
+
+
+def _q_kg_pair_paths(spark, sf_dir):
+    roots = spark.createDataFrame([(r,) for r in _PATH_ROOTS], "node string")
+    return pairwise_shortest_paths(
+        _edges(spark, sf_dir),
+        roots,
+        src="subj",
+        dst="obj",
+        direction="both",
+        max_hops=4,
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir))
 
@@ -306,6 +385,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_parallel_edges": _q_kg_parallel_edges,
         "kg_khop2": _q_kg_khop2,
         "kg_components": _q_kg_components,
+        "kg_node_type_counts": _q_kg_node_type_counts,
+        "kg_linked_mentions": _q_kg_linked_mentions,
+        "kg_linked_mentions_salted": _q_kg_linked_mentions_salted,
+        "kg_coref_pairs": _q_kg_coref_pairs,
+        "kg_coref_nodes": _q_kg_coref_nodes,
+        "kg_edge_mapped": _q_kg_edge_mapped,
+        "kg_pair_paths": _q_kg_pair_paths,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -365,8 +451,78 @@ sig AS (
 )
 
 
+# linking fragments — VALUES/CASE literals generated from the single source
+# of truth in operators/linking.py and functions/edge_mappings.py
+_ALIAS_VALUES = ", ".join(
+    f"('{a}', '{c}')" for a, c in sorted(L.ALIASES.items())
+)
+_EDGE_MAP_CASE = "CASE pred " + " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in sorted(EDGE_MAPPINGS.items())
+) + " ELSE pred END"
+
+# mentions -> alias-linked labels -> char-3-gram minhash/LSH blocking -> exact
+# jaccard (mirrors operators/linking.py formula for formula)
+_LINKED_CTE = f"""
+mentions AS (
+  SELECT url, w AS mention
+  FROM (SELECT url, unnest(string_split(text, ' ')) AS w FROM pages)
+  WHERE w IN ({{ents}})
+),
+linked AS (
+  SELECT m.url, coalesce(a.canonical_label, m.mention) AS canonical_label
+  FROM mentions m
+  LEFT JOIN (VALUES {_ALIAS_VALUES}) a(alias, canonical_label)
+    ON m.mention = a.alias
+)
+"""
+
+_COREF_CTE = """
+labels AS (
+  SELECT DISTINCT mention AS label FROM mentions
+  UNION
+  SELECT DISTINCT canonical_label FROM linked
+),
+grams AS (
+  SELECT DISTINCT label, substr(label, CAST(i AS int), 3) AS gram
+  FROM labels, unnest(generate_series(1, greatest(len(label) - 2, 1))) AS g(i)
+),
+sig AS (
+  SELECT label,
+         min(md5('0#' || gram)) AS mh0, min(md5('1#' || gram)) AS mh1,
+         min(md5('2#' || gram)) AS mh2, min(md5('3#' || gram)) AS mh3
+  FROM grams GROUP BY label
+),
+bands AS (
+  SELECT label, mh0 AS h, 0 AS band FROM sig
+  UNION ALL SELECT label, mh1, 1 FROM sig
+  UNION ALL SELECT label, mh2, 2 FROM sig
+  UNION ALL SELECT label, mh3, 3 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.label AS label_a, b.label AS label_b
+  FROM bands a JOIN bands b ON a.h = b.h AND a.band = b.band AND a.label < b.label
+),
+sizes AS (SELECT label, count(*) AS sz FROM grams GROUP BY label),
+inter AS (
+  SELECT c.label_a, c.label_b, count(*) AS n_inter
+  FROM cand c
+  JOIN grams ga ON ga.label = c.label_a
+  JOIN grams gb ON gb.label = c.label_b AND gb.gram = ga.gram
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT label_a, label_b,
+         (floor((n_inter / CAST(sa.sz + sb.sz - n_inter AS double)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.label = label_a
+  JOIN sizes sb ON sb.label = label_b
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     ents, preds, cat = _ENTS_SQL, _PREDS_SQL, _CATEGORY_CASE
+    linked_cte = _LINKED_CTE.format(ents=ents)
     return {
         "kg_pages": f"""
 {_KG_PREFIX}
@@ -464,6 +620,76 @@ reach AS (
   SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
 )
 SELECT node, min(r) AS component FROM reach GROUP BY node
+""",
+        "kg_node_type_counts": f"""
+{_KG_PREFIX}
+SELECT {cat} AS type, count(*) AS n_nodes FROM (
+  SELECT DISTINCT label FROM (
+    SELECT subj AS label FROM triples UNION SELECT obj FROM triples
+  )
+) GROUP BY 1
+""",
+        "kg_linked_mentions": f"""
+{_KG_PREFIX},
+{linked_cte.strip().lstrip()}
+SELECT canonical_label, count(*) AS n_occurrences,
+       count(DISTINCT url) AS n_docs
+FROM linked GROUP BY 1
+""",
+        "kg_linked_mentions_salted": f"""
+{_KG_PREFIX},
+{linked_cte.strip().lstrip()}
+SELECT canonical_label, count(*) AS n_occurrences,
+       count(DISTINCT url) AS n_docs
+FROM linked GROUP BY 1
+""",
+        "kg_coref_pairs": f"""
+{_KG_PREFIX},
+{linked_cte.strip().lstrip()},
+{_COREF_CTE.strip()}
+SELECT label_a, label_b, jaccard FROM jac WHERE jaccard >= 0.12
+""",
+        "kg_coref_nodes": f"""
+{_KG_PREFIX},
+{linked_cte.strip().lstrip()},
+{_COREF_CTE.strip()},
+sympairs AS (
+  SELECT label_a AS u, label_b AS v FROM jac WHERE jaccard >= 0.12
+  UNION
+  SELECT label_b, label_a FROM jac WHERE jaccard >= 0.12
+),
+reach2 AS (
+  SELECT label AS node, label AS r FROM labels
+  UNION
+  SELECT s.u, reach2.r FROM sympairs s JOIN reach2 ON s.v = reach2.node
+)
+SELECT node AS label, min(r) AS canonical FROM reach2 GROUP BY node
+""",
+        "kg_edge_mapped": f"""
+{_KG_PREFIX}
+SELECT subj, {_EDGE_MAP_CASE} AS pred, obj,
+       count(DISTINCT url) AS n_docs, count(*) AS n_occurrences
+FROM triples GROUP BY 1, 2, 3
+""",
+        "kg_pair_paths": f"""
+{_KG_PREFIX},
+paths AS (
+  SELECT r.node AS root, r.node AS node, 0 AS d, [r.node] AS path
+  FROM (SELECT unnest(['customer', 'hash', 'window']) AS node) r
+  UNION
+  SELECT p.root, s.v, p.d + 1, list_append(p.path, s.v)
+  FROM paths p JOIN sym s ON s.u = p.node
+  WHERE p.d < 4 AND s.u <> s.v AND NOT list_contains(p.path, s.v)
+),
+ranked_paths AS (
+  SELECT root, node, d, path,
+         row_number() OVER (PARTITION BY root, node ORDER BY d, path) AS rn
+  FROM paths
+)
+SELECT root AS src_root, node AS dst_root, CAST(d AS int) AS distance,
+       array_to_string(path, '>') AS path
+FROM ranked_paths
+WHERE rn = 1 AND node IN ('customer', 'hash', 'window') AND node <> root
 """,
         "dedup_exact": """
 SELECT md5(text) AS fingerprint, min(doc_id) AS representative,

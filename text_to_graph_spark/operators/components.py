@@ -136,6 +136,79 @@ def bfs_distances(
     return visited
 
 
+def pairwise_shortest_paths(
+    edges: DataFrame,
+    roots: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    direction: str = "both",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Viewer G4 semantics (``data_renderer.js:560-666``): shortest paths
+    between every ordered pair of selected root nodes.
+
+    Multi-source BFS carrying a path column; ties broken by the
+    lexicographically smallest path (the viewer's predecessor order is
+    insertion-dependent and therefore unspecified — we make it total).
+    Returns (src_root, dst_root, distance, path) with path a '>'-joined node
+    sequence; only pairs reachable within ``max_hops`` appear, src != dst.
+
+    Each hop is one hash join frontier-expansion + a (root, node) min_by
+    aggregation; per-hop ``localCheckpoint`` cuts the lineage. Root sets are
+    viewer-selection sized (a handful), so state is |roots| x |nodes| at
+    worst — this is a read-path query over the canonical entity graph, whose
+    node count is vocabulary-bounded, not corpus-bounded.
+    """
+    if direction == "out":
+        adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    elif direction == "in":
+        adj = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    else:
+        adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    adj = adj.where(F.col("u") != F.col("v")).distinct()
+
+    best = roots.select(
+        F.col(node_col).alias("root"),
+        F.col(node_col).alias("node"),
+        F.lit(0).alias("distance"),
+        F.array(F.col(node_col)).alias("path"),
+    ).distinct()
+    frontier = best
+    for hop in range(1, max_hops + 1):
+        expanded = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select(
+                "root",
+                F.col("v").alias("node"),
+                F.lit(hop).alias("distance"),
+                F.concat("path", F.array(F.col("v"))).alias("path"),
+            )
+            .join(best.select("root", "node"), ["root", "node"], "left_anti")
+        )
+        # one survivor per (root, node): the lexicographically smallest path
+        frontier = expanded.groupBy("root", "node").agg(
+            F.min("distance").alias("distance"), F.min("path").alias("path")
+        )
+        frontier = frontier.localCheckpoint(eager=True)
+        if frontier.limit(1).count() == 0:
+            break
+        best = best.unionByName(frontier)
+    root_set = roots.select(F.col(node_col).alias("node")).distinct()
+    return (
+        best.join(root_set, "node", "left_semi")
+        .where(F.col("root") != F.col("node"))
+        .select(
+            F.col("root").alias("src_root"),
+            F.col("node").alias("dst_root"),
+            "distance",
+            F.concat_ws(">", "path").alias("path"),
+        )
+    )
+
+
 def k_hop_subgraph(
     edges: DataFrame,
     roots: DataFrame,
