@@ -47,6 +47,7 @@ from text_to_graph_spark.operators.extraction import (
     extract_mentions,
     extract_text,
     extract_triples,
+    extract_triples_from_pages,
 )
 from text_to_graph_spark.pipeline import vocab_category_table
 from text_to_graph_spark.sources.pages import PAGES_ORACLE_CTE, synthesize_pages
@@ -87,6 +88,9 @@ _CACHE: dict = {}
 def _stages(spark: SparkSession, sf_dir: str) -> dict:
     key = (id(spark), sf_dir)
     if key not in _CACHE:
+        from text_to_graph_spark.session import tune_session
+
+        tune_session(spark)  # arrow/UTC + one-time ICU collation warm-up
         pages = synthesize_pages(spark, sf_dir)
         extracted = extract_text(pages)
         chunks = chunk_pages(extracted).localCheckpoint(eager=False)
@@ -163,6 +167,12 @@ def _q_kg_triples(spark, sf_dir):
         .select("url", "subj", "pred", "obj")
         .distinct()
     )
+
+
+def _q_kg_triples_fused(spark, sf_dir):
+    # the single-UDF fused path must agree with the staged contract path
+    t = extract_triples_from_pages(synthesize_pages(spark, sf_dir))
+    return t.select("url", "subj", "pred", "obj").distinct()
 
 
 def _q_kg_triples_sql_impl(spark, sf_dir):
@@ -377,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": _q_kg_mentions,
         "kg_mention_counts": _q_kg_mention_counts,
         "kg_triples": _q_kg_triples,
+        "kg_triples_fused": _q_kg_triples_fused,
         "kg_triples_sql_impl": _q_kg_triples_sql_impl,
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,
@@ -557,6 +568,10 @@ SELECT mention, count(*) AS n_occurrences FROM (
 ) WHERE mention IN ({ents}) GROUP BY mention
 """,
         "kg_triples": f"""
+{_KG_PREFIX}
+SELECT DISTINCT url, subj, pred, obj FROM triples
+""",
+        "kg_triples_fused": f"""
 {_KG_PREFIX}
 SELECT DISTINCT url, subj, pred, obj FROM triples
 """,

@@ -139,3 +139,16 @@ def test_lang_filter(spark, pages_smoke):
     stages = run_pipeline(spark, pages_smoke, PipelineConfig(lang_filter=some))
     got = {r["lang"] for r in stages["pages"].select("lang").distinct().collect()}
     assert got == {some}
+
+
+def test_fused_path_agrees_with_staged_path(spark, pages_smoke):
+    # extract_triples_from_pages (one mapInPandas) == extract -> chunk ->
+    # triples (three stages), row for row
+    from text_to_graph_spark.operators.extraction import extract_triples_from_pages
+
+    staged = extract_triples(
+        chunk_pages(extract_text(pages_smoke)), "vocab", impl="pandas"
+    ).toPandas()
+    fused = extract_triples_from_pages(pages_smoke).toPandas()
+    assert _triple_set(fused) == _triple_set(staged)
+    assert len(fused) == len(staged)

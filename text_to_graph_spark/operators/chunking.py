@@ -1,13 +1,15 @@
 """Chunking stage — greedy token-budget packing + neighbor-context windows.
 
-``chunk_pages``: one ``groupBy(url).applyInPandas`` call runs the reference's
-sequential packer (``kit/chunker.py``, mirroring
-``graph_extractor/src/chunk_utils.py:56-135``) per document. Packing is
-order-dependent *within* a document and embarrassingly parallel *across*
-documents — the groupBy is the only shuffle, keyed by url, which is also the
-table's bucket key at scale so the exchange is avoidable with bucketed input.
-Giant documents are the skew risk (AQE cannot split one group): callers cap
-document length upstream and record truncation in the metrics rows.
+``chunk_pages``: the reference's sequential packer (``kit/chunker.py``,
+mirroring ``graph_extractor/src/chunk_utils.py:56-135``) runs per document.
+Packing is order-dependent *within* a document and embarrassingly parallel
+*across* documents — and since the pages table holds exactly one row per
+document, the operator is a pure row-wise flatMap: ``mapInPandas``, ZERO
+shuffle (an earlier ``groupBy(url).applyInPandas`` shape paid a full
+exchange of the corpus for nothing — at 100 TB that shuffle would dominate
+the whole pipeline). Giant documents remain the skew risk within a task:
+callers cap document length upstream and record truncation in the metrics
+rows.
 
 ``with_neighbor_context``: the reference's L0 overlap / L2 padding assembly
 (``graph_generator.py:250-275`` and ``:194-199``) as a ``lag``/``lead``
@@ -33,30 +35,28 @@ CHUNK_SCHEMA = (
 )
 
 
+_CHUNK_COLS = ["url", "chunk_index", "chunk_size", "token_start", "token_end", "text"]
+
+
 def chunk_pages(extracted: DataFrame, chunk_size: int = 1000) -> DataFrame:
-    """(url, text) -> one row per chunk, reference packing semantics."""
+    """(url, text) -> one row per chunk, reference packing semantics.
+
+    One document per input row, so packing needs no co-grouping: a
+    shuffle-free ``mapInPandas`` flatMap (chunk_index restarts at 0 per
+    document, exactly as the per-group shape did).
+    """
     cols = extracted.select("url", "text")
 
-    def _pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        url = key[0]
-        out: list[dict] = []
-        for text in pdf["text"]:
-            for row in pack_units(text, chunk_size):
-                row["url"] = url
-                out.append(row)
-        return pd.DataFrame(
-            out,
-            columns=[
-                "url",
-                "chunk_index",
-                "chunk_size",
-                "token_start",
-                "token_end",
-                "text",
-            ],
-        )
+    def _pack_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[dict] = []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for row in pack_units(text, chunk_size):
+                    row["url"] = url
+                    out.append(row)
+            yield pd.DataFrame(out, columns=_CHUNK_COLS)
 
-    return cols.groupBy("url").applyInPandas(_pack, schema=CHUNK_SCHEMA)
+    return cols.mapInPandas(_pack_batches, schema=CHUNK_SCHEMA)
 
 
 def with_neighbor_context(

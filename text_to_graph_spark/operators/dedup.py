@@ -88,7 +88,12 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any single band hash (each band
     is its own LSH bucket join). Output (id_a, id_b, n_bands_shared)."""
-    sig = minhash_signatures(docs, id_col, text_col, n, bands)
+    # materialize the signatures ONCE: they feed `bands` union branches and
+    # both sides of the self-join — without this the full shingle explosion
+    # + aggregation re-executes up to 2*bands times (measured 7x wall time)
+    sig = minhash_signatures(docs, id_col, text_col, n, bands).localCheckpoint(
+        eager=True
+    )
     per_band = None
     for b in range(bands):
         part = sig.select("id", F.col(f"mh{b}").alias("h"), F.lit(b).alias("band"))
@@ -119,7 +124,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.col(group_col).alias("grp"),
         F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    ).localCheckpoint(eager=True)  # reused by sizes + both join sides
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "grp", "shingle")
     b = sh.select(F.col("id").alias("id_b"), "grp", "shingle")

@@ -179,7 +179,8 @@ def coref_candidate_pairs(
     (intersection by an equi-join on gram, sizes from per-label counts).
     Output: (label_a, label_b, jaccard) with label_a < label_b.
     """
-    sig = label_minhash(labels, label_col)
+    # signatures feed N_HASHES union branches x 2 join sides: materialize once
+    sig = label_minhash(labels, label_col).localCheckpoint(eager=True)
     bands = None
     for i in range(N_HASHES):
         b = sig.select(
@@ -200,9 +201,14 @@ def coref_candidate_pairs(
         .distinct()
     )
 
-    grams = labels.select(
-        F.col(label_col).alias("label"), _char_ngrams(F.col(label_col)).alias("g")
-    ).select("label", F.explode("g").alias("gram")).distinct()
+    grams = (
+        labels.select(
+            F.col(label_col).alias("label"), _char_ngrams(F.col(label_col)).alias("g")
+        )
+        .select("label", F.explode("g").alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by sizes + both join sides
+    )
     sizes = grams.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
 
     # intersection size via equi-join on gram

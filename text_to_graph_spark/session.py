@@ -39,7 +39,47 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    _warmup_collation(spark)
     return spark
+
+
+def _warmup_collation(spark: SparkSession) -> None:
+    """Force the one-time static init of Spark 4's ICU collation support.
+
+    The first executed ``lower()``/``upper()`` triggers
+    ``CollationAwareUTF8String`` class initialization (~5 s of ICU data
+    loading); when it first happens inside a 32-task stage every task blocks
+    on the class-init monitor and the convoy stretches to ~60 s of wall time
+    (measured via jstack on this box). One tiny warm-up job pays the cost
+    once, single-threaded, at session creation — on a cluster the same
+    pattern belongs in the executor plugin/startup path.
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        spark.range(1).select(
+            F.lower(F.concat(F.lit("Warm"), F.col("id").cast("string")))
+        ).collect()
+    except Exception:
+        pass  # warm-up is best-effort; never fail session creation
+
+
+def ensure_min_partitions(df, min_partitions: int | None = None):
+    """Guarantee a DataFrame has enough partitions to use the cluster.
+
+    The sandbox fixture tables are single small parquet files, so a scan
+    yields ONE partition and every downstream pandas-UDF stage would run on
+    one core no matter the master (measured: the whole sf0.1 pipeline on 1
+    of 32 cores). Production inputs (Iceberg, many files, 100 TB) give scan
+    parallelism for free — this guard only round-robins *small* inputs up to
+    ``defaultParallelism`` and is a no-op whenever the scan already has
+    enough partitions, so it never adds a shuffle at real scale.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
@@ -57,4 +97,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a running session — keep going
+    _warmup_collation(spark)
     return spark

@@ -57,7 +57,9 @@ def synthesize_pages(
     identical html/text — exercising the dedup path realistically, since
     Common Crawl is heavily duplicated.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from text_to_graph_spark.session import ensure_min_partitions
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     if replicate > 1:
         docs = docs.crossJoin(
             spark.range(replicate).withColumnRenamed("id", "copy_id")

@@ -1,0 +1,120 @@
+"""N-vs-4N scaling evidence (BASELINE.json: efficiency >= 0.8).
+
+No multi-node cluster exists in this sandbox, so the two "cluster sizes" are
+the same job on the same input at two parallelism levels — ``local[8]`` vs
+``local[32]`` (N and 4N cores), per the build contract. Each level runs
+``bench.py`` in a FRESH subprocess (its own JVM, so no warm-cache bleed
+between levels) restricted to the flagship ``kg_pipeline`` query, optionally
+repeated; the best wall time per level is used (cold-JVM noise dominates the
+first run).
+
+    efficiency = (rate@4N / rate@N) / 4
+
+Prints one JSON line and (with ``--update-baseline``) rewrites the measured
+block in BASELINE.md between the SCALING-BEGIN/END markers.
+
+Usage: PYTHONPATH=/root/repo python3 tools/scaling.py [--sf-dir DIR]
+       [--repeats 2] [--update-baseline]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+BEGIN = "<!-- SCALING-BEGIN -->"
+END = "<!-- SCALING-END -->"
+
+
+def run_level(cpus: int, sf_dir: str, repeats: int) -> dict:
+    best = None
+    for _ in range(repeats):
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            SPARK_GRAFT_BENCH_ONLY="kg_pipeline",
+        )
+        t0 = time.monotonic()
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"bench failed at local[{cpus}]:\n{proc.stderr[-2000:]}")
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        out = json.loads(line)
+        out["proc_wall_s"] = round(time.monotonic() - t0, 1)
+        if best is None or out["queries"]["kg_pipeline"] < best["queries"]["kg_pipeline"]:
+            best = out
+    sec = best["queries"]["kg_pipeline"]
+    return {
+        "cpus": cpus,
+        "kg_pipeline_s": sec,
+        "n_triples": best.get("n_triples"),
+        "triples_per_sec": best.get("triples_per_sec"),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--update-baseline", action="store_true")
+    args = ap.parse_args()
+
+    low = run_level(8, args.sf_dir, args.repeats)
+    high = run_level(32, args.sf_dir, args.repeats)
+    speedup = low["kg_pipeline_s"] / high["kg_pipeline_s"]
+    efficiency = round(speedup / 4.0, 3)
+    result = {
+        "metric": "scaling_efficiency_8_vs_32",
+        "value": efficiency,
+        "unit": "fraction",
+        "sf_dir": args.sf_dir,
+        "speedup_4x_cores": round(speedup, 3),
+        "levels": [low, high],
+    }
+    print(json.dumps(result))
+
+    if args.update_baseline:
+        block = (
+            f"{BEGIN}\n"
+            f"## Measured scaling (sandbox evidence for the N vs 4N rule)\n\n"
+            f"Same job (`bench.py`, flagship `kg_pipeline`: pages → extract → chunk →\n"
+            f"triples → canonical nodes+edges), same input (`{args.sf_dir}`), fresh JVM\n"
+            f"per level, best of {args.repeats}:\n\n"
+            f"| cores | kg_pipeline wall (s) | triples | triples/sec |\n"
+            f"|---|---|---|---|\n"
+            f"| local[8] (N) | {low['kg_pipeline_s']} | {low['n_triples']} | {low['triples_per_sec']} |\n"
+            f"| local[32] (4N) | {high['kg_pipeline_s']} | {high['n_triples']} | {high['triples_per_sec']} |\n\n"
+            f"Speedup at 4× cores: **{round(speedup, 2)}×** → scaling efficiency\n"
+            f"**{efficiency}** (target ≥ 0.8).\n"
+            f"{END}"
+        )
+        path = os.path.join(REPO, "BASELINE.md")
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
+        if BEGIN in text:
+            text = re.sub(
+                re.escape(BEGIN) + r".*?" + re.escape(END), block, text, flags=re.S
+            )
+        else:
+            text = text.rstrip() + "\n\n" + block + "\n"
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(text)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
