@@ -29,6 +29,9 @@ ONLY = {q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q}
 # best-of-N per query: the sandbox VM has noisy-neighbor interference with
 # 3-10x swings on identical runs; min-of-2 is the standard mitigation
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+# deterministic corpus tiling for the flagship pipeline (tools/scaling.py
+# raises this so each core has real work at the fixture SF)
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
 
 
 def _force(df) -> None:
@@ -80,7 +83,7 @@ def main() -> int:
 
     def q_kg_pipeline():
         nonlocal n_triples
-        pages = synthesize_pages(spark, SF_DIR)
+        pages = synthesize_pages(spark, SF_DIR, replicate=REPLICATE)
         triples = extract_triples_from_pages(pages)  # fused single-UDF path
         triples = triples.localCheckpoint(eager=True)  # reuse for edges+nodes
         n_triples = triples.count()
@@ -148,6 +151,7 @@ def main() -> int:
     }
     if "kg_pipeline" in results and results["kg_pipeline"] > 0:
         out["n_triples"] = n_triples
+        out["replicate"] = REPLICATE
         out["triples_per_sec"] = round(n_triples / results["kg_pipeline"], 1)
     print(json.dumps(out))
     return 0

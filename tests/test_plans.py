@@ -1,0 +1,70 @@
+"""Physical-plan shape assertions — scale properties as tests.
+
+A regression that re-introduces a shuffle, drops a broadcast, or un-pushes a
+filter is invisible at fixture scale but catastrophic at 100 TB; these tests
+pin the plan shapes the design depends on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from text_to_graph_spark.operators.extraction import extract_triples_from_pages
+from text_to_graph_spark.plans.introspect import (
+    count_exchanges,
+    has_broadcast_join,
+    plan_str,
+    pushed_filters,
+    python_eval_count,
+    read_schema,
+)
+
+
+def test_fused_extraction_is_one_python_stage_no_shuffle(spark, pages_smoke):
+    t = extract_triples_from_pages(pages_smoke)
+    # exactly one Python boundary...
+    assert python_eval_count(t) == 1
+    # ...and no shuffle beyond the sandbox-only input repartition
+    assert count_exchanges(t) <= 1
+
+
+def test_staged_extraction_has_no_shuffle_between_python_stages(spark, pages_smoke):
+    from text_to_graph_spark.operators.chunking import chunk_pages
+    from text_to_graph_spark.operators.extraction import extract_text, extract_triples
+
+    t = extract_triples(chunk_pages(extract_text(pages_smoke)), "vocab")
+    # three chained mapInPandas stages, still at most the input repartition:
+    # chunking must NOT reintroduce a groupBy exchange
+    assert python_eval_count(t) == 3
+    assert count_exchanges(t) <= 1
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id", "lang")
+    assert "lang" in pushed_filters(q)  # predicate reached the parquet scan
+    rs = read_schema(q)
+    assert "doc_id" in rs and "text" not in rs  # pruned to the 2 used columns
+
+
+def test_alias_linking_broadcasts_the_small_side(spark, pages_smoke):
+    from text_to_graph_spark.operators import linking as L
+
+    mentions = spark.createDataFrame(
+        [("u", "row")], "url string, mention string"
+    )
+    out = L.link_mentions(mentions, L.alias_table(spark))
+    assert has_broadcast_join(out)
+    assert "SortMergeJoin" not in plan_str(out, "simple")
+
+
+def test_canonical_edges_single_aggregation_exchange(spark, pages_smoke):
+    from text_to_graph_spark.operators.canonicalize import triples_to_canonical_edges
+
+    t = extract_triples_from_pages(pages_smoke)
+    e = triples_to_canonical_edges(t)
+    # one hash-partitioning exchange for the groupBy — partial aggregation
+    # (map-side combine) must appear so skewed keys are pre-reduced
+    s = plan_str(e, "simple")
+    assert count_exchanges(e) <= 2  # input repartition + the groupBy
+    assert "HashAggregate" in s or "ObjectHashAggregate" in s or "SortAggregate" in s

