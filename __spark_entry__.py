@@ -44,10 +44,12 @@ from text_to_graph_spark.operators.components import (
     pairwise_shortest_paths,
 )
 from text_to_graph_spark.operators.extraction import (
+    chunk_mention_lists,
     extract_mentions,
     extract_text,
     extract_triples,
     extract_triples_from_pages,
+    restrict_triples_to_mentions,
 )
 from text_to_graph_spark.pipeline import vocab_category_table
 from text_to_graph_spark.sources.pages import PAGES_ORACLE_CTE, synthesize_pages
@@ -295,6 +297,109 @@ def _q_kg_pair_paths(spark, sf_dir):
     )
 
 
+def _q_kg_l2_triples(spark, sf_dir):
+    # L1 mention lists gate the second-pass triples (reference high-res mode)
+    st = _stages(spark, sf_dir)
+    m = extract_mentions(st["chunks"], "vocab")
+    t = restrict_triples_to_mentions(st["triples"], chunk_mention_lists(m))
+    return t.select("url", "subj", "pred", "obj").distinct()
+
+
+def _q_kg_prose_triples(spark, sf_dir):
+    # ProseModel over a deterministically title-cased rendering of the corpus
+    # (capitalized-span mentions, connector-word predicates). Regex span
+    # semantics are not expressible in the oracle dialect -> rows-only check;
+    # exact parity is pytest-verified against the shared kit model.
+    docs = _docs(spark, sf_dir)
+    # capitalize exactly the entity tokens: capitalized spans become the
+    # prose mentions, the lowercase words between them the connectors
+    prose = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                f"transform(split(text, ' '), "
+                f"w -> CASE WHEN w IN ({_ENTS_SQL}) THEN initcap(w) ELSE w END)"
+            ),
+        ).alias("text"),
+    ).withColumn("chunk_index", F.lit(0))
+    t = extract_triples(prose, "prose", impl="pandas")
+    return (
+        t.select("subj", "pred", "obj")
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def _q_kg_responses_roundtrip(spark, sf_dir):
+    # wire-format compat: triples -> reference CSV blob -> kit parser inside
+    # mapInPandas -> edges; round-trip must preserve every chunk graph
+    # (rows-only check; the parser itself is golden-tested in pytest)
+    from text_to_graph_spark.sources.responses import parse_responses
+
+    st = _stages(spark, sf_dir)
+    t = st["triples"]
+    # build one response blob per chunk from the triple stream, JVM-side
+    node_entries = t.select(
+        "url", "chunk_index", F.col("subj").alias("label")
+    ).unionByName(t.select("url", "chunk_index", F.col("obj").alias("label")))
+    nodes_per_chunk = (
+        node_entries.groupBy("url", "chunk_index")
+        .agg(F.array_sort(F.collect_set("label")).alias("labels"))
+        .select(
+            "url",
+            "chunk_index",
+            F.concat_ws(
+                "\n",
+                F.lit("id,entity,category"),
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.col("labels"),
+                        lambda lbl: F.concat_ws(
+                            ",",
+                            (F.array_position(F.col("labels"), lbl) - 1).cast(
+                                "string"
+                            ),
+                            lbl,
+                            F.lit("entity"),
+                        ),
+                    ),
+                ),
+            ).alias("nodes_csv"),
+            F.col("labels"),
+        )
+    )
+    edges_per_chunk = (
+        t.join(nodes_per_chunk.select("url", "chunk_index", "labels"), ["url", "chunk_index"])
+        .select(
+            "url",
+            "chunk_index",
+            F.concat_ws(
+                ",",
+                (F.array_position(F.col("labels"), F.col("subj")) - 1).cast("string"),
+                (F.array_position(F.col("labels"), F.col("obj")) - 1).cast("string"),
+                F.col("pred"),
+            ).alias("edge_row"),
+        )
+        .groupBy("url", "chunk_index")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.lit("source,target,relationship"),
+                F.concat_ws("\n", F.array_sort(F.collect_set("edge_row"))),
+            ).alias("edges_csv")
+        )
+    )
+    blobs = nodes_per_chunk.join(edges_per_chunk, ["url", "chunk_index"]).select(
+        "url",
+        "chunk_index",
+        F.concat_ws("\n", "nodes_csv", "edges_csv").alias("response_text"),
+    )
+    _nodes, edges = parse_responses(blobs)
+    return edges.groupBy("label").agg(F.count(F.lit(1)).alias("n_edges"))
+
+
 def _q_dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir))
 
@@ -403,6 +508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref_nodes": _q_kg_coref_nodes,
         "kg_edge_mapped": _q_kg_edge_mapped,
         "kg_pair_paths": _q_kg_pair_paths,
+        "kg_l2_triples": _q_kg_l2_triples,
+        "kg_prose_triples": _q_kg_prose_triples,
+        "kg_responses_roundtrip": _q_kg_responses_roundtrip,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -685,6 +793,19 @@ SELECT node AS label, min(r) AS canonical FROM reach2 GROUP BY node
 SELECT subj, {_EDGE_MAP_CASE} AS pred, obj,
        count(DISTINCT url) AS n_docs, count(*) AS n_occurrences
 FROM triples GROUP BY 1, 2, 3
+""",
+        # the synthetic corpus yields one chunk per url (see kg_chunks), and
+        # every triple participant is by construction an L1 mention of its
+        # own chunk, so the L2 restriction is identity on this corpus
+        "kg_l2_triples": f"""
+{_KG_PREFIX}
+SELECT DISTINCT url, subj, pred, obj FROM triples
+""",
+        "kg_responses_roundtrip": f"""
+{_KG_PREFIX}
+SELECT pred AS label, count(*) AS n_edges
+FROM (SELECT DISTINCT url, subj, pred, obj FROM triples)
+GROUP BY pred
 """,
         "kg_pair_paths": f"""
 {_KG_PREFIX},

@@ -19,8 +19,11 @@ def test_queries_and_oracles_align():
     assert len(qs) >= 30
     # every oracle refers to an implemented query
     assert set(oracles) <= set(qs)
-    # only explicitly non-SQL-expressible ops may omit an oracle
-    allowed_rows_only = {"mm_frames"}
+    # only explicitly non-SQL-expressible ops may omit an oracle:
+    # mm_frames (stubbed binary frame sampling), kg_prose_triples (regex
+    # capitalized-span semantics not expressible in the oracle dialect;
+    # pytest checks exact parity against the shared kit model instead)
+    allowed_rows_only = {"mm_frames", "kg_prose_triples"}
     assert set(qs) - set(oracles) <= allowed_rows_only
 
 

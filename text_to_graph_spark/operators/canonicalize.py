@@ -175,6 +175,25 @@ def edges_to_canonical_nodes(
     return nodes.select("key", "label", "types", "doc_ids", "n_docs")
 
 
+def remove_orphans(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_id: str = "key",
+    src: str = "subj_key",
+    dst: str = "obj_key",
+) -> DataFrame:
+    """P7 distributed: keep only nodes referenced by some edge endpoint
+    (``response_parser.py:178-207``). The endpoint set is a union+distinct;
+    the prune is a ``left_semi`` join — no node data moves for non-matches.
+    Dense 0..N-1 reindex stays export-only (``with_dense_export_ids``)."""
+    endpoints = (
+        edges.select(F.col(src).alias(node_id))
+        .unionByName(edges.select(F.col(dst).alias(node_id)))
+        .distinct()
+    )
+    return nodes.join(endpoints, node_id, "left_semi")
+
+
 def render_type_set(types_col):
     """Export rendering: '|'-joined sorted non-empty types
     (``graph_utils.py:68``)."""

@@ -109,6 +109,29 @@ def extract_triples(
     return cols.mapInPandas(_batches, schema=_TRIPLE_SCHEMA)
 
 
+def chunk_mention_lists(mentions: DataFrame) -> DataFrame:
+    """A5 — the L1 -> L2 bridge (``graph_generator.py:29-47``): one row per
+    chunk with the sorted-distinct mention list (the reference extends lists
+    on collision; a set union is its order-free equivalent)."""
+    return mentions.groupBy("url", "chunk_index").agg(
+        F.array_sort(F.collect_set("mention")).alias("mentions")
+    )
+
+
+def restrict_triples_to_mentions(
+    triples: DataFrame, mention_lists: DataFrame
+) -> DataFrame:
+    """L2 semantics: triples whose subject AND object appear in the chunk's
+    L1 mention list (the prompt hands the list to the second pass,
+    ``prompts.py:14-47``). An inner join on the chunk key — chunks with no
+    L1 result drop, mirroring ``graph_generator.py:187-189``."""
+    j = triples.join(mention_lists, ["url", "chunk_index"], "inner")
+    return j.where(
+        F.array_contains("mentions", F.col("subj"))
+        & F.array_contains("mentions", F.col("obj"))
+    ).drop("mentions")
+
+
 def extract_triples_from_pages(
     pages: DataFrame, model_name: str = "vocab", chunk_size: int = 1000
 ) -> DataFrame:
