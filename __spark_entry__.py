@@ -297,6 +297,31 @@ def _q_kg_pair_paths(spark, sf_dir):
     )
 
 
+def _q_kg_filtered_subgraph(spark, sf_dir):
+    # viewer G1/G5: edge-label filter + endpoint semi-join + 1500-edge cap
+    st = _stages(spark, sf_dir)
+    nodes = triples_to_canonical_nodes(
+        st["triples"], category_of=vocab_category_table(spark)
+    )
+    edges = triples_to_canonical_edges(st["triples"])
+    _n, e = G.filter_subgraph(
+        nodes, edges, edge_labels=["join", "scan"], edge_cap=1500
+    )
+    return e.select(
+        F.col("subj_key").alias("subj"),
+        F.col("pred_key").alias("pred"),
+        F.col("obj_key").alias("obj"),
+        "n_docs",
+        "n_occurrences",
+    )
+
+
+def _q_kg_top_nodes(spark, sf_dir):
+    deg = G.node_degrees(_edges(spark, sf_dir), src="subj", dst="obj")
+    top = G.top_k_by_count(deg.withColumnRenamed("key", "label"), "degree", 10)
+    return top.select("label", "out_degree", "in_degree", "degree")
+
+
 def _q_kg_l2_triples(spark, sf_dir):
     # L1 mention lists gate the second-pass triples (reference high-res mode)
     st = _stages(spark, sf_dir)
@@ -508,6 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref_nodes": _q_kg_coref_nodes,
         "kg_edge_mapped": _q_kg_edge_mapped,
         "kg_pair_paths": _q_kg_pair_paths,
+        "kg_filtered_subgraph": _q_kg_filtered_subgraph,
+        "kg_top_nodes": _q_kg_top_nodes,
         "kg_l2_triples": _q_kg_l2_triples,
         "kg_prose_triples": _q_kg_prose_triples,
         "kg_responses_roundtrip": _q_kg_responses_roundtrip,
@@ -793,6 +820,28 @@ SELECT node AS label, min(r) AS canonical FROM reach2 GROUP BY node
 SELECT subj, {_EDGE_MAP_CASE} AS pred, obj,
        count(DISTINCT url) AS n_docs, count(*) AS n_occurrences
 FROM triples GROUP BY 1, 2, 3
+""",
+        # every node participates in some edge, so the endpoint semi-join of
+        # the viewer filter keeps all label-matching edges; cap 1500 is a
+        # no-op at this SF (and deterministic above it)
+        "kg_filtered_subgraph": f"""
+{_KG_PREFIX}
+SELECT subj, pred, obj, n_docs, n_occurrences
+FROM edges WHERE pred IN ('join', 'scan')
+""",
+        "kg_top_nodes": f"""
+{_KG_PREFIX},
+deg AS (
+  SELECT label, CAST(sum(out_d) AS bigint) AS out_degree,
+         CAST(sum(in_d) AS bigint) AS in_degree, count(*) AS degree
+  FROM (
+    SELECT subj AS label, 1 AS out_d, 0 AS in_d FROM edges
+    UNION ALL
+    SELECT obj, 0, 1 FROM edges
+  ) GROUP BY label
+)
+SELECT label, out_degree, in_degree, degree
+FROM deg ORDER BY degree DESC, label LIMIT 10
 """,
         # the synthetic corpus yields one chunk per url (see kg_chunks), and
         # every triple participant is by construction an L1 mention of its
