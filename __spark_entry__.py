@@ -99,17 +99,20 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict:
         triples = extract_triples(chunks, "vocab", impl="pandas").localCheckpoint(
             eager=False
         )
+        # canonical edges feed a dozen read-path queries — checkpoint once
+        edges = triples_to_canonical_edges(triples).localCheckpoint(eager=False)
         _CACHE[key] = {
             "pages": pages,
             "extracted": extracted,
             "chunks": chunks,
             "triples": triples,
+            "edges": edges,
         }
     return _CACHE[key]
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return triples_to_canonical_edges(_stages(spark, sf_dir)["triples"]).select(
+    return _stages(spark, sf_dir)["edges"].select(
         F.col("subj_key").alias("subj"),
         F.col("pred_key").alias("pred"),
         F.col("obj_key").alias("obj"),
@@ -271,7 +274,7 @@ def _q_kg_coref_nodes(spark, sf_dir):
 
 
 def _q_kg_edge_mapped(spark, sf_dir):
-    e = triples_to_canonical_edges(_stages(spark, sf_dir)["triples"])
+    e = _stages(spark, sf_dir)["edges"]
     mapped = apply_edge_mappings(e, edge_mapping_table(spark))
     return mapped.select(
         F.col("subj_key").alias("subj"),
@@ -303,7 +306,7 @@ def _q_kg_filtered_subgraph(spark, sf_dir):
     nodes = triples_to_canonical_nodes(
         st["triples"], category_of=vocab_category_table(spark)
     )
-    edges = triples_to_canonical_edges(st["triples"])
+    edges = st["edges"]
     _n, e = G.filter_subgraph(
         nodes, edges, edge_labels=["join", "scan"], edge_cap=1500
     )

@@ -152,3 +152,29 @@ def test_fused_path_agrees_with_staged_path(spark, pages_smoke):
     fused = extract_triples_from_pages(pages_smoke).toPandas()
     assert _triple_set(fused) == _triple_set(staged)
     assert len(fused) == len(staged)
+
+
+def test_pipeline_fused_impl_and_dedup(spark, pages_smoke):
+    from pyspark.sql import functions as F
+
+    from text_to_graph_spark.pipeline import dedup_pages_by_content
+
+    fused = run_pipeline(spark, pages_smoke, PipelineConfig(impl="fused"))
+    staged = run_pipeline(spark, pages_smoke, PipelineConfig())
+    key = lambda df: {
+        (r["subj_key"], r["pred_key"], r["obj_key"], r["n_occurrences"])
+        for r in df.select(
+            "subj_key", "pred_key", "obj_key", "n_occurrences"
+        ).collect()
+    }
+    assert key(fused["edges"]) == key(staged["edges"])
+
+    # content dedup: duplicate html collapses to the min-url representative
+    dup = pages_smoke.limit(3)
+    doubled = pages_smoke.limit(3).withColumn(
+        "url", F.concat(F.col("url"), F.lit("/copy"))
+    )
+    deduped = dedup_pages_by_content(dup.unionByName(doubled))
+    urls = {r["url"] for r in deduped.select("url").collect()}
+    assert len(urls) == 3
+    assert all(not u.endswith("/copy") for u in urls)  # min(url) wins

@@ -39,8 +39,14 @@ class PipelineConfig:
     model: str = "vocab"
     chunk_size: int = 1000
     overlap: int = 0
-    impl: str = "pandas"  # extraction impl: "pandas" (contract) | "sql"
+    # extraction impl: "pandas" (staged contract path) | "sql" (pure
+    # Catalyst) | "fused" (single mapInPandas, fastest — no stage tables)
+    impl: str = "pandas"
     lang_filter: str | None = None
+    # content-hash pre-dedup (the reference never re-extracts identical
+    # bytes, graph_generator.py:341-358): keep one page per sha256(html),
+    # min(url) wins deterministically. Essential at CC scale.
+    dedup_pages: bool = False
 
     def config_id(self) -> str:
         import hashlib
@@ -55,6 +61,17 @@ def vocab_category_table(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "key string, type string")
 
 
+def dedup_pages_by_content(pages: DataFrame) -> DataFrame:
+    """One page per distinct html content: ``sha2(html, 256)`` group, the
+    lexicographically smallest url is the deterministic representative (the
+    reference's never-re-extract-same-bytes cache, generalized — Common
+    Crawl is massively duplicated, so this typically drops most of the
+    corpus before the expensive extraction stage)."""
+    h = pages.withColumn("_h", F.sha2("html", 256))
+    reps = h.groupBy("_h").agg(F.min("url").alias("url"))
+    return h.join(reps, ["_h", "url"], "left_semi").drop("_h")
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -63,6 +80,20 @@ def run_pipeline(
     """Run pages -> graph; returns every stage for checkpointing/inspection."""
     if cfg.lang_filter:
         pages = pages.where(F.col("lang") == cfg.lang_filter)
+    if cfg.dedup_pages:
+        pages = dedup_pages_by_content(pages)
+    if cfg.impl == "fused":
+        from text_to_graph_spark.operators.extraction import (
+            extract_triples_from_pages,
+        )
+
+        triples = extract_triples_from_pages(
+            pages, cfg.model, chunk_size=cfg.chunk_size
+        )
+        edges = triples_to_canonical_edges(triples)
+        cats = vocab_category_table(spark) if cfg.model == "vocab" else None
+        nodes = triples_to_canonical_nodes(triples, category_of=cats)
+        return {"pages": pages, "triples": triples, "edges": edges, "nodes": nodes}
     extracted = extract_text(pages)
     chunks = chunk_pages(extracted, chunk_size=cfg.chunk_size)
     if cfg.overlap > 0:
