@@ -452,6 +452,15 @@ def _q_dedup_embedding(spark, sf_dir):
     return D.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    return D.near_dup_clusters(_docs(spark, sf_dir))
+
+
+def _q_ann_topk_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return SIM.topk_ivf(emb, emb.where("vec_id < 10"), k=5, n_centroids=8)
+
+
 def _q_ann_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return SIM.topk_bruteforce(emb, emb.where("vec_id < 10"), k=5)
@@ -547,8 +556,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_topk": _q_ann_topk,
         "ann_topk_bucketed": _q_ann_topk_bucketed,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "text_quality": _q_text_quality,
         "text_tokens": _q_text_tokens,
         "text_langid": _q_text_langid,
@@ -952,6 +963,65 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE (floor(({_DOT.format(a='a.embedding', b='b.embedding')}
             / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= 0.3
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {_MINHASH_CTE},
+bands2 AS (
+  SELECT doc_id, mh0 AS h, 0 AS band FROM sig
+  UNION ALL SELECT doc_id, mh1, 1 FROM sig
+  UNION ALL SELECT doc_id, mh2, 2 FROM sig
+  UNION ALL SELECT doc_id, mh3, 3 FROM sig
+),
+pairs2 AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM bands2 a JOIN bands2 b ON a.h = b.h AND a.band = b.band
+  WHERE a.doc_id < b.doc_id
+),
+sym2 AS (SELECT ia AS u, ib AS v FROM pairs2 UNION SELECT ib, ia FROM pairs2),
+verts2 AS (SELECT DISTINCT doc_id FROM documents),
+reach3 AS (
+  SELECT doc_id AS node, doc_id AS r FROM verts2
+  UNION
+  SELECT s.u, reach3.r FROM sym2 s JOIN reach3 ON s.v = reach3.node
+)
+SELECT node AS doc_id, min(r) AS cluster,
+       (node = min(r)) AS is_representative
+FROM reach3 GROUP BY node
+""",
+        "ann_topk_ivf": f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, embedding, nrm, cid FROM (
+    SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_reduce(list_prepend(CAST(0.0 AS double),
+               list_transform(list_zip(e.embedding, c.cvec),
+                 z -> (CAST(z[1] AS double) - CAST(z[2] AS double))
+                    * (CAST(z[1] AS double) - CAST(z[2] AS double)))),
+               (x, y) -> x + y) ASC, c.cid ASC) AS rn
+    FROM e, cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT * FROM assign WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_DOT.format(a='q.embedding', b='a.embedding')} / (q.nrm * a.nrm) AS c
+  FROM q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS int) AS rank,
+       (floor((c) * 1000000.0 + 0.5) / 1000000.0) AS cos
+FROM ranked WHERE rnk <= 5
 """,
         "ann_topk": f"""
 WITH e AS (

@@ -119,6 +119,7 @@ def main() -> int:
         "kg_components": q_kg_components,
         "dedup_exact": lambda: _force(D.exact_duplicates(docs)),
         "dedup_minhash_pairs": lambda: _force(D.minhash_candidate_pairs(docs)),
+        "dedup_clusters": lambda: _force(D.near_dup_clusters(docs)),
         "dedup_simhash": lambda: _force(D.simhash(docs)),
         "ann_topk": lambda: _force(
             SIM.topk_bruteforce(emb, emb.where("vec_id < 10"), k=5)

@@ -134,3 +134,47 @@ def test_embedding_neardup_threshold(emb):
     got = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(emb, threshold=0.99).collect()}
     assert (1, 2) in got          # cos(1,2) ~ 0.9939
     assert all(p == (1, 2) for p in got)
+
+
+def test_topk_ivf_nearest_within_cluster(emb):
+    from text_to_graph_spark.operators.similarity import ivf_assign, topk_ivf
+
+    # centroids = vecs 1 and 2 (ids are 1-based); argmin L2, cid tiebreak
+    vec = dict(EMB)
+    assigned = {
+        r["id"]: r["cluster"]
+        for r in ivf_assign(emb, emb.where("vec_id <= 2")).collect()
+    }
+    def l2sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+    for i, v in EMB:
+        dists = [(l2sq(v, vec[c]), c) for c in (1, 2)]
+        assert assigned[i] == min(dists)[1]
+
+    got = topk_ivf(emb, emb, k=2, n_centroids=3).collect()
+    for r in got:
+        # every neighbor shares the query's coarse cluster (nprobe=1)
+        assert assigned[r["neighbor_id"]] == assigned[r["query_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+
+
+def test_near_dup_clusters_exact_and_singletons(spark):
+    from text_to_graph_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),   # exact dup of 1
+            (3, "completely different words here now"),
+            (4, "another unrelated document text body"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["cluster"], r["is_representative"])
+        for r in near_dup_clusters(docs).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)   # identical shingles -> same LSH cluster
+    assert got[3] == (3, True)    # singleton clusters with itself
+    assert got[4] == (4, True)

@@ -212,3 +212,32 @@ def embedding_neardup_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering — the composition a corpus-dedup
+    job actually runs: MinHash/LSH candidate pairs -> connected components
+    -> one cluster id per document (singletons cluster with themselves; the
+    cluster id is the min member id, the deterministic representative).
+
+    Output: (doc_id, cluster, is_representative). Downstream keeps
+    ``is_representative`` rows only — at Common-Crawl scale this is the
+    single biggest data-reduction step before extraction.
+    """
+    from text_to_graph_spark.operators.components import connected_components
+
+    pairs = minhash_candidate_pairs(docs, id_col, text_col, n, bands)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    out = (
+        ids.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("cluster", F.coalesce(F.col("component"), F.col("doc_id")))
+        .select("doc_id", "cluster")
+    )
+    return out.withColumn("is_representative", F.col("doc_id") == F.col("cluster"))

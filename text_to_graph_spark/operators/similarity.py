@@ -84,6 +84,99 @@ def topk_bruteforce(
     )
 
 
+def l2sq_expr(a: str, b: str):
+    """Fixed-order fold of squared L2 distance — portable like dot_expr."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(a),
+            F.col(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (argmin squared-L2, ties
+    to the smallest centroid id) — the IVF coarse quantizer.
+
+    Centroids are broadcast (they are K rows); the vector table streams, so
+    assignment is a map-side broadcast nested-loop, no shuffle of the big
+    side. Output: (id, vec, norm, cluster).
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            norm_expr(vec_col).alias("norm"),
+        )
+        .join(F.broadcast(c))
+        .withColumn("d2", l2sq_expr("vec", "cvec"))
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("id", "vec", "norm", F.col("cid").alias("cluster"))
+    )
+
+
+def topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k, nprobe=1: centroids are the first
+    ``n_centroids`` vectors by id (a deterministic seeding — production
+    would k-means-train them), candidates are restricted to the query's
+    cluster. The cluster id becomes the join key, so each query probes one
+    partition of the inverted file instead of the whole corpus.
+    """
+    centroids = emb.where(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    q = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col("id").alias("id_q"),
+        F.col("vec").alias("vec_q"),
+        F.col("norm").alias("norm_q"),
+        "cluster",
+    )
+    c = assigned.select(
+        F.col("id").alias("id_c"),
+        F.col("vec").alias("vec_c"),
+        F.col("norm").alias("norm_c"),
+        "cluster",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .where(F.col("id_q") != F.col("id_c"))
+        .withColumn("cos", cosine_expr("vec_q", "vec_c", "norm_q", "norm_c"))
+    )
+    w = Window.partitionBy("id_q").orderBy(F.desc("cos"), F.asc("id_c"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id_q").alias("query_id"),
+            F.col("id_c").alias("neighbor_id"),
+            "rank",
+            round_half_up(F.col("cos"), 6).alias("cos"),
+        )
+    )
+
+
 def sign_bucket_expr(vec_col: str, sign_bits: int = 3):
     """Deterministic LSH bucket: integer from the sign bits of the first
     ``sign_bits`` components (1-indexed element_at — portable)."""
