@@ -107,27 +107,46 @@ def ivf_assign(
     """Assign every vector to its nearest centroid (argmin squared-L2, ties
     to the smallest centroid id) — the IVF coarse quantizer.
 
-    Centroids are broadcast (they are K rows); the vector table streams, so
-    assignment is a map-side broadcast nested-loop, no shuffle of the big
-    side. Output: (id, vec, norm, cluster).
+    Centroids are model parameters (K rows): they are collected to the
+    driver and inlined as literals, so assignment is a PURE PROJECTION over
+    the vector table — zero shuffle, zero join. (A broadcast-join + window
+    formulation would shuffle K x N rows for the argmin; at corpus scale
+    that shuffle IS the cost.) argmin = ``array_min`` over (d2, cid)
+    structs — struct ordering gives the deterministic tiebreak.
+    Output: (id, vec, norm, cluster).
     """
-    c = centroids.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
-    scored = (
-        emb.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vec"),
-            norm_expr(vec_col).alias("norm"),
+    cents = [
+        (r[0], list(r[1]))
+        for r in centroids.select(id_col, vec_col).collect()
+    ]
+    if not cents:
+        raise ValueError("ivf_assign: empty centroid set")
+
+    def _d2(cvec: list[float]):
+        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+        return F.aggregate(
+            F.zip_with(
+                F.col("vec"),
+                lit_vec,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        .join(F.broadcast(c))
-        .withColumn("d2", l2sq_expr("vec", "cvec"))
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(_d2(cvec).alias("d2"), F.lit(cid).alias("cid"))
+                for cid, cvec in cents
+            ]
+        )
     )
-    w = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cid"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("id", "vec", "norm", F.col("cid").alias("cluster"))
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_expr(vec_col).alias("norm"),
+        best["cid"].alias("cluster"),
     )
 
 
