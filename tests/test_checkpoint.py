@@ -73,3 +73,57 @@ def test_different_config_recomputes(spark, tmp_path):
     cp.resume(_keys(spark, 3), "s", "cfgA", ["k"], compute)
     cp.resume(_keys(spark, 3), "s", "cfgB", ["k"], compute)
     assert calls == [3, 3]  # cfgB must not see cfgA's cache
+
+
+def test_run_pipeline_checkpointed_resume_and_salted_parity(spark, pages_smoke, tmp_path):
+    from pyspark.sql import functions as F
+
+    from text_to_graph_spark.operators.canonicalize import (
+        triples_to_canonical_edges,
+    )
+    from text_to_graph_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline_checkpointed,
+    )
+
+    wd = str(tmp_path / "stages")
+    first = run_pipeline_checkpointed(spark, pages_smoke, wd, PipelineConfig())
+    n_triples = first["triples"].count()
+    key = lambda df: {
+        (r["subj_key"], r["pred_key"], r["obj_key"], r["n_occurrences"])
+        for r in df.collect()
+    }
+    edges_first = key(first["edges"].select("subj_key", "pred_key", "obj_key", "n_occurrences"))
+
+    # second run resumes: identical outputs, no new triple rows appended
+    second = run_pipeline_checkpointed(spark, pages_smoke, wd, PipelineConfig())
+    assert second["triples"].count() == n_triples
+    assert key(second["edges"].select("subj_key", "pred_key", "obj_key", "n_occurrences")) == edges_first
+
+    # lineage metrics recorded for every materialized stage
+    stages = {
+        r["stage"] for r in first["checkpoint"].metrics().select("stage").distinct().collect()
+    }
+    assert {"extracted", "chunks", "triples", "edges", "nodes"} <= stages
+
+    # salted two-phase aggregation is value-identical to the unsalted path
+    t = first["triples"]
+    unsalted = triples_to_canonical_edges(t)
+    salted = triples_to_canonical_edges(t, salt_buckets=8)
+    cols = ["subj_key", "pred_key", "obj_key", "subj_label", "pred_label",
+            "obj_label", "n_docs", "n_occurrences"]
+    as_set = lambda df: {tuple(r) for r in df.select(*cols).collect()}
+    assert as_set(salted) == as_set(unsalted)
+    docs_eq = (
+        unsalted.select("subj_key", "pred_key", "obj_key", "doc_ids")
+        .join(
+            salted.select(
+                "subj_key", "pred_key", "obj_key",
+                F.col("doc_ids").alias("doc_ids_s"),
+            ),
+            ["subj_key", "pred_key", "obj_key"],
+        )
+        .where(F.col("doc_ids") != F.col("doc_ids_s"))
+        .count()
+    )
+    assert docs_eq == 0

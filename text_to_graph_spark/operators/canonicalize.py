@@ -45,13 +45,23 @@ def _key(c):
     return F.lower(sanitize_col(c))
 
 
-def triples_to_canonical_edges(triples: DataFrame) -> DataFrame:
+def triples_to_canonical_edges(
+    triples: DataFrame, salt_buckets: int = 0
+) -> DataFrame:
     """(url, chunk_index, pos, subj, pred, obj) -> canonical directed edges.
 
     Output: (subj_key, pred_key, obj_key, subj_label, pred_label, obj_label,
     doc_ids, n_docs, n_occurrences) — labels are first-occurrence originals,
     keys are the lower(sanitize()) canonical forms.
+
+    ``salt_buckets > 0`` routes through an explicit two-phase salted
+    aggregation for pathologically hot edge keys (one predicate dominating a
+    reducer even after map-side combine): phase 1 groups by (key, salt)
+    where salt derives from the url hash — deterministic under retries —
+    phase 2 merges the partials. Results are identical either way (tested).
     """
+    if salt_buckets > 0:
+        return _canonical_edges_salted(triples, salt_buckets)
     ordv = F.struct("url", "chunk_index", "pos")
     t = triples.select(
         "url",
@@ -80,6 +90,58 @@ def triples_to_canonical_edges(triples: DataFrame) -> DataFrame:
         .select(
             "subj_key", "pred_key", "obj_key", "subj_label", "pred_label",
             "obj_label", "doc_ids", "n_docs", "n_occurrences",
+        )
+    )
+
+
+def _canonical_edges_salted(triples: DataFrame, buckets: int) -> DataFrame:
+    """Two-phase salted twin of the canonical-edge aggregation.
+
+    first-occurrence-wins survives the split because ``min`` of the
+    (order, label) struct is associative: phase-1 partial minima merge into
+    the same global minimum phase 2 would have computed unsalted.
+    """
+    t = triples.select(
+        "url",
+        "chunk_index",
+        "pos",
+        _key("subj").alias("subj_key"),
+        _key("pred").alias("pred_key"),
+        _key("obj").alias("obj_key"),
+        sanitize_col("subj").alias("subj_s"),
+        sanitize_col("pred").alias("pred_s"),
+        sanitize_col("obj").alias("obj_s"),
+    ).where((F.col("subj_key") != "") & (F.col("obj_key") != ""))
+    ordv = F.struct("url", "chunk_index", "pos")
+    salted = t.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(buckets)))
+    partial = salted.groupBy("subj_key", "pred_key", "obj_key", "_salt").agg(
+        F.min(F.struct(ordv.alias("o"), F.col("subj_s").alias("v"))).alias("_s"),
+        F.min(F.struct(ordv.alias("o"), F.col("pred_s").alias("v"))).alias("_p"),
+        F.min(F.struct(ordv.alias("o"), F.col("obj_s").alias("v"))).alias("_o"),
+        F.collect_set("url").alias("_urls"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        partial.groupBy("subj_key", "pred_key", "obj_key")
+        .agg(
+            F.min("_s").alias("_s"),
+            F.min("_p").alias("_p"),
+            F.min("_o").alias("_o"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("_urls")))
+            ).alias("doc_ids"),
+            F.sum("_n").alias("n_occurrences"),
+        )
+        .select(
+            "subj_key",
+            "pred_key",
+            "obj_key",
+            F.col("_s.v").alias("subj_label"),
+            F.col("_p.v").alias("pred_label"),
+            F.col("_o.v").alias("obj_label"),
+            "doc_ids",
+            F.size("doc_ids").cast("long").alias("n_docs"),
+            "n_occurrences",
         )
     )
 

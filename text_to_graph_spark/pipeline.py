@@ -61,6 +61,65 @@ def vocab_category_table(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "key string, type string")
 
 
+def run_pipeline_checkpointed(
+    spark: SparkSession,
+    pages: DataFrame,
+    workdir: str,
+    cfg: PipelineConfig = PipelineConfig(),
+) -> dict[str, DataFrame]:
+    """The stage DAG with every boundary materialized through
+    ``StageCheckpoint`` — the production shape: a killed run resumes from
+    the last completed stage table (reference ``optimization_on`` semantics,
+    ``graph_generator.py:183``), reruns recompute only missing keys, and
+    every materialization appends per-partition lineage metrics.
+    """
+    from text_to_graph_spark.operators.extraction import (
+        extract_mentions as _mentions,
+    )
+    from text_to_graph_spark.sources.checkpoint import StageCheckpoint
+
+    ck = StageCheckpoint(spark, workdir)
+    cid = cfg.config_id()
+    if cfg.lang_filter:
+        pages = pages.where(F.col("lang") == cfg.lang_filter)
+    if cfg.dedup_pages:
+        pages = dedup_pages_by_content(pages)
+
+    extracted = ck.resume(
+        pages, "extracted", cid, ["url"],
+        lambda missing: extract_text(missing),
+    )
+    chunks = ck.resume(
+        extracted, "chunks", cid, ["url"],
+        lambda missing: chunk_pages(missing, chunk_size=cfg.chunk_size),
+    )
+    triples = ck.resume(
+        chunks, "triples", cid, ["url"],
+        lambda missing: extract_triples(missing, cfg.model, impl="pandas")
+        if cfg.impl != "sql"
+        else extract_triples(missing, cfg.model, impl="sql"),
+    )
+    # canonicalization is a global aggregate — rewritten wholesale per run
+    # (cheap relative to extraction; keyed resume does not apply to a
+    # whole-corpus groupBy)
+    edges = ck.write(triples_to_canonical_edges(triples), "edges", cid)
+    cats = vocab_category_table(spark) if cfg.model == "vocab" else None
+    nodes = ck.write(
+        triples_to_canonical_nodes(triples, category_of=cats), "nodes", cid
+    )
+    mentions = _mentions(chunks.select("url", "chunk_index", "text"), cfg.model)
+    return {
+        "pages": pages,
+        "extracted": extracted,
+        "chunks": chunks,
+        "mentions": mentions,
+        "triples": triples,
+        "edges": edges,
+        "nodes": nodes,
+        "checkpoint": ck,  # type: ignore[dict-item]
+    }
+
+
 def dedup_pages_by_content(pages: DataFrame) -> DataFrame:
     """One page per distinct html content: ``sha2(html, 256)`` group, the
     lexicographically smallest url is the deterministic representative (the
