@@ -1,0 +1,87 @@
+"""Regenerate PLANS.md: physical plans of the headline queries.
+
+Run after operator changes: `PYTHONPATH=/root/repo python3 tools/dump_plans.py`.
+The plan-shape *assertions* live in tests/test_plans.py; this file is the
+human-readable audit trail showing filters reach scans, small sides
+broadcast, Python stages stay fused, and aggregates keep partial phases.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+HEADER = """# PLANS — physical plans of the headline queries (auto-generated)
+
+`python3 tools/dump_plans.py` regenerates this file. Things to look for,
+per the scale-design rules (enforced by tests/test_plans.py):
+
+- `PushedFilters` / narrow `ReadSchema` on every parquet scan
+- `BroadcastHashJoin` wherever a known-small side exists (alias table,
+  category map, id map, query set)
+- exactly one `MapInPandas` in the fused extraction chain, and no
+  `Exchange` before the first aggregation
+- partial aggregation (`partial_…` functions) before every exchange
+- `WholeStageCodegen` spans around the relational stages
+"""
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from text_to_graph_spark.operators import dedup as D
+    from text_to_graph_spark.operators import linking as L
+    from text_to_graph_spark.operators import similarity as SIM
+    from text_to_graph_spark.operators.canonicalize import (
+        triples_to_canonical_edges,
+    )
+    from text_to_graph_spark.operators.extraction import extract_triples_from_pages
+    from text_to_graph_spark.plans.introspect import plan_str
+    from text_to_graph_spark.session import get_spark
+    from text_to_graph_spark.sources.pages import synthesize_pages
+
+    spark = get_spark(master="local[8]")
+    sf = "/root/testdata/sf0.001"
+    pages = synthesize_pages(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    triples = extract_triples_from_pages(pages)
+    mentions = spark.createDataFrame(
+        [("u", "row")], "url string, mention string"
+    )
+
+    plans = {
+        "fused extraction (pages -> triples, one Python stage)": triples,
+        "canonical edges (single agg exchange, partial phases)": (
+            triples_to_canonical_edges(triples)
+        ),
+        "pruned+pushed scan (filter + 2-column projection)": (
+            docs.where(F.col("lang") == "en").select("doc_id", "lang")
+        ),
+        "alias linking (broadcast join, no shuffle of mentions)": (
+            L.link_mentions(mentions, L.alias_table(spark))
+        ),
+        "minhash signatures (shingle explode, partial min per band)": (
+            D.minhash_signatures(docs)
+        ),
+        "ANN brute-force top-k (broadcast queries, windowed top-k)": (
+            SIM.topk_bruteforce(emb, emb.where("vec_id < 2"), k=3)
+        ),
+        "IVF assignment (pure projection, zero shuffle)": (
+            SIM.ivf_assign(emb, emb.where("vec_id < 3"))
+        ),
+    }
+
+    out = [HEADER]
+    for title, df in plans.items():
+        out.append(f"\n## {title}\n\n```\n{plan_str(df, 'formatted').strip()}\n```\n")
+    with open("/root/repo/PLANS.md", "w", encoding="utf-8") as f:
+        f.write("".join(out))
+    print("wrote PLANS.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
