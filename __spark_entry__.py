@@ -452,6 +452,31 @@ def _q_dedup_embedding(spark, sf_dir):
     return D.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 
+def _q_kg_triples_streamed(spark, sf_dir):
+    # Structured Streaming catch-up over a landing dir must equal the batch
+    # extraction — checked against the same DuckDB oracle as kg_triples
+    import tempfile
+
+    from text_to_graph_spark.streaming.ingest import (
+        run_to_parquet,
+        stream_extract_triples,
+        stream_pages,
+    )
+
+    base = tempfile.mkdtemp(prefix="t2g_stream_")
+    landing, out, ckpt = f"{base}/landing", f"{base}/out", f"{base}/ckpt"
+    synthesize_pages(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(
+        landing
+    )
+    q = run_to_parquet(
+        stream_extract_triples(stream_pages(spark, landing)), out, ckpt
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(out).select("url", "subj", "pred", "obj").distinct()
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     return D.near_dup_clusters(_docs(spark, sf_dir))
 
@@ -548,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_filtered_subgraph": _q_kg_filtered_subgraph,
         "kg_top_nodes": _q_kg_top_nodes,
         "kg_l2_triples": _q_kg_l2_triples,
+        "kg_triples_streamed": _q_kg_triples_streamed,
         "kg_prose_triples": _q_kg_prose_triples,
         "kg_responses_roundtrip": _q_kg_responses_roundtrip,
         "dedup_exact": _q_dedup_exact,
@@ -861,6 +887,10 @@ FROM deg ORDER BY degree DESC, label LIMIT 10
         # every triple participant is by construction an L1 mention of its
         # own chunk, so the L2 restriction is identity on this corpus
         "kg_l2_triples": f"""
+{_KG_PREFIX}
+SELECT DISTINCT url, subj, pred, obj FROM triples
+""",
+        "kg_triples_streamed": f"""
 {_KG_PREFIX}
 SELECT DISTINCT url, subj, pred, obj FROM triples
 """,
