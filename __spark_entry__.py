@@ -452,6 +452,38 @@ def _q_dedup_embedding(spark, sf_dir):
     return D.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 
+def _q_kg_curated_pipeline(spark, sf_dir):
+    # training-data curation composition: quality/lang gate on documents ->
+    # extraction restricted to surviving docs -> per-predicate rollup
+    docs = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    kept = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(w).alias("n_tokens"),
+            (
+                F.size(F.filter(w, lambda x: x.isin("the", "a")))
+                / F.size(w).cast("double")
+            ).alias("stop_ratio"),
+        )
+        .where(
+            (F.col("lang") == "en")
+            & (F.col("n_tokens") >= 50)
+            & (F.col("stop_ratio") <= 0.4)
+        )
+        .select("doc_id")
+    )
+    t = _stages(spark, sf_dir)["triples"].withColumn(
+        "doc_id", F.regexp_extract("url", r"/page/(\d+)/", 1).cast("bigint")
+    )
+    curated = t.join(kept, "doc_id", "left_semi")
+    return curated.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("url").alias("n_docs"),
+    )
+
+
 def _q_kg_triples_streamed(spark, sf_dir):
     # Structured Streaming catch-up over a landing dir must equal the batch
     # extraction — checked against the same DuckDB oracle as kg_triples
@@ -573,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_filtered_subgraph": _q_kg_filtered_subgraph,
         "kg_top_nodes": _q_kg_top_nodes,
         "kg_l2_triples": _q_kg_l2_triples,
+        "kg_curated_pipeline": _q_kg_curated_pipeline,
         "kg_triples_streamed": _q_kg_triples_streamed,
         "kg_prose_triples": _q_kg_prose_triples,
         "kg_responses_roundtrip": _q_kg_responses_roundtrip,
@@ -889,6 +922,24 @@ FROM deg ORDER BY degree DESC, label LIMIT 10
         "kg_l2_triples": f"""
 {_KG_PREFIX}
 SELECT DISTINCT url, subj, pred, obj FROM triples
+""",
+        "kg_curated_pipeline": f"""
+{_KG_PREFIX},
+kept AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, lang, string_split(text, ' ') AS word FROM documents
+  )
+  WHERE lang = 'en' AND len(word) >= 50
+    AND (len(list_filter(word, x -> x IN ('the', 'a')))
+         / CAST(len(word) AS double)) <= 0.4
+),
+curated AS (
+  SELECT t.* FROM triples t
+  JOIN kept k
+    ON CAST(regexp_extract(t.url, '/page/(\\d+)/', 1) AS bigint) = k.doc_id
+)
+SELECT pred, count(*) AS n_triples, count(DISTINCT url) AS n_docs
+FROM curated GROUP BY pred
 """,
         "kg_triples_streamed": f"""
 {_KG_PREFIX}

@@ -68,3 +68,34 @@ def test_canonical_edges_single_aggregation_exchange(spark, pages_smoke):
     s = plan_str(e, "simple")
     assert count_exchanges(e) <= 2  # input repartition + the groupBy
     assert "HashAggregate" in s or "ObjectHashAggregate" in s or "SortAggregate" in s
+
+
+def test_bucketed_graph_tables_prune_partitions(spark, pages_smoke, tmp_path):
+    from text_to_graph_spark.operators.canonicalize import (
+        triples_to_canonical_edges,
+        triples_to_canonical_nodes,
+    )
+    from text_to_graph_spark.sinks.graph_tables import (
+        edges_of_subject,
+        read_edges,
+        write_graph_tables,
+    )
+
+    t = extract_triples_from_pages(pages_smoke)
+    nodes = triples_to_canonical_nodes(t)
+    edges = triples_to_canonical_edges(t)
+    path = str(tmp_path / "graph")
+    write_graph_tables(nodes, edges, path, n_buckets=8)
+
+    # full read sees every edge; point lookup returns only the subject's
+    all_edges = read_edges(spark, path)
+    lookup = edges_of_subject(spark, path, "customer", n_buckets=8)
+    assert lookup.count() == all_edges.where("subj_key = 'customer'").count()
+    assert lookup.count() > 0
+
+    # and the plan prunes to one partition directory
+    p = plan_str(lookup, "formatted")
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "bucket" in m.group(1)
