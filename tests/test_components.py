@@ -105,3 +105,34 @@ def test_cc_empty_and_null_edges(spark):
         [(1, None), (None, 2)], "src long, dst long"
     )
     assert connected_components(edges, "src", "dst").count() == 0
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 300-node path is the adversarial case for pure min-propagation
+    # (O(n) rounds); pointer jumping must converge in O(log n) — well inside
+    # the 50-iteration bound — with every node labeled by the path head
+    n = 300
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iterations=50).collect()
+    }
+    assert len(got) == n + 1
+    assert set(got.values()) == {0}
+
+
+def test_connected_components_many_small_components(spark):
+    # 100 disjoint triangles: component label = min member of each
+    edges = []
+    for c in range(100):
+        base = c * 10
+        edges += [(base, base + 1), (base + 1, base + 2), (base + 2, base)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    for c in range(100):
+        base = c * 10
+        assert got[base] == got[base + 1] == got[base + 2] == base
