@@ -452,6 +452,75 @@ def _q_dedup_embedding(spark, sf_dir):
     return D.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 
+def _q_kg_edges_checkpointed(spark, sf_dir):
+    # the checkpointed stage DAG (resume path + lineage metrics) must land
+    # on the same canonical edges as the direct pipeline — same oracle as
+    # kg_edges
+    import tempfile
+
+    from text_to_graph_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline_checkpointed,
+    )
+
+    wd = tempfile.mkdtemp(prefix="t2g_ck_")
+    st = run_pipeline_checkpointed(
+        spark, synthesize_pages(spark, sf_dir), wd, PipelineConfig()
+    )
+    return st["edges"].select(
+        F.col("subj_key").alias("subj"),
+        F.col("pred_key").alias("pred"),
+        F.col("obj_key").alias("obj"),
+        "n_docs",
+        "n_occurrences",
+    )
+
+
+def _q_kg_nodes_dense(spark, sf_dir):
+    # T5: dense 0..N-1 export ids (row_number over key order, export-only)
+    from text_to_graph_spark.operators.canonicalize import with_dense_export_ids
+
+    nodes = triples_to_canonical_nodes(_stages(spark, sf_dir)["triples"])
+    return with_dense_export_ids(nodes, order_col="key").select(
+        "id", F.col("key").alias("label")
+    )
+
+
+def _q_kg_overlap_contexts(spark, sf_dir):
+    # C6: the lag/lead overlap-context window, cross-engine-checked over
+    # SQL-expressible fixed 50-token slices (the greedy packer itself is
+    # sequential and covered by the pandas-oracle pytest instead)
+    from text_to_graph_spark.operators.chunking import with_neighbor_context
+
+    pages = synthesize_pages(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    sliced = (
+        pages.select("url", toks.alias("w"))
+        .select(
+            "url",
+            "w",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size("w") / F.lit(50)).cast("int") - 1
+                )
+            ).alias("chunk_index"),
+        )
+        .select(
+            "url",
+            "chunk_index",
+            F.concat_ws(
+                " ", F.slice("w", F.col("chunk_index") * 50 + 1, 50)
+            ).alias("text"),
+        )
+    )
+    ctx = with_neighbor_context(sliced, chunk_size=50, overlap=10)
+    return ctx.select(
+        "url",
+        "chunk_index",
+        F.size(F.split("context_text", " ")).alias("n_context_tokens"),
+    )
+
+
 def _q_kg_curated_pipeline(spark, sf_dir):
     # training-data curation composition: quality/lang gate on documents ->
     # extraction restricted to surviving docs -> per-predicate rollup
@@ -605,6 +674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_filtered_subgraph": _q_kg_filtered_subgraph,
         "kg_top_nodes": _q_kg_top_nodes,
         "kg_l2_triples": _q_kg_l2_triples,
+        "kg_edges_checkpointed": _q_kg_edges_checkpointed,
+        "kg_nodes_dense": _q_kg_nodes_dense,
+        "kg_overlap_contexts": _q_kg_overlap_contexts,
         "kg_curated_pipeline": _q_kg_curated_pipeline,
         "kg_triples_streamed": _q_kg_triples_streamed,
         "kg_prose_triples": _q_kg_prose_triples,
@@ -922,6 +994,41 @@ FROM deg ORDER BY degree DESC, label LIMIT 10
         "kg_l2_triples": f"""
 {_KG_PREFIX}
 SELECT DISTINCT url, subj, pred, obj FROM triples
+""",
+        "kg_edges_checkpointed": f"""
+{_KG_PREFIX}
+SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
+""",
+        "kg_nodes_dense": f"""
+{_KG_PREFIX}
+SELECT CAST(row_number() OVER (ORDER BY label) - 1 AS int) AS id, label
+FROM (
+  SELECT DISTINCT label FROM (
+    SELECT subj AS label FROM triples UNION SELECT obj FROM triples
+  )
+)
+""",
+        "kg_overlap_contexts": f"""
+{_KG_PREFIX},
+sliced AS (
+  SELECT url, CAST(i AS int) AS chunk_index,
+         len(w) AS total,
+         least(50, len(w) - i * 50) AS own
+  FROM (SELECT url, string_split(text, ' ') AS w FROM pages),
+       unnest(generate_series(0, CAST(ceil(len(w) / 50.0) AS int) - 1)) AS g(i)
+),
+ctx AS (
+  SELECT url, chunk_index, own,
+         lag(own)  OVER (PARTITION BY url ORDER BY chunk_index) AS prev_own,
+         lead(own) OVER (PARTITION BY url ORDER BY chunk_index) AS next_own
+  FROM sliced
+)
+SELECT url, chunk_index,
+       CAST(coalesce(CAST(floor(prev_own * 10.0 / 50.0) AS int), 0)
+          + own
+          + coalesce(CAST(floor(next_own * 10.0 / 50.0) AS int), 0) AS int)
+         AS n_context_tokens
+FROM ctx
 """,
         "kg_curated_pipeline": f"""
 {_KG_PREFIX},
