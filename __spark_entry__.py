@@ -521,6 +521,40 @@ def _q_kg_overlap_contexts(spark, sf_dir):
     )
 
 
+def _q_kg_l2_contexts(spark, sf_dir):
+    # C7: full prev+cur+next padding assembly (L2 big-context), same fixed
+    # 50-token slice frame as kg_overlap_contexts
+    from text_to_graph_spark.operators.chunking import with_full_padding
+
+    pages = synthesize_pages(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    sliced = (
+        pages.select("url", toks.alias("w"))
+        .select(
+            "url",
+            "w",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size("w") / F.lit(50)).cast("int") - 1
+                )
+            ).alias("chunk_index"),
+        )
+        .select(
+            "url",
+            "chunk_index",
+            F.concat_ws(
+                " ", F.slice("w", F.col("chunk_index") * 50 + 1, 50)
+            ).alias("text"),
+        )
+    )
+    ctx = with_full_padding(sliced)
+    return ctx.select(
+        "url",
+        "chunk_index",
+        F.size(F.split("context_text", " ")).alias("n_context_tokens"),
+    )
+
+
 def _q_kg_curated_pipeline(spark, sf_dir):
     # training-data curation composition: quality/lang gate on documents ->
     # extraction restricted to surviving docs -> per-predicate rollup
@@ -677,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_checkpointed": _q_kg_edges_checkpointed,
         "kg_nodes_dense": _q_kg_nodes_dense,
         "kg_overlap_contexts": _q_kg_overlap_contexts,
+        "kg_l2_contexts": _q_kg_l2_contexts,
         "kg_curated_pipeline": _q_kg_curated_pipeline,
         "kg_triples_streamed": _q_kg_triples_streamed,
         "kg_prose_triples": _q_kg_prose_triples,
@@ -1027,6 +1062,25 @@ SELECT url, chunk_index,
        CAST(coalesce(CAST(floor(prev_own * 10.0 / 50.0) AS int), 0)
           + own
           + coalesce(CAST(floor(next_own * 10.0 / 50.0) AS int), 0) AS int)
+         AS n_context_tokens
+FROM ctx
+""",
+        "kg_l2_contexts": f"""
+{_KG_PREFIX},
+sliced AS (
+  SELECT url, CAST(i AS int) AS chunk_index,
+         least(50, len(w) - i * 50) AS own
+  FROM (SELECT url, string_split(text, ' ') AS w FROM pages),
+       unnest(generate_series(0, CAST(ceil(len(w) / 50.0) AS int) - 1)) AS g(i)
+),
+ctx AS (
+  SELECT url, chunk_index, own,
+         lag(own)  OVER (PARTITION BY url ORDER BY chunk_index) AS prev_own,
+         lead(own) OVER (PARTITION BY url ORDER BY chunk_index) AS next_own
+  FROM sliced
+)
+SELECT url, chunk_index,
+       CAST(coalesce(prev_own, 0) + own + coalesce(next_own, 0) AS int)
          AS n_context_tokens
 FROM ctx
 """,
