@@ -795,10 +795,13 @@ mentions AS (
   WHERE w IN ({{ents}})
 ),
 linked AS (
-  SELECT m.url, coalesce(a.canonical_label, m.mention) AS canonical_label
+  -- unmatched mentions resolve to lower(trim(mention)) — the join key and
+  -- the downstream canonicalization normalization (mirrors link_mentions)
+  SELECT m.url,
+         coalesce(a.canonical_label, lower(trim(m.mention))) AS canonical_label
   FROM mentions m
   LEFT JOIN (VALUES {_ALIAS_VALUES}) a(alias, canonical_label)
-    ON m.mention = a.alias
+    ON lower(trim(m.mention)) = a.alias
 )
 """
 

@@ -72,8 +72,13 @@ def main() -> int:
     # untimed warm-up: exercises codegen, the Python worker pool, and the
     # collation init once at tiny scale so the timed section measures engine
     # throughput, not first-use JVM costs (which amortize to zero at real
-    # corpus scale)
-    warm_pages = synthesize_pages(spark, "/root/testdata/sf0.001")
+    # corpus scale). Uses the small fixture when present, else the bench dir.
+    warm_dir = (
+        "/root/testdata/sf0.001"
+        if os.path.isdir("/root/testdata/sf0.001")
+        else SF_DIR
+    )
+    warm_pages = synthesize_pages(spark, warm_dir)
     _force(
         triples_to_canonical_edges(extract_triples_from_pages(warm_pages))
     )

@@ -76,8 +76,10 @@ def link_mentions(
 ) -> DataFrame:
     """Resolve each mention to its canonical label via the alias table.
 
-    Left broadcast join; unmatched mentions resolve to themselves (identity
-    alias). Output adds ``canonical_label`` and ``linked:boolean``. The
+    Left broadcast join; unmatched mentions resolve to their normalized
+    (lower-cased, trimmed) surface form — the same key the join uses, and
+    the same normalization canonicalization applies downstream. Output adds
+    ``canonical_label`` and ``linked:boolean``. The
     mention stream never shuffles — the only exchange in the plan is the
     broadcast of the (tiny) alias table.
     """

@@ -84,20 +84,6 @@ def topk_bruteforce(
     )
 
 
-def l2sq_expr(a: str, b: str):
-    """Fixed-order fold of squared L2 distance — portable like dot_expr."""
-    return F.aggregate(
-        F.zip_with(
-            F.col(a),
-            F.col(b),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -123,10 +109,13 @@ def ivf_assign(
         raise ValueError("ivf_assign: empty centroid set")
 
     def _d2(cvec: list[float]):
+        # reference the INPUT column, not the "vec" output alias — lateral
+        # column aliasing would resolve it, but only on engines/configs that
+        # enable implicit LCA resolution
         lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
         return F.aggregate(
             F.zip_with(
-                F.col("vec"),
+                F.col(vec_col),
                 lit_vec,
                 lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
             ),
@@ -158,10 +147,10 @@ def topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-flat approximate top-k, nprobe=1: centroids are the first
-    ``n_centroids`` vectors by id (a deterministic seeding — production
-    would k-means-train them), candidates are restricted to the query's
-    cluster. The cluster id becomes the join key, so each query probes one
+    """IVF-flat approximate top-k, nprobe=1: centroid seeds are the vectors
+    with ``id < n_centroids`` (a deterministic seeding — note 1-based id
+    tables therefore get n_centroids-1 seeds; production would
+    k-means-train them), candidates are restricted to the query's cluster. The cluster id becomes the join key, so each query probes one
     partition of the inverted file instead of the whole corpus.
     """
     centroids = emb.where(F.col(id_col) < n_centroids)

@@ -95,9 +95,10 @@ def run_pipeline_checkpointed(
     )
     triples = ck.resume(
         chunks, "triples", cid, ["url"],
-        lambda missing: extract_triples(missing, cfg.model, impl="pandas")
-        if cfg.impl != "sql"
-        else extract_triples(missing, cfg.model, impl="sql"),
+        # fused has no stage tables; under checkpointing it runs staged pandas
+        lambda missing: extract_triples(
+            missing, cfg.model, impl="sql" if cfg.impl == "sql" else "pandas"
+        ),
     )
     # canonicalization is a global aggregate — rewritten wholesale per run
     # (cheap relative to extraction; keyed resume does not apply to a

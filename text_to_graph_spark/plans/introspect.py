@@ -26,7 +26,7 @@ def plan_str(df: DataFrame, mode: str = "formatted") -> str:
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan (AQE may later
     coalesce them, but each one is a full data reshuffle at scale)."""
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange RoundRobinPartitioning", plan_str(df, "simple")))
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange RoundRobinPartitioning|\bExchange SinglePartition", plan_str(df, "simple")))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

@@ -13,9 +13,9 @@ nodes of one url) prune to one directory; equi-joins on the bucket key
 co-locate without a shuffle when both sides share the layout; and the
 bucket count bounds file counts at 10^12-row scale.
 
-``read_*`` return the table with the bucket column reattached;
-``assert_bucket_pruning`` (used by tests) proves a key-filtered read scans
-only its bucket's files.
+``read_*`` return the table with the bucket column attached;
+``edges_of_subject`` is the pruned point-lookup whose plan
+tests/test_plans.py asserts scans only its bucket's partition directory.
 """
 
 from __future__ import annotations

@@ -45,48 +45,66 @@ def parse_responses(
     malformed rows are skipped; orphan nodes pruned + dense reindex
     (``response_parser.py:178-207``).
     """
+    from pyspark.sql import functions as F
+
     from text_to_graph_spark.kit.parser import parse_response_text
 
     cols = responses.select(
         url_col, chunk_col, text_col
     ).withColumnsRenamed({url_col: "url", chunk_col: "chunk_index", text_col: "response_text"})
 
-    def _nodes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = []
-            for url, ci, text in zip(
-                pdf["url"], pdf["chunk_index"], pdf["response_text"]
-            ):
-                nodes, _edges = parse_response_text(text)
-                if nodes is None:
-                    continue
-                for node_id, row in nodes.iterrows():
-                    out.append(
-                        (url, int(ci), int(node_id), row["label"], row["type"])
-                    )
-            yield pd.DataFrame(
-                out, columns=["url", "chunk_index", "node_id", "label", "type"]
-            )
+    # ONE parse per blob: a single mapInPandas emits node and edge rows in a
+    # combined frame (kind-discriminated), materialized once and split by
+    # filter — the two-pass shape parsed every blob twice and re-executed
+    # the upstream lineage for each output
+    combined_schema = (
+        "url string, chunk_index int, kind string, "
+        "a int, b int, label string, type string"
+    )
 
-    def _edges(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _both(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for url, ci, text in zip(
                 pdf["url"], pdf["chunk_index"], pdf["response_text"]
             ):
                 nodes, edges = parse_response_text(text)
-                if nodes is None or edges is None:
+                if nodes is None:
+                    continue
+                for node_id, row in nodes.iterrows():
+                    out.append(
+                        (url, int(ci), "node", int(node_id), None,
+                         str(row["label"]), str(row["type"]))
+                    )
+                if edges is None:
                     continue
                 for _, row in edges.iterrows():
                     out.append(
-                        (url, int(ci), int(row["source"]), int(row["target"]), row["label"])
+                        (url, int(ci), "edge", int(row["source"]),
+                         int(row["target"]), str(row["label"]), None)
                     )
             yield pd.DataFrame(
-                out, columns=["url", "chunk_index", "source", "target", "label"]
+                out,
+                columns=["url", "chunk_index", "kind", "a", "b", "label", "type"],
             )
 
-    nodes_df = cols.mapInPandas(_nodes, schema=RESPONSE_NODES_SCHEMA)
-    edges_df = cols.mapInPandas(_edges, schema=RESPONSE_EDGES_SCHEMA)
+    combined = cols.mapInPandas(_both, schema=combined_schema).localCheckpoint(
+        eager=False
+    )
+    nodes_df = combined.where(F.col("kind") == "node").select(
+        "url",
+        "chunk_index",
+        F.col("a").alias("node_id"),
+        "label",
+        "type",
+    )
+    edges_df = combined.where(F.col("kind") == "edge").select(
+        "url",
+        "chunk_index",
+        F.col("a").alias("source"),
+        F.col("b").alias("target"),
+        "label",
+    )
     return nodes_df, edges_df
 
 

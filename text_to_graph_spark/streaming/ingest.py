@@ -23,11 +23,6 @@ from pyspark.sql import functions as F
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
 )
-EVENTS_DDL_FALLBACK = (
-    "event_id long, user_id long, event_type string, value double, ts timestamp_ntz"
-)
-
-
 def stream_pages(spark: SparkSession, landing_dir: str) -> DataFrame:
     """File-source stream over a pages landing directory (parquet; Iceberg
     incremental scan in production). Explicit schema — streaming sources
