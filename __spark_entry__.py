@@ -673,6 +673,31 @@ def _q_events_enrich(spark, sf_dir):
     )
 
 
+def _q_events_top_users(spark, sf_dir):
+    # classic grouped top-N: rank users by spend within each event type,
+    # deterministic tiebreak on user_id
+    from pyspark.sql import Window
+
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "sum_value_cents"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("sum_value_cents"), F.asc("user_id")
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("event_type", "rank", "user_id", "sum_value_cents", "n_events")
+    )
+
+
 def _q_mm_meta(spark, sf_dir):
     return MM.decode_metadata(MM.attach_payload(_docs(spark, sf_dir)))
 
@@ -734,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
         "events_enrich": _q_events_enrich,
+        "events_top_users": _q_events_top_users,
         "mm_meta": _q_mm_meta,
         "mm_frames": _q_mm_frames,
     }
@@ -1417,6 +1443,24 @@ SELECT c.c_mktsegment, count(*) AS n_events,
        CAST(sum(CAST(round(e.value * 100) AS bigint)) AS bigint) AS sum_value_cents
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1
+""",
+        "events_top_users": """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(round(value * 100) AS bigint)) AS bigint)
+           AS sum_value_cents,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY sum_value_cents DESC, user_id
+  ) AS rank
+  FROM per_user
+)
+SELECT event_type, CAST(rank AS int) AS rank, user_id,
+       sum_value_cents, n_events
+FROM ranked WHERE rank <= 3
 """,
         "mm_meta": """
 SELECT doc_id, 'image/fake' AS media_type,
