@@ -587,6 +587,21 @@ def _q_kg_curated_pipeline(spark, sf_dir):
     )
 
 
+def _q_kg_triples_overlap(spark, sf_dir):
+    # the high-resolution overlap config end-to-end (run_pipeline with
+    # overlap contexts); each synthetic doc packs into one chunk, so the
+    # neighbor windows are empty and the triples must equal the L0 result —
+    # the same oracle as kg_triples guards the whole config path
+    from text_to_graph_spark.pipeline import PipelineConfig, run_pipeline
+
+    st = run_pipeline(
+        spark,
+        synthesize_pages(spark, sf_dir),
+        PipelineConfig(overlap=100),
+    )
+    return st["triples"].select("url", "subj", "pred", "obj").distinct()
+
+
 def _q_kg_triples_streamed(spark, sf_dir):
     # Structured Streaming catch-up over a landing dir must equal the batch
     # extraction — checked against the same DuckDB oracle as kg_triples
@@ -738,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_overlap_contexts": _q_kg_overlap_contexts,
         "kg_l2_contexts": _q_kg_l2_contexts,
         "kg_curated_pipeline": _q_kg_curated_pipeline,
+        "kg_triples_overlap": _q_kg_triples_overlap,
         "kg_triples_streamed": _q_kg_triples_streamed,
         "kg_prose_triples": _q_kg_prose_triples,
         "kg_responses_roundtrip": _q_kg_responses_roundtrip,
@@ -1130,6 +1146,10 @@ curated AS (
 )
 SELECT pred, count(*) AS n_triples, count(DISTINCT url) AS n_docs
 FROM curated GROUP BY pred
+""",
+        "kg_triples_overlap": f"""
+{_KG_PREFIX}
+SELECT DISTINCT url, subj, pred, obj FROM triples
 """,
         "kg_triples_streamed": f"""
 {_KG_PREFIX}
