@@ -335,9 +335,12 @@ def _q_kg_l2_triples(spark, sf_dir):
 
 def _q_kg_prose_triples(spark, sf_dir):
     # ProseModel over a deterministically title-cased rendering of the corpus
-    # (capitalized-span mentions, connector-word predicates). Regex span
-    # semantics are not expressible in the oracle dialect -> rows-only check;
-    # exact parity is pytest-verified against the shared kit model.
+    # (capitalized-span mentions, connector-word predicates). On this corpus
+    # (single-space lowercase token stream, no sentence punctuation) the
+    # char-level regex semantics collapse exactly to token-level
+    # gaps-and-islands, which the DuckDB oracle mirrors; arbitrary-prose
+    # parity is additionally pytest-fuzzed against the reference loop
+    # semantics in tests/test_kit.py.
     docs = _docs(spark, sf_dir)
     # capitalize exactly the entity tokens: capitalized spans become the
     # prose mentions, the lowercase words between them the connectors
@@ -449,7 +452,11 @@ def _q_dedup_jaccard(spark, sf_dir):
 
 
 def _q_dedup_embedding(spark, sf_dir):
-    return D.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
+    # the LSH-bucketed scale path is the contract (candidates from a sign-
+    # bucket equi-join, then exact cosine verify); the brute-force twin is
+    # the fixture-scale recall oracle in tests/test_dedup_similarity.py and
+    # a plan test asserts this query compiles with no CartesianProduct
+    return D.embedding_neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.3)
 
 
 def _q_kg_edges_checkpointed(spark, sf_dir):
@@ -1243,15 +1250,20 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE (floor((inter / CAST(sa.sz + sb.sz - inter AS double)) * 10000.0 + 0.5) / 10000.0) >= 0.05
 """,
+        # sign-bucket LSH candidates (first-3-component sign pattern) +
+        # exact cosine verify — mirrors embedding_neardup_pairs_lsh
         "dedup_embedding": f"""
 WITH e AS (
-  SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm
+  SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm,
+         CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS int) AS bucket
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        (floor(({_DOT.format(a='a.embedding', b='b.embedding')}
              / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cos
-FROM e a JOIN e b ON a.vec_id < b.vec_id
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE (floor(({_DOT.format(a='a.embedding', b='b.embedding')}
             / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= 0.3
 """,
@@ -1481,6 +1493,61 @@ ranked AS (
 SELECT event_type, CAST(rank AS int) AS rank, user_id,
        sum_value_cents, n_events
 FROM ranked WHERE rank <= 3
+""",
+        # ProseModel over the title-cased corpus. The corpus is a clean
+        # single-space token stream with no [.!?], so the capitalized-span
+        # regex model reduces exactly to token-level gaps-and-islands:
+        # mentions = maximal runs of (initcap'd) entity tokens, predicate =
+        # '_'-join of the non-connector gap tokens when 1..3 remain.
+        "kg_prose_triples": f"""
+WITH marked AS (
+  SELECT doc_id, w[i] AS tok, i AS ord,
+         (w[i] IN ({ents})) AS is_ent
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(generate_series(1, len(w))) AS g(i)
+),
+runs0 AS (
+  SELECT doc_id, tok, ord, is_ent,
+         ord - row_number() OVER (PARTITION BY doc_id, is_ent ORDER BY ord)
+           AS rk
+  FROM marked
+),
+runs AS (
+  SELECT doc_id, is_ent, min(ord) AS start_ord,
+         string_agg(upper(substr(tok, 1, 1)) || substr(tok, 2), ' '
+                    ORDER BY ord) AS label,
+         count(*) FILTER (WHERE tok NOT IN
+           ('the', 'a', 'an', 'of', 'to', 'and', 'then')) AS n_conn,
+         string_agg(tok, '_' ORDER BY ord) FILTER (WHERE tok NOT IN
+           ('the', 'a', 'an', 'of', 'to', 'and', 'then')) AS gap_pred
+  FROM runs0 GROUP BY doc_id, is_ent, rk
+),
+seq AS (
+  SELECT doc_id, is_ent, label,
+         lead(n_conn)   OVER w AS g_n,
+         lead(gap_pred) OVER w AS g_pred,
+         lead(label, 2)  OVER w AS obj_label,
+         lead(is_ent, 2) OVER w AS obj_ent
+  FROM runs
+  WINDOW w AS (PARTITION BY doc_id ORDER BY start_ord)
+)
+SELECT label AS subj, g_pred AS pred, obj_label AS obj,
+       count(*) AS n_occurrences
+FROM seq
+WHERE is_ent AND coalesce(obj_ent, false) AND g_n BETWEEN 1 AND 3
+GROUP BY 1, 2, 3
+""",
+        # byte-slice frame expansion: frame i of k=3 is payload[n*i/3 :
+        # n*(i+1)/3]. The corpus text is pure ASCII (pytest-asserted), so
+        # VARCHAR substr == utf-8 byte slice and sha256(varchar) ==
+        # sha256(bytes) — the oracle stays expressible without blob substring
+        "mm_frames": """
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id, CAST(i AS int) AS frame_index,
+       sha256(substr(text, (n * i) // 3 + 1,
+                     (n * (i + 1)) // 3 - (n * i) // 3)) AS frame_sha256,
+       CAST((n * (i + 1)) // 3 - (n * i) // 3 AS bigint) AS n_bytes
+FROM t, unnest(generate_series(0, 2)) AS g(i)
 """,
         "mm_meta": """
 SELECT doc_id, 'image/fake' AS media_type,

@@ -18,6 +18,7 @@ from text_to_graph_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from tests.conftest import SF_SMOKE
 from text_to_graph_spark.operators.similarity import topk_bruteforce, topk_bucketed
 
 DOCS = [
@@ -134,6 +135,32 @@ def test_embedding_neardup_threshold(emb):
     got = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(emb, threshold=0.99).collect()}
     assert (1, 2) in got          # cos(1,2) ~ 0.9939
     assert all(p == (1, 2) for p in got)
+
+
+def test_embedding_neardup_lsh_subset_with_exact_scores(spark):
+    """Brute force is the recall oracle for the LSH contract path: LSH pairs
+    must be a subset of brute-force pairs with identical cosine values, and
+    every near-identical pair (same sign pattern by construction) must be
+    recalled."""
+    from text_to_graph_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_neardup_pairs(emb, threshold=0.3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_neardup_pairs_lsh(emb, threshold=0.3).collect()
+    }
+    assert set(lsh) <= set(brute)
+    assert lsh, "LSH path found no pairs at fixture scale"
+    for pair, cos in lsh.items():
+        assert brute[pair] == cos  # exact verify: identical fold, bitwise
+    # recall on the highest-similarity stratum: pairs this close share the
+    # sign bucket unless a component sits exactly at a hyperplane
+    near_identical = {p for p, c in brute.items() if c >= 0.999}
+    assert near_identical <= set(lsh) or not near_identical
 
 
 def test_topk_ivf_nearest_within_cluster(emb):

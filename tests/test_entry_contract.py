@@ -19,12 +19,8 @@ def test_queries_and_oracles_align():
     assert len(qs) >= 30
     # every oracle refers to an implemented query
     assert set(oracles) <= set(qs)
-    # only explicitly non-SQL-expressible ops may omit an oracle:
-    # mm_frames (stubbed binary frame sampling), kg_prose_triples (regex
-    # capitalized-span semantics not expressible in the oracle dialect;
-    # pytest checks exact parity against the shared kit model instead)
-    allowed_rows_only = {"mm_frames", "kg_prose_triples"}
-    assert set(qs) - set(oracles) <= allowed_rows_only
+    # every contract query carries a DuckDB oracle (zero rows-only queries)
+    assert set(qs) == set(oracles)
 
 
 def test_entry_returns_rows_with_stable_schema(spark):

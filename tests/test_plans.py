@@ -70,6 +70,18 @@ def test_canonical_edges_single_aggregation_exchange(spark, pages_smoke):
     assert "HashAggregate" in s or "ObjectHashAggregate" in s or "SortAggregate" in s
 
 
+def test_embedding_neardup_lsh_has_no_cartesian_product(spark):
+    """The contract embedding-dedup query must compile to a bucket equi-join,
+    never an n² cartesian product (the brute-force twin is fixture-only)."""
+    from text_to_graph_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = embedding_neardup_pairs_lsh(emb, threshold=0.3)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
 def test_bucketed_graph_tables_prune_partitions(spark, pages_smoke, tmp_path):
     from text_to_graph_spark.operators.canonicalize import (
         triples_to_canonical_edges,

@@ -118,10 +118,44 @@ class VocabModel:
 # ---------------------------------------------------------------------------
 
 _MENTION_RE = re.compile(r"[A-Z][A-Za-z]+(?: [A-Z][A-Za-z]+)*")
-_SENT_RE = re.compile(r"(?<=[.!?])\s+")
-_ARTICLES = frozenset({"the", "a", "an"})
+# splitting a sentence by the capturing mention pattern yields strictly
+# alternating [gap, mention, gap, mention, ..., gap] pieces whose
+# concatenation is the sentence — the vectorized equivalent of finditer()
+# with the interstitial text preserved for connector extraction
+_MENTION_SPLIT = f"({_MENTION_RE.pattern})"
+_SENT_PAT = r"(?<=[.!?])\s+"
+_ARTICLE_PREFIX = r"(?i)^(?:(?:the|an|a) )+"
+_ARTICLE_ONLY = r"(?i)^(?:the|an|a)$"
 _CONNECTOR_DROP = frozenset({"the", "a", "an", "of", "to", "and", "then"})
 _ORG_SUFFIXES = ("Inc", "Ltd", "GmbH", "Corp", "BV")
+
+_EMPTY_MENTIONS = {"row": [], "pos": [], "mention": []}
+_EMPTY_TRIPLES = {"row": [], "pos": [], "subj": [], "pred": [], "obj": []}
+
+
+def _clean_spans(spans: pd.Series) -> pd.Series:
+    """Strip leading articles from capitalized spans (prompt contract:
+    "Exclude articles"); a span that is nothing but articles cleans to ''."""
+    return spans.str.replace(_ARTICLE_PREFIX, "", regex=True).str.replace(
+        _ARTICLE_ONLY, "", regex=True
+    )
+
+
+def _piece_frame(strs: pd.Series, key: str) -> pd.DataFrame:
+    """Explode strings into mention/gap pieces with char offsets — vectorized.
+
+    Output columns: ``key`` (the input's group id), ``piece``, ``pidx``
+    (piece ordinal; odd = mention span), ``pstart`` (char offset of the piece
+    inside its string).
+    """
+    parts = strs.str.split(_MENTION_SPLIT, regex=True)
+    p = parts.explode().rename("piece").reset_index()
+    p.columns = [key, "piece"]
+    p["piece"] = p["piece"].fillna("")
+    p["pidx"] = p.groupby(key).cumcount()
+    plen = p["piece"].str.len()
+    p["pstart"] = plen.groupby(p[key]).cumsum() - plen
+    return p
 
 
 class ProseModel:
@@ -133,62 +167,92 @@ class ProseModel:
                (lowercased, connector stopwords removed) number 1..3; the
                predicate is their '_'-join (reference prompt demands a short
                active-voice predicate, prompts.py:64)
+
+    Both passes are vectorized pandas string ops over the whole Arrow batch
+    (split-by-capturing-pattern + groupby cumsum/shift) — no per-row Python
+    regex loop in the hot path.
     """
 
     name = "prose-v1"
 
-    @staticmethod
-    def _clean_span(span: str) -> str:
-        words = span.split(" ")
-        while words and words[0].lower() in _ARTICLES:
-            words = words[1:]
-        return " ".join(words)
-
-    def _sentence_mentions(self, sentence: str) -> list[tuple[int, str]]:
-        out = []
-        for m in _MENTION_RE.finditer(sentence):
-            cleaned = self._clean_span(m.group(0))
-            if cleaned:
-                out.append((m.start(), cleaned))
-        return out
-
     def mentions(self, texts: pd.Series) -> pd.DataFrame:
-        rows, poss, ments = [], [], []
-        for row, text in texts.fillna("").items():
-            for start, cleaned in self._sentence_mentions(text):
-                rows.append(row)
-                poss.append(start)
-                ments.append(cleaned)
-        return pd.DataFrame({"row": rows, "pos": poss, "mention": ments})
+        p = _piece_frame(texts.fillna(""), "row")
+        m = p[p["pidx"] % 2 == 1]
+        if m.empty:
+            return pd.DataFrame(_EMPTY_MENTIONS)
+        cleaned = _clean_spans(m["piece"])
+        keep = cleaned != ""
+        return pd.DataFrame(
+            {
+                "row": m.loc[keep, "row"].to_numpy(),
+                "pos": m.loc[keep, "pstart"].to_numpy(),
+                "mention": cleaned[keep].to_numpy(),
+            }
+        )
 
     def triples(self, texts: pd.Series) -> pd.DataFrame:
-        rows, poss, subjs, preds, objs = [], [], [], [], []
-        for row, text in texts.fillna("").items():
-            offset = 0
-            for sentence in _SENT_RE.split(text.strip()):
-                sent_mentions = []
-                for m in _MENTION_RE.finditer(sentence):
-                    cleaned = self._clean_span(m.group(0))
-                    if cleaned:
-                        sent_mentions.append((m.start(), m.end(), cleaned))
-                for (s0, e0, m0), (s1, _e1, m1) in zip(
-                    sent_mentions, sent_mentions[1:]
-                ):
-                    gap = sentence[e0:s1]
-                    words = [
-                        w.lower()
-                        for w in re.findall(r"[A-Za-z]+", gap)
-                        if w.lower() not in _CONNECTOR_DROP
-                    ]
-                    if 1 <= len(words) <= 3:
-                        rows.append(row)
-                        poss.append(offset + s0)
-                        subjs.append(m0)
-                        preds.append("_".join(words))
-                        objs.append(m1)
-                offset += len(sentence) + 1
+        # sentence frame: (row, sid, sent, offset) — offset reproduces the
+        # reference accumulation offset += len(sentence) + 1
+        s = (
+            texts.fillna("")
+            .str.strip()
+            .str.split(_SENT_PAT, regex=True)
+            .explode()
+            .rename("sent")
+            .reset_index()
+        )
+        s.columns = ["row", "sent"]
+        s["sent"] = s["sent"].fillna("")
+        s["sid"] = range(len(s))
+        slen1 = s["sent"].str.len() + 1
+        s["offset"] = slen1.groupby(s["row"]).cumsum() - slen1
+
+        p = _piece_frame(s.set_index("sid")["sent"], "sid")
+        is_span = p["pidx"] % 2 == 1
+        p["cleaned"] = ""
+        p.loc[is_span, "cleaned"] = _clean_spans(p.loc[is_span, "piece"])
+        p["surv"] = is_span & (p["cleaned"] != "")
+        # mord: for a surviving mention its 1-based ordinal; for any other
+        # piece (gaps AND article-only spans) the ordinal of the mention it
+        # follows — so grouping non-survivors by (sid, mord) concatenates
+        # exactly sentence[end(mention k):start(mention k+1)]
+        p["mord"] = p.groupby("sid")["surv"].cumsum()
+
+        m = p.loc[p["surv"], ["sid", "mord", "cleaned", "pstart"]].copy()
+        if m.empty:
+            return pd.DataFrame(_EMPTY_TRIPLES)
+        m["obj"] = m.groupby("sid")["cleaned"].shift(-1)
+        pairs = m[m["obj"].notna()]
+        if pairs.empty:
+            return pd.DataFrame(_EMPTY_TRIPLES)
+
+        gaps = (
+            p.loc[~p["surv"]]
+            .groupby(["sid", "mord"])["piece"]
+            .agg("".join)
+            .rename("gap")
+            .reset_index()
+        )
+        pairs = pairs.merge(gaps, on=["sid", "mord"], how="left").reset_index(
+            drop=True
+        )
+        w = pairs["gap"].fillna("").str.findall(r"[A-Za-z]+").explode().str.lower()
+        w = w[w.notna() & ~w.isin(_CONNECTOR_DROP)]
+        n_conn = w.groupby(level=0).size().reindex(pairs.index, fill_value=0)
+        pred = w.groupby(level=0).agg("_".join).reindex(pairs.index)
+
+        pairs = pairs.assign(n_conn=n_conn, pred=pred).merge(
+            s[["sid", "row", "offset"]], on="sid"
+        )
+        out = pairs[(pairs["n_conn"] >= 1) & (pairs["n_conn"] <= 3)]
         return pd.DataFrame(
-            {"row": rows, "pos": poss, "subj": subjs, "pred": preds, "obj": objs}
+            {
+                "row": out["row"].to_numpy(),
+                "pos": (out["offset"] + out["pstart"]).to_numpy(),
+                "subj": out["cleaned"].to_numpy(),
+                "pred": out["pred"].to_numpy(),
+                "obj": out["obj"].to_numpy(),
+            }
         )
 
     @staticmethod

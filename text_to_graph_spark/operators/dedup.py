@@ -197,10 +197,13 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force; see
-    operators/similarity.py for the LSH-bucketed scale path). Cosine is a
-    fixed-order left fold in double precision so results are bit-identical
-    across engines. Output (id_a, id_b, cos rounded 6)."""
+    """Embedding-cosine near-duplicate pairs, BRUTE FORCE (O(n²) cartesian).
+
+    Fixture-scale recall oracle ONLY — the production/contract path is
+    :func:`embedding_neardup_pairs_lsh`, whose candidate generation is a
+    bucket equi-join. Cosine is a fixed-order left fold in double precision
+    so results are bit-identical across engines. Output
+    (id_a, id_b, cos rounded 6)."""
     from text_to_graph_spark.operators.similarity import cosine_expr, with_norm
 
     a = with_norm(emb, id_col, vec_col, "a")
@@ -209,6 +212,46 @@ def embedding_neardup_pairs(
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", round_half_up(cosine_expr("vec_a", "vec_b", "norm_a", "norm_b"), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    sign_bits: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed — the 100 TB path.
+
+    Candidate generation is a sign-bucket EQUI-join (the sign pattern of the
+    first ``sign_bits`` components; a fixed random-hyperplane family in
+    production): near-identical vectors land in the same bucket, so the join
+    is hash-partitioned by bucket instead of an n² cartesian product. The
+    exact cosine then verifies only the candidates. Trades recall (pairs
+    straddling a hyperplane are missed) for ~2^bits fan-in reduction —
+    the standard SimHash/LSH dedup contract. Output (id_a, id_b, cos)."""
+    from text_to_graph_spark.operators.similarity import (
+        cosine_expr,
+        sign_bucket_expr,
+        with_norm,
+    )
+
+    a = with_norm(emb, id_col, vec_col, "a").withColumn(
+        "bucket", sign_bucket_expr("vec_a", sign_bits)
+    )
+    b = with_norm(emb, id_col, vec_col, "b").withColumn(
+        "bucket", sign_bucket_expr("vec_b", sign_bits)
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            round_half_up(cosine_expr("vec_a", "vec_b", "norm_a", "norm_b"), 6),
+        )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
