@@ -499,28 +499,9 @@ def _q_kg_overlap_contexts(spark, sf_dir):
     # sequential and covered by the pandas-oracle pytest instead)
     from text_to_graph_spark.operators.chunking import with_neighbor_context
 
-    pages = synthesize_pages(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    sliced = (
-        pages.select("url", toks.alias("w"))
-        .select(
-            "url",
-            "w",
-            F.explode(
-                F.sequence(
-                    F.lit(0), F.ceil(F.size("w") / F.lit(50)).cast("int") - 1
-                )
-            ).alias("chunk_index"),
-        )
-        .select(
-            "url",
-            "chunk_index",
-            F.concat_ws(
-                " ", F.slice("w", F.col("chunk_index") * 50 + 1, 50)
-            ).alias("text"),
-        )
+    ctx = with_neighbor_context(
+        _sliced_chunks(spark, sf_dir, 50), chunk_size=50, overlap=10
     )
-    ctx = with_neighbor_context(sliced, chunk_size=50, overlap=10)
     return ctx.select(
         "url",
         "chunk_index",
@@ -533,28 +514,7 @@ def _q_kg_l2_contexts(spark, sf_dir):
     # 50-token slice frame as kg_overlap_contexts
     from text_to_graph_spark.operators.chunking import with_full_padding
 
-    pages = synthesize_pages(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    sliced = (
-        pages.select("url", toks.alias("w"))
-        .select(
-            "url",
-            "w",
-            F.explode(
-                F.sequence(
-                    F.lit(0), F.ceil(F.size("w") / F.lit(50)).cast("int") - 1
-                )
-            ).alias("chunk_index"),
-        )
-        .select(
-            "url",
-            "chunk_index",
-            F.concat_ws(
-                " ", F.slice("w", F.col("chunk_index") * 50 + 1, 50)
-            ).alias("text"),
-        )
-    )
-    ctx = with_full_padding(sliced)
+    ctx = with_full_padding(_sliced_chunks(spark, sf_dir, 50))
     return ctx.select(
         "url",
         "chunk_index",
@@ -607,6 +567,59 @@ def _q_kg_triples_overlap(spark, sf_dir):
         PipelineConfig(overlap=100),
     )
     return st["triples"].select("url", "subj", "pred", "obj").distinct()
+
+
+def _sliced_chunks(spark, sf_dir, size: int = 50):
+    """Fixed-size token slices as the SQL-expressible chunk frame (the
+    greedy packer emits one chunk per doc on this corpus; the slice frame
+    is what gives the windowed context ops real neighbors to pad with)."""
+    pages = synthesize_pages(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return (
+        pages.select("url", toks.alias("w"))
+        .select(
+            "url",
+            "w",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size("w") / F.lit(size)).cast("int") - 1
+                )
+            ).alias("chunk_index"),
+        )
+        .select(
+            "url",
+            "chunk_index",
+            F.concat_ws(
+                " ", F.slice("w", F.col("chunk_index") * size + 1, size)
+            ).alias("text"),
+        )
+    )
+
+
+def _q_kg_pipeline_highres(spark, sf_dir):
+    # the reference's set_resolution("high") mode (config.py:196-199) as ONE
+    # composed DAG: small chunks -> L1 mention lists per chunk -> L2 triple
+    # extraction over the full ±1-chunk padded context (graph_generator.py:
+    # 160-243) restricted to the chunk's own L1 mentions (prompts.py:14-47)
+    # -> canonical edge aggregation. Cross-boundary trigrams survive only
+    # when both endpoints are mentioned inside the chunk itself.
+    from text_to_graph_spark.operators.chunking import with_full_padding
+
+    sliced = _sliced_chunks(spark, sf_dir, 50).localCheckpoint(eager=False)
+    mentions = extract_mentions(sliced, "vocab")
+    ctx = with_full_padding(sliced).select(
+        "url", "chunk_index", F.col("context_text").alias("text")
+    )
+    t = extract_triples(ctx, "vocab", impl="pandas")
+    t2 = restrict_triples_to_mentions(t, chunk_mention_lists(mentions))
+    edges = triples_to_canonical_edges(t2)
+    return edges.select(
+        F.col("subj_key").alias("subj"),
+        F.col("pred_key").alias("pred"),
+        F.col("obj_key").alias("obj"),
+        "n_docs",
+        "n_occurrences",
+    )
 
 
 def _q_kg_triples_streamed(spark, sf_dir):
@@ -761,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_l2_contexts": _q_kg_l2_contexts,
         "kg_curated_pipeline": _q_kg_curated_pipeline,
         "kg_triples_overlap": _q_kg_triples_overlap,
+        "kg_pipeline_highres": _q_kg_pipeline_highres,
         "kg_triples_streamed": _q_kg_triples_streamed,
         "kg_prose_triples": _q_kg_prose_triples,
         "kg_responses_roundtrip": _q_kg_responses_roundtrip,
@@ -1161,6 +1175,36 @@ SELECT DISTINCT url, subj, pred, obj FROM triples
         "kg_triples_streamed": f"""
 {_KG_PREFIX}
 SELECT DISTINCT url, subj, pred, obj FROM triples
+""",
+        # high-res composition: 50-token chunks, L2 trigram scan over the
+        # ±1-chunk padded context (a contiguous token slice, since padding
+        # concatenates neighbor chunks with single spaces), restricted to
+        # subj AND obj appearing in the chunk's OWN token window (the L1
+        # mention-list gate), then canonical edge aggregation over all
+        # per-(chunk, position) instances
+        "kg_pipeline_highres": f"""
+{_KG_PREFIX},
+hr AS (
+  SELECT url, w, CAST(i AS int) AS ci,
+         greatest(0, 50 * (i - 1)) + 1 AS cs,
+         least(50 * (i + 2), len(w)) AS ce,
+         CAST(50 * i + 1 AS bigint) AS os,
+         least(50 * i + 50, len(w)) AS oe
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(w) / 50.0) AS int) - 1)) AS g(i)
+),
+hr_triples AS (
+  SELECT h.url, h.ci, h.w[p] AS subj, h.w[p+1] AS pred, h.w[p+2] AS obj
+  FROM hr h, unnest(generate_series(h.cs, h.ce - 2)) AS gp(p)
+  WHERE h.w[p] IN ({_ENTS_SQL}) AND h.w[p+1] IN ({_PREDS_SQL})
+    AND h.w[p+2] IN ({_ENTS_SQL})
+    AND list_contains(h.w[h.os:h.oe], h.w[p])
+    AND list_contains(h.w[h.os:h.oe], h.w[p+2])
+)
+SELECT subj, pred, obj,
+       count(DISTINCT url) AS n_docs,
+       count(*) AS n_occurrences
+FROM hr_triples GROUP BY 1, 2, 3
 """,
         "kg_responses_roundtrip": f"""
 {_KG_PREFIX}

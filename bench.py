@@ -159,6 +159,17 @@ def main() -> int:
         out["n_triples"] = n_triples
         out["replicate"] = REPLICATE
         out["triples_per_sec"] = round(n_triples / results["kg_pipeline"], 1)
+    # attach the most recent N-vs-4N scaling measurement (tools/scaling.py
+    # runs the flagship at local[8] and local[32] in fresh JVMs and records
+    # efficiency both raw and relative to the VM's own multiprocessing
+    # ceiling) so the per-round bench artifact carries the scaling evidence
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path, encoding="utf-8") as f:
+                out["scaling"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
     print(json.dumps(out))
     return 0
 

@@ -14,6 +14,7 @@ from text_to_graph_spark.operators.components import (
     bfs_distances,
     connected_components,
     k_hop_subgraph,
+    pairwise_shortest_paths,
 )
 
 # deterministic sparse graph: 3 components + isolated-ish chains
@@ -136,3 +137,59 @@ def test_connected_components_many_small_components(spark):
     for c in range(100):
         base = c * 10
         assert got[base] == got[base + 1] == got[base + 2] == base
+
+
+def test_bfs_distances_scale_fixture_binary_tree(spark):
+    """Scale evidence for the read path (VERDICT item 7): a 10k-node binary
+    tree. Distances are analytic (depth = floor(log2(i+1))), the frontier
+    doubles each hop, and the whole traversal must finish in the ~13 joins
+    the depth implies — a frontier-explosion or visited-set regression shows
+    up as a blown wall-clock here long before it shows at 100 TB."""
+    import math
+    import time
+
+    n = 10_000
+    edges = [(i, c) for i in range(n) for c in (2 * i + 1, 2 * i + 2) if c < n]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(8)
+    roots = spark.createDataFrame([(0,)], "node long")
+    depth = int(math.floor(math.log2(n)))  # 13
+
+    t0 = time.monotonic()
+    got = {
+        r["node"]: r["distance"]
+        for r in bfs_distances(
+            df, roots, direction="out", max_hops=depth + 1
+        ).collect()
+    }
+    wall = time.monotonic() - t0
+    assert len(got) == n
+    for i in (0, 1, 2, 5, 100, 4095, 4096, n - 1):
+        assert got[i] == int(math.floor(math.log2(i + 1)))
+    # loose sandbox bound: ~13 sequential hash joins on local[*]
+    assert wall < 120, f"BFS over 10k-node tree took {wall:.1f}s"
+
+
+def test_pairwise_paths_scale_fixture_grid(spark):
+    """G4 at a 1k-node scale: a 32x32 grid graph, roots at two corners.
+    Shortest distance is Manhattan (62 hops is too deep for the hop cap, so
+    use corner->center roots at distance 31); path length must match and the
+    lexicographic tiebreak keeps the result deterministic."""
+    side = 32
+    edges = []
+    for r in range(side):
+        for c in range(side):
+            u = r * side + c
+            if c + 1 < side:
+                edges.append((u, u + 1))
+            if r + 1 < side:
+                edges.append((u, u + side))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    corner, mid = 0, 31  # top-left -> top-right corner: distance 31
+    roots = spark.createDataFrame([(corner,), (mid,)], "node long")
+    out = pairwise_shortest_paths(
+        df, roots, direction="both", max_hops=31
+    ).collect()
+    by_pair = {(r["src_root"], r["dst_root"]): r for r in out}
+    assert by_pair[(0, 31)]["distance"] == 31
+    # lexicographic-min tiebreak over equal-length paths: straight top row
+    assert by_pair[(0, 31)]["path"] == ">".join(str(i) for i in range(32))

@@ -272,3 +272,91 @@ class TestViewerSink:
         assert nodes_csv.splitlines()[1].startswith("0,Alpha,")
         assert "works_with" in edges_csv
         assert meta == '{"k": 1}'
+
+    def test_provenance_round_trip_matches_pandas_oracle(self, spark):
+        """Composite-graph export: decode the HTML payload, split the
+        ``label|docIdx...`` suffix back (the viewer's utils.js:62-78 decode)
+        and compare doc sets against a pandas oracle of graph_utils.py's
+        merge_all_document_graphs provenance semantics (220-221,236-245)."""
+        import io
+        import json
+        import re
+
+        import pandas as pd
+
+        from text_to_graph_spark.sinks.viewer import (
+            build_viewer_html,
+            decode_payload,
+        )
+
+        node_rows = [
+            ("alpha", "Alpha", ["actor"], ["doc_b", "doc_a"]),
+            ("beta", "Beta", ["system"], ["doc_c"]),
+            ("gamma", "Gamma", ["data"], ["doc_a", "doc_c", "doc_b"]),
+        ]
+        nodes = spark.createDataFrame(
+            node_rows,
+            "key string, label string, types array<string>, doc_ids array<string>",
+        )
+        edge_rows = [
+            ("alpha", "works_with", "beta", "works_with", ["doc_c", "doc_a"]),
+            ("beta", "feeds", "gamma", "feeds", ["doc_b"]),
+        ]
+        edges = spark.createDataFrame(
+            edge_rows,
+            "subj_key string, pred_key string, obj_key string, "
+            "pred_label string, doc_ids array<string>",
+        )
+        html = build_viewer_html(nodes, edges, provenance=True)
+        payloads = re.findall(r"`([A-Za-z0-9+/=]+)`", html)
+        nodes_csv, edges_csv, meta = (decode_payload(p) for p in payloads)
+
+        # pandas oracle: sorted distinct docs -> dense index; suffix =
+        # '|'.join(str(i) for sorted doc indices) (graph_utils.py:220,238)
+        all_docs = sorted(
+            {d for r in node_rows for d in r[3]}
+            | {d for r in edge_rows for d in r[4]}
+        )
+        idx = {d: i for i, d in enumerate(all_docs)}
+
+        assert json.loads(meta) == [
+            {"index": i, "doc": d} for i, d in enumerate(all_docs)
+        ]
+
+        npdf = pd.read_csv(io.StringIO(nodes_csv))
+        decoded = {}
+        for _, row in npdf.iterrows():
+            parts = str(row["label"]).split("|")  # utils.js decode
+            decoded[parts[0]] = [int(x) for x in parts[1:] if x]
+        for key, label, _types, docs in node_rows:
+            assert decoded[label] == sorted(idx[d] for d in docs)
+
+        epdf = pd.read_csv(io.StringIO(edges_csv))
+        edge_decoded = {}
+        for _, row in epdf.iterrows():
+            parts = str(row["label"]).split("|")
+            edge_decoded[parts[0]] = [int(x) for x in parts[1:] if x]
+        for _s, _p, _o, plabel, docs in edge_rows:
+            assert edge_decoded[plabel] == sorted(idx[d] for d in docs)
+
+    def test_duplicate_node_labels_hard_error(self, spark):
+        """P11's viewer abort (data_renderer.js:224-232) is enforced at
+        export time."""
+        import pytest
+
+        from text_to_graph_spark.sinks.viewer import build_viewer_html
+
+        nodes = spark.createDataFrame(
+            [
+                ("k1", "Same", ["actor"], ["d0"]),
+                ("k2", "same", ["system"], ["d0"]),
+            ],
+            "key string, label string, types array<string>, doc_ids array<string>",
+        )
+        edges = spark.createDataFrame(
+            [("k1", "p", "k2", "p", ["d0"])],
+            "subj_key string, pred_key string, obj_key string, "
+            "pred_label string, doc_ids array<string>",
+        )
+        with pytest.raises(ValueError, match="duplicate node labels"):
+            build_viewer_html(nodes, edges, provenance=True)

@@ -86,17 +86,94 @@ def _escape(b64: str) -> str:
     return _html.escape(b64.replace("\\", "\\\\").replace("`", "\\`"))
 
 
-def render_csvs(nodes: DataFrame, edges: DataFrame) -> tuple[str, str]:
+def doc_index_table(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Dense 0..D-1 document indices over every doc id referenced by the
+    export, ordered by doc id asc (the deterministic stand-in for the
+    reference's file-selection order, ``graph_generator.py:424-460``).
+    Export-time only — the single-partition window is bounded by the
+    viewer-capped subgraph size."""
+    from pyspark.sql import Window
+
+    docs = (
+        nodes.select(F.explode("doc_ids").alias("doc"))
+        .unionByName(edges.select(F.explode("doc_ids").alias("doc")))
+        .distinct()
+    )
+    w = Window.orderBy("doc")
+    return docs.withColumn("doc_index", F.row_number().over(w) - 1)
+
+
+def _with_provenance_suffix(
+    df: DataFrame, key_cols: list[str], label_col: str, doc_map: DataFrame
+) -> DataFrame:
+    """Append the reference's composite-graph provenance suffix to a label:
+    ``label|i1|i2|...`` with sorted doc indices (``graph_utils.py:220-221,
+    236-245``; the viewer splits it back at ``utils.js:62-78``)."""
+    ex = df.select(*key_cols, F.explode("doc_ids").alias("doc"))
+    prov = (
+        ex.join(F.broadcast(doc_map), "doc")
+        .groupBy(*key_cols)
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_set("doc_index"))).alias(
+                "_prov"
+            )
+        )
+    )
+    return (
+        df.join(prov, key_cols)
+        .withColumn(label_col, F.concat_ws("|", F.col(label_col), F.col("_prov")))
+        .drop("_prov")
+    )
+
+
+def assert_unique_node_labels(nodes: DataFrame, label_col: str = "label") -> None:
+    """P11's hard error: the viewer aborts on duplicate node labels
+    (``data_renderer.js:224-232``). Checked on the base label (the viewer
+    strips the provenance suffix before sanitizing)."""
+    dup = (
+        nodes.groupBy(F.lower(F.col(label_col)).alias("l"))
+        .count()
+        .where(F.col("count") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "duplicate node labels in viewer export: "
+            + ", ".join(r["l"] for r in dup)
+        )
+
+
+def render_csvs(
+    nodes: DataFrame, edges: DataFrame, provenance: bool = False
+) -> tuple[str, str]:
     """Canonical nodes/edges -> the viewer's CSV wire format.
 
     Node ids are densified 0..N-1 (insertion order made total: key asc);
     edge endpoints are remapped through the id table with two broadcast
     joins (the reference's ``entity_id_map`` remap, ``graph_utils.py:47-59``).
+    P11 sanitation runs on the way out: null/empty labels and types drop,
+    edges with unmapped endpoints drop (the inner joins), and duplicate
+    node labels are a hard error. With ``provenance=True`` both labels carry
+    the reference's ``|docIdx`` suffix derived from the ``doc_ids`` arrays.
     """
+    nodes = nodes.where(
+        F.col("label").isNotNull() & (F.length("label") > 0) & (F.size("types") > 0)
+    )
+    assert_unique_node_labels(nodes)
+    if provenance:
+        doc_map = doc_index_table(nodes, edges).localCheckpoint(eager=True)
+        nodes = _with_provenance_suffix(nodes, ["key"], "label", doc_map)
+        edges = _with_provenance_suffix(
+            edges, ["subj_key", "pred_key", "obj_key"], "pred_label", doc_map
+        )
     n = with_dense_export_ids(nodes, order_col="key").select(
         "id", "key", F.col("label"), render_type_set(F.col("types")).alias("type")
     )
     id_map = n.select("key", "id")
+    edges = edges.where(
+        F.col("pred_label").isNotNull() & (F.length("pred_label") > 0)
+    )
     e = (
         edges.join(
             F.broadcast(id_map.withColumnRenamed("key", "subj_key")).withColumnRenamed(
@@ -121,11 +198,32 @@ def render_csvs(nodes: DataFrame, edges: DataFrame) -> tuple[str, str]:
     return nbuf.getvalue(), ebuf.getvalue()
 
 
+def render_doc_metadata(nodes: DataFrame, edges: DataFrame) -> str:
+    """Composite-run metadata: the doc-index map as JSON, the analog of the
+    reference's per-document ``{index, filename, sha256}`` rows
+    (``graph_generator.py:391-395,424-460``)."""
+    import json
+
+    rows = doc_index_table(nodes, edges).orderBy("doc_index").collect()
+    return json.dumps(
+        [{"index": r["doc_index"], "doc": r["doc"]} for r in rows]
+    )
+
+
 def build_viewer_html(
-    nodes: DataFrame, edges: DataFrame, metadata: str = "{}"
+    nodes: DataFrame,
+    edges: DataFrame,
+    metadata: str | None = None,
+    provenance: bool = False,
 ) -> str:
-    """Full S8 sink: capped subgraph DataFrames -> standalone HTML string."""
-    nodes_csv, edges_csv = render_csvs(nodes, edges)
+    """Full S8 sink: capped subgraph DataFrames -> standalone HTML string.
+
+    ``provenance=True`` renders the reference's composite-graph export:
+    ``label|docIdx...`` suffixes on node and edge labels plus the doc-index
+    map in the metadata payload."""
+    if metadata is None:
+        metadata = render_doc_metadata(nodes, edges) if provenance else "{}"
+    nodes_csv, edges_csv = render_csvs(nodes, edges, provenance=provenance)
     out = _TEMPLATE
     out = out.replace(NODES_PLACEHOLDER, _escape(compress_and_encode(nodes_csv)))
     out = out.replace(EDGES_PLACEHOLDER, _escape(compress_and_encode(edges_csv)))
@@ -134,7 +232,11 @@ def build_viewer_html(
 
 
 def write_viewer_html(
-    nodes: DataFrame, edges: DataFrame, path: str, metadata: str = "{}"
+    nodes: DataFrame,
+    edges: DataFrame,
+    path: str,
+    metadata: str | None = None,
+    provenance: bool = False,
 ) -> None:
     with open(path, "w", encoding="utf-8") as f:
-        f.write(build_viewer_html(nodes, edges, metadata))
+        f.write(build_viewer_html(nodes, edges, metadata, provenance=provenance))

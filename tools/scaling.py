@@ -124,8 +124,15 @@ def main() -> int:
         "hw_ceiling_efficiency": ceiling["ceiling_efficiency"],
         "efficiency_vs_hw_ceiling": rel,
         "levels": [low, high],
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     print(json.dumps(result))
+
+    # persist for bench.py to attach to its own JSON line, so the per-round
+    # BENCH artifact carries the scaling evidence + hw-ceiling context
+    with open(os.path.join(REPO, "SCALING.json"), "w", encoding="utf-8") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
 
     if args.update_baseline:
         block = (
