@@ -147,6 +147,24 @@ def _q_kg_pages(spark, sf_dir):
     )
 
 
+def _q_kg_pages_jsonl(spark, sf_dir):
+    # JSONL wire-format round trip: pages -> base64/epoch JSON lines ->
+    # declared-schema read -> identical table (same oracle as kg_pages);
+    # the extraction stage downstream of the decoded html proves the binary
+    # column survives the hop bit-exactly
+    import tempfile
+
+    from text_to_graph_spark.sources.pages import (
+        pages_from_jsonl,
+        write_pages_jsonl,
+    )
+
+    d = tempfile.mkdtemp(prefix="t2g_jsonl_")
+    write_pages_jsonl(synthesize_pages(spark, sf_dir), d)
+    back = pages_from_jsonl(spark, d)
+    return extract_text(back)
+
+
 def _q_kg_extract_text(spark, sf_dir):
     # html binary -> text must be byte-identical to the source text per url
     return extract_text(synthesize_pages(spark, sf_dir))
@@ -341,10 +359,20 @@ def _q_kg_prose_triples(spark, sf_dir):
     # gaps-and-islands, which the DuckDB oracle mirrors; arbitrary-prose
     # parity is additionally pytest-fuzzed against the reference loop
     # semantics in tests/test_kit.py.
+    t = extract_triples(_prose_pages(spark, sf_dir), "prose", impl="pandas")
+    return (
+        t.select("subj", "pred", "obj")
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def _prose_pages(spark, sf_dir):
+    """Deterministically title-cased corpus rendering shared by the prose
+    queries: entity tokens -> initcap, so capitalized-span regex semantics
+    apply."""
     docs = _docs(spark, sf_dir)
-    # capitalize exactly the entity tokens: capitalized spans become the
-    # prose mentions, the lowercase words between them the connectors
-    prose = docs.select(
+    return docs.select(
         F.col("doc_id").cast("string").alias("url"),
         F.concat_ws(
             " ",
@@ -354,12 +382,15 @@ def _q_kg_prose_triples(spark, sf_dir):
             ),
         ).alias("text"),
     ).withColumn("chunk_index", F.lit(0))
-    t = extract_triples(prose, "prose", impl="pandas")
-    return (
-        t.select("subj", "pred", "obj")
-        .groupBy("subj", "pred", "obj")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-    )
+
+
+def _q_kg_prose_mentions(spark, sf_dir):
+    # ProseModel.mentions over the title-cased corpus: mentions are maximal
+    # capitalized RUNS (multi-token spans), not single tokens — a different
+    # computation from kg_mentions, oracle-checked via the same
+    # gaps-and-islands token reduction
+    m = extract_mentions(_prose_pages(spark, sf_dir), "prose")
+    return m.groupBy("mention").agg(F.count(F.lit(1)).alias("n_occurrences"))
 
 
 def _q_kg_responses_roundtrip(spark, sf_dir):
@@ -733,6 +764,37 @@ def _q_events_top_users(spark, sf_dir):
     )
 
 
+def _q_events_sessionize_stateful(spark, sf_dir):
+    # custom stateful streaming operator (applyInPandasWithState): per-user
+    # session state carried across micro-batches, closed sessions emitted
+    # append-mode. The backlog is written as chronological time slices (one
+    # file per micro-batch), so the emitted set is deterministic: every
+    # session except each user's still-open last one — which the DuckDB
+    # oracle reproduces with window functions.
+    import tempfile
+
+    from text_to_graph_spark.streaming.ingest import run_to_parquet
+    from text_to_graph_spark.streaming.stateful import (
+        stream_event_seconds,
+        streaming_sessionize_stateful,
+        write_time_sliced_landing,
+    )
+
+    base = tempfile.mkdtemp(prefix="t2g_state_")
+    landing, out, ckpt = f"{base}/landing", f"{base}/out", f"{base}/ckpt"
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", EV.epoch_seconds_ntz("ts").alias("sec")
+    )
+    write_time_sliced_landing(ev, landing, n_slices=4)
+    q = run_to_parquet(
+        streaming_sessionize_stateful(stream_event_seconds(spark, landing)),
+        out,
+        ckpt,
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)
+
+
 def _q_mm_meta(spark, sf_dir):
     return MM.decode_metadata(MM.attach_payload(_docs(spark, sf_dir)))
 
@@ -744,6 +806,7 @@ def _q_mm_frames(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_pages": _q_kg_pages,
+        "kg_pages_jsonl": _q_kg_pages_jsonl,
         "kg_extract_text": _q_kg_extract_text,
         "kg_chunks": _q_kg_chunks,
         "kg_mentions": _q_kg_mentions,
@@ -777,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_highres": _q_kg_pipeline_highres,
         "kg_triples_streamed": _q_kg_triples_streamed,
         "kg_prose_triples": _q_kg_prose_triples,
+        "kg_prose_mentions": _q_kg_prose_mentions,
         "kg_responses_roundtrip": _q_kg_responses_roundtrip,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -797,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_enrich": _q_events_enrich,
         "events_top_users": _q_events_top_users,
+        "events_sessionize_stateful": _q_events_sessionize_stateful,
         "mm_meta": _q_mm_meta,
         "mm_frames": _q_mm_frames,
     }
@@ -921,6 +986,12 @@ def oracle_sql() -> dict[str, str]:
 SELECT url, CAST(epoch(warc_ts) AS bigint) AS warc_epoch, lang, text FROM pages
 """,
         "kg_extract_text": f"""
+{_KG_PREFIX}
+SELECT url, text FROM pages
+""",
+        # the JSONL hop is lossless, so extraction over the decoded html
+        # must still be byte-identical to the source text per url
+        "kg_pages_jsonl": f"""
 {_KG_PREFIX}
 SELECT url, text FROM pages
 """,
@@ -1520,6 +1591,39 @@ SELECT c.c_mktsegment, count(*) AS n_events,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1
 """,
+        # closed sessions only: the stateful streaming operator never emits
+        # each user's trailing (still-open) session
+        "events_sessionize_stateful": """
+WITH x AS (
+  SELECT user_id,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
+  FROM events
+),
+flagged AS (
+  SELECT user_id, sec,
+         CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS nf
+  FROM (SELECT user_id, sec,
+               lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev
+        FROM x)
+),
+w AS (
+  SELECT user_id, sec,
+         sum(nf) OVER (PARTITION BY user_id ORDER BY sec
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+per AS (
+  SELECT user_id, sid,
+         min(sec) AS session_start_s,
+         max(sec) AS session_end_s,
+         count(*) AS n_events
+  FROM w GROUP BY 1, 2
+),
+last AS (SELECT user_id, max(sid) AS last_sid FROM per GROUP BY 1)
+SELECT p.user_id, p.session_start_s, p.session_end_s, p.n_events,
+       p.session_end_s - p.session_start_s AS duration_s
+FROM per p JOIN last l ON p.user_id = l.user_id AND p.sid < l.last_sid
+""",
         "events_top_users": """
 WITH per_user AS (
   SELECT event_type, user_id,
@@ -1580,6 +1684,30 @@ SELECT label AS subj, g_pred AS pred, obj_label AS obj,
 FROM seq
 WHERE is_ent AND coalesce(obj_ent, false) AND g_n BETWEEN 1 AND 3
 GROUP BY 1, 2, 3
+""",
+        # mention RUNS (maximal capitalized spans) with occurrence counts —
+        # the mentions() half of the prose model under the same reduction
+        "kg_prose_mentions": f"""
+WITH marked AS (
+  SELECT doc_id, w[i] AS tok, i AS ord,
+         (w[i] IN ({ents})) AS is_ent
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(generate_series(1, len(w))) AS g(i)
+),
+runs0 AS (
+  SELECT doc_id, tok, ord, is_ent,
+         ord - row_number() OVER (PARTITION BY doc_id, is_ent ORDER BY ord)
+           AS rk
+  FROM marked
+),
+runs AS (
+  SELECT doc_id, is_ent,
+         string_agg(upper(substr(tok, 1, 1)) || substr(tok, 2), ' '
+                    ORDER BY ord) AS label
+  FROM runs0 GROUP BY doc_id, is_ent, rk
+)
+SELECT label AS mention, count(*) AS n_occurrences
+FROM runs WHERE is_ent GROUP BY 1
 """,
         # byte-slice frame expansion: frame i of k=3 is payload[n*i/3 :
         # n*(i+1)/3]. The corpus text is pure ASCII (pytest-asserted), so

@@ -110,6 +110,13 @@ def main() -> int:
         chunks = chunk_pages(extract_text(pages))
         _force(extract_triples(chunks, "vocab", impl="sql"))
 
+    def q_kg_highres():
+        # the composed high-resolution DAG (chunk -> L1 -> padded L2 ->
+        # canonical edges); exercises the window + mention-gate joins
+        from __spark_entry__ import _q_kg_pipeline_highres
+
+        _force(_q_kg_pipeline_highres(spark, SF_DIR))
+
     def q_kg_components():
         pages = synthesize_pages(spark, SF_DIR)
         chunks = chunk_pages(extract_text(pages))
@@ -121,6 +128,7 @@ def main() -> int:
         "kg_pipeline": q_kg_pipeline,
         "kg_pipeline_staged": q_kg_pipeline_staged,
         "kg_triples_sql": q_kg_triples_sql,
+        "kg_pipeline_highres": q_kg_highres,
         "kg_components": q_kg_components,
         "dedup_exact": lambda: _force(D.exact_duplicates(docs)),
         "dedup_minhash_pairs": lambda: _force(D.minhash_candidate_pairs(docs)),

@@ -109,3 +109,112 @@ def test_streaming_hourly_rollup_matches_batch(spark, tmp_path):
     }
     assert got == exp
     assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: applyInPandasWithState sessionization
+# ---------------------------------------------------------------------------
+
+
+def _loop_fold(user_id, secs, carry, gap):
+    """Reference per-row loop for the vectorized _fold_batch."""
+    closed = []
+    for sec in sorted(secs):
+        sec = int(sec)
+        if carry is None:
+            carry = (sec, sec, 1)
+        elif sec - carry[1] > gap:
+            closed.append(
+                (user_id, carry[0], carry[1], carry[2], carry[1] - carry[0])
+            )
+            carry = (sec, sec, 1)
+        else:
+            carry = (carry[0], sec, carry[2] + 1)
+    return closed, carry
+
+
+def test_fold_batch_matches_loop_reference():
+    import random
+
+    import pandas as pd
+
+    from text_to_graph_spark.streaming.stateful import _fold_batch
+
+    rng = random.Random(7)
+    for trial in range(200):
+        secs = sorted(rng.randrange(0, 20_000) for _ in range(rng.randrange(0, 25)))
+        carry = None
+        if rng.random() < 0.6 and secs:
+            start = rng.randrange(0, 500)
+            carry = (start, start + rng.randrange(0, 300), rng.randrange(1, 5))
+            secs = [s + carry[1] for s in secs]  # keep in-order arrival
+        got_closed, got_carry = _fold_batch(
+            9, pd.Series(secs, dtype="int64"), carry, 1800
+        )
+        exp_closed, exp_carry = _loop_fold(9, secs, carry, 1800)
+        assert got_closed == exp_closed, (trial, secs, carry)
+        assert got_carry == exp_carry, (trial, secs, carry)
+
+
+def test_stateful_sessionize_stream_equals_batch_closed_sessions(
+    spark, tmp_path
+):
+    """The streamed closed-session set over a chronologically sliced backlog
+    must equal the batch sessionization minus each user's last session —
+    state must genuinely carry across the one-file-per-trigger batches."""
+    from pyspark.sql import Window
+
+    from text_to_graph_spark.operators.events import epoch_seconds_ntz
+    from text_to_graph_spark.streaming.stateful import (
+        stream_event_seconds,
+        streaming_sessionize_stateful,
+        write_time_sliced_landing,
+    )
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ev = events.select(
+        "user_id", "event_id", epoch_seconds_ntz("ts").alias("sec")
+    )
+    landing = str(tmp_path / "landing")
+    n = write_time_sliced_landing(ev, landing, n_slices=5)
+    assert n == 5
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        streaming_sessionize_stateful(stream_event_seconds(spark, landing))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start_s"], r["session_end_s"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    # batch oracle: all sessions except each user's last
+    w = Window.partitionBy("user_id").orderBy("sec")
+    flagged = ev.withColumn("prev", F.lag("sec").over(w)).withColumn(
+        "nf",
+        (F.col("prev").isNull() | (F.col("sec") - F.col("prev") > 1800)).cast("int"),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("nf").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.min("sec").alias("st"), F.max("sec").alias("en"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    last = per.groupBy("user_id").agg(F.max("sid").alias("last_sid"))
+    exp = {
+        (r["user_id"], r["st"], r["en"], r["n"])
+        for r in per.join(last, "user_id")
+        .where(F.col("sid") < F.col("last_sid"))
+        .collect()
+    }
+    assert got == exp
+    assert got, "no closed sessions at smoke scale — fixture too sparse"

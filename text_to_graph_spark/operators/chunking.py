@@ -29,6 +29,13 @@ from pyspark.sql import functions as F
 
 from text_to_graph_spark.kit.chunker import pack_units
 
+# Deliberate divergence from the reference chunk schema
+# (``chunk_utils.py:127-133``): ``doc_page`` is omitted. It is the PDF page
+# number a chunk starts on, threaded through only so the desktop viewer can
+# show "page N"; HTML pages have no page axis, so the column would be a
+# constant 0 here. ``document_id`` is likewise ``url`` (the corpus identity).
+# Token-count semantics (C5) pin the whitespace fallback of ``gpt.py:27-34``,
+# not tiktoken — documented in kit/tokenize.py.
 CHUNK_SCHEMA = (
     "url string, chunk_index int, chunk_size int, "
     "token_start int, token_end int, text string"

@@ -77,7 +77,10 @@ def ensure_min_partitions(df, min_partitions: int | None = None):
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # partition count via the JVM execution handle — df.rdd would force a
+    # full plan-to-RDD conversion just to ask a number
+    n = df._jdf.rdd().getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 

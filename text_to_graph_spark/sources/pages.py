@@ -91,6 +91,39 @@ def synthesize_pages(
     )
 
 
+JSONL_PAGES_SCHEMA = (
+    "url string, warc_epoch long, html_b64 string, text string, lang string"
+)
+
+
+def write_pages_jsonl(pages: DataFrame, path: str) -> None:
+    """Serialize a pages table to JSON-lines (the common landing format for
+    web-scale crawls): binary ``html`` as base64, ``warc_ts`` as tz-free
+    epoch seconds — both lossless and engine-portable."""
+    pages.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("warc_epoch"),
+        F.base64("html").alias("html_b64"),
+        "text",
+        "lang",
+    ).write.mode("overwrite").json(path)
+
+
+def pages_from_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read a JSONL pages landing dir back into the input-contract shape.
+
+    Schema is DECLARED, never inferred (inference would scan the data twice
+    and silently widen types); base64/epoch are decoded JVM-side."""
+    raw = spark.read.schema(JSONL_PAGES_SCHEMA).json(path)
+    return raw.select(
+        "url",
+        F.timestamp_seconds(F.col("warc_epoch")).alias("warc_ts"),
+        F.unbase64("html_b64").alias("html"),
+        "text",
+        "lang",
+    )
+
+
 # DuckDB-SQL mirror of synthesize_pages (replicate=1) — shared CTE prefix for
 # every oracle query. Kept here so Spark + SQL definitions live side by side.
 PAGES_ORACLE_CTE = """

@@ -71,18 +71,21 @@ def parse_responses(
                 nodes, edges = parse_response_text(text)
                 if nodes is None:
                     continue
-                for node_id, row in nodes.iterrows():
-                    out.append(
-                        (url, int(ci), "node", int(node_id), None,
-                         str(row["label"]), str(row["type"]))
+                ci = int(ci)
+                out.extend(
+                    (url, ci, "node", int(node_id), None, str(label), str(typ))
+                    for node_id, label, typ in zip(
+                        nodes.index, nodes["label"], nodes["type"]
                     )
+                )
                 if edges is None:
                     continue
-                for _, row in edges.iterrows():
-                    out.append(
-                        (url, int(ci), "edge", int(row["source"]),
-                         int(row["target"]), str(row["label"]), None)
+                out.extend(
+                    (url, ci, "edge", int(s), int(t), str(lbl), None)
+                    for s, t, lbl in zip(
+                        edges["source"], edges["target"], edges["label"]
                     )
+                )
             yield pd.DataFrame(
                 out,
                 columns=["url", "chunk_index", "kind", "a", "b", "label", "type"],

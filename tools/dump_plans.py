@@ -72,6 +72,9 @@ def main() -> int:
         "IVF assignment (pure projection, zero shuffle)": (
             SIM.ivf_assign(emb, emb.where("vec_id < 3"))
         ),
+        "embedding near-dup LSH (bucket equi-join, NO CartesianProduct)": (
+            D.embedding_neardup_pairs_lsh(emb, threshold=0.3)
+        ),
     }
 
     out = [HEADER]
