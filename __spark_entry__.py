@@ -764,6 +764,75 @@ def _q_events_top_users(spark, sf_dir):
     )
 
 
+def _events_typed(spark, sf_dir):
+    """events with tz-free epoch seconds and exact cents, split-ready."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        EV.epoch_seconds_ntz("ts").alias("sec"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+
+
+def _q_events_asof(spark, sf_dir):
+    # as-of join: each purchase matched to the user's most recent click
+    # at-or-before it — union + one window pass, single shuffle, no
+    # inequality-join explosion (operators/temporal.py)
+    from text_to_graph_spark.operators.temporal import asof_join
+
+    ev = _events_typed(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "sec"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "sec", "event_id", "value_cents"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="sec",
+        right_time="sec",
+        right_id="event_id",
+        payload_cols=["event_id", "value_cents"],
+    )
+
+
+def _q_events_range_join(spark, sf_dir):
+    # symmetric range join: clicks within +-30 min of each purchase by the
+    # same user, counted per purchase — interval-bucket equi-join, never a
+    # cartesian (operators/temporal.py)
+    from text_to_graph_spark.operators.temporal import range_join
+
+    ev = _events_typed(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "sec"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "sec", "event_id", "value_cents"
+    )
+    pairs = range_join(
+        purchases, clicks, on="user_id", left_time="sec", right_time="sec",
+        window=1800,
+    )
+    per_purchase = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_nearby_clicks"),
+        F.sum("value_cents").alias("sum_nearby_cents"),
+    )
+    return (
+        purchases.join(per_purchase, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "sec",
+            F.coalesce("n_nearby_clicks", F.lit(0)).alias("n_nearby_clicks"),
+            F.coalesce("sum_nearby_cents", F.lit(0)).alias("sum_nearby_cents"),
+        )
+    )
+
+
 def _q_events_sessionize_stateful(spark, sf_dir):
     # custom stateful streaming operator (applyInPandasWithState): per-user
     # session state carried across micro-batches, closed sessions emitted
@@ -861,6 +930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_enrich": _q_events_enrich,
         "events_top_users": _q_events_top_users,
+        "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "events_sessionize_stateful": _q_events_sessionize_stateful,
         "mm_meta": _q_mm_meta,
         "mm_frames": _q_mm_frames,
@@ -1641,6 +1712,51 @@ ranked AS (
 SELECT event_type, CAST(rank AS int) AS rank, user_id,
        sum_value_cents, n_events
 FROM ranked WHERE rank <= 3
+""",
+        # as-of semantics: the single most recent click at-or-before each
+        # purchase, ties broken by greatest click event_id (the Spark side's
+        # total order); purchases with no preceding click keep nulls
+        "events_asof": """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec,
+         CAST(round(value * 100) AS bigint) AS value_cents
+  FROM events
+),
+p AS (SELECT event_id, user_id, sec FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, sec, event_id, value_cents FROM ev
+      WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id, p.user_id, p.sec,
+         c.event_id AS asof_event_id,
+         c.value_cents AS asof_value_cents,
+         p.sec - c.sec AS asof_lag_s,
+         row_number() OVER (
+           PARTITION BY p.event_id ORDER BY c.sec DESC, c.event_id DESC
+         ) AS rn
+  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.sec <= p.sec
+)
+SELECT event_id, user_id, sec, asof_event_id, asof_value_cents, asof_lag_s
+FROM j WHERE rn = 1
+""",
+        # symmetric range join: clicks within +-1800 s of each purchase by
+        # the same user, aggregated per purchase (0 rows keep the purchase)
+        "events_range_join": """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec,
+         CAST(round(value * 100) AS bigint) AS value_cents
+  FROM events
+),
+p AS (SELECT event_id, user_id, sec FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, sec, event_id, value_cents FROM ev
+      WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.sec,
+       count(c.event_id) AS n_nearby_clicks,
+       CAST(coalesce(sum(c.value_cents), 0) AS bigint) AS sum_nearby_cents
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id AND abs(p.sec - c.sec) <= 1800
+GROUP BY 1, 2, 3
 """,
         # ProseModel over the title-cased corpus. The corpus is a clean
         # single-space token stream with no [.!?], so the capitalized-span

@@ -1,0 +1,142 @@
+"""As-of / range join: semantics vs a brute-force pandas oracle, plus the
+plan shapes that make them scale-safe (no cartesian, bounded shuffles)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from text_to_graph_spark.operators.temporal import asof_join, range_join
+from text_to_graph_spark.plans.introspect import count_exchanges, plan_str
+
+LEFT = [
+    # (event_id, user_id, sec)
+    (1, 10, 100),
+    (2, 10, 200),
+    (3, 10, 50),   # before any right row for user 10
+    (4, 20, 500),
+    (5, 30, 10),   # user with no right rows at all
+    (6, 10, 150),  # exactly at a right timestamp (tie: same-instant match)
+]
+RIGHT = [
+    # (user_id, sec, event_id, value_cents)
+    (10, 90, 101, 5),
+    (10, 150, 102, 7),
+    (10, 150, 103, 9),   # duplicate timestamp: greatest event_id must win
+    (20, 500, 201, 11),  # same-instant as left row 4
+    (20, 100, 202, 13),
+]
+
+
+def _dfs(spark):
+    l = spark.createDataFrame(LEFT, "event_id bigint, user_id bigint, sec bigint")
+    r = spark.createDataFrame(
+        RIGHT, "user_id bigint, sec bigint, event_id bigint, value_cents bigint"
+    )
+    return l, r
+
+
+def _brute_asof(tolerance=None):
+    rows = {}
+    for eid, uid, sec in LEFT:
+        cands = [r for r in RIGHT if r[0] == uid and r[1] <= sec]
+        if tolerance is not None:
+            cands = [r for r in cands if r[1] >= sec - tolerance]
+        if cands:
+            best = max(cands, key=lambda r: (r[1], r[2]))
+            rows[eid] = (best[2], best[3], sec - best[1])
+        else:
+            rows[eid] = (None, None, None)
+    return rows
+
+
+class TestAsofJoin:
+    def _run(self, spark, tolerance=None):
+        l, r = _dfs(spark)
+        out = asof_join(
+            l, r, on="user_id", left_time="sec", right_time="sec",
+            right_id="event_id", payload_cols=["event_id", "value_cents"],
+            tolerance=tolerance,
+        ).toPandas()
+        return {
+            int(row.event_id): (
+                None if pd.isna(row.asof_event_id) else int(row.asof_event_id),
+                None if pd.isna(row.asof_value_cents) else int(row.asof_value_cents),
+                None if pd.isna(row.asof_lag_s) else int(row.asof_lag_s),
+            )
+            for row in out.itertuples()
+        }
+
+    def test_matches_brute_force(self, spark):
+        assert self._run(spark) == _brute_asof()
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        got = self._run(spark, tolerance=60)
+        assert got == _brute_asof(tolerance=60)
+        # row 2 (sec=200) only has clicks at 150 within 60s; row 1 (sec=100)
+        # keeps its 90s match; stale-only users go null
+        assert got[2][0] == 103 and got[1][0] == 101
+
+    def test_same_instant_and_duplicate_ts_ties(self, spark):
+        got = self._run(spark)
+        assert got[6] == (103, 9, 0)   # same-instant + max event_id wins
+        assert got[4] == (201, 11, 0)  # same-instant match included
+        assert got[3] == (None, None, None)
+        assert got[5] == (None, None, None)
+
+    def test_plan_is_one_window_pass_no_join(self, spark):
+        l, r = _dfs(spark)
+        out = asof_join(
+            l, r, on="user_id", left_time="sec", right_time="sec",
+            right_id="event_id", payload_cols=["event_id"],
+        )
+        p = plan_str(out, "simple")
+        assert "Join" not in p  # union + window, not a join at all
+        assert "CartesianProduct" not in p
+        # one hash-partition exchange for the window (local[n] test master
+        # adds no input repartition for createDataFrame)
+        assert count_exchanges(out) == 1
+
+
+class TestRangeJoin:
+    def test_matches_brute_force(self, spark):
+        l, r = _dfs(spark)
+        out = range_join(
+            l, r, on="user_id", left_time="sec", right_time="sec", window=60
+        ).toPandas()
+        got = {
+            (int(t.event_id), int(t.event_id_r))
+            for t in out.itertuples()
+        }
+        want = {
+            (le, re_)
+            for le, lu, ls in LEFT
+            for ru, rs, re_, _ in RIGHT
+            if lu == ru and abs(ls - rs) <= 60
+        }
+        assert got == want
+        # exactly-once per qualifying pair (bucket explode must not dup)
+        assert len(out) == len(want)
+
+    def test_boundary_inclusive_and_negative_times(self, spark):
+        l = spark.createDataFrame(
+            [(1, 1, -30), (2, 1, 30)], "event_id bigint, user_id bigint, sec bigint"
+        )
+        r = spark.createDataFrame(
+            [(1, -90, 9, 1), (1, 90, 8, 1), (1, -91, 7, 1)],
+            "user_id bigint, sec bigint, event_id bigint, value_cents bigint",
+        )
+        out = range_join(
+            l, r, on="user_id", left_time="sec", right_time="sec", window=60
+        ).toPandas()
+        got = {(int(t.event_id), int(t.event_id_r)) for t in out.itertuples()}
+        assert got == {(1, 9), (2, 8)}  # |dt|=60 inclusive; 61 excluded
+
+    def test_plan_is_equi_join_no_cartesian(self, spark):
+        l, r = _dfs(spark)
+        out = range_join(
+            l, r, on="user_id", left_time="sec", right_time="sec", window=60
+        )
+        p = plan_str(out, "simple")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p

@@ -1,0 +1,134 @@
+"""Temporal joins the DataFrame API lacks as primitives: as-of join and
+symmetric range join, both expressed in scale-safe shapes.
+
+The reference engine has no temporal-join surface (its events are one-shot
+LLM calls); these operators extend the engine for the telemetry/feature-
+engineering workloads a large-scale training-data pipeline runs next to KG
+extraction. Both are pure built-in-function compositions — no UDFs, no
+cartesian products:
+
+- ``asof_join``: for every left row, the single most recent right row with
+  the same key at-or-before the left timestamp. Implemented as union +
+  ONE window pass: tag both sides, sort within key by (time, side-tag,
+  right-id), carry the last non-null right payload forward with
+  ``last_value(ignoreNulls)``. Exactly one shuffle (hash by key), zero
+  join explosion — at 100 TB this is the only as-of shape that survives:
+  a naive inequality join is O(|L|·|R|) per key, and Spark would plan it
+  as BroadcastNestedLoopJoin or a sort-merge with full per-key scans.
+  Ties are total-ordered: among right rows sharing the latest timestamp,
+  the one with the greatest ``right_id`` wins.
+
+- ``range_join``: all (left, right) pairs with the same key whose
+  timestamps differ by at most ``window`` seconds. Implemented as an
+  interval-bucket equi-join: time is bucketed at ``window`` granularity,
+  the right side is exploded into the 3 covering buckets (b-1, b, b+1),
+  and the exact |dt| <= window predicate filters after the equi-join.
+  Each qualifying pair is produced exactly once (the left row's bucket is
+  unique). The join is a plain hash/sort-merge equi-join on
+  (key, bucket) — never a cartesian — and the 3x duplication of the right
+  side is the total cost, independent of data scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_id: str,
+    payload_cols: list[str],
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Most-recent-at-or-before join, one shuffle, no explosion.
+
+    Returns every ``left`` row with ``asof_<c>`` columns for each payload
+    column plus ``asof_lag_s`` (left time minus matched right time); all
+    null when no right row precedes the left row (left-outer semantics).
+    ``tolerance`` (seconds) nulls out matches older than the window.
+    """
+    payload = F.struct(
+        F.col(right_time).alias("_t"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    r = right.select(
+        F.col(on).alias(on),
+        F.col(right_time).alias("_time"),
+        F.col(right_id).alias("_rid"),
+        payload.alias("_payload"),
+        F.lit(0).alias("_tag"),
+    )
+    l = left.withColumn("_time", F.col(left_time)).withColumn(
+        "_rid", F.lit(None).cast(r.schema["_rid"].dataType)
+    )
+    l = l.withColumn(
+        "_payload", F.lit(None).cast(r.schema["_payload"].dataType)
+    ).withColumn("_tag", F.lit(1))
+    both = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left rows at the same timestamp (tag 0 < 1), so
+    # "at-or-before" includes same-instant matches; among same-instant right
+    # rows the greatest _rid sorts last and wins last_value
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_time").asc(), F.col("_tag").asc(), F.col("_rid").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = both.withColumn(
+        "_asof", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_tag") == 1)
+    match_t = F.col("_asof._t")
+    if tolerance is not None:
+        in_window = match_t >= F.col("_time") - F.lit(tolerance)
+        out = out.withColumn(
+            "_asof", F.when(in_window, F.col("_asof"))
+        )
+        match_t = F.col("_asof._t")
+    return out.select(
+        *left.columns,
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payload_cols],
+        (F.col(left_time) - match_t).alias("asof_lag_s"),
+    )
+
+
+def _bucket(col: Column, width: int) -> Column:
+    # floor division keeps negative times correct (floor, not truncation)
+    return F.floor(col / F.lit(width)).cast("bigint")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    window: int,
+) -> DataFrame:
+    """All same-key pairs within ``window`` seconds, as an equi-join.
+
+    Right-side columns are suffixed ``_r`` on name collisions. The output
+    contains each qualifying (left, right) pair exactly once.
+    """
+    lb = left.withColumn("_bucket", _bucket(F.col(left_time), window))
+    collide = {c for c in right.columns if c in set(left.columns)}
+    r = right.select(
+        *[
+            F.col(c).alias(f"{c}_r" if c in collide and c != on else c)
+            for c in right.columns
+        ]
+    )
+    rt = f"{right_time}_r" if right_time in collide and right_time != on else right_time
+    rb = r.withColumn(
+        "_d", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    ).withColumn("_bucket", _bucket(F.col(rt), window) + F.col("_d"))
+    joined = lb.join(rb, [on, "_bucket"]).filter(
+        F.abs(F.col(left_time) - F.col(rt)) <= window
+    )
+    return joined.drop("_bucket", "_d")
