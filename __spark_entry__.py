@@ -833,6 +833,19 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_events_rollup_cube(spark, sf_dir):
+    # hypertable-style continuous aggregate: hour/day/month x event_type in
+    # one GROUPING SETS pass (single Expand + one shuffle)
+    return EV.hypertable_rollup(_events(spark, sf_dir))
+
+
+def _q_events_kmv_distinct(spark, sf_dir):
+    # deterministic k-minimum-values distinct sketch (md5 52-bit space,
+    # exact-integer estimator) — reproducible across engines and cluster
+    # sizes, unlike approx_count_distinct
+    return EV.kmv_distinct(_events(spark, sf_dir))
+
+
 def _q_events_sessionize_stateful(spark, sf_dir):
     # custom stateful streaming operator (applyInPandasWithState): per-user
     # session state carried across micro-batches, closed sessions emitted
@@ -932,6 +945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": _q_events_top_users,
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
+        "events_rollup_cube": _q_events_rollup_cube,
+        "events_kmv_distinct": _q_events_kmv_distinct,
         "events_sessionize_stateful": _q_events_sessionize_stateful,
         "mm_meta": _q_mm_meta,
         "mm_frames": _q_mm_frames,
@@ -1757,6 +1772,57 @@ SELECT p.event_id, p.user_id, p.sec,
 FROM p LEFT JOIN c
   ON p.user_id = c.user_id AND abs(p.sec - c.sec) <= 1800
 GROUP BY 1, 2, 3
+""",
+        # multi-granularity GROUPING SETS rollup; grain/bucket/'*' encoding
+        # mirrors the Spark side exactly
+        "events_rollup_cube": """
+WITH base AS (
+  SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+         strftime(ts, '%Y-%m-%d') AS day,
+         strftime(ts, '%Y-%m') AS month,
+         event_type, user_id,
+         CAST(round(value * 100) AS bigint) AS value_cents
+  FROM events
+)
+SELECT CASE WHEN GROUPING(hour) = 0 THEN 'hour'
+            WHEN GROUPING(day) = 0 THEN 'day'
+            WHEN GROUPING(month) = 0 THEN 'month'
+            ELSE 'all' END AS grain,
+       coalesce(hour, day, month, '*') AS bucket,
+       coalesce(event_type, '*') AS event_type,
+       count(*) AS n_events,
+       CAST(sum(value_cents) AS bigint) AS sum_value_cents,
+       count(DISTINCT user_id) AS n_users
+FROM base
+GROUP BY GROUPING SETS (
+  (hour, event_type), (day, event_type), (month, event_type),
+  (day), (month), ()
+)
+""",
+        # KMV sketch: identical md5-derived 52-bit hash space on both
+        # engines; estimator in exact integer division ((k-1)*2^52 // h_k)
+        "events_kmv_distinct": """
+WITH hashed AS (
+  SELECT DISTINCT event_type AS grp,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS bigint)
+           AS h
+  FROM events
+),
+ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hashed
+),
+per AS (
+  SELECT grp, count(*) AS n,
+         max(CASE WHEN rn = 64 THEN h END) AS h_k
+  FROM ranked GROUP BY grp
+)
+SELECT grp AS event_type,
+       CAST(CASE WHEN h_k IS NULL THEN n
+                 ELSE (63 * 4503599627370496) // h_k END AS bigint)
+         AS est_distinct,
+       h_k IS NOT NULL AS is_estimate
+FROM per
 """,
         # ProseModel over the title-cased corpus. The corpus is a clean
         # single-space token stream with no [.!?], so the capitalized-span

@@ -1,0 +1,92 @@
+"""Hypertable rollup + KMV sketch: semantic invariants, sketch accuracy and
+fallback branches, and the single-Expand plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from text_to_graph_spark.operators.events import hypertable_rollup, kmv_distinct
+from text_to_graph_spark.plans.introspect import plan_str
+
+
+def _events(spark, n_users=200, n_events=2000):
+    # deterministic synthetic events across 3 days / 2 types
+    return spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % n_users).alias("user_id"),
+        F.when(F.col("id") % 2 == 0, "click").otherwise("view").alias("event_type"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("id") % 259200)
+        ).cast("timestamp_ntz").alias("ts"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+
+
+class TestHypertableRollup:
+    def test_grain_consistency(self, spark):
+        ev = _events(spark)
+        out = hypertable_rollup(ev).cache()
+        total = ev.count()
+        # every grain x event_type cut partitions the event set
+        for grain in ["hour", "day", "month"]:
+            got = (
+                out.filter((F.col("grain") == grain) & (F.col("event_type") != "*"))
+                .agg(F.sum("n_events"))
+                .first()[0]
+            )
+            assert got == total, grain
+        allrow = out.filter(F.col("grain") == "all").collect()
+        assert len(allrow) == 1
+        assert allrow[0].n_events == total
+        assert allrow[0].bucket == "*" and allrow[0].event_type == "*"
+        # day cut without event_type exists too (bucket='day value', type='*')
+        day_star = out.filter(
+            (F.col("grain") == "day") & (F.col("event_type") == "*")
+        )
+        assert day_star.agg(F.sum("n_events")).first()[0] == total
+
+    def test_single_expand_plan(self, spark):
+        out = hypertable_rollup(_events(spark))
+        p = plan_str(out, "simple")
+        # grouping sets compile to Expand, not a union of aggregates
+        assert p.count("Expand") >= 1
+        assert "Union" not in p
+
+
+class TestKmvDistinct:
+    def test_estimate_accuracy(self, spark):
+        # event_type splits ids by parity, so each type sees exactly 100
+        # distinct users; k=64 KMV's ~1/sqrt(k-1) ≈ 13% relative error band
+        # makes 40% a loose but non-flaky bound
+        out = {r.event_type: r for r in kmv_distinct(_events(spark)).collect()}
+        for t in ["click", "view"]:
+            truth = 100
+            assert out[t].is_estimate
+            assert abs(out[t].est_distinct - truth) / truth < 0.40
+
+    def test_exact_fallback_under_k(self, spark):
+        # parity split: each type sees 5 of the 10 users — well under k
+        ev = _events(spark, n_users=10)
+        out = {r.event_type: r for r in kmv_distinct(ev).collect()}
+        for t in ["click", "view"]:
+            assert not out[t].is_estimate
+            assert out[t].est_distinct == 5
+
+    def test_salting_does_not_change_result(self, spark):
+        # the two-level tournament must equal a direct global top-k: compare
+        # against k=8 on a small set computed by brute force
+        ev = _events(spark, n_users=50, n_events=500)
+        got = {
+            r.event_type: r.est_distinct
+            for r in kmv_distinct(ev, k=8).collect()
+        }
+        import hashlib
+
+        rows = ev.select("event_type", "user_id").distinct().collect()
+        by_type = {}
+        for r in rows:
+            h = int(hashlib.md5(str(r.user_id).encode()).hexdigest()[:13], 16)
+            by_type.setdefault(r.event_type, set()).add(h)
+        for t, hs in by_type.items():
+            hk = sorted(hs)[7]
+            assert got[t] == (7 * 16**13) // hk

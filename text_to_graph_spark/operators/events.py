@@ -65,6 +65,117 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def hypertable_rollup(events: DataFrame) -> DataFrame:
+    """Multi-granularity continuous-aggregate rollup (the hypertable /
+    timescale "continuous aggregate" shape): hour/day/month x event_type
+    plus coarser cuts, in ONE pass via GROUPING SETS.
+
+    Catalyst plans grouping sets as a single Expand + one hash aggregate —
+    one shuffle total, with map-side partial aggregation, vs the 6 shuffles
+    a union-of-groupBys would cost. All aggregates are exact integers
+    (counts + cents), so results are shuffle-order-stable.
+    """
+    base = events.select(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    g = base.groupingSets(
+        [
+            [F.col("hour"), F.col("event_type")],
+            [F.col("day"), F.col("event_type")],
+            [F.col("month"), F.col("event_type")],
+            [F.col("day")],
+            [F.col("month")],
+            [],
+        ],
+        "hour",
+        "day",
+        "month",
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("sum_value_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+        # grouping() is an aggregate-context function — capture the
+        # indicator bits here, they are gone after the agg
+        F.grouping("hour").alias("_g_hour"),
+        F.grouping("day").alias("_g_day"),
+        F.grouping("month").alias("_g_month"),
+    )
+    grain = (
+        F.when(F.col("_g_hour") == 0, F.lit("hour"))
+        .when(F.col("_g_day") == 0, F.lit("day"))
+        .when(F.col("_g_month") == 0, F.lit("month"))
+        .otherwise(F.lit("all"))
+    )
+    return g.select(
+        grain.alias("grain"),
+        F.coalesce("hour", "day", "month", F.lit("*")).alias("bucket"),
+        F.coalesce("event_type", F.lit("*")).alias("event_type"),
+        "n_events",
+        "sum_value_cents",
+        "n_users",
+    )
+
+
+# KMV hash space: 13 hex digits of md5 = 52 uniform bits. Both engines
+# compute the identical md5, so the sketch is bit-reproducible across
+# Spark and the SQL oracle (and across cluster sizes — no rand()).
+_KMV_SPACE = 16**13
+
+
+def kmv_distinct(
+    events: DataFrame, key: str = "user_id", group: str = "event_type", k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch, deterministic across engines.
+
+    Hashes each key to 52 bits via md5, keeps the k smallest DISTINCT hash
+    values per group, and estimates |distinct| = (k-1) * SPACE / h_k in
+    exact bigint arithmetic (integer division — no float in the estimator).
+    Groups with fewer than k distinct keys report their exact count
+    (standard KMV fallback).
+
+    Scale shape: distinct (group, hash) with map-side partial dedup, then a
+    TWO-LEVEL tournament for the k smallest — per-(group, salt) top-k
+    windows (each sorts only |group|/64 rows), union of the <= 64k
+    survivors, final per-group top-k. A skewed group never funnels all its
+    distinct hashes through one sort; the salting changes nothing
+    semantically (the k smallest of the per-salt k-smallest are the global
+    k smallest).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    hashed = events.select(F.col(group).alias("grp"), h.alias("h")).distinct()
+    salted = hashed.withColumn("salt", F.pmod(F.col("h"), F.lit(64)))
+    w1 = Window.partitionBy("grp", "salt").orderBy(F.col("h").asc())
+    survivors = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= k)
+        .drop("salt", "rn1")
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    ranked = survivors.withColumn("rn", F.row_number().over(w))
+    # n_distinct_seen is exact only when < k (the fallback branch); the
+    # tournament keeps >= k survivors whenever the group has >= k hashes
+    per_group = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_distinct_seen"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
+    )
+    est = F.when(F.col("h_k").isNull(), F.col("n_distinct_seen")).otherwise(
+        F.expr(f"CAST({(k - 1) * _KMV_SPACE} AS BIGINT) DIV h_k")
+    )
+    return per_group.select(
+        F.col("grp").alias(group),
+        est.alias("est_distinct"),
+        F.col("h_k").isNotNull().alias("is_estimate"),
+    )
+
+
 def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Broadcast dim join + rollup by market segment."""
     dim = customer.select(
