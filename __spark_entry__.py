@@ -249,6 +249,22 @@ def _q_kg_components(spark, sf_dir):
     return connected_components(_edges(spark, sf_dir), src="subj", dst="obj")
 
 
+def _q_kg_pagerank(spark, sf_dir):
+    # fixed-point-integer PageRank (operators/graphalgo.py): bit-identical
+    # across engines/partitionings; 5 iterations, 0.85 damping
+    from text_to_graph_spark.operators.graphalgo import pagerank
+
+    return pagerank(_edges(spark, sf_dir), src="subj", dst="obj")
+
+
+def _q_kg_triangles(spark, sf_dir):
+    # per-node triangle counts via id-ordered wedge join + closing-edge
+    # semi-join (each triangle enumerated once as a<b<c)
+    from text_to_graph_spark.operators.graphalgo import triangle_count
+
+    return triangle_count(_edges(spark, sf_dir), src="subj", dst="obj")
+
+
 def _q_kg_node_type_counts(spark, sf_dir):
     nodes = triples_to_canonical_nodes(
         _stages(spark, sf_dir)["triples"], category_of=vocab_category_table(spark)
@@ -903,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_parallel_edges": _q_kg_parallel_edges,
         "kg_khop2": _q_kg_khop2,
         "kg_components": _q_kg_components,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
         "kg_node_type_counts": _q_kg_node_type_counts,
         "kg_linked_mentions": _q_kg_linked_mentions,
         "kg_linked_mentions_salted": _q_kg_linked_mentions_salted,
@@ -1063,6 +1081,39 @@ jac AS (
 """
 
 
+def _pagerank_cte(iterations: int = 5, damping_pct: int = 85) -> str:
+    """Unrolled fixed-point PageRank recurrence as chained CTEs (r0..rN),
+    mirroring operators/graphalgo.pagerank exactly: integer division
+    everywhere, dangling mass not redistributed."""
+    scale = 10**9
+    parts = [
+        "pr_edges AS (SELECT DISTINCT subj AS u, obj AS v FROM edges)",
+        "pr_deg AS (SELECT u, count(*) AS d FROM pr_edges GROUP BY u)",
+        "pr_nodes AS (SELECT DISTINCT u AS node FROM sym)",
+        "pr_n AS (SELECT count(*) AS n FROM pr_nodes)",
+        f"r0 AS (SELECT node, {scale} // (SELECT n FROM pr_n) AS r"
+        " FROM pr_nodes)",
+    ]
+    # pre-multiplied numerator: DuckDB types small literals INT32 and
+    # 15 * 1e9 overflows it
+    base = f"{(100 - damping_pct) * scale} // (100 * (SELECT n FROM pr_n))"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT nd.node,
+         {base} + ({damping_pct} * coalesce(s.inc, 0)) // 100 AS r
+  FROM pr_nodes nd LEFT JOIN (
+    SELECT e.v AS node, sum(r{i-1}.r // dg.d) AS inc
+    FROM pr_edges e
+    JOIN r{i-1} ON r{i-1}.node = e.u
+    JOIN pr_deg dg ON dg.u = e.u
+    GROUP BY e.v
+  ) s ON s.node = nd.node
+)"""
+        )
+    return ",\n".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     ents, preds, cat = _ENTS_SQL, _PREDS_SQL, _CATEGORY_CASE
     linked_cte = _LINKED_CTE.format(ents=ents)
@@ -1173,6 +1224,45 @@ reach AS (
   SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
 )
 SELECT node, min(r) AS component FROM reach GROUP BY node
+""",
+        # fixed-point-integer PageRank, recurrence unrolled (5 iterations);
+        # every operation is integer arithmetic so the oracle is bit-equal
+        # to the Spark fixpoint regardless of partitioning
+        "kg_pagerank": f"""
+{_KG_PREFIX},
+{_pagerank_cte()}
+SELECT node, CAST(r AS bigint) AS rank_e9 FROM r5
+""",
+        # per-node triangle membership over the undirected simple graph;
+        # a<b<c enumeration mirrors the Spark wedge+closing-edge joins
+        "kg_triangles": f"""
+{_KG_PREFIX},
+und AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM edges WHERE subj <> obj
+),
+tri AS (
+  SELECT x.a, x.b, y.b AS c
+  FROM und x JOIN und y ON x.b = y.a
+  WHERE EXISTS (SELECT 1 FROM und z WHERE z.a = x.a AND z.b = y.b)
+),
+member AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+allnodes AS (
+  -- explicit DISTINCT: under WITH RECURSIVE DuckDB gives a bare UNION CTE
+  -- recursive-form semantics and skips the global dedup
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  )
+)
+SELECT n.node,
+       CAST(coalesce(m.cnt, 0) AS bigint) AS n_triangles
+FROM allnodes n LEFT JOIN (
+  SELECT node, count(*) AS cnt FROM member GROUP BY node
+) m ON m.node = n.node
 """,
         "kg_node_type_counts": f"""
 {_KG_PREFIX}

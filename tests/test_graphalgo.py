@@ -1,0 +1,86 @@
+"""PageRank / triangle counting: exact parity with a pure-Python mirror of
+the fixed-point recurrence, plus known-graph triangle fixtures."""
+
+from __future__ import annotations
+
+from text_to_graph_spark.operators.graphalgo import (
+    RANK_SCALE,
+    pagerank,
+    triangle_count,
+)
+
+
+def _pagerank_py(edges, iterations=5, damping_pct=85):
+    """Driver-side mirror of the exact integer recurrence."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+    deg = {}
+    for u, _ in e:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {x: RANK_SCALE // n for x in nodes}
+    base = (100 - damping_pct) * RANK_SCALE // (100 * n)
+    for _ in range(iterations):
+        inc = {x: 0 for x in nodes}
+        for u, v in e:
+            inc[v] += rank[u] // deg[u]
+        rank = {x: base + damping_pct * inc[x] // 100 for x in nodes}
+    return rank
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("c", "d"),
+    ("e", "a"),  # e is dangling-source only as a target of nothing
+]
+
+
+def _edge_df(spark, edges):
+    return spark.createDataFrame(edges, "subj string, obj string")
+
+
+class TestPagerank:
+    def test_exact_integer_parity_with_python_mirror(self, spark):
+        got = {
+            r.node: r.rank_e9
+            for r in pagerank(_edge_df(spark, EDGES)).collect()
+        }
+        assert got == _pagerank_py(EDGES)
+
+    def test_hub_outranks_leaf(self, spark):
+        got = {
+            r.node: r.rank_e9
+            for r in pagerank(_edge_df(spark, EDGES)).collect()
+        }
+        # c has 3 in-edges, e has none
+        assert got["c"] > got["e"]
+
+    def test_duplicate_edges_do_not_change_result(self, spark):
+        got = {
+            r.node: r.rank_e9
+            for r in pagerank(_edge_df(spark, EDGES + EDGES)).collect()
+        }
+        assert got == _pagerank_py(EDGES)
+
+
+class TestTriangleCount:
+    def _counts(self, spark, edges):
+        return {
+            r.node: r.n_triangles
+            for r in triangle_count(_edge_df(spark, edges)).collect()
+        }
+
+    def test_k4_every_node_in_three_triangles(self, spark):
+        k4 = [
+            (a, b)
+            for i, a in enumerate("pqrs")
+            for b in "pqrs"[i + 1:]
+        ]
+        assert self._counts(spark, k4) == {c: 3 for c in "pqrs"}
+
+    def test_path_graph_has_none(self, spark):
+        path = [("a", "b"), ("b", "c"), ("c", "d")]
+        assert self._counts(spark, path) == {c: 0 for c in "abcd"}
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        tri = [("a", "b"), ("c", "b"), ("a", "c"), ("b", "a"), ("a", "a")]
+        assert self._counts(spark, tri) == {"a": 1, "b": 1, "c": 1}
