@@ -729,6 +729,12 @@ def _q_text_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir))
 
 
+def _q_text_tfidf(spark, sf_dir):
+    # top-5 characteristic terms per doc; integer-linearized idf so the
+    # score is bit-reproducible (no ln() engine seam)
+    return TS.tfidf_top_terms(_docs(spark, sf_dir))
+
+
 def _q_corpus_rollup(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -956,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": _q_text_tokens,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_tfidf": _q_text_tfidf,
         "corpus_rollup": _q_corpus_rollup,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
@@ -1714,6 +1721,33 @@ FROM s
 SELECT doc_id, md5(trim(text)) AS fp_md5,
        CAST(('0x' || substr(md5(trim(text)), 1, 15)) AS bigint) AS fp_int60
 FROM documents
+""",
+        # integer-linearized tf-idf (idf_e6 = 1e6*N DIV df): same per-doc
+        # ranking direction as tf*log(N/df), no float/ln engine seam
+        "text_tfidf": """
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(w) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ((1000000 * (SELECT n FROM n)) // df.df) AS score_e6
+  FROM tf JOIN df ON tf.term = df.term
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_e6 DESC, term
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS int) AS rank, term, tf,
+       CAST(score_e6 AS bigint) AS score_e6
+FROM ranked WHERE rank <= 5
 """,
         "corpus_rollup": """
 SELECT lang, source, count(*) AS n_docs,

@@ -100,6 +100,53 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by a tf-idf-style score.
+
+    The idf factor is LINEARIZED to exact integer arithmetic:
+    idf_e6 = (1e6 * N) DIV df, score = tf * idf_e6 — same per-document
+    ranking direction as tf*log(N/df) for the common case, but
+    bit-reproducible across engines and shuffle orders (ln() is libm- and
+    engine-dependent in the last ulp; an integer pipeline has no such
+    seam). Ties break by term asc.
+
+    Scale: one shuffle for (doc, term) counts, one for term df, a shuffle
+    equi-join on term (the df side is term-cardinality sized — broadcast
+    only if the vocabulary is small), and a per-doc top-k window.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(id_col).distinct().count()
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.expr(f"tf * (({10**6} * CAST({n_docs} AS BIGINT)) DIV df)").alias(
+            "score_e6"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "term",
+                "tf", "score_e6")
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     md5 = F.md5(F.trim(F.col(text_col)))
     return docs.select(
