@@ -899,6 +899,31 @@ def _q_events_sessionize_stateful(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _q_dedup_streamed(spark, sf_dir):
+    # streaming exact dedup with cross-micro-batch state: the corpus is
+    # written to the landing twice (two slices), every doc arrives in two
+    # different micro-batches, and dropDuplicates state emits each content
+    # hash exactly once — the batch DISTINCT oracle must match
+    import tempfile
+
+    from text_to_graph_spark.streaming.ingest import (
+        run_to_parquet,
+        stream_docs,
+        streaming_exact_dedup,
+    )
+
+    base = tempfile.mkdtemp(prefix="t2g_sdedup_")
+    landing, out, ckpt = f"{base}/landing", f"{base}/out", f"{base}/ckpt"
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs.coalesce(2).write.mode("overwrite").parquet(landing)
+    docs.coalesce(2).write.mode("append").parquet(landing)
+    q = run_to_parquet(
+        streaming_exact_dedup(stream_docs(spark, landing)), out, ckpt
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)
+
+
 def _q_mm_meta(spark, sf_dir):
     return MM.decode_metadata(MM.attach_payload(_docs(spark, sf_dir)))
 
@@ -973,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_cube": _q_events_rollup_cube,
         "events_kmv_distinct": _q_events_kmv_distinct,
         "events_sessionize_stateful": _q_events_sessionize_stateful,
+        "dedup_streamed": _q_dedup_streamed,
         "mm_meta": _q_mm_meta,
         "mm_frames": _q_mm_frames,
     }
@@ -1490,6 +1516,11 @@ WHERE rn = 1 AND node IN ('customer', 'hash', 'window') AND node <> root
 SELECT md5(text) AS fingerprint, min(doc_id) AS representative,
        count(*) AS n_docs
 FROM documents GROUP BY 1
+""",
+        # streaming dedup emits each distinct hash once regardless of how
+        # many micro-batches (re)deliver it
+        "dedup_streamed": """
+SELECT DISTINCT md5(text) AS content_hash FROM documents
 """,
         "dedup_minhash": f"""
 WITH {_MINHASH_CTE}

@@ -218,3 +218,74 @@ def test_stateful_sessionize_stream_equals_batch_closed_sessions(
     }
     assert got == exp
     assert got, "no closed sessions at smoke scale — fixture too sparse"
+
+
+def test_streaming_exact_dedup_across_micro_batches(spark, tmp_path):
+    """Duplicates delivered in DIFFERENT micro-batches must still collapse:
+    state carries the seen-hash set across triggers."""
+    from text_to_graph_spark.streaming.ingest import (
+        run_to_parquet,
+        stream_docs,
+        streaming_exact_dedup,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id bigint, text string"
+    )
+    b = spark.createDataFrame(
+        [(4, "beta"), (5, "gamma"), (6, "alpha")], "doc_id bigint, text string"
+    )
+    landing = str(tmp_path / "landing")
+    # two separate writes -> at least two files -> maxFilesPerTrigger=1
+    # guarantees the dups in `b` arrive after `a`'s state is committed
+    a.coalesce(1).write.mode("overwrite").parquet(landing)
+    b.coalesce(1).write.mode("append").parquet(landing)
+    q = run_to_parquet(
+        streaming_exact_dedup(stream_docs(spark, landing)),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    got = {
+        r.content_hash
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    import hashlib
+
+    want = {hashlib.md5(t.encode()).hexdigest() for t in ["alpha", "beta", "gamma"]}
+    assert got == want
+
+
+def test_streaming_dedup_watermark_variant_bounded_state(spark, tmp_path):
+    """The watermarked variant also collapses in-window duplicates (and its
+    plan uses the evicting dropDuplicatesWithinWatermark operator)."""
+    from text_to_graph_spark.streaming.ingest import (
+        run_to_parquet,
+        streaming_exact_dedup,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (1, "alpha", "2024-01-01 10:00:00"),
+            (2, "alpha", "2024-01-01 10:01:00"),
+            (3, "beta", "2024-01-01 10:02:00"),
+        ],
+        "doc_id bigint, text string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    landing = str(tmp_path / "landing")
+    rows.select("doc_id", "text", "ts").coalesce(1).write.parquet(landing)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .parquet(landing)
+    )
+    q = run_to_parquet(
+        streaming_exact_dedup(stream, watermark_col="ts"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    got = {
+        r.content_hash
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert len(got) == 2

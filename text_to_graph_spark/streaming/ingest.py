@@ -90,3 +90,51 @@ def streaming_hourly_rollup(
             "approx_users",
         )
     )
+
+
+DOCS_SCHEMA = "doc_id bigint, text string"
+
+
+def stream_docs(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over a documents landing directory; one file per
+    trigger so cross-micro-batch state is actually exercised in tests."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    watermark_col: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup by content hash — the streaming twin of
+    ``operators/dedup.exact_duplicates``. Emits each distinct content hash
+    exactly once across ALL micro-batches.
+
+    Two state regimes:
+    - ``watermark_col=None``: ``dropDuplicates`` keeps every seen hash in
+      the state store forever — deterministic, but state grows with the
+      distinct-document count. Right for bounded catch-up jobs.
+    - with a watermark column: ``dropDuplicatesWithinWatermark`` evicts
+      hashes older than the delay — bounded state, the 100 TB continuous-
+      ingest mode, at the cost of re-admitting duplicates that arrive
+      farther apart than the delay (the standard trade).
+
+    Output is survivor-invariant (hash only), so results don't depend on
+    which duplicate won within a micro-batch.
+    """
+    hashed = docs_stream.select(
+        F.md5(F.col(text_col)).alias("content_hash"),
+        *([F.col(watermark_col)] if watermark_col else []),
+    )
+    if watermark_col is None:
+        return hashed.dropDuplicates(["content_hash"])
+    return (
+        hashed.withWatermark(watermark_col, delay)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .select("content_hash")
+    )
