@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from text_to_graph_spark.kit.extract import ENTITY_CATEGORIES, PREDICATES
+from text_to_graph_spark.operators import curation as CUR
 from text_to_graph_spark.operators import dedup as D
 from text_to_graph_spark.operators import events as EV
 from text_to_graph_spark.operators import graphq as G
@@ -932,6 +933,41 @@ def _q_mm_frames(spark, sf_dir):
     return MM.frame_sample(MM.attach_payload(_docs(spark, sf_dir)), k=3)
 
 
+# deterministic "benchmark" split for the decontamination contract query:
+# every 50th doc plays the held-out eval set, the rest are the corpus
+_BENCH_PRED = "doc_id % 50 = 0"
+
+# stratified-sampling rates / mixture weights (ppm), single source of truth
+# for both the Spark query and the oracle SQL
+_SAMPLE_RATES_PPM = {"en": 600000, "de": 500000, "fr": 400000, "es": 300000, "zh": 200000}
+_MIX_WEIGHTS_PPM = {"en": 400000, "de": 200000, "fr": 200000, "es": 100000, "zh": 100000}
+
+
+def _q_text_contamination(spark, sf_dir):
+    # real decontamination uses 13-grams; the fixture's short synthetic docs
+    # need n=4 to actually exercise the overlap join (19 hits at sf0.01)
+    docs = _docs(spark, sf_dir)
+    return CUR.benchmark_contamination(
+        docs.where(f"NOT ({_BENCH_PRED})"), docs.where(_BENCH_PRED), n=4
+    )
+
+
+def _q_text_repetition(spark, sf_dir):
+    return CUR.repetition_stats(_docs(spark, sf_dir), n=3)
+
+
+def _q_docs_sample_stratified(spark, sf_dir):
+    return CUR.stratified_sample(_docs(spark, sf_dir), _SAMPLE_RATES_PPM)
+
+
+def _q_docs_balanced_mixture(spark, sf_dir):
+    return CUR.balanced_mixture(_docs(spark, sf_dir), _MIX_WEIGHTS_PPM)
+
+
+def _q_docs_curated(spark, sf_dir):
+    return CUR.curated_corpus(_docs(spark, sf_dir), min_quality=0.62, min_tokens=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_pages": _q_kg_pages,
@@ -1001,6 +1037,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_streamed": _q_dedup_streamed,
         "mm_meta": _q_mm_meta,
         "mm_frames": _q_mm_frames,
+        "text_contamination": _q_text_contamination,
+        "text_repetition": _q_text_repetition,
+        "docs_sample_stratified": _q_docs_sample_stratified,
+        "docs_balanced_mixture": _q_docs_balanced_mixture,
+        "docs_curated": _q_docs_curated,
     }
 
 
@@ -2065,6 +2106,109 @@ SELECT doc_id, 'image/fake' AS media_type,
        CAST(octet_length(encode(text)) % 640 AS int) AS width,
        CAST(octet_length(encode(text)) % 480 AS int) AS height
 FROM documents
+""",
+        # 4-gram benchmark decontamination: corpus docs sharing any word
+        # 4-gram with the held-out "benchmark" split (doc_id % 50 = 0)
+        "text_contamination": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(w) - 3)) AS g(i)
+  WHERE len(w) >= 4
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+cand AS (SELECT * FROM sh WHERE NOT (doc_id % 50 = 0)),
+per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM cand GROUP BY 1),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits, min(c.shingle) AS sample_hit
+  FROM cand c JOIN bench b USING (shingle) GROUP BY 1
+)
+SELECT p.doc_id, p.n_shingles, h.n_hits,
+       (floor((h.n_hits / CAST(p.n_shingles AS double)) * 10000.0 + 0.5) / 10000.0) AS hit_ratio,
+       h.sample_hit
+FROM per_doc p JOIN hits h USING (doc_id)
+""",
+        # Gopher-style intra-doc repetition: duplicate word-3-gram ratio
+        "text_repetition": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN [array_to_string(w[i:i+2], ' ')
+                    FOR i IN generate_series(1, len(w) - 2)]
+              ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(grams) AS bigint) AS n_grams,
+       CAST(len(list_distinct(grams)) AS bigint) AS n_distinct_grams,
+       CASE WHEN len(grams) > 0
+            THEN (floor(((len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS double)) * 10000.0 + 0.5) / 10000.0)
+            ELSE 0.0 END AS dup_gram_ratio
+FROM g
+""",
+        # deterministic per-language hash sampling: 48-bit md5-prefix bucket
+        "docs_sample_stratified": """
+WITH r(lang_k, rate_ppm) AS (VALUES
+  ('de', 500000), ('en', 600000), ('es', 300000), ('fr', 400000), ('zh', 200000)),
+d AS (
+  SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS varchar)), 1, 12)) AS bigint) % 1000000 AS sample_bucket
+  FROM documents
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, d.sample_bucket
+FROM d JOIN r ON d.lang = r.lang_k
+WHERE d.sample_bucket < r.rate_ppm
+""",
+        # exact-integer waterline mixture: largest T with every language
+        # able to supply T * w_ppm // 1e6 rows, taken in hash order
+        "docs_balanced_mixture": """
+WITH w(lang_k, w_ppm) AS (VALUES
+  ('de', 200000), ('en', 400000), ('es', 100000), ('fr', 200000), ('zh', 100000)),
+d AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS varchar)), 1, 12)) AS bigint) % 1000000 AS bucket
+  FROM documents JOIN w ON lang = lang_k
+),
+counts AS (SELECT lang, count(*) AS cnt_s FROM d GROUP BY 1),
+caps AS (
+  SELECT min((cnt_s * 1000000) // w_ppm) AS waterline
+  FROM counts JOIN w ON lang = lang_k
+),
+ranked AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang ORDER BY d.bucket, d.doc_id) AS rank,
+         ((SELECT waterline FROM caps) * w.w_ppm) // 1000000 AS keep_target
+  FROM d JOIN w ON d.lang = w.lang_k
+)
+SELECT doc_id, lang AS stratum, CAST(rank AS bigint) AS rank,
+       CAST(keep_target AS bigint) AS keep_target
+FROM ranked WHERE rank <= keep_target
+""",
+        # composed curation gate: exact-dedup representative AND
+        # quality_score >= 0.62 AND langid agreement AND >= 20 tokens
+        "docs_curated": """
+WITH rep AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id FROM documents
+),
+base AS (SELECT doc_id, text, lang, source FROM rep WHERE doc_id = rep_id),
+t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM base),
+q AS (
+  SELECT doc_id, lang, source,
+    CAST(len(w) AS bigint) AS n_tokens,
+    (floor(((floor((len(list_distinct(w)) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) * 0.5 + (1.0 - (floor((len(list_filter(w, x -> x IN ('the', 'a'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0)) * 0.3 + least(len(w) / 100.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0) AS quality_score,
+    (floor((len(list_filter(w, x -> x IN ('the','a','and','of'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS s_en,
+    (floor((len(list_filter(w, x -> x IN ('der','die','und','das'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS s_de,
+    (floor((len(list_filter(w, x -> x IN ('le','la','et','les'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS s_fr,
+    (floor((len(list_filter(w, x -> x IN ('el','la','y','los'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS s_es
+  FROM t
+)
+SELECT doc_id, lang, source, n_tokens, quality_score
+FROM q
+WHERE quality_score >= 0.62 AND n_tokens >= 20
+  AND lang = CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                  WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                  WHEN s_en >= s_de THEN 'en'
+                  ELSE 'de' END
 """,
     }
 

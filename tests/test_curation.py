@@ -1,0 +1,118 @@
+"""Curation operators vs hand-computed oracles on crafted corpora (the
+sf0.01 driver tables are covered by tools/check_correctness.py; these pin
+the semantics on inputs with known answers)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_to_graph_spark.operators.curation import (
+    PPM,
+    balanced_mixture,
+    benchmark_contamination,
+    curated_corpus,
+    repetition_stats,
+    stratified_sample,
+)
+
+DOCS = [
+    # doc_id, text, lang, source, n_chars
+    (1, "alpha beta gamma delta epsilon zeta", "en", "s0", 35),
+    (2, "alpha beta gamma delta nine ten", "en", "s0", 31),      # shares 4-gram w/ 1
+    (3, "one two three four five six seven", "de", "s1", 33),
+    (4, "eight nine ten eleven twelve", "de", "s1", 28),
+    (5, "uno dos tres cuatro cinco seis", "es", "s1", 30),
+    (6, "tiny doc", "en", "s0", 8),                               # < n tokens
+    (7, "rep rep rep rep rep unique", "en", "s0", 26),            # repetitive
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def _bucket(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16) % PPM
+
+
+def test_contamination_hits_only_overlapping_docs(docs, spark):
+    bench = docs.where("doc_id = 1")
+    cand = docs.where("doc_id <> 1")
+    got = {r["doc_id"]: r for r in benchmark_contamination(cand, bench, n=4).collect()}
+    # only doc 2 shares a 4-gram ("alpha beta gamma delta") with the benchmark
+    assert set(got) == {2}
+    r = got[2]
+    assert r["n_hits"] == 1 and r["n_shingles"] == 3
+    assert r["sample_hit"] == "alpha beta gamma delta"
+    assert r["hit_ratio"] == pytest.approx(0.3333)
+
+
+def test_contamination_is_corpus_side_broadcast(docs):
+    plan = benchmark_contamination(
+        docs.where("doc_id <> 1"), docs.where("doc_id = 1"), n=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark side broadcast, corpus never shuffles for the probe
+
+
+def test_stratified_sample_matches_hash_rule(docs):
+    rates = {"en": 700000, "de": 400000}  # es absent -> dropped
+    got = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+    want = {
+        d
+        for d, _, lang, _, _ in DOCS
+        if lang in rates and _bucket(d) < rates[lang]
+    }
+    assert got == want and 5 not in got
+
+
+def test_balanced_mixture_waterline_exact(docs):
+    # en has 4 docs, de 2, es 1; weights en .5 / de .25 / es .25
+    w = {"en": 500000, "de": 250000, "es": 250000}
+    rows = balanced_mixture(docs, w).collect()
+    by_stratum: dict[str, list] = {}
+    for r in rows:
+        by_stratum.setdefault(r["stratum"], []).append(r)
+    # waterline T = min(4*1e6//5e5, 2*1e6//25e4, 1*1e6//25e4) = min(8,8,4)=4
+    # -> keep en 2, de 1, es 1
+    assert {s: len(v) for s, v in by_stratum.items()} == {"en": 2, "de": 1, "es": 1}
+    # kept docs are the lowest-bucket ones per stratum
+    en_sorted = sorted(
+        [d for d, _, lang, _, _ in DOCS if lang == "en"], key=lambda d: (_bucket(d), d)
+    )
+    assert {r["doc_id"] for r in by_stratum["en"]} == set(en_sorted[:2])
+    assert all(r["keep_target"] in (1, 2) for r in rows)
+
+
+def test_repetition_stats(docs):
+    got = {r["doc_id"]: r for r in repetition_stats(docs, n=3).collect()}
+    # doc 7: grams = [rep rep rep, rep rep rep, rep rep rep, rep rep unique]
+    assert got[7]["n_grams"] == 4 and got[7]["n_distinct_grams"] == 2
+    assert got[7]["dup_gram_ratio"] == pytest.approx(0.5)
+    # doc 6 has 2 tokens < n -> zero grams, ratio 0
+    assert got[6]["n_grams"] == 0 and got[6]["dup_gram_ratio"] == 0.0
+    # doc 1 is all-distinct
+    assert got[1]["dup_gram_ratio"] == 0.0
+
+
+def test_curated_corpus_gates(spark):
+    long_good = " ".join(f"w{i}" for i in range(30))          # distinct, long, no stopwords
+    other_long = " ".join(f"x{i}" for i in range(30))
+    # langid: all-zero stopword scores tie -> 'fr' wins the lexicographic tiebreak
+    docs = spark.createDataFrame(
+        [
+            (1, long_good, "fr", "s0", len(long_good)),       # passes all gates
+            (2, long_good, "fr", "s0", len(long_good)),       # exact dup of 1 -> dropped
+            (3, other_long, "en", "s0", len(other_long)),     # langid mismatch -> dropped
+            (4, "short text here", "fr", "s0", 15),           # < 20 tokens -> dropped
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = curated_corpus(docs, min_quality=0.5, min_tokens=20).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    assert got[0]["n_tokens"] == 30

@@ -1,0 +1,225 @@
+"""Training-corpus curation operators — benchmark decontamination,
+deterministic sampling, mixture balancing, repetition stats, and the
+composed quality+dedup curation pipeline.
+
+These are the "last mile" of a 100 TB training-data pipeline (the reference
+stops at content-hash skip, ``graph_generator.py:341-358``; a corpus actually
+shipped to training additionally needs decontamination against eval
+benchmarks, per-language/domain mixture control, and quality gating):
+
+- ``benchmark_contamination``: docs sharing any word n-gram with a benchmark
+  set (the n-gram-overlap decontamination rule used by public LLM corpora).
+- ``stratified_sample``: deterministic per-stratum hash sampling — a pure
+  filter, zero shuffle, reproducible across engines and runs (md5-bucket,
+  no rand()).
+- ``balanced_mixture``: exact-integer "waterline" resampling to target
+  per-stratum mixture weights — the largest total sample whose strata hit
+  the requested proportions exactly (integer ppm arithmetic, no floats).
+- ``repetition_stats``: intra-document duplicate n-gram ratio (the
+  Gopher-style repetition quality signal).
+- ``curated_corpus``: quality gate + language-agreement gate + exact-dedup
+  representative filter composed into one declarative DAG.
+
+Everything is JVM built-ins; ratios are quantized with ``round_half_up`` so
+the DuckDB oracle hashes identically.
+
+Scale notes (100 TB): contamination joins the corpus's exploded shingles
+against a *broadcast* benchmark shingle set (benchmarks are MBs, the corpus
+is TBs) — the corpus side never shuffles. Sampling is a stateless filter.
+``balanced_mixture`` sorts within stratum (one shuffle on the stratum key);
+for skewed strata at extreme scale, swap the exact rank gate for the
+hash-threshold gate ``bucket * cnt_s < keep_s * 1e6`` (approximate counts,
+identical determinism, no sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from text_to_graph_spark.functions.portable import round_half_up
+from text_to_graph_spark.operators.dedup import shingle_rows
+
+PPM = 1_000_000
+
+
+def _hash_bucket(col):
+    """Engine-portable deterministic bucket in [0, 1e6): 48-bit md5 prefix
+    mod 1e6. Identical in Spark (conv) and DuckDB (hex cast)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast(
+        "bigint"
+    ) % PPM
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc overlap with a benchmark n-gram set: docs whose text shares at
+    least one word n-gram with any benchmark doc, with hit counts and ratio.
+
+    The corpus side is explode -> broadcast-join -> per-doc agg; the
+    benchmark shingle set is distinct'd then broadcast (eval benchmarks are
+    tiny next to a crawl). Shingles stay raw strings here; at petabyte scale
+    hash them to md5 first so shuffle width is bounded by 32 bytes.
+    """
+    doc_sh = shingle_rows(docs, id_col, text_col, n)
+    bench_sh = shingle_rows(bench, id_col, text_col, n).select("shingle").distinct()
+    per_doc = doc_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("shingle").alias("sample_hit"),
+        )
+    )
+    return (
+        per_doc.join(hits, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_shingles",
+            "n_hits",
+            round_half_up(F.col("n_hits") / F.col("n_shingles").cast("double"), 4).alias(
+                "hit_ratio"
+            ),
+            "sample_hit",
+        )
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_ppm: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsample: keep rows whose md5 bucket of
+    the id falls below the stratum's rate (parts-per-million). Strata absent
+    from ``rates_ppm`` are dropped. Pure narrow filter — no shuffle, no rand()
+    (reproducible across retries/speculative tasks, unlike ``df.sample``)."""
+    rate = F.coalesce(
+        *[
+            F.when(F.col(stratum_col) == s, F.lit(int(p)))
+            for s, p in sorted(rates_ppm.items())
+        ],
+        F.lit(0),
+    )
+    return docs.where(_hash_bucket(F.col(id_col)) < rate).withColumn(
+        "sample_bucket", _hash_bucket(F.col(id_col))
+    )
+
+
+def balanced_mixture(
+    docs: DataFrame,
+    weights_ppm: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Largest exact-proportion sample: given target mixture weights (ppm,
+    summing to <= 1e6), keep the biggest total T such that every stratum s
+    can supply keep_s = T * w_s // 1e6 rows, then take exactly keep_s rows
+    per stratum in deterministic hash order.
+
+    All arithmetic is integer (ppm), so Spark and the SQL oracle agree bit
+    for bit. Plan: one small per-stratum count agg (broadcast back), one
+    rank window per stratum. Strata not in the weight map are dropped.
+    """
+    weights = [(s, int(p)) for s, p in sorted(weights_ppm.items())]
+    wmap = F.create_map(*[F.lit(x) for sp in weights for x in sp])
+    in_scope = docs.where(
+        F.col(stratum_col).isin([s for s, _ in weights])
+    ).withColumn("w_ppm", wmap[F.col(stratum_col)])
+    counts = in_scope.groupBy(stratum_col, "w_ppm").agg(
+        F.count(F.lit(1)).alias("cnt_s")
+    )
+    # waterline: T = min over strata of cnt_s*1e6 DIV w_s — 64-bit integer
+    # division (DIV, not /: float division loses exactness past 2^53)
+    caps = counts.select(
+        F.min(F.expr(f"(cnt_s * {PPM}) DIV w_ppm")).alias("waterline")
+    )
+    ranked = (
+        in_scope.withColumn("bucket", _hash_bucket(F.col(id_col)))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(stratum_col).orderBy("bucket", id_col)
+            ),
+        )
+        .crossJoin(F.broadcast(caps))
+        .withColumn("keep_target", F.expr(f"(waterline * w_ppm) DIV {PPM}"))
+    )
+    return ranked.where(F.col("rank") <= F.col("keep_target")).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("keep_target").cast("bigint").alias("keep_target"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repetition: total vs distinct word n-grams and the
+    duplicate ratio (the Gopher-style repetition quality rule). Pure
+    per-row array expressions — zero shuffle."""
+    w = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        total.cast("bigint").alias("n_grams"),
+        distinct.cast("bigint").alias("n_distinct_grams"),
+        F.when(total > 0, round_half_up((total - distinct) / total.cast("double"), 4))
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_ratio"),
+    )
+
+
+def curated_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.62,
+    min_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The composed curation gate a pretraining corpus actually ships
+    through: exact-dedup representative AND quality score >= threshold AND
+    declared-vs-predicted language agreement AND minimum length.
+
+    One DAG: the dedup representative is a min-over-window on the content
+    hash (one shuffle), quality/langid are per-row expressions fused into
+    the same stage. Returns the kept docs with their gate metrics.
+    """
+    from text_to_graph_spark.operators.textstats import language_id, quality_stats
+
+    rep = F.min(id_col).over(Window.partitionBy(F.md5(F.col(text_col))))
+    base = docs.withColumn("rep_id", rep).where(F.col(id_col) == F.col("rep_id"))
+    q = quality_stats(base, id_col, text_col)
+    l = language_id(base, id_col, text_col)
+    return (
+        base.select(F.col(id_col).alias("doc_id"), "lang", "source")
+        .join(q.select("doc_id", "n_tokens", "quality_score"), "doc_id")
+        .join(l.select("doc_id", "is_match"), "doc_id")
+        .where(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+            & F.col("is_match")
+        )
+        .select("doc_id", "lang", "source", "n_tokens", "quality_score")
+    )
