@@ -30,6 +30,7 @@ per the scale-design rules (enforced by tests/test_plans.py):
 def main() -> int:
     from pyspark.sql import functions as F
 
+    from text_to_graph_spark.operators import curation as CUR
     from text_to_graph_spark.operators import dedup as D
     from text_to_graph_spark.operators import linking as L
     from text_to_graph_spark.operators import similarity as SIM
@@ -74,6 +75,17 @@ def main() -> int:
         ),
         "embedding near-dup LSH (bucket equi-join, NO CartesianProduct)": (
             D.embedding_neardup_pairs_lsh(emb, threshold=0.3)
+        ),
+        "benchmark decontamination (corpus probe side never shuffles; bench broadcast)": (
+            CUR.benchmark_contamination(
+                docs.where("doc_id % 50 != 0"), docs.where("doc_id % 50 = 0"), n=4
+            )
+        ),
+        "stratified hash sample (pure narrow filter, zero shuffle)": (
+            CUR.stratified_sample(docs, {"en": 500000, "de": 250000})
+        ),
+        "balanced mixture (small count agg broadcast back, one rank window)": (
+            CUR.balanced_mixture(docs, {"en": 500000, "de": 500000})
         ),
     }
 
