@@ -964,6 +964,10 @@ def _q_docs_balanced_mixture(spark, sf_dir):
     return CUR.balanced_mixture(_docs(spark, sf_dir), _MIX_WEIGHTS_PPM)
 
 
+def _q_events_percentiles(spark, sf_dir):
+    return EV.exact_percentiles(_events(spark, sf_dir))
+
+
 def _q_docs_curated(spark, sf_dir):
     return CUR.curated_corpus(_docs(spark, sf_dir), min_quality=0.62, min_tokens=20)
 
@@ -1037,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_streamed": _q_dedup_streamed,
         "mm_meta": _q_mm_meta,
         "mm_frames": _q_mm_frames,
+        "events_percentiles": _q_events_percentiles,
         "text_contamination": _q_text_contamination,
         "text_repetition": _q_text_repetition,
         "docs_sample_stratified": _q_docs_sample_stratified,
@@ -2106,6 +2111,21 @@ SELECT doc_id, 'image/fake' AS media_type,
        CAST(octet_length(encode(text)) % 640 AS int) AS width,
        CAST(octet_length(encode(text)) % 480 AS int) AS height
 FROM documents
+""",
+        # exact type-1 percentiles at integer rank ceil(p*n/100) — no
+        # percentile_cont float-interpolation seam between engines
+        "events_percentiles": """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rank
+  FROM events
+),
+n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+p(pct) AS (VALUES (50), (90), (99))
+SELECT r.event_type, CAST(p.pct AS int) AS pct, r.value AS value,
+       CAST(n.n AS bigint) AS n
+FROM ranked r JOIN n USING (event_type) CROSS JOIN p
+WHERE r.rank = (p.pct * n.n + 99) // 100
 """,
         # 4-gram benchmark decontamination: corpus docs sharing any word
         # 4-gram with the held-out "benchmark" split (doc_id % 50 = 0)

@@ -90,3 +90,34 @@ class TestKmvDistinct:
         for t, hs in by_type.items():
             hk = sorted(hs)[7]
             assert got[t] == (7 * 16**13) // hk
+
+
+class TestExactPercentiles:
+    def test_matches_numpy_type1_quantile(self, spark):
+        from text_to_graph_spark.operators.events import exact_percentiles
+
+        ev = _events(spark)
+        got = {
+            (r["event_type"], r["pct"]): (r["value"], r["n"])
+            for r in exact_percentiles(ev).collect()
+        }
+        rows = ev.select("event_type", "value", "event_id").collect()
+        by_type: dict[str, list] = {}
+        for r in rows:
+            by_type.setdefault(r["event_type"], []).append((r["value"], r["event_id"]))
+        for t, vals in by_type.items():
+            vals.sort()
+            n = len(vals)
+            for p in (50, 90, 99):
+                # type-1 quantile: value at integer rank ceil(p*n/100)
+                want = vals[-(-p * n // 100) - 1][0]
+                assert got[(t, p)] == (want, n), (t, p)
+
+    def test_single_element_group(self, spark):
+        from text_to_graph_spark.operators.events import exact_percentiles
+
+        ev = spark.createDataFrame(
+            [(1, "x", 7.5)], "event_id long, event_type string, value double"
+        )
+        got = exact_percentiles(ev).collect()
+        assert {(r["pct"], r["value"]) for r in got} == {(50, 7.5), (90, 7.5), (99, 7.5)}

@@ -82,6 +82,29 @@ def test_embedding_neardup_lsh_has_no_cartesian_product(spark):
     assert "BroadcastNestedLoopJoin" not in s
 
 
+def test_stratified_sample_is_shuffle_free(spark):
+    """Deterministic hash sampling must stay a narrow filter — a sample that
+    shuffles (or calls rand(), which breaks retry determinism) is wrong."""
+    from text_to_graph_spark.operators.curation import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = stratified_sample(docs, {"en": 500000, "de": 250000})
+    s = plan_str(out, "simple")
+    assert count_exchanges(out) == 0
+    assert "rand" not in s.lower()
+
+
+def test_balanced_mixture_no_cartesian_blowup(spark):
+    """The waterline cross-join is a single broadcast row; the only real
+    shuffles are the stratum count agg and the per-stratum rank window."""
+    from text_to_graph_spark.operators.curation import balanced_mixture
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = balanced_mixture(docs, {"en": 500000, "de": 500000})
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+
+
 def test_bucketed_graph_tables_prune_partitions(spark, pages_smoke, tmp_path):
     from text_to_graph_spark.operators.canonicalize import (
         triples_to_canonical_edges,

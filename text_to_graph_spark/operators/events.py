@@ -192,3 +192,42 @@ def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def exact_percentiles(
+    events: DataFrame, pcts: tuple[int, ...] = (50, 90, 99)
+) -> DataFrame:
+    """Exact type-1 (lower) percentiles of ``value`` per event type.
+
+    Interpolated percentiles (percentile_cont) are a float seam — two engines
+    interpolate (1-f)*a + f*b in different association orders and disagree in
+    the last ulp. The type-1 quantile is instead the value at integer rank
+    ceil(p*n/100): pure integer arithmetic plus a deterministic total order
+    (value, event_id), so any engine agrees exactly.
+
+    Scale: one rank window per event type (single shuffle on event_type; for
+    a skewed type at extreme scale switch to two-pass: approx bucket then
+    rank within the candidate bucket), a broadcast count, and a broadcast
+    percentile list.
+    """
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = events.withColumn("rank", F.row_number().over(w))
+    counts = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    targets = counts.select(
+        "event_type",
+        "n",
+        F.explode(F.array(*[F.lit(int(p)) for p in pcts])).alias("pct"),
+    ).withColumn("target", F.expr("(pct * n + 99) DIV 100"))
+    return (
+        ranked.join(
+            F.broadcast(targets),
+            (ranked.event_type == targets.event_type)
+            & (ranked.rank == targets.target),
+        )
+        .select(
+            ranked.event_type,
+            targets.pct.cast("int").alias("pct"),
+            ranked.value.alias("value"),
+            targets.n.cast("bigint").alias("n"),
+        )
+    )
