@@ -130,6 +130,17 @@ def test_extract_rejects_foreign_html():
     assert extract_text_from_html(None) is None
 
 
+def test_extract_survives_poisoned_bytes():
+    # a crawl always contains mojibake / truncation — null, never a raise
+    assert extract_text_from_html(b"\xff\xfe<html><body>") is None
+    assert extract_text_from_html(b"<html><body><p>trunc") is None
+    assert extract_text_from_html(b"") is None
+    assert (
+        extract_text_from_html("<html><body><p>caf\xe9</p></body></html>".encode("latin-1"))
+        is None  # latin-1 bytes are not valid utf-8
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic models
 # ---------------------------------------------------------------------------

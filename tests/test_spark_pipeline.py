@@ -178,3 +178,45 @@ def test_pipeline_fused_impl_and_dedup(spark, pages_smoke):
     urls = {r["url"] for r in deduped.select("url").collect()}
     assert len(urls) == 3
     assert all(not u.endswith("/copy") for u in urls)  # min(url) wins
+
+
+def test_pipeline_survives_poisoned_pages(spark, pages_smoke):
+    """A crawl partition with mojibake/truncated/null html must flow through
+    extract -> chunk -> triples, dropping only the poisoned rows."""
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    import datetime
+
+    poisoned = spark.createDataFrame(
+        [
+            ("bad://utf8", datetime.datetime(2025, 1, 1), b"\xff\xfe<html><body>", None, "en"),
+            ("bad://trunc", datetime.datetime(2025, 1, 1), b"<html><body><p>x", None, "en"),
+            ("bad://null", datetime.datetime(2025, 1, 1), None, None, "en"),
+        ],
+        StructType(
+            [
+                StructField("url", StringType()),
+                StructField("warc_ts", TimestampType()),
+                StructField("html", BinaryType()),
+                StructField("text", StringType()),
+                StructField("lang", StringType()),
+            ]
+        ),
+    )
+    pages = pages_smoke.select("url", "warc_ts", "html", "text", "lang").unionByName(
+        poisoned
+    )
+    extracted = extract_text(pages)
+    bad = extracted.where(F.col("url").startswith("bad://"))
+    assert bad.count() == 3
+    assert bad.where(F.col("text").isNull()).count() == 3  # null, not a crash
+    triples = extract_triples(chunk_pages(extracted), "vocab")
+    # poisoned rows contribute nothing; the good corpus is unaffected
+    assert triples.where(F.col("url").startswith("bad://")).count() == 0
+    good = extract_triples(chunk_pages(extract_text(pages_smoke)), "vocab")
+    assert triples.count() == good.count()

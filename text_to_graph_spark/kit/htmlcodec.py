@@ -47,7 +47,12 @@ def wrap_text_as_html(text: str) -> bytes:
 def extract_text_from_html(html: bytes | bytearray | None) -> str | None:
     if html is None:
         return None
-    s = bytes(html).decode("utf-8")
+    try:
+        s = bytes(html).decode("utf-8")
+    except UnicodeDecodeError:
+        # a crawl always contains mojibake; a poisoned row must yield null,
+        # not kill the executor task (and with it the whole stage)
+        return None
     if not (s.startswith(_HEAD) and s.endswith(_TAIL)):
         return None
     body = s[len(_HEAD) : len(s) - len(_TAIL)]
