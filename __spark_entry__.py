@@ -925,6 +925,31 @@ def _q_dedup_streamed(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _q_events_hourly_streamed(spark, sf_dir):
+    # watermarked streaming hourly rollup, materialized by complete-mode
+    # foreachBatch refresh (the streaming-dashboard pattern): the final
+    # refreshed table must equal the batch GROUP BY exactly. approx_users
+    # (HLL) is excluded from the contract — estimates are engine-specific.
+    import tempfile
+
+    from text_to_graph_spark.streaming.ingest import (
+        run_rollup_refresh,
+        stream_events,
+        streaming_hourly_rollup,
+    )
+
+    base = tempfile.mkdtemp(prefix="t2g_hourly_")
+    landing, out, ckpt = f"{base}/landing", f"{base}/out", f"{base}/ckpt"
+    _events(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(landing)
+    q = run_rollup_refresh(
+        streaming_hourly_rollup(stream_events(spark, landing)), out, ckpt
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select(
+        "hour", "event_type", "n_events", "sum_value_cents"
+    )
+
+
 def _q_mm_meta(spark, sf_dir):
     return MM.decode_metadata(MM.attach_payload(_docs(spark, sf_dir)))
 
@@ -966,6 +991,10 @@ def _q_docs_balanced_mixture(spark, sf_dir):
 
 def _q_events_percentiles(spark, sf_dir):
     return EV.exact_percentiles(_events(spark, sf_dir))
+
+
+def _q_events_rolling(spark, sf_dir):
+    return EV.rolling_user_value(_events(spark, sf_dir), window_seconds=3600)
 
 
 def _q_docs_curated(spark, sf_dir):
@@ -1038,10 +1067,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_cube": _q_events_rollup_cube,
         "events_kmv_distinct": _q_events_kmv_distinct,
         "events_sessionize_stateful": _q_events_sessionize_stateful,
+        "events_hourly_streamed": _q_events_hourly_streamed,
         "dedup_streamed": _q_dedup_streamed,
         "mm_meta": _q_mm_meta,
         "mm_frames": _q_mm_frames,
         "events_percentiles": _q_events_percentiles,
+        "events_rolling": _q_events_rolling,
         "text_contamination": _q_text_contamination,
         "text_repetition": _q_text_repetition,
         "docs_sample_stratified": _q_docs_sample_stratified,
@@ -1839,6 +1870,14 @@ SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """,
+        # streaming complete-mode refresh == batch GROUP BY (HLL column
+        # excluded: estimates are engine-specific)
+        "events_hourly_streamed": """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS bigint)) AS bigint) AS sum_value_cents
+FROM events GROUP BY 1, 2
+""",
         "events_sessionize": """
 WITH x AS (
   SELECT user_id, event_id,
@@ -2126,6 +2165,22 @@ SELECT r.event_type, CAST(p.pct AS int) AS pct, r.value AS value,
        CAST(n.n AS bigint) AS n
 FROM ranked r JOIN n USING (event_type) CROSS JOIN p
 WHERE r.rank = (p.pct * n.n + 99) // 100
+""",
+        # trailing 1h rolling per-user aggregates; RANGE frame over tz-free
+        # epoch seconds, cents-integer sum (shuffle-order independent)
+        "events_rolling": """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS bigint) AS epoch_s,
+         CAST(round(value * 100) AS bigint) AS cents
+  FROM events
+)
+SELECT event_id, user_id, epoch_s,
+       CAST(sum(cents) OVER w AS bigint) AS roll_sum_cents,
+       CAST(count(*) OVER w AS bigint) AS roll_n
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
 """,
         # 4-gram benchmark decontamination: corpus docs sharing any word
         # 4-gram with the held-out "benchmark" split (doc_id % 50 = 0)

@@ -231,3 +231,33 @@ def exact_percentiles(
             targets.n.cast("bigint").alias("n"),
         )
     )
+
+
+def rolling_user_value(events: DataFrame, window_seconds: int = 3600) -> DataFrame:
+    """Trailing-window per-user rolling aggregates: sum/count of the last
+    ``window_seconds`` of each user's events, one row per event.
+
+    RANGE frame over tz-free epoch seconds (both engines treat equal order
+    keys as peers, so ties are frame-stable); values as cents integers so the
+    running sum is shuffle-order independent. One shuffle on user_id; frames
+    are bounded by the time window, not the partition, so state per key is
+    O(events in window) — the streaming twin of this is a watermarked
+    sliding window.
+    """
+    sec = epoch_seconds_ntz("ts").alias("epoch_s")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    base = events.select(
+        "event_id", "user_id", sec, cents.alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-(window_seconds - 1), 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.col("epoch_s").cast("bigint").alias("epoch_s"),
+        F.sum("cents").over(w).alias("roll_sum_cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("roll_n"),
+    )

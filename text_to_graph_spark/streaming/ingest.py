@@ -138,3 +138,36 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["content_hash"])
         .select("content_hash")
     )
+
+
+def run_rollup_refresh(rollup_stream: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Complete-mode materialized-view refresh: each micro-batch overwrites
+    the rollup table via ``foreachBatch`` (parquet has no native complete
+    sink). This is the streaming-dashboard pattern — aggregation state lives
+    in the windowed operator, the sink is an idempotent full refresh, and a
+    killed job resumes from the checkpoint with identical final contents.
+    """
+
+    def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    return (
+        rollup_stream.writeStream.foreachBatch(_refresh)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_events(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over an events landing dir; a few files per
+    trigger so the refresh genuinely iterates micro-batches in tests."""
+    return (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(landing_dir)
+    )
