@@ -26,6 +26,7 @@ from text_to_graph_spark.operators import dedup as D
 from text_to_graph_spark.operators import events as EV
 from text_to_graph_spark.operators import graphq as G
 from text_to_graph_spark.operators import multimodal as MM
+from text_to_graph_spark.operators import olap as OL
 from text_to_graph_spark.operators import similarity as SIM
 from text_to_graph_spark.operators import textstats as TS
 from text_to_graph_spark.operators.canonicalize import (
@@ -958,6 +959,10 @@ def _q_mm_frames(spark, sf_dir):
     return MM.frame_sample(MM.attach_payload(_docs(spark, sf_dir)), k=3)
 
 
+def _q_mm_features(spark, sf_dir):
+    return MM.byte_histogram_features(MM.attach_payload(_docs(spark, sf_dir)))
+
+
 # deterministic "benchmark" split for the decontamination contract query:
 # every 50th doc plays the held-out eval set, the rest are the corpus
 _BENCH_PRED = "doc_id % 50 = 0"
@@ -987,6 +992,28 @@ def _q_docs_sample_stratified(spark, sf_dir):
 
 def _q_docs_balanced_mixture(spark, sf_dir):
     return CUR.balanced_mixture(_docs(spark, sf_dir), _MIX_WEIGHTS_PPM)
+
+
+def _q_olap_pricing_summary(spark, sf_dir):
+    return OL.pricing_summary(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_olap_ship_priority(spark, sf_dir):
+    return OL.ship_priority(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def _q_olap_regional_volume(spark, sf_dir):
+    return OL.regional_volume(
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
 
 
 def _q_events_percentiles(spark, sf_dir):
@@ -1071,6 +1098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_streamed": _q_dedup_streamed,
         "mm_meta": _q_mm_meta,
         "mm_frames": _q_mm_frames,
+        "mm_features": _q_mm_features,
+        "olap_pricing_summary": _q_olap_pricing_summary,
+        "olap_ship_priority": _q_olap_ship_priority,
+        "olap_regional_volume": _q_olap_regional_volume,
         "events_percentiles": _q_events_percentiles,
         "events_rolling": _q_events_rolling,
         "text_contamination": _q_text_contamination,
@@ -2150,6 +2181,59 @@ SELECT doc_id, 'image/fake' AS media_type,
        CAST(octet_length(encode(text)) % 640 AS int) AS width,
        CAST(octet_length(encode(text)) % 480 AS int) AS height
 FROM documents
+""",
+        # TPC-H Q1 shape; money as per-row half-up integer cents so the sum
+        # is shuffle-order-stable and engine-exact
+        "olap_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS bigint)) AS bigint) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS bigint)) AS bigint) AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS bigint)) AS bigint) AS sum_disc_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100.0 + 0.5) AS bigint)) AS bigint) AS sum_charge_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+""",
+        # TPC-H Q3 shape: broadcast segment dim, fact-key join, top-10 with
+        # deterministic orderkey tiebreak
+        "olap_ship_priority": """
+SELECT l.l_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5) AS bigint)) AS bigint) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT 10
+""",
+        # TPC-H Q5 shape (supplier-side snowflake only, every dim broadcast)
+        "olap_regional_volume": """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5) AS bigint)) AS bigint) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+""",
+        # byte-histogram bag-of-features over the payload (ASCII corpus:
+        # varchar chars == bytes); sparse rows, empty buckets omitted
+        "mm_features": """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+  WHERE length(text) > 0
+)
+SELECT doc_id, CAST(ord(ch) % 16 AS int) AS bucket, count(*) AS n
+FROM chars GROUP BY 1, 2
 """,
         # exact type-1 percentiles at integer rank ceil(p*n/100) — no
         # percentile_cont float-interpolation seam between engines

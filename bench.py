@@ -43,6 +43,7 @@ def main() -> int:
 
     from text_to_graph_spark.operators import dedup as D
     from text_to_graph_spark.operators import events as EV
+    from text_to_graph_spark.operators import olap as OL
     from text_to_graph_spark.operators import similarity as SIM
     from text_to_graph_spark.operators import textstats as TS
     from text_to_graph_spark.operators.canonicalize import (
@@ -139,6 +140,16 @@ def main() -> int:
         ),
         "text_quality": lambda: _force(TS.quality_stats(docs)),
         "events_sessionize": lambda: _force(EV.sessionize(events)),
+        "olap_pricing_summary": lambda: _force(
+            OL.pricing_summary(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"))
+        ),
+        "olap_ship_priority": lambda: _force(
+            OL.ship_priority(
+                spark.read.parquet(f"{SF_DIR}/customer.parquet"),
+                spark.read.parquet(f"{SF_DIR}/orders.parquet"),
+                spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+            )
+        ),
     }
 
     results: dict[str, float] = {}

@@ -105,6 +105,25 @@ def test_balanced_mixture_no_cartesian_blowup(spark):
     assert "CartesianProduct" not in s
 
 
+def test_olap_filters_reach_scans_and_dims_broadcast(spark):
+    from text_to_graph_spark.operators import olap as OL
+
+    lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    q1 = OL.pricing_summary(lineitem)
+    assert "l_shipdate" in pushed_filters(q1)  # date filter at the scan
+    assert "l_partkey" not in read_schema(q1)  # unused columns pruned
+
+    q3 = OL.ship_priority(
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet"),
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet"),
+        lineitem,
+    )
+    s = plan_str(q3, "simple")
+    assert has_broadcast_join(q3)  # segment dim is broadcast
+    assert "TakeOrderedAndProject" in s  # top-k, not a global sort
+    assert "CartesianProduct" not in s
+
+
 def test_bucketed_graph_tables_prune_partitions(spark, pages_smoke, tmp_path):
     from text_to_graph_spark.operators.canonicalize import (
         triples_to_canonical_edges,

@@ -95,3 +95,36 @@ def frame_sample(media: DataFrame, k: int = 3) -> DataFrame:
             )
 
     return media.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id long, bucket int, n bigint"
+N_BUCKETS = 16
+
+
+def byte_histogram_features(media: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Vectorized payload feature extraction: byte-value histogram (mod
+    ``n_buckets``) per payload, exploded to (doc_id, bucket, n) rows.
+
+    Stand-in for a real embedding model (CLIP/whisper features) with the
+    identical Spark shape: numpy over the Arrow batch — ``frombuffer`` +
+    ``bincount``, no per-byte Python — then a 1->N expansion. Counts are
+    integers so the contract is bit-exact across engines; empty buckets are
+    omitted (sparse form, like a real bag-of-features).
+    """
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, buckets, counts = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size == 0:
+                    continue
+                hist = np.bincount(arr % n_buckets, minlength=n_buckets)
+                nz = np.nonzero(hist)[0]
+                ids.extend([doc_id] * len(nz))
+                buckets.extend(nz.tolist())
+                counts.extend(hist[nz].tolist())
+            yield pd.DataFrame({"doc_id": ids, "bucket": buckets, "n": counts})
+
+    return media.mapInPandas(_batches, schema=FEATURE_SCHEMA)

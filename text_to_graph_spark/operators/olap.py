@@ -1,0 +1,123 @@
+"""Relational OLAP queries over the warehouse tables (TPC-H-shaped).
+
+The KG engine shares its runtime with ordinary warehouse analytics; these
+three classic shapes pin the relational fundamentals the 100 TB design
+depends on and serve as bench anchors for the join/agg machinery:
+
+- ``pricing_summary`` (Q1 shape): full-scan aggregate — partial aggregation
+  (map-side combine) ahead of one exchange; the date filter must reach the
+  parquet scan as a pushed predicate.
+- ``ship_priority`` (Q3 shape): small-dim broadcast (customer) into a
+  shuffle equi-join on the fact key (orders ⋈ lineitem on l_orderkey), then
+  agg + deterministic top-k (TakeOrderedAndProject — no global sort).
+- ``regional_volume`` (Q5 shape): a snowflake of broadcast dims
+  (region → nation → supplier) hash-probed by the fact scan; the only real
+  exchanges are the orders⋈lineitem join and the final agg.
+
+All money aggregates are per-row half-up-rounded to integer cents and
+summed as bigints — double sums are shuffle-order-dependent (float addition
+is non-associative) and would flap under AQE re-planning; the integer form
+is bit-stable at any parallelism and engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cents(col) -> "F.Column":
+    """Half-up-rounded integer cents (portable: floor(x*100+0.5))."""
+    return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(disc_price)).alias("sum_disc_cents"),
+            F.sum(_cents(charge)).alias("sum_charge_cents"),
+        )
+    )
+
+
+def ship_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k open orders of one market segment by outstanding revenue."""
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.where(
+        F.col("o_orderdate") < F.lit(date).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    items = lineitem.where(
+        F.col("l_shipdate") > F.lit(date).cast("timestamp")
+    ).select(
+        "l_orderkey",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_cents"),
+    )
+    return (
+        items.join(
+            ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey),
+            items.l_orderkey == ords.o_orderkey,
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def regional_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """Per-nation revenue for suppliers of one region (Q5 shape, without the
+    customer-nation equality so every dim chain stays a broadcast probe)."""
+    dims = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == region_name)),
+                    nation.n_regionkey == F.col("r_regionkey"),
+                )
+            ),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    items = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_cents"),
+    )
+    return (
+        items.join(F.broadcast(dims), items.l_suppkey == dims.s_suppkey)
+        .join(
+            orders.select("o_orderkey"),
+            items.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum("rev_cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
