@@ -259,6 +259,19 @@ def _q_kg_pagerank(spark, sf_dir):
     return pagerank(_edges(spark, sf_dir), src="subj", dst="obj")
 
 
+def _q_kg_weighted_sssp(spark, sf_dir):
+    # bounded-hop Bellman-Ford (operators/graphalgo.py): exact bigint
+    # min-plus recurrence, 8 rounds, root 'customer'; the oracle unrolls the
+    # identical recurrence so results match bit-for-bit
+    from text_to_graph_spark.operators.graphalgo import weighted_sssp
+
+    roots = spark.createDataFrame([("customer",)], "node string")
+    return weighted_sssp(
+        _edges(spark, sf_dir), roots, src="subj", dst="obj",
+        weight="n_occurrences", max_rounds=8,
+    )
+
+
 def _q_kg_triangles(spark, sf_dir):
     # per-node triangle counts via id-ordered wedge join + closing-edge
     # semi-join (each triangle enumerated once as a<b<c)
@@ -715,6 +728,14 @@ def _q_ann_topk_bucketed(spark, sf_dir):
     return SIM.topk_bucketed(emb, emb.where("vec_id < 10"), k=5)
 
 
+def _q_emb_kmeans(spark, sf_dir):
+    # deterministic Lloyd's trainer for the IVF coarse quantizer
+    # (operators/similarity.py): integer micro-unit arithmetic, k=4 seeds =
+    # 4 smallest vec_ids, 2 update rounds; the oracle unrolls the identical
+    # recurrence relationally
+    return SIM.kmeans_train(_emb(spark, sf_dir), k=4, n_iter=2)
+
+
 def _q_text_quality(spark, sf_dir):
     return TS.quality_stats(_docs(spark, sf_dir))
 
@@ -1047,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_khop2": _q_kg_khop2,
         "kg_components": _q_kg_components,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_weighted_sssp": _q_kg_weighted_sssp,
         "kg_triangles": _q_kg_triangles,
         "kg_node_type_counts": _q_kg_node_type_counts,
         "kg_linked_mentions": _q_kg_linked_mentions,
@@ -1079,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_bucketed": _q_ann_topk_bucketed,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "emb_kmeans": _q_emb_kmeans,
         "text_quality": _q_text_quality,
         "text_tokens": _q_text_tokens,
         "text_langid": _q_text_langid,
@@ -1220,6 +1243,112 @@ jac AS (
   JOIN sizes sb ON sb.label = label_b
 )
 """
+
+
+def _sssp_cte(rounds: int = 8, root: str = "customer") -> str:
+    """Unrolled bounded-hop Bellman-Ford recurrence as chained CTEs
+    (d0..dN), mirroring operators/graphalgo.weighted_sssp exactly: bigint
+    min-plus, parallel edges collapsed to their cheapest weight."""
+    parts = [
+        "we AS (SELECT subj AS u, obj AS v, min(n_occurrences) AS w"
+        " FROM edges GROUP BY 1, 2)",
+        f"d0 AS (SELECT '{root}' AS node, CAST(0 AS bigint) AS dist)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i-1}
+    UNION ALL
+    SELECT we.v AS node, d{i-1}.dist + we.w AS dist
+    FROM we JOIN d{i-1} ON we.u = d{i-1}.node
+  ) GROUP BY node
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle(k: int = 4, n_iter: int = 2) -> str:
+    """Unrolled Lloyd's k-means over integer micro-units, mirroring
+    operators/similarity.kmeans_train exactly: floor(x*1e6+0.5)
+    quantization, exact integer squared-L2 argmin with cid tiebreak,
+    half-away-from-zero integer means, empty-cluster carryover."""
+    parts = [
+        """ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS double) * 1000000 + 0.5)
+              AS bigint) AS m
+  FROM embeddings
+)""",
+        f"""seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+)""",
+        "c0 AS (SELECT s.cid, ev.dim, ev.m FROM ev JOIN seeds s USING (vec_id))",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"c{i-1}"
+        parts.append(
+            f"""dist{i} AS (
+  SELECT ev.vec_id, c.cid, sum((ev.m - c.m) * (ev.m - c.m)) AS d2
+  FROM ev JOIN {prev} c USING (dim) GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist{i}
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""u{i} AS (
+  SELECT a.cid, ev.dim, sum(ev.m) AS s, count(*) AS n
+  FROM ev JOIN a{i} a USING (vec_id) GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT {prev}.cid, {prev}.dim,
+         coalesce(
+           CASE WHEN u{i}.s < 0
+                THEN -CAST((2 * (-u{i}.s) + u{i}.n) // (2 * u{i}.n) AS bigint)
+                ELSE  CAST((2 * u{i}.s + u{i}.n) // (2 * u{i}.n) AS bigint)
+           END, {prev}.m) AS m
+  FROM {prev} LEFT JOIN u{i}
+    ON u{i}.cid = {prev}.cid AND u{i}.dim = {prev}.dim
+)"""
+        )
+    final = f"c{n_iter}"
+    parts.append(
+        f"""distF AS (
+  SELECT ev.vec_id, c.cid, sum((ev.m - c.m) * (ev.m - c.m)) AS d2
+  FROM ev JOIN {final} c USING (dim) GROUP BY 1, 2
+)"""
+    )
+    parts.append(
+        """aF AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM distF
+  ) WHERE rn = 1
+)"""
+    )
+    parts.append("sz AS (SELECT cid, count(*) AS n FROM aF GROUP BY cid)")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT {final}.cid AS cluster,
+       CAST(coalesce(sz.n, 0) AS bigint) AS n_members,
+       {final}.dim AS dim,
+       {final}.m / 1000000.0 AS centroid
+FROM {final} LEFT JOIN sz ON sz.cid = {final}.cid
+"""
+    )
 
 
 def _pagerank_cte(iterations: int = 5, damping_pct: int = 85) -> str:
@@ -1373,6 +1502,13 @@ SELECT node, min(r) AS component FROM reach GROUP BY node
 {_KG_PREFIX},
 {_pagerank_cte()}
 SELECT node, CAST(r AS bigint) AS rank_e9 FROM r5
+""",
+        # bounded-hop Bellman-Ford, recurrence unrolled (8 rounds) — exact
+        # bigint min-plus, so the oracle is bit-equal to the Spark fixpoint
+        "kg_weighted_sssp": f"""
+{_KG_PREFIX},
+{_sssp_cte()}
+SELECT node, dist FROM d8
 """,
         # per-node triangle membership over the undirected simple graph;
         # a<b<c enumeration mirrors the Spark wedge+closing-edge joins
@@ -1728,6 +1864,10 @@ SELECT node AS doc_id, min(r) AS cluster,
        (node = min(r)) AS is_representative
 FROM reach3 GROUP BY node
 """,
+        # Lloyd's trainer, recurrence unrolled (2 rounds, k=4) — pure
+        # integer micro-unit arithmetic end to end, so assignment and means
+        # are bit-equal to the Spark trainer on any engine
+        "emb_kmeans": _kmeans_oracle(),
         "ann_topk_ivf": f"""
 WITH e AS (
   SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm

@@ -19,7 +19,11 @@ from text_to_graph_spark.operators.dedup import (
     simhash,
 )
 from tests.conftest import SF_SMOKE
-from text_to_graph_spark.operators.similarity import topk_bruteforce, topk_bucketed
+from text_to_graph_spark.operators.similarity import (
+    kmeans_train,
+    topk_bruteforce,
+    topk_bucketed,
+)
 
 DOCS = [
     (1, "g", "alpha beta gamma delta epsilon zeta"),
@@ -205,3 +209,61 @@ def test_near_dup_clusters_exact_and_singletons(spark):
     assert got[2] == (1, False)   # identical shingles -> same LSH cluster
     assert got[3] == (3, True)    # singleton clusters with itself
     assert got[4] == (4, True)
+
+
+class TestKMeansTrain:
+    def test_two_separated_groups_exact_means(self, spark):
+        # group A around (1, 0), group B around (-1, 0); seeds = the two
+        # smallest ids, one from each group -> Lloyd's converges in 1 round
+        pts = [
+            (0, [1.0, 0.1]),
+            (1, [-1.0, -0.1]),
+            (2, [1.2, -0.1]),
+            (3, [-1.2, 0.1]),
+            (4, [0.8, 0.0]),
+            (5, [-0.8, 0.0]),
+        ]
+        emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+        got = kmeans_train(emb, k=2, n_iter=2)
+        rows = {(r.cluster, r.dim): r for r in got.collect()}
+        # exact integer-micro means: A = {1.0, 1.2, 0.8} -> 1.0 etc.
+        assert rows[(0, 1)].centroid == 1.0
+        assert rows[(0, 2)].centroid == 0.0
+        assert rows[(1, 1)].centroid == -1.0
+        assert rows[(1, 2)].centroid == 0.0
+        assert all(r.n_members == 3 for r in rows.values())
+
+    def test_empty_cluster_keeps_seed_centroid(self, spark):
+        # seeds 0 and 1 are identical: in round 1 every point ties to cid 0
+        # (smaller id wins) so cid 1 receives no members and must carry its
+        # seed centroid; once cid 0's centroid moves to the mean, the exact
+        # (1.0, 1.0) points snap back to the carried cid 1 — the
+        # escaped-empty-cluster dynamics Lloyd's is supposed to have
+        pts = [
+            (0, [1.0, 1.0]),
+            (1, [1.0, 1.0]),
+            (2, [1.5, 1.0]),
+        ]
+        emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+        rows = {
+            (r.cluster, r.dim): r
+            for r in kmeans_train(emb, k=2, n_iter=2).collect()
+        }
+        assert rows[(1, 1)].centroid == 1.0  # carried seed, not NaN/0
+        assert rows[(1, 1)].n_members == 2   # recaptured the exact points
+        assert rows[(0, 1)].centroid == 1.5  # converged to the outlier
+        assert rows[(0, 1)].n_members == 1
+
+    def test_deterministic_across_partitionings(self, spark):
+        import random
+
+        rng = random.Random(7)
+        pts = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+        ]
+        emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+        a = sorted(map(tuple, kmeans_train(emb, k=3, n_iter=3).collect()))
+        b = sorted(
+            map(tuple, kmeans_train(emb.repartition(13), k=3, n_iter=3).collect())
+        )
+        assert a == b

@@ -7,6 +7,7 @@ from text_to_graph_spark.operators.graphalgo import (
     RANK_SCALE,
     pagerank,
     triangle_count,
+    weighted_sssp,
 )
 
 
@@ -84,3 +85,43 @@ class TestTriangleCount:
     def test_direction_and_duplicates_ignored(self, spark):
         tri = [("a", "b"), ("c", "b"), ("a", "c"), ("b", "a"), ("a", "a")]
         assert self._counts(spark, tri) == {"a": 1, "b": 1, "c": 1}
+
+
+class TestWeightedSSSP:
+    # cheapest a->d goes the long way round (1+1+1=3) beating the direct
+    # heavy edge (10); e unreachable from a (edge points the wrong way)
+    WEDGES = [
+        ("a", "d", 10),
+        ("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+        ("e", "a", 1),
+    ]
+
+    def _dists(self, spark, edges, roots=("a",), max_rounds=8):
+        e = spark.createDataFrame(edges, "subj string, obj string, w long")
+        r = spark.createDataFrame([(x,) for x in roots], "node string")
+        return {
+            row.node: row.dist
+            for row in weighted_sssp(
+                e, r, weight="w", max_rounds=max_rounds
+            ).collect()
+        }
+
+    def test_multi_hop_beats_heavy_direct_edge(self, spark):
+        assert self._dists(spark, self.WEDGES) == {
+            "a": 0, "b": 1, "c": 2, "d": 3,
+        }
+
+    def test_bounded_hops_semantics(self, spark):
+        # with only 1 relaxation round the 3-hop path is not yet found:
+        # d costs 10 via the direct edge
+        assert self._dists(spark, self.WEDGES, max_rounds=1) == {
+            "a": 0, "b": 1, "d": 10,
+        }
+
+    def test_parallel_edges_keep_cheapest(self, spark):
+        edges = self.WEDGES + [("a", "b", 7), ("a", "d", 2)]
+        assert self._dists(spark, edges)["d"] == 2
+
+    def test_multi_root_min(self, spark):
+        got = self._dists(spark, self.WEDGES, roots=("a", "e"))
+        assert got["e"] == 0 and got["a"] == 0 and got["d"] == 3

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "triangle_count", "weighted_sssp"]
 
 RANK_SCALE = 10**9
 
@@ -82,6 +82,69 @@ def pagerank(
         )
         rank = rank.localCheckpoint(eager=True)
     return rank
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    roots: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    weight: str = "n_occurrences",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Bounded-hop weighted single-source shortest paths (Bellman-Ford
+    min-plus), exact bigint arithmetic.
+
+    dist_0 = 0 on the root set; dist_{i+1}(v) = min(dist_i(v),
+    min over edges u->v of dist_i(u) + w(u,v)). After ``max_rounds`` rounds
+    the result is exactly "cheapest cost reachable within max_rounds hops" —
+    a well-defined (and at corpus scale the standard) bounded-propagation
+    semantics; integer ``min``/``+`` make every round order-independent, so
+    the fixed-round recurrence is bit-identical across engines and
+    partitionings (the SQL-oracle twin unrolls the same K rounds).
+
+    Scale shape: per round one equi-join (edges x frontier dists, both
+    hashed on the join key) + one partial-aggregated min shuffle; the
+    weighted edge list is ``localCheckpoint``-ed once, per-round results cut
+    lineage the same way (the connected_components pattern). Early exit when
+    a round improves nothing — the fixpoint equals the remaining rounds'
+    output, so the exit never changes the result. Returns (node, dist) for
+    reachable nodes only.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight).cast("bigint").alias("w"),
+        )
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+        .localCheckpoint(eager=True)
+    )
+    dist = roots.select(
+        F.col(roots.columns[0]).alias("node"), F.lit(0).cast("bigint").alias("dist")
+    ).distinct()
+    for _ in range(max_rounds):
+        relaxed = (
+            e.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        nxt = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # converged iff no node improved and no new node appeared; a pure
+        # count comparison needs no join because dists only ever decrease
+        if (
+            nxt.count() == dist.count()
+            and nxt.agg(F.sum("dist")).first()[0] == dist.agg(F.sum("dist")).first()[0]
+        ):
+            return nxt
+        dist = nxt
+    return dist
 
 
 def triangle_count(

@@ -196,6 +196,141 @@ def sign_bucket_expr(vec_col: str, sign_bits: int = 3):
     return b.cast("int")
 
 
+MICRO = 1_000_000
+
+
+def micro_vec_expr(vec_col: str):
+    """Quantize a float vector to integer micro-units (1e-6), rounding half
+    toward +inf: ``floor(x*1e6 + 0.5)``. Pure integer vectors make every
+    downstream distance/mean EXACT and order-independent — the float-sum
+    nondeterminism that shuffle order would otherwise inject into centroid
+    updates (and thus assignments) disappears entirely, on any engine."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * MICRO + F.lit(0.5)).cast("bigint"),
+    )
+
+
+def _micro_d2(mic_col: str, cvec: list[int]):
+    """Exact squared L2 distance (micro^2 units) to an inlined centroid:
+    integer fold in index order. 64 dims x (2e6)^2 per term stays far below
+    int64 range."""
+    lit_vec = F.array(*[F.lit(int(x)) for x in cvec])
+    return F.aggregate(
+        F.zip_with(F.col(mic_col), lit_vec, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_micro(mic: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest-centroid assignment as a PURE PROJECTION (centroids inlined as
+    literals, same zero-shuffle design as :func:`ivf_assign`); ties go to the
+    smallest centroid id via struct ordering."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(_micro_d2("mic", cvec).alias("d2"), F.lit(cid).alias("cid"))
+                for cid, cvec in cents
+            ]
+        )
+    )
+    return mic.withColumn("cluster", best["cid"])
+
+
+def _div_half_away(s: int, n: int) -> int:
+    """round-half-away-from-zero of s/n with exact integers (n > 0)."""
+    q = (2 * abs(s) + n) // (2 * n)
+    return -q if s < 0 else q
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means — the trainer for the IVF
+    coarse quantizer (:func:`topk_ivf` seeds ad hoc and notes "production
+    would k-means-train them"; this is that trainer).
+
+    Design for 100 TB:
+
+    - Centroids are model parameters (K x D values) — they live on the
+      driver and are inlined as literals, so each assignment pass is a
+      zero-shuffle projection over the corpus (no K x N join).
+    - The update pass is one ``groupBy(cluster)`` with D per-dimension
+      ``sum`` columns + a count: partial aggregation map-side, the shuffle
+      carries only K x (D+1) longs per upstream partition.
+    - All arithmetic is integer micro-units (:func:`micro_vec_expr`):
+      distances and sums are exact and associative, so results are
+      bit-identical across engines, shuffle orders, retries, and cluster
+      sizes — a float implementation would let partial-sum order flip
+      assignments near ties. Means round half-away-from-zero back to micro.
+    - Empty clusters keep their previous centroid (deterministic carryover).
+
+    Seeding: the k rows with the smallest ids, centroid ids 0..k-1 in that
+    order. Returns the relational model table
+    ``(cluster, n_members, dim, centroid)`` — dim is 1-based, centroid in
+    original float units (micro/1e6, exact in double), n_members from the
+    final assignment pass.
+    """
+    spark = emb.sparkSession
+    mic = emb.select(
+        F.col(id_col).alias("id"), micro_vec_expr(vec_col).alias("mic")
+    )
+    seeds = (
+        mic.orderBy("id").limit(k).collect()
+    )  # K x D ints — model init, driver-side by design
+    if not seeds:
+        raise ValueError("kmeans_train: empty input")
+    dims = len(seeds[0]["mic"])
+    cents: list[tuple[int, list[int]]] = [
+        (i, list(r["mic"])) for i, r in enumerate(seeds)
+    ]
+
+    sum_cols = [
+        F.sum(F.element_at("mic", d + 1)).alias(f"s{d}") for d in range(dims)
+    ]
+    for _ in range(n_iter):
+        stats = (
+            _assign_micro(mic, cents)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"), *sum_cols)
+            .collect()
+        )
+        by_cid = {r["cluster"]: r for r in stats}
+        cents = [
+            (
+                cid,
+                [
+                    _div_half_away(by_cid[cid][f"s{d}"], by_cid[cid]["n"])
+                    for d in range(dims)
+                ]
+                if cid in by_cid
+                else prev,  # empty cluster: carry the previous centroid
+            )
+            for cid, prev in cents
+        ]
+
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in _assign_micro(mic, cents)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = [
+        (cid, int(sizes.get(cid, 0)), d + 1, cvec[d] / MICRO)
+        for cid, cvec in cents
+        for d in range(dims)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster int, n_members bigint, dim int, centroid double"
+    )
+
+
 def topk_bucketed(
     emb: DataFrame,
     queries: DataFrame,
