@@ -76,6 +76,15 @@ def main() -> int:
         "embedding near-dup LSH (bucket equi-join, NO CartesianProduct)": (
             D.embedding_neardup_pairs_lsh(emb, threshold=0.3)
         ),
+        "k-means assignment (inlined centroids, zero-shuffle projection)": (
+            SIM._assign_micro(
+                emb.select(
+                    F.col("vec_id").alias("id"),
+                    SIM.micro_vec_expr("embedding").alias("mic"),
+                ),
+                [(0, [0] * 64), (1, [1_000_000] * 64)],
+            )
+        ),
         "benchmark decontamination (corpus probe side never shuffles; bench broadcast)": (
             CUR.benchmark_contamination(
                 docs.where("doc_id % 50 != 0"), docs.where("doc_id % 50 = 0"), n=4
