@@ -153,3 +153,39 @@ def test_bucketed_graph_tables_prune_partitions(spark, pages_smoke, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
     assert m and "bucket" in m.group(1)
+
+
+def test_kmeans_assignment_is_zero_shuffle_projection(spark):
+    from text_to_graph_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    mic = emb.select(
+        F.col("vec_id").alias("id"), SIM.micro_vec_expr("embedding").alias("mic")
+    )
+    assigned = SIM._assign_micro(mic, [(0, [0] * 64), (1, [1_000_000] * 64)])
+    # centroids are inlined literals: no join, no exchange, no Python stage
+    assert count_exchanges(assigned) == 0
+    assert python_eval_count(assigned) == 0
+    p = plan_str(assigned, "simple")
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_kmeans_update_shuffle_has_partial_aggregation(spark):
+    from text_to_graph_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    mic = emb.select(
+        F.col("vec_id").alias("id"), SIM.micro_vec_expr("embedding").alias("mic")
+    )
+    stats = (
+        SIM._assign_micro(mic, [(0, [0] * 64), (1, [1_000_000] * 64)])
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("mic", d + 1)).alias(f"s{d}") for d in range(64)],
+        )
+    )
+    # the update pass combines map-side: partial_sum before the exchange, so
+    # the shuffle carries K x (D+1) longs per partition, not the corpus
+    f = plan_str(stats, "formatted")
+    assert "partial_sum" in f or "partial_count" in f
