@@ -1049,6 +1049,12 @@ def _q_docs_curated(spark, sf_dir):
     return CUR.curated_corpus(_docs(spark, sf_dir), min_quality=0.62, min_tokens=20)
 
 
+def _q_docs_pack_sequences(spark, sf_dir):
+    # training-sequence packing (operators/curation.py): per-source prefix
+    # sum in doc_id order, integer DIV/mod — deterministic dataloader layout
+    return CUR.pack_sequences(_docs(spark, sf_dir), budget_tokens=1024)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_pages": _q_kg_pages,
@@ -1132,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_stratified": _q_docs_sample_stratified,
         "docs_balanced_mixture": _q_docs_balanced_mixture,
         "docs_curated": _q_docs_curated,
+        "docs_pack_sequences": _q_docs_pack_sequences,
     }
 
 
@@ -2508,6 +2515,25 @@ WHERE quality_score >= 0.62 AND n_tokens >= 20
                   WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
                   WHEN s_en >= s_de THEN 'en'
                   ELSE 'de' END
+""",
+        # per-stratum prefix sum in id order; integer DIV/mod mirror the
+        # Spark window exactly
+        "docs_pack_sequences": """
+WITH t AS (
+  SELECT doc_id, source AS stratum,
+         CAST(len(string_split(text, ' ')) AS bigint) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, stratum, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, stratum, n_tokens,
+       CAST(start // 1024 AS bigint) AS seq_id,
+       CAST(start % 1024 AS bigint) AS tok_offset
+FROM c
 """,
     }
 

@@ -116,3 +116,21 @@ def test_curated_corpus_gates(spark):
     got = curated_corpus(docs, min_quality=0.5, min_tokens=20).collect()
     assert [r["doc_id"] for r in got] == [1]
     assert got[0]["n_tokens"] == 30
+
+
+def test_pack_sequences_prefix_layout(docs):
+    from text_to_graph_spark.operators.curation import pack_sequences
+
+    got = {
+        r.doc_id: (r.stratum, r.n_tokens, r.seq_id, r.tok_offset)
+        for r in pack_sequences(docs, budget_tokens=10).collect()
+    }
+    # s0 in id order: doc1 (6 toks @0), doc2 (6 @6), doc6 (2 @12), doc7 (6 @14)
+    assert got[1] == ("s0", 6, 0, 0)
+    assert got[2] == ("s0", 6, 0, 6)   # starts inside seq 0
+    assert got[6] == ("s0", 2, 1, 2)   # 12 DIV 10 = seq 1, offset 2
+    assert got[7] == ("s0", 6, 1, 4)
+    # s1 packs independently: doc3 (7 @0), doc4 (5 @7), doc5 (6 @12)
+    assert got[3] == ("s1", 7, 0, 0)
+    assert got[4] == ("s1", 5, 0, 7)
+    assert got[5] == ("s1", 6, 1, 2)

@@ -191,6 +191,47 @@ def repetition_stats(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 1024,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-sequence packing: assign whole documents to fixed-budget
+    training sequences in deterministic id order within each stratum (the
+    concat-then-chunk packing a pretraining dataloader performs, computed
+    ahead of time so the shuffle/写 order is reproducible).
+
+    A document starting at running-token-offset ``c`` lands in sequence
+    ``c DIV budget`` at in-sequence offset ``c % budget`` — a pure prefix-sum
+    per stratum: one shuffle on the stratum key, one window cumsum in id
+    order, all integer arithmetic. Per-stratum packing keeps the window
+    partitioned (a single global sequence would serialize the cumsum; at
+    extreme stratum skew use the two-phase per-partition-offset variant).
+    Returns (doc_id, stratum, n_tokens, seq_id, tok_offset).
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(n_tok).over(w) - n_tok
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        n_tok.alias("n_tokens"),
+        start.alias("_start"),
+    ).select(
+        "doc_id",
+        "stratum",
+        "n_tokens",
+        F.expr(f"_start DIV {int(budget_tokens)}").cast("bigint").alias("seq_id"),
+        (F.col("_start") % budget_tokens).cast("bigint").alias("tok_offset"),
+    )
+
+
 def curated_corpus(
     docs: DataFrame,
     min_quality: float = 0.62,
