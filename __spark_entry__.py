@@ -1045,6 +1045,13 @@ def _q_events_rolling(spark, sf_dir):
     return EV.rolling_user_value(_events(spark, sf_dir), window_seconds=3600)
 
 
+def _q_events_quantile_sketch(spark, sf_dir):
+    # fixed-grid histogram quantile sketch (operators/events.py): one
+    # partial-agg shuffle of occupied bins, mergeable across partitionings —
+    # the scale path next to the exact-sort events_percentiles
+    return EV.histogram_quantiles(_events(spark, sf_dir), bin_cents=100)
+
+
 def _q_docs_curated(spark, sf_dir):
     return CUR.curated_corpus(_docs(spark, sf_dir), min_quality=0.62, min_tokens=20)
 
@@ -1132,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_ship_priority": _q_olap_ship_priority,
         "olap_regional_volume": _q_olap_regional_volume,
         "events_percentiles": _q_events_percentiles,
+        "events_quantile_sketch": _q_events_quantile_sketch,
         "events_rolling": _q_events_rolling,
         "text_contamination": _q_text_contamination,
         "text_repetition": _q_text_repetition,
@@ -2396,6 +2404,30 @@ SELECT r.event_type, CAST(p.pct AS int) AS pct, r.value AS value,
        CAST(n.n AS bigint) AS n
 FROM ranked r JOIN n USING (event_type) CROSS JOIN p
 WHERE r.rank = (p.pct * n.n + 99) // 100
+""",
+        # fixed-grid histogram quantile sketch: bin counts -> cumulative ->
+        # first bin reaching rank ceil(p*n/100); pure integer arithmetic
+        "events_quantile_sketch": """
+WITH hist AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS bigint) // 100 AS bin,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+p(pct) AS (VALUES (50), (95), (99))
+SELECT event_type, CAST(p.pct AS int) AS pct,
+       CAST(min(bin) * 100 AS bigint) AS bin_lo_cents,
+       CAST(min(n) AS bigint) AS n
+FROM cum CROSS JOIN p
+WHERE cum >= (p.pct * n + 99) // 100
+GROUP BY 1, 2
 """,
         # trailing 1h rolling per-user aggregates; RANGE frame over tz-free
         # epoch seconds, cents-integer sum (shuffle-order independent)

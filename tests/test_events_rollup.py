@@ -121,3 +121,45 @@ class TestExactPercentiles:
         )
         got = exact_percentiles(ev).collect()
         assert {(r["pct"], r["value"]) for r in got} == {(50, 7.5), (90, 7.5), (99, 7.5)}
+
+
+class TestHistogramQuantiles:
+    def test_sketch_brackets_exact_quantile(self, spark):
+        import numpy as np
+
+        from text_to_graph_spark.operators.events import histogram_quantiles
+
+        ev = _events(spark)
+        got = {
+            (r.event_type, r.pct): (r.bin_lo_cents, r.n)
+            for r in histogram_quantiles(ev, bin_cents=100).collect()
+        }
+        vals = {
+            t: np.sort(
+                np.array(
+                    [r.value for r in ev.where(F.col("event_type") == t).collect()]
+                )
+            )
+            for t in ("click", "view")
+        }
+        for (t, p), (lo, n) in got.items():
+            assert n == len(vals[t])
+            exact = vals[t][int(np.ceil(p * n / 100)) - 1] * 100  # cents
+            # the true type-1 quantile lies inside the reported bin
+            assert lo <= exact < lo + 100
+
+    def test_bin_width_bounds_error(self, spark):
+        from text_to_graph_spark.operators.events import histogram_quantiles
+
+        ev = _events(spark)
+        fine = {
+            (r.event_type, r.pct): r.bin_lo_cents
+            for r in histogram_quantiles(ev, bin_cents=1).collect()
+        }
+        coarse = {
+            (r.event_type, r.pct): r.bin_lo_cents
+            for r in histogram_quantiles(ev, bin_cents=1000).collect()
+        }
+        for k, lo in fine.items():
+            # coarse bin must contain the fine estimate
+            assert coarse[k] <= lo < coarse[k] + 1000

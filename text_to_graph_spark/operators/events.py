@@ -233,6 +233,57 @@ def exact_percentiles(
     )
 
 
+def histogram_quantiles(
+    events: DataFrame,
+    bin_cents: int = 100,
+    pcts: tuple[int, ...] = (50, 95, 99),
+) -> DataFrame:
+    """Approximate quantiles from a fixed-width histogram sketch — the 100 TB
+    path :func:`exact_percentiles` documents ("switch to two-pass: approx
+    bucket first"): exact percentiles need a full sort per group; the sketch
+    needs ONE partial-aggregated count shuffle whose width is the number of
+    occupied bins, independent of row count, and the bins are mergeable
+    across any partitioning (the property a distributed sketch must have).
+
+    bin = cents DIV bin_cents (fixed grid — no data-dependent range pass);
+    the p-th quantile estimate is the lower bound of the first bin whose
+    cumulative count reaches rank ceil(p*n/100). All integer arithmetic:
+    bit-identical across engines, shuffle orders, and cluster sizes. Error
+    is bounded by bin_cents by construction. Returns
+    (event_type, pct, bin_lo_cents, n).
+    """
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    hist = (
+        events.select("event_type", cents.alias("cents"))
+        .withColumn("bin", F.expr(f"cents DIV {int(bin_cents)}"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+    hit = cum.select(
+        "event_type",
+        "bin",
+        "cum",
+        "n",
+        F.explode(F.array(*[F.lit(int(p)) for p in pcts])).alias("pct"),
+    ).where(F.col("cum") >= F.expr("(pct * n + 99) DIV 100"))
+    return hit.groupBy("event_type", "pct").agg(
+        (F.min("bin") * bin_cents).cast("bigint").alias("bin_lo_cents"),
+        F.min("n").cast("bigint").alias("n"),
+    )
+
+
 def rolling_user_value(events: DataFrame, window_seconds: int = 3600) -> DataFrame:
     """Trailing-window per-user rolling aggregates: sum/count of the last
     ``window_seconds`` of each user's events, one row per event.
