@@ -210,6 +210,27 @@ def _q_kg_edges(spark, sf_dir):
     return _edges(spark, sf_dir)
 
 
+def _q_kg_edges_incremental(spark, sf_dir):
+    # incremental == batch: aggregate two url-disjoint slices separately,
+    # merge at key level (operators/canonicalize.merge_canonical_edges);
+    # the oracle is the ordinary full-corpus edges SQL
+    from text_to_graph_spark.operators.canonicalize import merge_canonical_edges
+
+    t = _stages(spark, sf_dir)["triples"]
+    cond = F.substring(F.md5("url"), 1, 1).isin(*list("01234567"))
+    merged = merge_canonical_edges(
+        triples_to_canonical_edges(t.where(cond)),
+        triples_to_canonical_edges(t.where(~cond)),
+    )
+    return merged.select(
+        F.col("subj_key").alias("subj"),
+        F.col("pred_key").alias("pred"),
+        F.col("obj_key").alias("obj"),
+        "n_docs",
+        "n_occurrences",
+    )
+
+
 def _q_kg_nodes(spark, sf_dir):
     nodes = triples_to_canonical_nodes(
         _stages(spark, sf_dir)["triples"], category_of=vocab_category_table(spark)
@@ -1074,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_fused": _q_kg_triples_fused,
         "kg_triples_sql_impl": _q_kg_triples_sql_impl,
         "kg_edges": _q_kg_edges,
+        "kg_edges_incremental": _q_kg_edges_incremental,
         "kg_nodes": _q_kg_nodes,
         "kg_top_predicates": _q_kg_top_predicates,
         "kg_degree": _q_kg_degree,
@@ -1454,6 +1476,12 @@ SELECT DISTINCT url, subj, pred, obj FROM triples
 SELECT DISTINCT url, subj, pred, obj FROM triples
 """,
         "kg_edges": f"""
+{_KG_PREFIX}
+SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
+""",
+        # incremental maintenance must equal the batch aggregation — the
+        # oracle is deliberately the SAME full-corpus SQL as kg_edges
+        "kg_edges_incremental": f"""
 {_KG_PREFIX}
 SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
 """,

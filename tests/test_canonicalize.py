@@ -106,3 +106,50 @@ def test_sanitize_col(spark):
         sanitize_col(F.col("x")).alias("s")
     )
     assert df.collect()[0]["s"] == "a_b"
+
+
+def test_merge_canonical_edges_equals_batch(spark, pages_smoke):
+    """Incremental maintenance must be EXACTLY the batch result — labels,
+    doc_id sets, and counts included — when slices partition by url."""
+    from text_to_graph_spark.operators.canonicalize import merge_canonical_edges
+    from text_to_graph_spark.operators.extraction import extract_triples_from_pages
+
+    t = extract_triples_from_pages(pages_smoke).localCheckpoint(eager=True)
+    cond = F.substring(F.md5("url"), 1, 1).isin(*list("01234567"))
+    merged = merge_canonical_edges(
+        triples_to_canonical_edges(t.where(cond)),
+        triples_to_canonical_edges(t.where(~cond)),
+    )
+    full = triples_to_canonical_edges(t)
+
+    def _rows(df):
+        return sorted(
+            (
+                r.subj_key, r.pred_key, r.obj_key,
+                r.subj_label, r.pred_label, r.obj_label,
+                tuple(r.doc_ids), r.n_docs, r.n_occurrences,
+            )
+            for r in df.collect()
+        )
+
+    assert _rows(merged) == _rows(full)
+
+
+def test_merge_canonical_edges_one_sided_keys(spark):
+    """Keys present in only one slice pass through untouched."""
+    from text_to_graph_spark.operators.canonicalize import merge_canonical_edges
+
+    schema = (
+        "subj_key string, pred_key string, obj_key string, "
+        "subj_label string, pred_label string, obj_label string, "
+        "doc_ids array<string>, n_docs long, n_occurrences long"
+    )
+    a = spark.createDataFrame(
+        [("s", "p", "o", "S", "P", "O", ["u1"], 1, 3)], schema
+    )
+    b = spark.createDataFrame(
+        [("x", "p", "o", "X", "P", "O", ["u2"], 1, 2)], schema
+    )
+    got = {r.subj_key: r for r in merge_canonical_edges(a, b).collect()}
+    assert got["s"].n_occurrences == 3 and got["s"].subj_label == "S"
+    assert got["x"].n_occurrences == 2 and got["x"].doc_ids == ["u2"]

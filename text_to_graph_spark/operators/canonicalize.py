@@ -300,3 +300,52 @@ def salted_collect_set(
             f"{value_col}_set"
         )
     )
+
+
+def merge_canonical_edges(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Incremental KG maintenance: merge two canonical edge tables built
+    from url-disjoint corpus slices into exactly the table
+    :func:`triples_to_canonical_edges` would produce over the union.
+
+    The production shape for daily crawl deltas at 100 TB: aggregate only
+    the NEW slice (its own extraction + one agg), then ONE key-level
+    full-outer join of two already-aggregated tables — no re-extraction and
+    no re-shuffle of the historical corpus's occurrence rows.
+
+    Exactness argument: counts add; doc-id sets union; and labels are
+    first-occurrence-wins under the total order (url, chunk_index, pos) —
+    since the slices partition BY URL, the slice holding the globally
+    first occurrence of an edge key is precisely the one whose minimum
+    occurrence url (``doc_ids[0]``, sets are sorted) is smaller, so taking
+    that side's labels reproduces the batch ``min_by``. Requires url-disjoint
+    inputs (a url split across slices would leave within-url order unknown).
+    """
+    keys = ["subj_key", "pred_key", "obj_key"]
+    j = a.alias("a").join(b.alias("b"), keys, "full_outer")
+    a_first = F.col("b.doc_ids").isNull() | (
+        F.col("a.doc_ids").isNotNull()
+        & (F.element_at(F.col("a.doc_ids"), 1) <= F.element_at(F.col("b.doc_ids"), 1))
+    )
+
+    def _pick(c: str):
+        return F.when(a_first, F.col(f"a.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
+
+    empty = F.array().cast("array<string>")
+    doc_ids = F.array_sort(
+        F.array_union(
+            F.coalesce(F.col("a.doc_ids"), empty),
+            F.coalesce(F.col("b.doc_ids"), empty),
+        )
+    )
+    return j.select(
+        *keys,
+        _pick("subj_label"),
+        _pick("pred_label"),
+        _pick("obj_label"),
+        doc_ids.alias("doc_ids"),
+        F.size(doc_ids).cast("long").alias("n_docs"),
+        (
+            F.coalesce(F.col("a.n_occurrences"), F.lit(0))
+            + F.coalesce(F.col("b.n_occurrences"), F.lit(0))
+        ).cast("long").alias("n_occurrences"),
+    )
