@@ -240,6 +240,23 @@ def _q_kg_nodes(spark, sf_dir):
     )
 
 
+def _q_kg_nodes_incremental(spark, sf_dir):
+    # node-table twin of kg_edges_incremental: slice-wise aggregation +
+    # key-level merge must equal the batch node table
+    from text_to_graph_spark.operators.canonicalize import merge_canonical_nodes
+
+    t = _stages(spark, sf_dir)["triples"]
+    cond = F.substring(F.md5("url"), 1, 1).isin(*list("01234567"))
+    cat = vocab_category_table(spark)
+    merged = merge_canonical_nodes(
+        triples_to_canonical_nodes(t.where(cond), category_of=cat),
+        triples_to_canonical_nodes(t.where(~cond), category_of=cat),
+    )
+    return merged.select(
+        "label", F.concat_ws("|", "types").alias("node_type"), "n_docs"
+    )
+
+
 def _q_kg_top_predicates(spark, sf_dir):
     return G.edge_label_counts(_edges(spark, sf_dir), label_col="pred")
 
@@ -1097,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _q_kg_edges,
         "kg_edges_incremental": _q_kg_edges_incremental,
         "kg_nodes": _q_kg_nodes,
+        "kg_nodes_incremental": _q_kg_nodes_incremental,
         "kg_top_predicates": _q_kg_top_predicates,
         "kg_degree": _q_kg_degree,
         "kg_parallel_edges": _q_kg_parallel_edges,
@@ -1486,6 +1504,16 @@ SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
 SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
 """,
         "kg_nodes": f"""
+{_KG_PREFIX}
+SELECT label, {cat} AS node_type, count(DISTINCT url) AS n_docs
+FROM (
+  SELECT url, subj AS label FROM triples
+  UNION ALL
+  SELECT url, obj FROM triples
+) GROUP BY label
+""",
+        # incremental node maintenance == batch: same full-corpus SQL
+        "kg_nodes_incremental": f"""
 {_KG_PREFIX}
 SELECT label, {cat} AS node_type, count(DISTINCT url) AS n_docs
 FROM (

@@ -153,3 +153,24 @@ def test_merge_canonical_edges_one_sided_keys(spark):
     got = {r.subj_key: r for r in merge_canonical_edges(a, b).collect()}
     assert got["s"].n_occurrences == 3 and got["s"].subj_label == "S"
     assert got["x"].n_occurrences == 2 and got["x"].doc_ids == ["u2"]
+
+
+def test_merge_canonical_nodes_equals_batch(spark, pages_smoke):
+    from text_to_graph_spark.operators.canonicalize import merge_canonical_nodes
+    from text_to_graph_spark.operators.extraction import extract_triples_from_pages
+
+    t = extract_triples_from_pages(pages_smoke).localCheckpoint(eager=True)
+    cond = F.substring(F.md5("url"), 1, 1).isin(*list("01234567"))
+    merged = merge_canonical_nodes(
+        triples_to_canonical_nodes(t.where(cond)),
+        triples_to_canonical_nodes(t.where(~cond)),
+    )
+    full = triples_to_canonical_nodes(t)
+
+    def _rows(df):
+        return sorted(
+            (r.key, r.label, tuple(r.types), tuple(r.doc_ids), r.n_docs)
+            for r in df.collect()
+        )
+
+    assert _rows(merged) == _rows(full)

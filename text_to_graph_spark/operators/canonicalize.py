@@ -349,3 +349,31 @@ def merge_canonical_edges(a: DataFrame, b: DataFrame) -> DataFrame:
             + F.coalesce(F.col("b.n_occurrences"), F.lit(0))
         ).cast("long").alias("n_occurrences"),
     )
+
+
+def merge_canonical_nodes(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Node-table twin of :func:`merge_canonical_edges`: merge canonical
+    node tables from url-disjoint corpus slices into exactly the batch
+    result. Labels resolve first-occurrence-wins via the side with the
+    smaller minimum occurrence url (the node total order also starts with
+    url — role only breaks ties *within* one triple, hence within one url);
+    ``types`` is a pure function of the key (identical on both sides)."""
+    j = a.alias("a").join(b.alias("b"), ["key"], "full_outer")
+    a_first = F.col("b.doc_ids").isNull() | (
+        F.col("a.doc_ids").isNotNull()
+        & (F.element_at(F.col("a.doc_ids"), 1) <= F.element_at(F.col("b.doc_ids"), 1))
+    )
+    empty = F.array().cast("array<string>")
+    doc_ids = F.array_sort(
+        F.array_union(
+            F.coalesce(F.col("a.doc_ids"), empty),
+            F.coalesce(F.col("b.doc_ids"), empty),
+        )
+    )
+    return j.select(
+        "key",
+        F.when(a_first, F.col("a.label")).otherwise(F.col("b.label")).alias("label"),
+        F.coalesce(F.col("a.types"), F.col("b.types")).alias("types"),
+        doc_ids.alias("doc_ids"),
+        F.size(doc_ids).cast("int").alias("n_docs"),
+    )
