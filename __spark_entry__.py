@@ -790,6 +790,12 @@ def _q_text_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir))
 
 
+def _q_text_hashed_features(spark, sf_dir):
+    # hashing-trick document vectors (operators/textstats.py): md5-prefix
+    # sign/dim arithmetic, sparse (doc_id, dim, weight) rows
+    return TS.hashed_features(_docs(spark, sf_dir), n_dims=64)
+
+
 def _q_text_tfidf(spark, sf_dir):
     # top-5 characteristic terms per doc; integer-linearized idf so the
     # score is bit-reproducible (no ln() engine seam)
@@ -1159,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": _q_text_tokens,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_hashed_features": _q_text_hashed_features,
         "text_tfidf": _q_text_tfidf,
         "corpus_rollup": _q_corpus_rollup,
         "events_hourly": _q_events_hourly,
@@ -2071,6 +2078,20 @@ FROM s
 SELECT doc_id, md5(trim(text)) AS fp_md5,
        CAST(('0x' || substr(md5(trim(text)), 1, 15)) AS bigint) AS fp_int60
 FROM documents
+""",
+        # hashing trick: sign(md5) into md5 mod 64, summed per doc; sparse
+        "text_hashed_features": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 12)) AS bigint) AS hv
+  FROM tok WHERE tok <> ''
+)
+SELECT doc_id, CAST(hv % 64 AS int) AS dim,
+       CAST(sum(CASE WHEN (hv % 128) >= 64 THEN -1 ELSE 1 END) AS bigint) AS weight
+FROM h GROUP BY 1, 2
+HAVING sum(CASE WHEN (hv % 128) >= 64 THEN -1 ELSE 1 END) <> 0
 """,
         # integer-linearized tf-idf (idf_e6 = 1e6*N DIV df): same per-doc
         # ranking direction as tf*log(N/df), no float/ln engine seam

@@ -134,3 +134,23 @@ def test_pack_sequences_prefix_layout(docs):
     assert got[3] == ("s1", 7, 0, 0)
     assert got[4] == ("s1", 5, 0, 7)
     assert got[5] == ("s1", 6, 1, 2)
+
+
+def test_hashed_features_matches_python_mirror(docs):
+    from text_to_graph_spark.operators.textstats import hashed_features
+
+    got = {
+        (r.doc_id, r.dim): r.weight
+        for r in hashed_features(docs, n_dims=8).collect()
+    }
+    exp: dict = {}
+    for doc_id, text, *_ in DOCS:
+        for tok in text.split(" "):
+            if not tok:
+                continue
+            hv = int(hashlib.md5(tok.encode()).hexdigest()[:12], 16)
+            sgn = -1 if (hv % 16) >= 8 else 1
+            k = (doc_id, hv % 8)
+            exp[k] = exp.get(k, 0) + sgn
+    exp = {k: v for k, v in exp.items() if v != 0}
+    assert got == exp

@@ -154,3 +154,33 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         md5.alias("fp_md5"),
         F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint").alias("fp_int60"),
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    n_dims: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectors — the scalable
+    featurization that needs no vocabulary pass: token t contributes
+    sign(md5(t)) into dimension md5(t) mod n_dims, summed per document.
+
+    One explode + one partial-aggregated shuffle keyed (doc_id, dim) whose
+    width is bounded by n_dims per document regardless of document length;
+    no model state, no driver round-trip, deterministic across engines
+    (md5-prefix integer arithmetic only). Sparse output rows
+    (doc_id, dim, weight), zero-weight dims omitted.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("bigint")
+    sgn = F.when((h % (2 * n_dims)) >= n_dims, F.lit(-1)).otherwise(F.lit(1))
+    return (
+        tok.select("doc_id", (h % n_dims).cast("int").alias("dim"), sgn.alias("sgn"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
