@@ -766,6 +766,15 @@ def _q_ann_topk_bucketed(spark, sf_dir):
     return SIM.topk_bucketed(emb, emb.where("vec_id < 10"), k=5)
 
 
+def _q_ann_topk_ivf_trained(spark, sf_dir):
+    # trainer + index composed: k-means centroids (integer micro units)
+    # coarse-quantize both sides, cosine top-k within the query's cluster
+    emb = _emb(spark, sf_dir)
+    return SIM.topk_ivf_trained(
+        emb, emb.where("vec_id < 10"), k=5, n_centroids=4, n_iter=2
+    )
+
+
 def _q_emb_kmeans(spark, sf_dir):
     # deterministic Lloyd's trainer for the IVF coarse quantizer
     # (operators/similarity.py): integer micro-unit arithmetic, k=4 seeds =
@@ -1160,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_bucketed": _q_ann_topk_bucketed,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "ann_topk_ivf_trained": _q_ann_topk_ivf_trained,
         "emb_kmeans": _q_emb_kmeans,
         "text_quality": _q_text_quality,
         "text_tokens": _q_text_tokens,
@@ -1330,11 +1340,12 @@ def _sssp_cte(rounds: int = 8, root: str = "customer") -> str:
     return ",\n".join(parts)
 
 
-def _kmeans_oracle(k: int = 4, n_iter: int = 2) -> str:
-    """Unrolled Lloyd's k-means over integer micro-units, mirroring
-    operators/similarity.kmeans_train exactly: floor(x*1e6+0.5)
+def _kmeans_cte(k: int = 4, n_iter: int = 2) -> str:
+    """Unrolled Lloyd's k-means CTE chain over integer micro-units,
+    mirroring operators/similarity.kmeans_train exactly: floor(x*1e6+0.5)
     quantization, exact integer squared-L2 argmin with cid tiebreak,
-    half-away-from-zero integer means, empty-cluster carryover."""
+    half-away-from-zero integer means, empty-cluster carryover. Ends with
+    ``aF`` (final per-vector assignment) and ``sz`` (cluster sizes)."""
     parts = [
         """ev AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
@@ -1400,9 +1411,14 @@ def _kmeans_oracle(k: int = 4, n_iter: int = 2) -> str:
 )"""
     )
     parts.append("sz AS (SELECT cid, count(*) AS n FROM aF GROUP BY cid)")
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle(k: int = 4, n_iter: int = 2) -> str:
+    final = f"c{n_iter}"
     return (
         "WITH "
-        + ",\n".join(parts)
+        + _kmeans_cte(k, n_iter)
         + f"""
 SELECT {final}.cid AS cluster,
        CAST(coalesce(sz.n, 0) AS bigint) AS n_members,
@@ -1946,6 +1962,30 @@ FROM reach3 GROUP BY node
         # integer micro-unit arithmetic end to end, so assignment and means
         # are bit-equal to the Spark trainer on any engine
         "emb_kmeans": _kmeans_oracle(),
+        # trained-IVF search: the k-means CTE chain's final assignment (aF)
+        # is the inverted file; cosine top-k within the query's cluster
+        "ann_topk_ivf_trained": f"""
+WITH {_kmeans_cte()},
+e2 AS (
+  SELECT e.vec_id, e.embedding, {_NORM.format(v='e.embedding')} AS nrm, a.cid
+  FROM embeddings e JOIN aF a USING (vec_id)
+),
+q AS (SELECT * FROM e2 WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_DOT.format(a='q.embedding', b='a.embedding')} / (q.nrm * a.nrm) AS c
+  FROM q JOIN e2 a ON a.cid = q.cid AND a.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS int) AS rank,
+       (floor((c) * 1000000.0 + 0.5) / 1000000.0) AS cos
+FROM ranked WHERE rnk <= 5
+""",
         "ann_topk_ivf": f"""
 WITH e AS (
   SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm

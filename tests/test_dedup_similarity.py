@@ -267,3 +267,44 @@ class TestKMeansTrain:
             map(tuple, kmeans_train(emb.repartition(13), k=3, n_iter=3).collect())
         )
         assert a == b
+
+
+def test_topk_ivf_trained_within_trained_cluster(spark):
+    """The trained index must score only candidates sharing the query's
+    k-means cluster, and ranks must be contiguous from 1."""
+    from text_to_graph_spark.operators.similarity import (
+        MICRO,
+        _assign_micro,
+        kmeans_train,
+        micro_vec_expr,
+        topk_ivf_trained,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = topk_ivf_trained(emb, emb.where("vec_id < 5"), k=3).collect()
+    assert got, "no neighbors returned"
+
+    model = kmeans_train(emb, k=4, n_iter=2)
+    by_cid: dict = {}
+    for r in model.collect():
+        by_cid.setdefault(r.cluster, {})[r.dim] = r.centroid
+    cents = [
+        (cid, [int(round(v * MICRO)) for _, v in sorted(d.items())])
+        for cid, d in sorted(by_cid.items())
+    ]
+    assigned = {
+        r["id"]: r["cluster"]
+        for r in _assign_micro(
+            emb.select(
+                F.col("vec_id").alias("id"), micro_vec_expr("embedding").alias("mic")
+            ),
+            cents,
+        ).collect()
+    }
+    ranks: dict = {}
+    for r in got:
+        assert assigned[r.neighbor_id] == assigned[r.query_id]
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    for q, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))

@@ -331,6 +331,69 @@ def kmeans_train(
     )
 
 
+def topk_ivf_trained(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat top-k with a k-means-TRAINED coarse quantizer (nprobe=1) —
+    the trainer (:func:`kmeans_train`) and the index composed end to end.
+
+    Assignment reuses the trainer's exact integer micro-unit distances
+    (:func:`_assign_micro`, zero-shuffle inlined-literal projection), so the
+    query-time partitioning is bit-identical to the one training produced;
+    scoring is the portable fixed-order cosine fold within the query's
+    cluster only. The cluster id is the only join key — each query touches
+    one inverted-file partition, the property that makes IVF the 100 TB
+    read path.
+    """
+    model = kmeans_train(emb, k=n_centroids, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    cents_rows = model.collect()  # K x D model params — driver-side by design
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in cents_rows:
+        by_cid.setdefault(r["cluster"], {})[r["dim"]] = r["centroid"]
+    cents = [
+        (cid, [int(round(dims[d] * MICRO)) for d in sorted(dims)])
+        for cid, dims in sorted(by_cid.items())
+    ]
+
+    def _mic(df: DataFrame, suffix: str) -> DataFrame:
+        m = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            norm_expr(vec_col).alias("norm"),
+            micro_vec_expr(vec_col).alias("mic"),
+        )
+        return _assign_micro(m, cents).select(
+            F.col("id").alias(f"id_{suffix}"),
+            F.col("vec").alias(f"vec_{suffix}"),
+            F.col("norm").alias(f"norm_{suffix}"),
+            "cluster",
+        )
+
+    scored = (
+        _mic(emb, "c")
+        .join(F.broadcast(_mic(queries, "q")), "cluster")
+        .where(F.col("id_q") != F.col("id_c"))
+        .withColumn("cos", cosine_expr("vec_q", "vec_c", "norm_q", "norm_c"))
+    )
+    w = Window.partitionBy("id_q").orderBy(F.desc("cos"), F.asc("id_c"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id_q").alias("query_id"),
+            F.col("id_c").alias("neighbor_id"),
+            "rank",
+            round_half_up(F.col("cos"), 6).alias("cos"),
+        )
+    )
+
+
 def topk_bucketed(
     emb: DataFrame,
     queries: DataFrame,
