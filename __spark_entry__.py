@@ -289,6 +289,24 @@ def _q_kg_components(spark, sf_dir):
     return connected_components(_edges(spark, sf_dir), src="subj", dst="obj")
 
 
+def _q_kg_components_incremental(spark, sf_dir):
+    # incremental CC: per-slice CC star graphs unioned, one CC over stars
+    # (operators/components.merge_component_assignments) == batch CC
+    from text_to_graph_spark.operators.components import (
+        merge_component_assignments,
+    )
+
+    t = _stages(spark, sf_dir)["triples"]
+    cond = F.substring(F.md5("url"), 1, 1).isin(*list("01234567"))
+
+    def _cc(tt):
+        return connected_components(
+            triples_to_canonical_edges(tt), src="subj_key", dst="obj_key"
+        )
+
+    return merge_component_assignments(_cc(t.where(cond)), _cc(t.where(~cond)))
+
+
 def _q_kg_pagerank(spark, sf_dir):
     # fixed-point-integer PageRank (operators/graphalgo.py): bit-identical
     # across engines/partitionings; 5 iterations, 0.85 damping
@@ -1135,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_parallel_edges": _q_kg_parallel_edges,
         "kg_khop2": _q_kg_khop2,
         "kg_components": _q_kg_components,
+        "kg_components_incremental": _q_kg_components_incremental,
         "kg_pagerank": _q_kg_pagerank,
         "kg_weighted_sssp": _q_kg_weighted_sssp,
         "kg_triangles": _q_kg_triangles,
@@ -1580,6 +1599,17 @@ UNION ALL SELECT node, CAST(1 AS int) FROM d1
 UNION ALL SELECT node, CAST(2 AS int) FROM d2
 """,
         "kg_components": f"""
+{_KG_PREFIX},
+verts AS (SELECT DISTINCT u AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM verts
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+""",
+        # incremental CC must equal batch CC — same full-corpus SQL
+        "kg_components_incremental": f"""
 {_KG_PREFIX},
 verts AS (SELECT DISTINCT u AS node FROM sym),
 reach AS (

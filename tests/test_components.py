@@ -193,3 +193,23 @@ def test_pairwise_paths_scale_fixture_grid(spark):
     assert by_pair[(0, 31)]["distance"] == 31
     # lexicographic-min tiebreak over equal-length paths: straight top row
     assert by_pair[(0, 31)]["path"] == ">".join(str(i) for i in range(32))
+
+
+def test_merge_component_assignments_bridges_slices(spark):
+    from text_to_graph_spark.operators.components import (
+        connected_components,
+        merge_component_assignments,
+    )
+
+    a_edges = spark.createDataFrame([("1", "2")], "src string, dst string")
+    b_edges = spark.createDataFrame(
+        [("2", "3"), ("4", "5")], "src string, dst string"
+    )
+    a = connected_components(a_edges)
+    b = connected_components(b_edges)
+    got = {
+        r.node: r.component
+        for r in merge_component_assignments(a, b).collect()
+    }
+    # node 2 bridges the slices: {1,2,3} unify under min label "1"
+    assert got == {"1": "1", "2": "1", "3": "1", "4": "4", "5": "4"}

@@ -233,3 +233,23 @@ def k_hop_subgraph(
         .join(kept.withColumnRenamed("node", dst), dst, "left_semi")
     )
     return nodes, sub_edges
+
+
+def merge_component_assignments(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Incremental connected components: merge two per-slice (node,
+    component) assignments into the assignment the full edge set would
+    produce.
+
+    Each slice's assignment is a spanning star graph of that slice's
+    connectivity (component = min reachable node id), so running CC over the
+    UNION OF STARS — a graph no larger than the node count, independent of
+    how many occurrence edges the slices contained — reconnects exactly the
+    components that share a node across slices, and min-label propagation
+    re-derives the global minima. The classic incremental-CC shape: a new
+    crawl slice costs one CC over its own edges plus one CC over star
+    graphs, never a recompute over the historical corpus's edges.
+    """
+    stars = a.unionByName(b).select(
+        F.col("node").alias("u"), F.col("component").alias("v")
+    )
+    return connected_components(stars, "u", "v")
