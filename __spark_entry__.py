@@ -336,6 +336,29 @@ def _q_kg_triangles(spark, sf_dir):
     return triangle_count(_edges(spark, sf_dir), src="subj", dst="obj")
 
 
+def _q_kg_communities(spark, sf_dir):
+    # deterministic synchronous label propagation (operators/graphalgo.py):
+    # 4 rounds, argmax-by-count ties broken label-asc via the portable
+    # printf('%09d|%s') min-key; the oracle unrolls the same recurrence
+    from text_to_graph_spark.operators.graphalgo import label_propagation
+
+    return label_propagation(
+        _edges(spark, sf_dir), src="subj", dst="obj", rounds=4
+    )
+
+
+def _q_kg_link_prediction(spark, sf_dir):
+    # common-neighbor / neighbor-Jaccard link prediction with the wedge
+    # centers degree-capped at 32 (the web-scale hub bound; oracle mirrors
+    # the cap); jaccard in exact ppm integer arithmetic
+    from text_to_graph_spark.operators.graphalgo import common_neighbors
+
+    return common_neighbors(
+        _edges(spark, sf_dir), src="subj", dst="obj",
+        min_common=2, max_neighbor_degree=32,
+    )
+
+
 def _q_kg_node_type_counts(spark, sf_dir):
     nodes = triples_to_canonical_nodes(
         _stages(spark, sf_dir)["triples"], category_of=vocab_category_table(spark)
@@ -829,6 +852,24 @@ def _q_text_tfidf(spark, sf_dir):
     return TS.tfidf_top_terms(_docs(spark, sf_dir))
 
 
+def _q_text_inverted_index(spark, sf_dir):
+    # search-index build: per term df + array_sort'd posting list; min_df=2
+    # floors the Zipf tail (operators/textstats.py)
+    return TS.inverted_index(_docs(spark, sf_dir), min_df=2)
+
+
+def _q_text_ngrams(spark, sf_dir):
+    # corpus bigram counts via pure array transform (no UDF); min_count=3
+    return TS.ngram_counts(_docs(spark, sf_dir), n=2, min_count=3)
+
+
+def _q_web_site_stats(spark, sf_dir):
+    # per-site crawl curation rollup over the pages input table
+    # (operators/curation.py): split-projection site key, one partial-agg
+    # shuffle, epoch-second time span
+    return CUR.site_stats(_stages(spark, sf_dir)["pages"])
+
+
 def _q_corpus_rollup(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -890,6 +931,12 @@ def _events_typed(spark, sf_dir):
         EV.epoch_seconds_ntz("ts").alias("sec"),
         F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
     )
+
+
+def _q_events_retention(spark, sf_dir):
+    # cohort retention triangle: first-seen-day cohorts x day offset,
+    # distinct users + event counts (operators/events.py)
+    return EV.retention_cohorts(_events(spark, sf_dir))
 
 
 def _q_events_asof(spark, sf_dir):
@@ -1157,6 +1204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_weighted_sssp": _q_kg_weighted_sssp,
         "kg_triangles": _q_kg_triangles,
+        "kg_communities": _q_kg_communities,
+        "kg_link_prediction": _q_kg_link_prediction,
         "kg_node_type_counts": _q_kg_node_type_counts,
         "kg_linked_mentions": _q_kg_linked_mentions,
         "kg_linked_mentions_salted": _q_kg_linked_mentions_salted,
@@ -1196,8 +1245,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_hashed_features": _q_text_hashed_features,
         "text_tfidf": _q_text_tfidf,
+        "text_inverted_index": _q_text_inverted_index,
+        "text_ngrams": _q_text_ngrams,
+        "web_site_stats": _q_web_site_stats,
         "corpus_rollup": _q_corpus_rollup,
         "events_hourly": _q_events_hourly,
+        "events_retention": _q_events_retention,
         "events_sessionize": _q_events_sessionize,
         "events_enrich": _q_events_enrich,
         "events_top_users": _q_events_top_users,
@@ -1448,6 +1501,30 @@ FROM {final} LEFT JOIN sz ON sz.cid = {final}.cid
     )
 
 
+def _lpa_cte(rounds: int = 4) -> str:
+    """Unrolled deterministic label-propagation recurrence (lp0..lpN),
+    mirroring operators/graphalgo.label_propagation exactly: argmax by
+    (count desc, label asc) via min() over the printf('%09d|%s') key."""
+    parts = [
+        # explicit DISTINCT: under WITH RECURSIVE DuckDB gives bare-UNION CTEs
+        # recursive-form semantics and skips the global dedup
+        "lp_sym AS (SELECT DISTINCT u, v FROM sym WHERE u <> v)",
+        "lp0 AS (SELECT DISTINCT u AS node, u AS community FROM lp_sym)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""lp{i} AS (
+  SELECT node,
+         substr(min(printf('%09d|%s', 999999999 - cnt, community)), 11)
+           AS community
+  FROM (SELECT s.u AS node, l.community AS community, count(*) AS cnt
+        FROM lp_sym s JOIN lp{i-1} l ON s.v = l.node GROUP BY 1, 2)
+  GROUP BY node
+)"""
+        )
+    return ",\n".join(parts)
+
+
 def _pagerank_cte(iterations: int = 5, damping_pct: int = 85) -> str:
     """Unrolled fixed-point PageRank recurrence as chained CTEs (r0..rN),
     mirroring operators/graphalgo.pagerank exactly: integer division
@@ -1664,6 +1741,40 @@ SELECT n.node,
 FROM allnodes n LEFT JOIN (
   SELECT node, count(*) AS cnt FROM member GROUP BY node
 ) m ON m.node = n.node
+""",
+        # deterministic synchronous LPA, recurrence unrolled (4 rounds);
+        # the printf min-key argmax is bit-equal across engines
+        "kg_communities": f"""
+{_KG_PREFIX},
+{_lpa_cte()}
+SELECT node, community FROM lp4
+""",
+        # common-neighbor link prediction with wedge centers degree-capped
+        # at 32 (mirrors the Spark cap); jaccard in exact integer ppm
+        "kg_link_prediction": f"""
+{_KG_PREFIX},
+cn_sym AS (SELECT DISTINCT u, v FROM sym WHERE u <> v),
+cn_deg AS (SELECT u, count(*) AS d FROM cn_sym GROUP BY u),
+cn_wedge AS (
+  SELECT s.u, s.v FROM cn_sym s JOIN cn_deg dc ON dc.u = s.v
+  WHERE dc.d <= 32
+),
+cn_pairs AS (
+  SELECT s1.u AS node_a, s2.u AS node_b, count(*) AS n_common
+  FROM cn_wedge s1 JOIN cn_wedge s2 ON s1.v = s2.v AND s1.u < s2.u
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.node_a, p.node_b,
+       CAST(p.n_common AS bigint) AS n_common,
+       CAST(da.d + db.d - p.n_common AS bigint) AS n_union,
+       CAST((1000000 * p.n_common) // (da.d + db.d - p.n_common) AS bigint)
+         AS jaccard_ppm,
+       EXISTS (SELECT 1 FROM cn_sym e
+               WHERE e.u = p.node_a AND e.v = p.node_b) AS is_linked
+FROM cn_pairs p
+JOIN cn_deg da ON da.u = p.node_a
+JOIN cn_deg db ON db.u = p.node_b
 """,
         "kg_node_type_counts": f"""
 {_KG_PREFIX}
@@ -2195,6 +2306,55 @@ SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_chars) AS bigint) AS sum_chars,
        CAST(sum(len(string_split(text, ' '))) AS bigint) AS sum_tokens
 FROM documents GROUP BY lang, source
+""",
+        # search-index build: df + sorted posting list per term
+        "text_inverted_index": """
+WITH td AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+)
+SELECT term, CAST(count(*) AS bigint) AS df,
+       list_sort(list(doc_id)) AS postings
+FROM td GROUP BY term HAVING count(*) >= 2
+""",
+        # corpus bigram counts; aligned-subscript expansion (no ORDINALITY)
+        "text_ngrams": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS ngram
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS g(i)
+)
+SELECT ngram, CAST(count(*) AS bigint) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS bigint) AS n_docs
+FROM grams GROUP BY ngram HAVING count(*) >= 3
+""",
+        # per-site crawl rollup over the pages input table
+        "web_site_stats": f"""
+{_KG_PREFIX}
+SELECT string_split(url, '/')[4] AS site,
+       CAST(count(*) AS bigint) AS n_pages,
+       CAST(count(DISTINCT lang) AS bigint) AS n_langs,
+       CAST(sum(length(text)) AS bigint) AS total_chars,
+       CAST(sum(octet_length(html)) AS bigint) AS total_html_bytes,
+       CAST(sum(length(text)) // count(*) AS bigint) AS chars_per_page,
+       CAST(min(epoch(warc_ts)) AS bigint) AS first_crawl_epoch,
+       CAST(max(epoch(warc_ts)) AS bigint) AS last_crawl_epoch
+FROM pages GROUP BY 1
+""",
+        # cohort retention triangle over tz-free event days
+        "events_retention": """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+firstseen AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY 1)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort, e.d) AS bigint) AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS bigint) AS n_users,
+       CAST(count(*) AS bigint) AS n_events
+FROM ev e JOIN firstseen f USING (user_id)
+GROUP BY 1, 2
 """,
         "events_hourly": """
 SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,

@@ -154,3 +154,81 @@ def test_hashed_features_matches_python_mirror(docs):
             exp[k] = exp.get(k, 0) + sgn
     exp = {k: v for k, v in exp.items() if v != 0}
     assert got == exp
+
+
+class TestSiteStats:
+    def test_rollup_matches_pandas(self, spark):
+        from text_to_graph_spark.operators.curation import site_stats
+        from text_to_graph_spark.sources.pages import synthesize_pages
+
+        pages = synthesize_pages(spark, "/root/testdata/sf0.001")
+        got = {r.site: r for r in site_stats(pages).collect()}
+        pdf = pages.select(
+            F.split("url", "/").getItem(3).alias("site"),
+            F.length("text").alias("nc"),
+            F.length("html").alias("nb"),
+            "lang",
+            F.col("warc_ts").cast("long").alias("ep"),
+        ).toPandas()
+        for site, g in pdf.groupby("site"):
+            r = got[site]
+            assert r.n_pages == len(g)
+            assert r.n_langs == g["lang"].nunique()
+            assert r.total_chars == g["nc"].sum()
+            assert r.total_html_bytes == g["nb"].sum()
+            assert r.chars_per_page == g["nc"].sum() // len(g)
+            assert (r.first_crawl_epoch, r.last_crawl_epoch) == (
+                g["ep"].min(), g["ep"].max(),
+            )
+        assert set(got) == set(pdf["site"].unique())
+
+
+class TestInvertedIndexAndNgrams:
+    DOCS = [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "a dog sat"),
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(self.DOCS, "doc_id long, text string")
+
+    def test_inverted_index_postings(self, spark):
+        from text_to_graph_spark.operators.textstats import inverted_index
+
+        got = {
+            r.term: (r.df, list(r.postings))
+            for r in inverted_index(self._docs(spark), min_df=2).collect()
+        }
+        assert got == {
+            "the": (2, [1, 2]),
+            "cat": (2, [1, 2]),
+            "sat": (2, [1, 3]),
+        }
+
+    def test_ngram_counts_bigrams(self, spark):
+        from text_to_graph_spark.operators.textstats import ngram_counts
+
+        got = {
+            r.ngram: (r.n_occurrences, r.n_docs)
+            for r in ngram_counts(self._docs(spark), n=2, min_count=1).collect()
+        }
+        assert got == {
+            "the cat": (2, 2),
+            "cat sat": (1, 1),
+            "cat ran": (1, 1),
+            "a dog": (1, 1),
+            "dog sat": (1, 1),
+        }
+
+    def test_ngram_short_doc_and_trigrams(self, spark):
+        from text_to_graph_spark.operators.textstats import ngram_counts
+
+        docs = spark.createDataFrame(
+            [(1, "one"), (2, "x  y z")], "doc_id long, text string"
+        )  # doc 1 too short for bigrams; doc 2 has a double space
+        got = {
+            r.ngram: r.n_occurrences
+            for r in ngram_counts(docs, n=3, min_count=1).collect()
+        }
+        assert got == {"x y z": 1}

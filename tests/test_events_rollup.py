@@ -163,3 +163,44 @@ class TestHistogramQuantiles:
         for k, lo in fine.items():
             # coarse bin must contain the fine estimate
             assert coarse[k] <= lo < coarse[k] + 1000
+
+
+class TestRetentionCohorts:
+    def test_python_mirror_parity(self, spark):
+        from text_to_graph_spark.operators.events import retention_cohorts
+
+        ev = _events(spark, n_users=40, n_events=400)
+        got = {
+            (r.cohort_day, r.day_offset): (r.n_users, r.n_events)
+            for r in retention_cohorts(ev).collect()
+        }
+        rows = ev.select(
+            "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d")
+        ).collect()
+        first = {}
+        for r in rows:
+            first[r.user_id] = min(first.get(r.user_id, r.d), r.d)
+        from datetime import date
+
+        def _off(a, b):
+            return (date.fromisoformat(b) - date.fromisoformat(a)).days
+
+        exp: dict[tuple, set] = {}
+        cnt: dict[tuple, int] = {}
+        for r in rows:
+            k = (first[r.user_id], _off(first[r.user_id], r.d))
+            exp.setdefault(k, set()).add(r.user_id)
+            cnt[k] = cnt.get(k, 0) + 1
+        assert got == {k: (len(v), cnt[k]) for k, v in exp.items()}
+
+    def test_offset_zero_covers_every_user(self, spark):
+        from text_to_graph_spark.operators.events import retention_cohorts
+
+        ev = _events(spark, n_users=25, n_events=300)
+        df = retention_cohorts(ev)
+        day0 = (
+            df.where(F.col("day_offset") == 0)
+            .agg(F.sum("n_users"))
+            .first()[0]
+        )
+        assert day0 == 25  # every user is active on their cohort day

@@ -125,3 +125,85 @@ class TestWeightedSSSP:
     def test_multi_root_min(self, spark):
         got = self._dists(spark, self.WEDGES, roots=("a", "e"))
         assert got["e"] == 0 and got["a"] == 0 and got["d"] == 3
+
+
+class TestLabelPropagation:
+    # two triangles joined by one bridge: a-b-c and x-y-z, bridge c-x
+    CLUSTERED = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("x", "y"), ("y", "z"), ("z", "x"),
+        ("c", "x"),
+    ]
+
+    def _run(self, spark, edges, rounds=4):
+        from text_to_graph_spark.operators.graphalgo import label_propagation
+
+        df = label_propagation(_edge_df(spark, edges), rounds=rounds)
+        return {r.node: r.community for r in df.collect()}
+
+    def _lpa_py(self, edges, rounds=4):
+        """Driver-side mirror: argmax neighbor label by (count desc, label
+        asc), synchronous rounds."""
+        adj: dict[str, set[str]] = {}
+        for u, v in edges:
+            if u != v:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+        lab = {n: n for n in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for n, nbrs in adj.items():
+                cnt: dict[str, int] = {}
+                for m in nbrs:
+                    cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+                nxt[n] = min(cnt, key=lambda c: (-cnt[c], c))
+            lab = nxt
+        return lab
+
+    def test_parity_with_python_mirror(self, spark):
+        assert self._run(spark, self.CLUSTERED) == self._lpa_py(self.CLUSTERED)
+
+    def test_parity_on_directed_multi_edges(self, spark):
+        edges = EDGES + [("a", "b"), ("b", "a")]  # dup + reverse collapse
+        assert self._run(spark, edges) == self._lpa_py(edges)
+
+    def test_every_non_isolated_node_labeled(self, spark):
+        got = self._run(spark, self.CLUSTERED)
+        assert set(got) == {"a", "b", "c", "x", "y", "z"}
+
+
+class TestCommonNeighbors:
+    # square a-b-d-c-a: the two diagonals (a,d) and (b,c) each share both
+    # opposite corners; every adjacent pair shares 0 common neighbors
+    SQUARE = [("a", "b"), ("b", "d"), ("d", "c"), ("c", "a")]
+
+    def _run(self, spark, edges, **kw):
+        from text_to_graph_spark.operators.graphalgo import common_neighbors
+
+        df = common_neighbors(_edge_df(spark, edges), **kw)
+        return {(r.node_a, r.node_b): r for r in df.collect()}
+
+    def test_square_diagonals(self, spark):
+        got = self._run(spark, self.SQUARE, min_common=2)
+        assert set(got) == {("a", "d"), ("b", "c")}
+        r = got[("a", "d")]
+        # neighbors(a)={b,c}, neighbors(d)={b,c}: jaccard 2/2
+        assert (r.n_common, r.n_union, r.jaccard_ppm, r.is_linked) == (
+            2, 2, 1000000, False,
+        )
+
+    def test_linked_flag_and_partial_overlap(self, spark):
+        # triangle a-b-c plus pendant d on c: (a,b) linked, share c
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+        got = self._run(spark, edges, min_common=1)
+        r = got[("a", "b")]
+        # neighbors(a)={b,c}, neighbors(b)={a,c}: common={c}, union 3
+        assert (r.n_common, r.n_union, r.is_linked) == (1, 3, True)
+        assert r.jaccard_ppm == 1000000 // 3
+    def test_degree_cap_drops_hub_wedges(self, spark):
+        # star center s connects x1..x4: every leaf pair shares only s
+        star = [("s", f"x{i}") for i in range(4)]
+        uncapped = self._run(spark, star, min_common=1)
+        assert len(uncapped) == 6  # C(4,2) leaf pairs
+        capped = self._run(spark, star, min_common=1, max_neighbor_degree=3)
+        assert capped == {}  # s has degree 4 > cap, no wedges survive

@@ -264,3 +264,37 @@ def curated_corpus(
         )
         .select("doc_id", "lang", "source", "n_tokens", "quality_score")
     )
+
+
+def site_stats(pages: DataFrame) -> DataFrame:
+    """Per-site corpus curation rollup over the Common-Crawl-style pages
+    table: the site key is the first path segment after the host
+    (``https://host/<site>/...``), which is the synthesis source and, in a
+    real crawl, the domain-level grouping every curation pipeline reports
+    by (docs, language spread, byte volume, crawl-time span).
+
+    Pure built-ins: one ``split`` projection + one partial-aggregated
+    shuffle on the site key (domain counts are Zipfian at crawl scale —
+    the partial agg absorbs the skew before the exchange). Timestamps are
+    reported as tz-free epoch seconds so results are engine-portable.
+    """
+    site = F.split(F.col("url"), "/").getItem(3).alias("site")
+    return (
+        pages.select(
+            site,
+            F.col("lang"),
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.length("html").cast("bigint").alias("n_html_bytes"),
+            F.col("warc_ts").cast("long").alias("epoch_s"),
+        )
+        .groupBy("site")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_html_bytes").alias("total_html_bytes"),
+            F.expr("sum(n_chars) DIV count(*)").alias("chars_per_page"),
+            F.min("epoch_s").alias("first_crawl_epoch"),
+            F.max("epoch_s").alias("last_crawl_epoch"),
+        )
+    )

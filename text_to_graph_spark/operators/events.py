@@ -312,3 +312,28 @@ def rolling_user_value(events: DataFrame, window_seconds: int = 3600) -> DataFra
         F.sum("cents").over(w).alias("roll_sum_cents"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("roll_n"),
     )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, distinct
+    active users and event counts per (cohort_day, day_offset).
+
+    Two shuffles: first-seen min per user (partial-agg), then the
+    (cohort, offset) rollup after an equi-join back on user_id — the join
+    key is the same hash partitioning the first agg produced, so AQE reuses
+    the exchange. Day arithmetic is tz-free (NTZ casts + datediff on DATE),
+    cohort rendered as a yyyy-MM-dd string for engine-portable hashing.
+    """
+    ev = events.select("user_id", F.to_date("ts").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort")).cast("bigint").alias("day_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )

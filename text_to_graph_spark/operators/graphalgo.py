@@ -28,9 +28,141 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "weighted_sssp"]
+__all__ = [
+    "pagerank",
+    "triangle_count",
+    "weighted_sssp",
+    "label_propagation",
+    "common_neighbors",
+]
 
 RANK_SCALE = 10**9
+
+
+def _sym_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected deduplicated adjacency (u, v) with self-loops dropped."""
+    d = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    )
+    return (
+        d.unionByName(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "subj", dst: str = "obj", rounds: int = 4
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection).
+
+    label_0(v) = v; label_{i+1}(v) = the neighbor label with the highest
+    multiplicity, ties broken by label ascending. The argmax is made
+    engine-portable by min() over the composite string key
+    ``printf('%09d|%s', 999999999 - cnt, label)`` — no window function, no
+    engine-specific arg_max, so the SQL-oracle twin unrolls the identical
+    recurrence and matches bit-for-bit. Classic LPA iterates to a (seed-
+    and order-dependent) fixpoint; the fixed-round synchronous variant is
+    the reproducible formulation, and the one that maps to Spark: each
+    round is ONE equi-join (adjacency x labels, both hashed on the join
+    key) + one two-level partial-aggregated shuffle. Adjacency is
+    ``localCheckpoint``-ed once; per-round labels cut lineage the same way
+    (the connected_components pattern). Returns (node, community) for
+    every non-isolated node.
+    """
+    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), F.col("community"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        key = F.format_string(
+            "%09d|%s", F.lit(999999999) - F.col("cnt"), F.col("community")
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(F.min(key).alias("k"))
+            .select("node", F.expr("substr(k, 11)").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def common_neighbors(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    min_common: int = 2,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction by common-neighbor counting + neighbor-set Jaccard.
+
+    For every unordered node pair (a < b) sharing >= ``min_common``
+    neighbors: n_common, n_union = deg(a) + deg(b) - n_common, the Jaccard
+    coefficient in exact parts-per-million integer arithmetic, and whether
+    the pair is already directly linked (unlinked high-Jaccard pairs are
+    the predicted links).
+
+    Scale shape: the wedge self-join of the adjacency list on the shared-
+    neighbor key is the one expensive step — cost sum(deg(w)^2) over
+    wedge centers w, so hub nodes dominate. ``max_neighbor_degree``
+    degree-caps the wedge CENTERS (drop rows whose shared neighbor has
+    degree > cap before the join) — the standard web-scale bound; full
+    degrees still feed n_union, so reported Jaccard stays exact for every
+    emitted pair. The oracle mirrors the cap exactly.
+    """
+    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    wedge_src = sym
+    if max_neighbor_degree is not None:
+        center_deg = deg.withColumnRenamed("u", "v").withColumnRenamed("d", "dv")
+        wedge_src = (
+            sym.join(center_deg, "v")
+            .where(F.col("dv") <= max_neighbor_degree)
+            .select("u", "v")
+        )
+    s1, s2 = wedge_src.alias("s1"), wedge_src.alias("s2")
+    pairs = (
+        s1.join(
+            s2,
+            (F.col("s1.v") == F.col("s2.v")) & (F.col("s1.u") < F.col("s2.u")),
+        )
+        .groupBy(
+            F.col("s1.u").alias("node_a"), F.col("s2.u").alias("node_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    da = deg.select(F.col("u").alias("node_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("u").alias("node_b"), F.col("d").alias("deg_b"))
+    und = sym.where(F.col("u") < F.col("v")).select(
+        F.col("u").alias("node_a"), F.col("v").alias("node_b"),
+        F.lit(True).alias("is_linked"),
+    )
+    return (
+        pairs.join(da, "node_a")
+        .join(db, "node_b")
+        .join(und, ["node_a", "node_b"], "left")
+        .select(
+            "node_a",
+            "node_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+            .cast("bigint")
+            .alias("n_union"),
+            F.expr(
+                "CAST(1000000 * n_common AS bigint)"
+                " DIV (deg_a + deg_b - n_common)"
+            ).alias("jaccard_ppm"),
+            F.coalesce(F.col("is_linked"), F.lit(False)).alias("is_linked"),
+        )
+    )
 
 
 def pagerank(

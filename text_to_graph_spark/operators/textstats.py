@@ -147,6 +147,75 @@ def tfidf_top_terms(
     )
 
 
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Whole-corpus inverted index: per term, document frequency and the
+    sorted posting list of documents containing it.
+
+    Scale shape: one explode, one distinct (term, doc) shuffle with partial
+    aggregation, one groupBy(term) building the postings — at corpus scale
+    the posting-list agg is the canonical search-index build and each term's
+    list lands on one reducer (hot stopword terms are the skew case; the
+    ``min_df`` floor plus an upstream stopword filter is the standard
+    mitigation, and AQE skew-split handles the residual). Posting lists are
+    ``array_sort``-ed so output is partition-order independent.
+    """
+    td = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        td.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+
+
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+) -> DataFrame:
+    """Corpus n-gram statistics (the LM-training staple): every
+    whitespace n-gram with total occurrences and document frequency.
+
+    The n-gram expansion is a pure array expression (split -> indexed
+    ``transform`` -> explode), fully codegen'd — no UDF; one shuffle for
+    the (ngram) partial-aggregated count. ``min_count`` bounds the output
+    tail (at web scale the count-count distribution is Zipfian; the floor
+    is what every n-gram LM pipeline applies before the join stage).
+    """
+    w = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # slice length clamps to 0 for short docs -> empty gram array, no CASE
+    grams = F.expr(
+        f"transform(slice(w, 1, greatest(size(w) - {n - 1}, 0)), "
+        f"(x, i) -> concat_ws(' ', slice(w, i + 1, {n})))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+        .select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     md5 = F.md5(F.trim(F.col(text_col)))
     return docs.select(
