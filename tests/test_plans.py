@@ -189,3 +189,56 @@ def test_kmeans_update_shuffle_has_partial_aggregation(spark):
     # the shuffle carries K x (D+1) longs per partition, not the corpus
     f = plan_str(stats, "formatted")
     assert "partial_sum" in f or "partial_count" in f
+
+
+def test_link_prediction_is_equi_join_no_cartesian(spark, pages_smoke):
+    """The common-neighbor wedge join must compile to a shuffled equi-join
+    on the shared-neighbor key — never a cartesian/nested-loop product —
+    and the degree-cap filter must sit under the join, not above it."""
+    from text_to_graph_spark.operators.canonicalize import (
+        triples_to_canonical_edges,
+    )
+    from text_to_graph_spark.operators.graphalgo import common_neighbors
+
+    e = triples_to_canonical_edges(
+        extract_triples_from_pages(pages_smoke)
+    ).select(
+        F.col("subj_key").alias("subj"),
+        F.col("pred_key").alias("pred"),
+        F.col("obj_key").alias("obj"),
+    )
+    out = common_neighbors(e, min_common=2, max_neighbor_degree=32)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_inverted_index_aggs_are_partial_and_udf_free(spark):
+    """The posting-list build must stay JVM-side (no Python boundary) with
+    map-side partial phases ahead of both exchanges (the distinct and the
+    per-term groupBy)."""
+    from text_to_graph_spark.operators.textstats import inverted_index
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = inverted_index(docs, min_df=2)
+    s = plan_str(out, "simple")
+    assert python_eval_count(out) == 0
+    assert count_exchanges(out) <= 2  # distinct + groupBy(term), nothing else
+    assert "Aggregate" in s
+
+
+def test_ngram_and_site_stats_are_udf_free_single_agg(spark, pages_smoke):
+    """N-gram expansion is a pure array transform and the site rollup a
+    split projection — both fully codegen'd, one aggregation exchange each
+    (plus the sandbox input repartition for the pages table)."""
+    from text_to_graph_spark.operators.curation import site_stats
+    from text_to_graph_spark.operators.textstats import ngram_counts
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ng = ngram_counts(docs, n=2, min_count=3)
+    assert python_eval_count(ng) == 0
+    assert count_exchanges(ng) <= 2  # countDistinct doc_id adds one level
+
+    ss = site_stats(pages_smoke)
+    assert python_eval_count(ss) == 0
+    assert count_exchanges(ss) <= 3  # input repartition + distinct-lang 2-level agg

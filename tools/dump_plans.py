@@ -32,6 +32,8 @@ def main() -> int:
 
     from text_to_graph_spark.operators import curation as CUR
     from text_to_graph_spark.operators import dedup as D
+    from text_to_graph_spark.operators import graphalgo as GA
+    from text_to_graph_spark.operators import textstats as TS
     from text_to_graph_spark.operators import linking as L
     from text_to_graph_spark.operators import similarity as SIM
     from text_to_graph_spark.operators.canonicalize import (
@@ -92,6 +94,23 @@ def main() -> int:
         ),
         "stratified hash sample (pure narrow filter, zero shuffle)": (
             CUR.stratified_sample(docs, {"en": 500000, "de": 250000})
+        ),
+        "link prediction (wedge equi-join + degree cap, NO CartesianProduct)": (
+            GA.common_neighbors(
+                triples.select(
+                    F.col("subj").alias("subj"),
+                    F.col("pred").alias("pred"),
+                    F.col("obj").alias("obj"),
+                ),
+                min_common=2,
+                max_neighbor_degree=32,
+            )
+        ),
+        "inverted index (UDF-free posting-list build, partial agg phases)": (
+            TS.inverted_index(docs, min_df=2)
+        ),
+        "site stats (split-key projection, one partial-agg rollup)": (
+            CUR.site_stats(pages)
         ),
         "balanced mixture (small count agg broadcast back, one rank window)": (
             CUR.balanced_mixture(docs, {"en": 500000, "de": 500000})
