@@ -359,6 +359,14 @@ def _q_kg_link_prediction(spark, sf_dir):
     )
 
 
+def _q_kg_kcore(spark, sf_dir):
+    # bounded-round 3-core peeling (operators/graphalgo.py): per round a
+    # degree count + two left_semi survivor joins; oracle unrolls 8 rounds
+    from text_to_graph_spark.operators.graphalgo import k_core
+
+    return k_core(_edges(spark, sf_dir), k=3, max_rounds=8)
+
+
 def _q_kg_node_type_counts(spark, sf_dir):
     nodes = triples_to_canonical_nodes(
         _stages(spark, sf_dir)["triples"], category_of=vocab_category_table(spark)
@@ -939,6 +947,25 @@ def _q_events_retention(spark, sf_dir):
     return EV.retention_cohorts(_events(spark, sf_dir))
 
 
+def _q_events_funnel(spark, sf_dir):
+    # greedy min-timestamp conversion funnel view->click->purchase within
+    # 1 day (operators/events.py)
+    return EV.funnel(
+        _events(spark, sf_dir),
+        steps=("view", "click", "purchase"),
+        window_seconds=86400,
+    )
+
+
+def _q_events_heavy_hitters(spark, sf_dir):
+    # Count-Min sketch heavy-hitter candidates: depth-4 x width-256
+    # md5-seeded grid, estimate = min over rows, threshold 70 (chosen to
+    # split the synthetic per-user distribution at both gate SFs)
+    return EV.cms_heavy_hitters(
+        _events(spark, sf_dir), key_col="user_id", threshold=70
+    )
+
+
 def _q_events_asof(spark, sf_dir):
     # as-of join: each purchase matched to the user's most recent click
     # at-or-before it — union + one window pass, single shuffle, no
@@ -1206,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_kg_triangles,
         "kg_communities": _q_kg_communities,
         "kg_link_prediction": _q_kg_link_prediction,
+        "kg_kcore": _q_kg_kcore,
         "kg_node_type_counts": _q_kg_node_type_counts,
         "kg_linked_mentions": _q_kg_linked_mentions,
         "kg_linked_mentions_salted": _q_kg_linked_mentions_salted,
@@ -1251,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": _q_corpus_rollup,
         "events_hourly": _q_events_hourly,
         "events_retention": _q_events_retention,
+        "events_funnel": _q_events_funnel,
+        "events_heavy_hitters": _q_events_heavy_hitters,
         "events_sessionize": _q_events_sessionize,
         "events_enrich": _q_events_enrich,
         "events_top_users": _q_events_top_users,
@@ -1525,6 +1555,26 @@ def _lpa_cte(rounds: int = 4) -> str:
     return ",\n".join(parts)
 
 
+def _kcore_cte(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled bounded-round k-core peeling (kc0..kcN), mirroring
+    operators/graphalgo.k_core: each round keeps edges whose BOTH endpoints
+    had degree >= k in the previous round's survivor graph. Each round is
+    AS MATERIALIZED: every kc{i} is referenced 3x by kc{i+1}, and DuckDB's
+    default CTE inlining would otherwise expand the chain 3^rounds-fold."""
+    parts = [
+        "kc0 AS MATERIALIZED (SELECT DISTINCT u, v FROM sym WHERE u <> v)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""kc{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM kc{i-1} e
+  WHERE e.u IN (SELECT u FROM kc{i-1} GROUP BY u HAVING count(*) >= {k})
+    AND e.v IN (SELECT u FROM kc{i-1} GROUP BY u HAVING count(*) >= {k})
+)"""
+        )
+    return ",\n".join(parts)
+
+
 def _pagerank_cte(iterations: int = 5, damping_pct: int = 85) -> str:
     """Unrolled fixed-point PageRank recurrence as chained CTEs (r0..rN),
     mirroring operators/graphalgo.pagerank exactly: integer division
@@ -1775,6 +1825,13 @@ SELECT p.node_a, p.node_b,
 FROM cn_pairs p
 JOIN cn_deg da ON da.u = p.node_a
 JOIN cn_deg db ON db.u = p.node_b
+""",
+        # bounded-round 3-core peeling, recurrence unrolled (8 rounds)
+        "kg_kcore": f"""
+{_KG_PREFIX},
+{_kcore_cte()}
+SELECT u AS node, CAST(count(*) AS bigint) AS degree
+FROM kc8 GROUP BY u
 """,
         "kg_node_type_counts": f"""
 {_KG_PREFIX}
@@ -2355,6 +2412,51 @@ SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
        CAST(count(*) AS bigint) AS n_events
 FROM ev e JOIN firstseen f USING (user_id)
 GROUP BY 1, 2
+""",
+        # greedy min-timestamp funnel; each stage joins the shrinking
+        # frontier and keeps the earliest qualifying event
+        "events_funnel": """
+WITH e AS (
+  SELECT user_id, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
+  FROM events
+),
+s1 AS (SELECT user_id, min(sec) AS t FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.sec) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click'
+         AND e.sec > s1.t AND e.sec <= s1.t + 86400 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.sec) AS t FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase'
+         AND e.sec > s2.t AND e.sec <= s2.t + 86400 GROUP BY 1)
+SELECT CAST(1 AS int) AS step_index, 'view' AS step_name,
+       (SELECT count(*) FROM s1) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+""",
+        # Count-Min sketch heavy hitters: md5-seeded depth-4 x width-256
+        # grid, estimate = min over rows (over-count only), threshold 70
+        "events_heavy_hitters": """
+WITH cells AS (
+  SELECT d, w, count(*) AS cnt FROM (
+    SELECT t.d,
+           CAST(CAST(('0x' || substr(
+             md5(CAST(t.d AS varchar) || '|' || CAST(user_id AS varchar)),
+             1, 12)) AS bigint) % 256 AS int) AS w
+    FROM events, unnest([0, 1, 2, 3]) AS t(d)
+  ) GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT CAST(user_id AS varchar) AS key FROM events),
+probes AS (
+  SELECT key, t.d,
+         CAST(CAST(('0x' || substr(
+           md5(CAST(t.d AS varchar) || '|' || key),
+           1, 12)) AS bigint) % 256 AS int) AS w
+  FROM keys, unnest([0, 1, 2, 3]) AS t(d)
+)
+SELECT key, min(cnt) AS est_count
+FROM probes JOIN cells USING (d, w)
+GROUP BY key HAVING min(cnt) >= 70
 """,
         "events_hourly": """
 SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,

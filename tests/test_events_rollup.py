@@ -204,3 +204,102 @@ class TestRetentionCohorts:
             .first()[0]
         )
         assert day0 == 25  # every user is active on their cohort day
+
+
+class TestFunnel:
+    def test_python_mirror_parity(self, spark):
+        from text_to_graph_spark.operators.events import funnel
+
+        ev = _events(spark, n_users=30, n_events=600).withColumn(
+            "event_type",
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                (F.col("event_id") % 3 + 1).cast("int"),
+            ),
+        )
+        got = {
+            (r.step_index, r.step_name): r.n_users for r in funnel(ev).collect()
+        }
+        rows = ev.select(
+            "user_id",
+            "event_type",
+            F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01', ts)").alias(
+                "sec"
+            ),
+        ).collect()
+        by_type: dict[str, dict] = {"view": {}, "click": {}, "purchase": {}}
+        for r in rows:
+            by_type[r.event_type].setdefault(r.user_id, []).append(r.sec)
+        front = {u: min(ts) for u, ts in by_type["view"].items()}
+        exp = {(1, "view"): len(front)}
+        for i, step in enumerate(("click", "purchase"), start=2):
+            nxt = {}
+            for u, t in front.items():
+                cand = [s for s in by_type[step].get(u, []) if t < s <= t + 86400]
+                if cand:
+                    nxt[u] = min(cand)
+            exp[(i, step)] = len(nxt)
+            front = nxt
+        assert got == exp
+
+    def test_funnel_monotone_and_window(self, spark):
+        from text_to_graph_spark.operators.events import funnel
+
+        # one user converts fully, one stalls after click, one clicks too late
+        rows = [
+            (1, "view", 0), (1, "click", 10), (1, "purchase", 20),
+            (2, "view", 0), (2, "click", 50),
+            (3, "view", 0), (3, "click", 90000),  # outside 1-day window
+        ]
+        ev = spark.createDataFrame(
+            [(u, t, s) for u, t, s in rows],
+            "user_id bigint, event_type string, sec bigint",
+        ).select(
+            "user_id",
+            "event_type",
+            F.timestamp_seconds("sec").cast("timestamp_ntz").alias("ts"),
+        )
+        got = {r.step_name: r.n_users for r in funnel(ev).collect()}
+        assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+class TestCountMinSketch:
+    def test_estimate_never_undercounts(self, spark):
+        from text_to_graph_spark.operators.events import (
+            cms_heavy_hitters,
+            count_min_sketch,
+        )
+
+        ev = _events(spark, n_users=50, n_events=1500)
+        true = {
+            str(r.user_id): r.c
+            for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        est = {
+            r.key: r.est_count
+            for r in cms_heavy_hitters(ev, threshold=0).collect()
+        }
+        assert set(est) == set(true)
+        assert all(est[k] >= true[k] for k in true)
+
+    def test_heavy_hitters_superset(self, spark):
+        from text_to_graph_spark.operators.events import cms_heavy_hitters
+
+        # user 0 gets ~half the stream, everyone else a handful
+        ev = _events(spark, n_users=1, n_events=500).union(
+            _events(spark, n_users=100, n_events=500)
+        )
+        hh = {r.key for r in cms_heavy_hitters(ev, threshold=400).collect()}
+        assert "0" in hh
+
+    def test_sketch_grid_is_bounded(self, spark):
+        from text_to_graph_spark.operators.events import (
+            CMS_DEPTH,
+            CMS_WIDTH,
+            count_min_sketch,
+        )
+
+        sk = count_min_sketch(_events(spark), depth=CMS_DEPTH, width=CMS_WIDTH)
+        rows = sk.collect()
+        assert len(rows) <= CMS_DEPTH * CMS_WIDTH
+        assert all(0 <= r.d < CMS_DEPTH and 0 <= r.w < CMS_WIDTH for r in rows)

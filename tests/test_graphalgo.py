@@ -207,3 +207,40 @@ class TestCommonNeighbors:
         assert len(uncapped) == 6  # C(4,2) leaf pairs
         capped = self._run(spark, star, min_common=1, max_neighbor_degree=3)
         assert capped == {}  # s has degree 4 > cap, no wedges survive
+
+
+class TestKCore:
+    def test_k4_plus_tail_peels_to_k4(self, spark):
+        from text_to_graph_spark.operators.graphalgo import k_core
+
+        # K4 on a,b,c,d plus a pendant path d-e-f: the 3-core is exactly K4
+        k4 = [(x, y) for x in "abcd" for y in "abcd" if x < y]
+        edges = k4 + [("d", "e"), ("e", "f")]
+        got = {
+            r.node: r.degree
+            for r in k_core(_edge_df(spark, edges), k=3).collect()
+        }
+        assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    def test_peeling_cascades(self, spark):
+        from text_to_graph_spark.operators.graphalgo import k_core
+
+        # path graph: removing the ends cascades until nothing is left
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+        assert k_core(_edge_df(spark, edges), k=2).count() == 0
+        # cycle: every node sits in the 2-core with degree 2
+        cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+        got = {
+            r.node: r.degree for r in k_core(_edge_df(spark, cyc), k=2).collect()
+        }
+        assert got == {x: 2 for x in "abcd"}
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        from text_to_graph_spark.operators.graphalgo import k_core
+
+        cyc = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "a"),
+               ("a", "b"), ("d", "a")]
+        got = {
+            r.node: r.degree for r in k_core(_edge_df(spark, cyc), k=2).collect()
+        }
+        assert got == {x: 2 for x in "abcd"}

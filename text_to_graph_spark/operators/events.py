@@ -337,3 +337,141 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_seconds: int = 86400,
+) -> DataFrame:
+    """Ordered conversion funnel: users whose earliest step-i event is
+    followed by a step-(i+1) event within ``window_seconds``. Each stage
+    keeps the user's EARLIEST qualifying timestamp (min-aggregation, so
+    the result is deterministic and shuffle-order independent — the
+    standard greedy funnel semantics). Returns one row per step:
+    (step_index, step_name, n_users).
+
+    Scale shape: per step one filtered partial-agg min + one equi-join on
+    user_id — every join reuses the same user_id hash partitioning, and
+    each stage's frontier only shrinks. No windows, no collects.
+    """
+    sec = epoch_seconds_ntz("ts").cast("bigint")
+    e = events.select("user_id", "event_type", sec.alias("sec"))
+    frontier = (
+        e.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t"))
+    )
+    out = [(1, steps[0], frontier.count())]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            e.where(F.col("event_type") == step)
+            .join(frontier, "user_id")
+            .where(
+                (F.col("sec") > F.col("t"))
+                & (F.col("sec") <= F.col("t") + window_seconds)
+            )
+            .groupBy("user_id")
+            .agg(F.min("sec").alias("t"))
+        )
+        out.append((i, step, nxt.count()))
+        frontier = nxt
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(int(a), b, int(c)) for a, b, c in out],
+        "step_index int, step_name string, n_users bigint",
+    )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def count_min_sketch(
+    events: DataFrame, key_col: str = "user_id",
+    depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-Min sketch build: each key increments one counter per hash row
+    (md5-prefix integer hashing, seeded by the row index — deterministic
+    and engine-portable). Output (d, w, cnt) is a fixed depth×width grid —
+    MERGEABLE by cell-wise addition, which is what makes it the streaming/
+    shard-parallel heavy-hitter structure at corpus scale: the shuffle
+    carries at most depth×width rows per map partition (partial agg),
+    independent of event volume.
+    """
+    key = F.col(key_col).cast("string")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(str(d) + "|"), key)), 1, 12),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % width
+                ).cast("int").alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        events.select(F.explode(rows).alias("r"))
+        .select("r.d", "r.w")
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "user_id",
+    threshold: int = 100,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Heavy-hitter candidates by Count-Min estimate: distinct keys whose
+    CMS estimate (min over hash rows) reaches ``threshold``. The estimate
+    only over-counts, so the candidate set is a superset of the true heavy
+    hitters — the standard sketch-then-verify shape (the exact verify pass
+    is a semi-join of the full stream against this small candidate set).
+
+    The probe side is the DISTINCT key set joined against the broadcast
+    depth×width sketch — the raw event stream is never re-shuffled.
+    """
+    from pyspark.sql.functions import broadcast
+
+    sketch = count_min_sketch(events, key_col, depth, width)
+    keys = events.select(F.col(key_col).cast("string").alias("key")).distinct()
+    probes = keys.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(str(d) + "|"), F.col("key"))),
+                                    1,
+                                    12,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % width
+                        ).cast("int").alias("w"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("r"),
+    ).select("key", "r.d", "r.w")
+    return (
+        probes.join(broadcast(sketch), ["d", "w"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est_count"))
+        .where(F.col("est_count") >= threshold)
+    )

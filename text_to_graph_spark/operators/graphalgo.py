@@ -34,6 +34,7 @@ __all__ = [
     "weighted_sssp",
     "label_propagation",
     "common_neighbors",
+    "k_core",
 ]
 
 RANK_SCALE = 10**9
@@ -324,4 +325,45 @@ def triangle_count(
     )
     return all_nodes.join(per_node, "node", "left").select(
         "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "subj",
+    dst: str = "obj",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Bounded-round k-core: iteratively peel nodes of degree < k from the
+    undirected simple graph; after ``max_rounds`` rounds the survivors are
+    exactly "the k-core up to ``max_rounds`` peels" — the same fixed-round
+    bounded semantics as ``weighted_sssp`` (deterministic, engine-portable,
+    and at corpus scale peeling converges in a handful of rounds anyway;
+    early exit on a stable edge count never changes the result). Returns
+    (node, degree) for surviving nodes with their in-core degree.
+
+    Scale shape per round: one partial-aggregated degree count + two
+    left_semi equi-joins against the (node-cardinality-sized) survivor
+    set; the edge list is ``localCheckpoint``-ed per round to cut lineage.
+    """
+    active = _sym_edges(edges, src, dst).localCheckpoint(eager=True)
+    n_edges = active.count()
+    for _ in range(max_rounds):
+        keep = (
+            active.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select("u")
+        )
+        nxt = active.join(keep, "u", "left_semi").join(
+            keep.withColumnRenamed("u", "v"), "v", "left_semi"
+        ).select("u", "v").localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        active = nxt
+        if n_nxt == n_edges:
+            break  # stable: further peels are the identity
+        n_edges = n_nxt
+    return active.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
     )
