@@ -871,6 +871,23 @@ def _q_text_ngrams(spark, sf_dir):
     return TS.ngram_counts(_docs(spark, sf_dir), n=2, min_count=3)
 
 
+def _q_text_cooccur(spark, sf_dir):
+    # co-occurring term pairs with integer-linearized PMI ("lift"); pair
+    # expansion is a codegen'd nested transform, never a per-doc self-join
+    return TS.term_cooccurrence(_docs(spark, sf_dir), max_terms=50, min_pair_docs=3)
+
+
+def _q_text_lm_score(spark, sf_dir):
+    # KenLM-filter stand-in: fraction of corpus-frequent bigrams per doc
+    return TS.lm_familiarity(_docs(spark, sf_dir), min_count=3)
+
+
+def _q_events_anomalies(spark, sf_dir):
+    # causal trailing-24h deviation flags on the hourly rollup; integer
+    # dev_pct so the anomaly bit is engine-portable
+    return EV.hourly_anomalies(_events(spark, sf_dir), trailing=24, threshold_pct=150)
+
+
 def _q_web_site_stats(spark, sf_dir):
     # per-site crawl curation rollup over the pages input table
     # (operators/curation.py): split-projection site key, one partial-agg
@@ -1275,12 +1292,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "text_inverted_index": _q_text_inverted_index,
         "text_ngrams": _q_text_ngrams,
+        "text_cooccur": _q_text_cooccur,
+        "text_lm_score": _q_text_lm_score,
         "web_site_stats": _q_web_site_stats,
         "corpus_rollup": _q_corpus_rollup,
         "events_hourly": _q_events_hourly,
         "events_retention": _q_events_retention,
         "events_funnel": _q_events_funnel,
         "events_heavy_hitters": _q_events_heavy_hitters,
+        "events_anomalies": _q_events_anomalies,
         "events_sessionize": _q_events_sessionize,
         "events_enrich": _q_events_enrich,
         "events_top_users": _q_events_top_users,
@@ -2389,6 +2409,59 @@ SELECT ngram, CAST(count(*) AS bigint) AS n_occurrences,
        CAST(count(DISTINCT doc_id) AS bigint) AS n_docs
 FROM grams GROUP BY ngram HAVING count(*) >= 3
 """,
+        # co-occurring term pairs over sorted-distinct capped term sets;
+        # lift_e6 = integer-linearized PMI ratio
+        "text_cooccur": """
+WITH toks AS (
+  SELECT doc_id,
+         (list_sort(list_distinct(
+            list_filter(string_split(text, ' '), t -> t <> ''))))[1:50] AS w
+  FROM documents
+),
+td AS (SELECT doc_id, unnest(w) AS term FROM toks),
+df AS (SELECT term, count(*) AS df FROM td GROUP BY 1),
+n AS (SELECT count(*) AS n_total FROM documents),
+pc AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs_pair
+  FROM td a JOIN td b USING (doc_id)
+  WHERE a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT term_a, term_b,
+       CAST(n_docs_pair AS bigint) AS n_docs_pair,
+       CAST(da.df AS bigint) AS df_a,
+       CAST(db.df AS bigint) AS df_b,
+       CAST((n_docs_pair * n.n_total * 1000000) // (da.df * db.df)
+            AS bigint) AS lift_e6
+FROM pc JOIN df da ON da.term = pc.term_a
+        JOIN df db ON db.term = pc.term_b
+        CROSS JOIN n
+""",
+        # fraction of corpus-frequent bigrams per document (KenLM-filter
+        # stand-in); gram-less docs score 0.0
+        "text_lm_score": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS ngram
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS g(i)
+),
+corpus AS (SELECT ngram FROM grams GROUP BY ngram HAVING count(*) >= 3),
+per AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN c.ngram IS NULL THEN 0 ELSE 1 END) AS n_known
+  FROM grams g LEFT JOIN corpus c USING (ngram) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS bigint) AS n_grams,
+       CAST(coalesce(p.n_known, 0) AS bigint) AS n_known,
+       CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+            ELSE floor((p.n_known / CAST(p.n_grams AS double)) * 10000.0
+                       + 0.5) / 10000.0 END AS known_ratio
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
         # per-site crawl rollup over the pages input table
         "web_site_stats": f"""
 {_KG_PREFIX}
@@ -2457,6 +2530,33 @@ probes AS (
 SELECT key, min(cnt) AS est_count
 FROM probes JOIN cells USING (d, w)
 GROUP BY key HAVING min(cnt) >= 70
+""",
+        # causal trailing-24-row deviation flags over the hourly rollup
+        "events_anomalies": """
+WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT hour, event_type, n_events,
+         count(*) OVER win AS trailing_n,
+         sum(n_events) OVER win AS trailing_sum
+  FROM h
+  WINDOW win AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour, event_type,
+       CAST(n_events AS bigint) AS n_events,
+       CAST(trailing_n AS bigint) AS trailing_n,
+       CAST(coalesce(trailing_sum, 0) AS bigint) AS trailing_sum,
+       CAST(CASE WHEN trailing_n > 0
+                 THEN (n_events * 100 * trailing_n) // trailing_sum
+            END AS bigint) AS dev_pct,
+       coalesce(CASE WHEN trailing_n > 0
+                     THEN (n_events * 100 * trailing_n) // trailing_sum >= 150
+                END, false) AS is_anomaly
+FROM w
 """,
         "events_hourly": """
 SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,

@@ -232,3 +232,82 @@ class TestInvertedIndexAndNgrams:
             for r in ngram_counts(docs, n=3, min_count=1).collect()
         }
         assert got == {"x y z": 1}
+
+
+class TestTermCooccurrence:
+    DOCS = [
+        (1, "apple banana cherry"),
+        (2, "apple banana"),
+        (3, "apple banana date"),
+        (4, "banana cherry"),
+        (5, "solo"),
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(self.DOCS, "doc_id long, text string")
+
+    def test_pair_counts_and_lift(self, spark):
+        from text_to_graph_spark.operators.textstats import term_cooccurrence
+
+        got = {
+            (r.term_a, r.term_b): (r.n_docs_pair, r.df_a, r.df_b, r.lift_e6)
+            for r in term_cooccurrence(
+                self._docs(spark), min_pair_docs=2
+            ).collect()
+        }
+        # apple+banana in docs 1,2,3; banana+cherry in docs 1,4
+        # lift_e6 = n_pair * N(=5) * 1e6 DIV (df_a * df_b)
+        assert got == {
+            ("apple", "banana"): (3, 3, 4, 3 * 5 * 10**6 // (3 * 4)),
+            ("banana", "cherry"): (2, 4, 2, 2 * 5 * 10**6 // (4 * 2)),
+        }
+
+    def test_max_terms_truncation(self, spark):
+        from text_to_graph_spark.operators.textstats import term_cooccurrence
+
+        # cap 2 keeps only the lexicographically first 2 distinct terms
+        got = {
+            (r.term_a, r.term_b)
+            for r in term_cooccurrence(
+                self._docs(spark), max_terms=2, min_pair_docs=1
+            ).collect()
+        }
+        assert got == {("apple", "banana"), ("banana", "cherry")}
+
+    def test_duplicates_within_doc_count_once(self, spark):
+        from text_to_graph_spark.operators.textstats import term_cooccurrence
+
+        docs = spark.createDataFrame(
+            [(1, "x y x y x"), (2, "x y")], "doc_id long, text string"
+        )
+        got = {
+            (r.term_a, r.term_b): r.n_docs_pair
+            for r in term_cooccurrence(docs, min_pair_docs=1).collect()
+        }
+        assert got == {("x", "y"): 2}
+
+
+class TestLmFamiliarity:
+    def test_known_ratio(self, spark):
+        from text_to_graph_spark.operators.textstats import lm_familiarity
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b"),      # grams: "a b","b a","a b"
+                (2, "a b c"),        # grams: "a b","b c"
+                (3, "a b"),          # gram:  "a b"
+                (4, "zzz"),          # no grams
+            ],
+            "doc_id long, text string",
+        )
+        # corpus counts: "a b" x4 (>=3 known), "b a" x1, "b c" x1
+        got = {
+            r.doc_id: (r.n_grams, r.n_known, r.known_ratio)
+            for r in lm_familiarity(docs, min_count=3).collect()
+        }
+        assert got == {
+            1: (3, 2, 0.6667),
+            2: (2, 1, 0.5),
+            3: (1, 1, 1.0),
+            4: (0, 0, 0.0),
+        }

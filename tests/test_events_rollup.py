@@ -303,3 +303,43 @@ class TestCountMinSketch:
         rows = sk.collect()
         assert len(rows) <= CMS_DEPTH * CMS_WIDTH
         assert all(0 <= r.d < CMS_DEPTH and 0 <= r.w < CMS_WIDTH for r in rows)
+
+
+class TestHourlyAnomalies:
+    def test_spike_flagged_causally(self, spark):
+        from text_to_graph_spark.operators.events import hourly_anomalies
+
+        # 5 calm hours of 10 events then an hour of 30: only the spike
+        # hour flags (the detector is causal — no lookahead)
+        rows = []
+        eid = 0
+        for h in range(6):
+            n = 30 if h == 5 else 10
+            for _ in range(n):
+                rows.append((eid, 1700000000 + h * 3600))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id bigint, sec bigint"
+        ).select(
+            "event_id",
+            F.lit(7).alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.timestamp_seconds("sec").cast("timestamp_ntz").alias("ts"),
+        )
+        got = {
+            r.hour: (r.n_events, r.trailing_n, r.trailing_sum, r.dev_pct,
+                     r.is_anomaly)
+            for r in hourly_anomalies(ev, trailing=24, threshold_pct=150).collect()
+        }
+        by_hour = sorted(got)
+        first, spike = by_hour[0], by_hour[-1]
+        assert got[first] == (10, 0, 0, None, False)  # no history -> no flag
+        assert got[spike] == (30, 5, 50, 30 * 100 * 5 // 50, True)
+        assert [got[h][4] for h in by_hour] == [False] * 5 + [True]
+
+    def test_trailing_frame_is_bounded(self, spark):
+        from text_to_graph_spark.operators.events import hourly_anomalies
+
+        ev = _events(spark, n_users=10, n_events=500)
+        df = hourly_anomalies(ev, trailing=3)
+        assert df.agg(F.max("trailing_n")).first()[0] <= 3

@@ -475,3 +475,51 @@ def cms_heavy_hitters(
         .agg(F.min("cnt").alias("est_count"))
         .where(F.col("est_count") >= threshold)
     )
+
+
+def hourly_anomalies(
+    events: DataFrame, trailing: int = 24, threshold_pct: int = 150
+) -> DataFrame:
+    """Trailing-window anomaly flags over the hourly event rollup: an hour
+    is anomalous for an event type when its count reaches ``threshold_pct``
+    percent of the trailing ``trailing``-row mean (previous rows only, so
+    the detector is causal). dev_pct is exact integer arithmetic —
+    (n * 100 * trailing_n) DIV trailing_sum — so the flag is
+    bit-reproducible across engines; rows with no history get NULL dev and
+    a false flag.
+
+    Scale shape: one partial-aggregated rollup shuffle keyed (hour, type),
+    then a single window pass partitioned by event_type — state per key is
+    the bounded ``trailing`` row frame, which is also exactly the state a
+    streaming deployment of this detector would carry.
+    """
+    hourly = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-trailing, -1)
+    )
+    t_n = F.count(F.lit(1)).over(win).cast("bigint")
+    t_sum = F.sum("n_events").over(win).cast("bigint")
+    base = hourly.select(
+        "hour",
+        "event_type",
+        "n_events",
+        t_n.alias("trailing_n"),
+        F.coalesce(t_sum, F.lit(0)).cast("bigint").alias("trailing_sum"),
+    )
+    dev = F.when(
+        F.col("trailing_n") > 0,
+        F.expr("(n_events * 100 * trailing_n) DIV trailing_sum"),
+    ).cast("bigint")
+    return base.select(
+        "hour",
+        "event_type",
+        "n_events",
+        "trailing_n",
+        "trailing_sum",
+        dev.alias("dev_pct"),
+        F.coalesce(dev >= threshold_pct, F.lit(False)).alias("is_anomaly"),
+    )

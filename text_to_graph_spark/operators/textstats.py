@@ -253,3 +253,120 @@ def hashed_features(
         .agg(F.sum("sgn").cast("bigint").alias("weight"))
         .where(F.col("weight") != 0)
     )
+
+
+def term_cooccurrence(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_terms: int = 50,
+    min_pair_docs: int = 3,
+) -> DataFrame:
+    """Term co-occurrence pairs with a linearized PMI ("lift") score:
+    lift_e6 = (n_docs_pair * N * 1e6) DIV (df_a * df_b) — the integer
+    linearization of P(a,b)/(P(a)P(b)) (same ranking as PMI without the
+    engine-dependent log), computed over each document's sorted distinct
+    term set truncated to ``max_terms``.
+
+    Scale shape: the pair expansion is a pure nested-``transform`` array
+    expression (codegen'd, no self-join on doc_id — a per-doc quadratic
+    join is the classic co-occurrence scale trap); output is bounded by
+    ``max_terms``² per doc and the ``min_pair_docs`` floor kills the
+    Zipfian tail before the df joins. One shuffle for pair counts, one for
+    df, two equi-joins on term keys.
+    """
+    w = F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            )
+        ),
+        1,
+        max_terms,
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+    n_total = docs.count()
+    df_ = (
+        base.select(F.explode("w").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    pairs = F.expr(
+        "flatten(transform(w, (x, i) -> "
+        "transform(slice(w, i + 2, size(w)), y -> struct(x AS a, y AS b))))"
+    )
+    pc = (
+        base.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_docs_pair"))
+        .where(F.col("n_docs_pair") >= min_pair_docs)
+    )
+    return (
+        pc.join(df_.select(F.col("term").alias("a"), F.col("df").alias("df_a")), "a")
+        .join(df_.select(F.col("term").alias("b"), F.col("df").alias("df_b")), "b")
+        .select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            F.col("n_docs_pair").cast("bigint").alias("n_docs_pair"),
+            F.col("df_a").cast("bigint").alias("df_a"),
+            F.col("df_b").cast("bigint").alias("df_b"),
+            F.expr(
+                f"(n_docs_pair * CAST({n_total} AS BIGINT) * CAST({10**6} AS BIGINT))"
+                " DIV (df_a * df_b)"
+            ).alias("lift_e6"),
+        )
+    )
+
+
+def lm_familiarity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+) -> DataFrame:
+    """LM-style familiarity score: the fraction of each document's bigrams
+    that are corpus-frequent (total occurrences >= ``min_count``) — the
+    cheap engine-portable stand-in for the KenLM-perplexity filter every
+    web-corpus pipeline runs (rare-bigram-heavy docs score low). One row
+    per document, including gram-less ones (ratio 0.0).
+
+    Scale shape: the gram stream is computed ONCE and reused for both the
+    corpus table and the per-doc join; corpus counts partial-aggregate on
+    the gram key, the membership join is an equi-join on ngram (broadcast
+    when the frequent-gram table is small), then one doc_id agg.
+    """
+    w = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    grams = F.expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)), "
+        "(x, i) -> concat_ws(' ', slice(w, i + 1, 2)))"
+    )
+    g = docs.select(F.col(id_col).alias("doc_id"), w.alias("w")).select(
+        "doc_id", F.explode(grams).alias("ngram")
+    )
+    corpus = (
+        g.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("ngram", F.lit(1).alias("known"))
+    )
+    per = (
+        g.join(corpus, "ngram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce("known", F.lit(0))).cast("bigint").alias("n_known"),
+        )
+    )
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        per, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_known", F.lit(0)).cast("bigint").alias("n_known"),
+        F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(
+            round_half_up(F.col("n_known") / F.col("n_grams").cast("double"), 4)
+        )
+        .alias("known_ratio"),
+    )
