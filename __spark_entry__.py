@@ -895,6 +895,55 @@ def _q_web_site_stats(spark, sf_dir):
     return CUR.site_stats(_stages(spark, sf_dir)["pages"])
 
 
+def _linked_pages(spark, sf_dir):
+    from text_to_graph_spark.sources.weblinks import synthesize_linked_pages
+
+    return synthesize_linked_pages(spark, sf_dir)
+
+
+def _q_web_links(spark, sf_dir):
+    # anchor extraction from raw HTML (operators/weblinks.py): two
+    # regexp_extract_all passes zipped + posexplode — pure projection, no
+    # shuffle; the oracle derives links from the synthesis closed form, so
+    # the regex path is checked against an independent derivation
+    from text_to_graph_spark.operators import weblinks as WL
+
+    return WL.extract_links(_linked_pages(spark, sf_dir))
+
+
+def _q_web_links_norm(spark, sf_dir):
+    # URL canonicalization (fragment/utm/port/case/trailing-slash) — still a
+    # pure projection, all anchored regexes portable across engines
+    from text_to_graph_spark.operators import weblinks as WL
+
+    return WL.normalized_links(WL.extract_links(_linked_pages(spark, sf_dir)))
+
+
+def _q_web_url_dedup(spark, sf_dir):
+    # crawl-frontier dedup: raw href variants collapse onto canonical URLs;
+    # one partial-agg shuffle on norm_href
+    from text_to_graph_spark.operators import weblinks as WL
+
+    return WL.url_dedup(WL.extract_links(_linked_pages(spark, sf_dir)))
+
+
+def _q_web_host_graph(spark, sf_dir):
+    # host-level web graph rollup; host cardinality is tiny vs pages so the
+    # exchange is cheap; skewed hub hosts exercise AQE's post-shuffle planning
+    from text_to_graph_spark.operators import weblinks as WL
+
+    return WL.host_graph(WL.extract_links(_linked_pages(spark, sf_dir)))
+
+
+def _q_web_host_rank(spark, sf_dir):
+    # PageRank over the host graph — exact-bigint fixpoint, bit-identical to
+    # the unrolled-CTE oracle; in-degree skew makes the ranking non-trivial
+    from text_to_graph_spark.operators import weblinks as WL
+
+    hg = WL.host_graph(WL.extract_links(_linked_pages(spark, sf_dir)))
+    return WL.host_rank(hg)
+
+
 def _q_corpus_rollup(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -1295,6 +1344,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cooccur": _q_text_cooccur,
         "text_lm_score": _q_text_lm_score,
         "web_site_stats": _q_web_site_stats,
+        "web_links": _q_web_links,
+        "web_links_norm": _q_web_links_norm,
+        "web_url_dedup": _q_web_url_dedup,
+        "web_host_graph": _q_web_host_graph,
+        "web_host_rank": _q_web_host_rank,
         "corpus_rollup": _q_corpus_rollup,
         "events_hourly": _q_events_hourly,
         "events_retention": _q_events_retention,
@@ -1595,15 +1649,24 @@ def _kcore_cte(k: int = 3, rounds: int = 8) -> str:
     return ",\n".join(parts)
 
 
-def _pagerank_cte(iterations: int = 5, damping_pct: int = 85) -> str:
+def _pagerank_cte(
+    iterations: int = 5,
+    damping_pct: int = 85,
+    edges_src: str = "SELECT DISTINCT subj AS u, obj AS v FROM edges",
+) -> str:
     """Unrolled fixed-point PageRank recurrence as chained CTEs (r0..rN),
     mirroring operators/graphalgo.pagerank exactly: integer division
-    everywhere, dangling mass not redistributed."""
+    everywhere, dangling mass not redistributed. ``edges_src`` is any SQL
+    producing the (u, v) edge list (KG edges by default, host graph for
+    web_host_rank)."""
     scale = 10**9
     parts = [
-        "pr_edges AS (SELECT DISTINCT subj AS u, obj AS v FROM edges)",
+        f"pr_edges AS ({edges_src})",
         "pr_deg AS (SELECT u, count(*) AS d FROM pr_edges GROUP BY u)",
-        "pr_nodes AS (SELECT DISTINCT u AS node FROM sym)",
+        # explicit DISTINCT subquery: under WITH RECURSIVE, DuckDB gives a
+        # bare UNION CTE recursive-form semantics and skips the global dedup
+        "pr_nodes AS (SELECT DISTINCT node FROM (SELECT u AS node"
+        " FROM pr_edges UNION ALL SELECT v FROM pr_edges))",
         "pr_n AS (SELECT count(*) AS n FROM pr_nodes)",
         f"r0 AS (SELECT node, {scale} // (SELECT n FROM pr_n) AS r"
         " FROM pr_nodes)",
@@ -1628,9 +1691,37 @@ def _pagerank_cte(iterations: int = 5, damping_pct: int = 85) -> str:
     return ",\n".join(parts)
 
 
+def _norm_url_sql(col: str) -> str:
+    """DuckDB twin of operators.weblinks.normalize_url — same five anchored
+    regex rules, composed inline (anchored ⇒ replace-first == replace-all)."""
+    u2 = (
+        f"regexp_replace(regexp_replace({col}, '#.*$', ''),"
+        " '\\?utm_[^#]*$', '')"
+    )
+    prefix = (
+        f"regexp_replace(lower(regexp_extract({u2}, '^([^/]+//[^/]+)', 1)),"
+        " ':(443|80)$', '')"
+    )
+    rest = (
+        f"regexp_replace(regexp_replace({u2}, '^[^/]+//[^/]+', ''),"
+        " '/$', '')"
+    )
+    return f"({prefix} || {rest})"
+
+
 def oracle_sql() -> dict[str, str]:
     ents, preds, cat = _ENTS_SQL, _PREDS_SQL, _CATEGORY_CASE
     linked_cte = _LINKED_CTE.format(ents=ents)
+    from text_to_graph_spark.sources.weblinks import LINKED_PAGES_LINKS_CTE
+
+    weblinks_normed = f"""
+WITH {LINKED_PAGES_LINKS_CTE.strip()},
+normed AS (
+  SELECT src_url, pos, href,
+         regexp_extract(src_url, '^[^/]+//([^/:]+)', 1) AS src_host,
+         {_norm_url_sql('href')} AS norm_href
+  FROM links
+)"""
     return {
         "kg_pages": f"""
 {_KG_PREFIX}
@@ -2474,6 +2565,48 @@ SELECT string_split(url, '/')[4] AS site,
        CAST(min(epoch(warc_ts)) AS bigint) AS first_crawl_epoch,
        CAST(max(epoch(warc_ts)) AS bigint) AS last_crawl_epoch
 FROM pages GROUP BY 1
+""",
+        # anchor extraction: the oracle derives links from the synthesis
+        # closed form (sources/weblinks.py), independent of the Spark-side
+        # html regex path
+        "web_links": f"""
+WITH {LINKED_PAGES_LINKS_CTE.strip()}
+SELECT src_url, CAST(pos AS int) AS pos, href, anchor FROM links
+""",
+        # URL canonicalization twin — _norm_url_sql mirrors normalize_url
+        "web_links_norm": f"""
+{weblinks_normed}
+SELECT src_url, pos, href, src_host, norm_href,
+       regexp_extract(norm_href, '^[^/]+//([^/:]+)', 1) AS dst_host
+FROM normed
+""",
+        "web_url_dedup": f"""
+{weblinks_normed}
+SELECT norm_href,
+       CAST(count(*) AS bigint) AS n_raw,
+       CAST(count(DISTINCT href) AS bigint) AS n_variants,
+       CAST(count(DISTINCT src_url) AS bigint) AS n_src_pages
+FROM normed GROUP BY 1
+""",
+        "web_host_graph": f"""
+{weblinks_normed}
+SELECT src_host,
+       regexp_extract(norm_href, '^[^/]+//([^/:]+)', 1) AS dst_host,
+       CAST(count(*) AS bigint) AS n_links,
+       CAST(count(DISTINCT src_url) AS bigint) AS n_src_pages
+FROM normed GROUP BY 1, 2
+""",
+        # host PageRank: same unrolled exact-bigint recurrence as
+        # kg_pagerank, over the host graph edge list
+        "web_host_rank": f"""
+{weblinks_normed},
+hostg AS (
+  SELECT DISTINCT src_host AS u,
+         regexp_extract(norm_href, '^[^/]+//([^/:]+)', 1) AS v
+  FROM normed
+),
+{_pagerank_cte(edges_src="SELECT u, v FROM hostg")}
+SELECT node AS host, CAST(r AS bigint) AS rank_e9 FROM r5
 """,
         # cohort retention triangle over tz-free event days
         "events_retention": """

@@ -1,0 +1,110 @@
+"""Web-link suite: anchor extraction, URL canonicalization, host graph.
+
+Unit-level checks on handcrafted URLs/HTML plus plan-shape assertions (the
+extraction path must stay a shuffle-free projection; the host rollup must be
+a single partial-agg exchange)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from text_to_graph_spark.operators import weblinks as WL
+from text_to_graph_spark.plans.introspect import (
+    count_exchanges,
+    plan_str,
+    python_eval_count,
+)
+
+
+def _norm_one(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "u string")
+    return df.select(WL.normalize_url(F.col("u")).alias("n")).first()["n"]
+
+
+def test_normalize_url_rules(spark):
+    cases = {
+        # fragment stripped
+        "https://a.test/p/1#frag": "https://a.test/p/1",
+        # utm query dropped
+        "https://a.test/p/1?utm_source=feed": "https://a.test/p/1",
+        # scheme+host lowercased, path case kept, trailing slash stripped
+        "HTTPS://A.TEST/Path/": "https://a.test/Path",
+        # default ports stripped
+        "https://a.test:443/p": "https://a.test/p",
+        "http://a.test:80/p": "http://a.test/p",
+        # non-default port kept
+        "https://a.test:8443/p": "https://a.test:8443/p",
+        # already canonical: unchanged
+        "https://a.test/p/1": "https://a.test/p/1",
+    }
+    for raw, want in cases.items():
+        assert _norm_one(spark, raw) == want, raw
+
+
+def test_extract_links_from_handcrafted_html(spark):
+    html = (
+        '<html><body><p>x</p><nav><a href="https://h1.test/a">one</a>'
+        '<a href="https://h2.test/b#f">two</a></nav></body></html>'
+    ).encode()
+    pages = spark.createDataFrame(
+        [("https://src.test/p", bytearray(html))], "url string, html binary"
+    )
+    rows = WL.extract_links(pages).orderBy("pos").collect()
+    assert [(r.pos, r.href, r.anchor) for r in rows] == [
+        (0, "https://h1.test/a", "one"),
+        (1, "https://h2.test/b#f", "two"),
+    ]
+
+
+def test_linked_pages_link_counts(spark):
+    from text_to_graph_spark.sources.weblinks import synthesize_linked_pages
+
+    pages = synthesize_linked_pages(spark, SF_SMOKE)
+    links = WL.extract_links(pages)
+    per_page = links.groupBy("src_url").count()
+    # pages alternate 2 vs 3 outlinks; smoke corpus is 500 docs
+    counts = dict(
+        per_page.groupBy("count").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert counts == {2: 250, 3: 250}
+
+
+def test_host_graph_is_skewed_toward_hub_hosts(spark):
+    from text_to_graph_spark.sources.weblinks import synthesize_linked_pages
+
+    hg = WL.host_graph(WL.extract_links(synthesize_linked_pages(spark, SF_SMOKE)))
+    indeg = dict(
+        hg.groupBy("dst_host").agg(F.sum("n_links").alias("n")).collect()
+    )
+    # quadratic-residue targets: only the six hub hosts receive links
+    hubs = {f"src{i}.example.test" for i in (0, 1, 4, 5, 9, 16)}
+    assert set(indeg) == hubs
+    # and the host PageRank separates hubs from the 14 zero-indegree hosts
+    ranks = WL.host_rank(hg).collect()
+    hub_ranks = {r.host: r.rank_e9 for r in ranks if r.host in hubs}
+    cold = [r.rank_e9 for r in ranks if r.host not in hubs]
+    assert cold and max(cold) < min(hub_ranks.values())
+
+
+def test_extraction_and_normalization_are_shuffle_free(spark):
+    from text_to_graph_spark.sources.weblinks import synthesize_linked_pages
+
+    n = WL.normalized_links(
+        WL.extract_links(synthesize_linked_pages(spark, SF_SMOKE))
+    )
+    # pure projection: no Python stage, at most the sandbox input repartition
+    assert python_eval_count(n) == 0
+    assert count_exchanges(n) <= 1
+
+
+def test_host_graph_is_single_partial_agg_exchange(spark):
+    from text_to_graph_spark.sources.weblinks import synthesize_linked_pages
+
+    hg = WL.host_graph(WL.extract_links(synthesize_linked_pages(spark, SF_SMOKE)))
+    # count(distinct src_url) legitimately needs the two-phase distinct
+    # shape (pre-agg on keys+src_url, then final agg): 2 exchanges + the
+    # sandbox input repartition, every phase map-side partial-agg'd
+    assert count_exchanges(hg) <= 3
+    p = plan_str(hg, "simple")
+    assert "partial_count" in p and "CartesianProduct" not in p

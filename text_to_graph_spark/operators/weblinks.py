@@ -1,0 +1,135 @@
+"""Web-link operators: anchor extraction, URL canonicalization, host graph.
+
+The first mile of every web-scale corpus pipeline: pull the ``<a href>``
+edges out of raw HTML, canonicalize the URLs so crawl-time variants of the
+same logical page collide, and roll the result up to a host-level web graph
+that downstream ranking (PageRank over hosts) consumes.
+
+Everything here is JVM-side built-ins (``regexp_extract_all`` /
+``regexp_replace`` / one partial-agg shuffle) — whole-stage codegen end to
+end, no Python in the hot path. At 100 TB the extraction is a pure
+projection over the pages scan (parallel by input split, zero shuffle); the
+host rollup is one exchange on a 10^5-cardinality key (hosts), which is the
+cheapest aggregate in the pipeline.
+
+Reference anchor: the reference operates on crawled pages
+(`crawler.py`, `html_utils.py:16` strip-tags) but never builds the link
+graph; this module is the additive web-graph path of SURVEY §2's scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HREF_RE = r'<a href="([^"]*)">'
+_ANCHOR_RE = r'<a href="[^"]*">([^<]*)</a>'
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(src_url, pos, href, anchor) — one row per anchor tag, in document
+    order.
+
+    Two ``regexp_extract_all`` passes (href, anchor text) zipped positionally
+    then ``posexplode``d: a pure projection with no shuffle, parallel by
+    input split. Malformed pages simply yield zero rows.
+    """
+    html = F.decode(F.col("html"), "utf-8")
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(_HREF_RE), 1).alias("href"),
+        F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 1).alias("anchor"),
+    )
+    return (
+        pages.select(F.col("url").alias("src_url"), zipped.alias("z"))
+        .select("src_url", F.posexplode("z").alias("pos", "la"))
+        .select(
+            "src_url",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("la.href").alias("href"),
+            F.col("la.anchor").alias("anchor"),
+        )
+    )
+
+
+def normalize_url(u: Column) -> Column:
+    """Canonicalize a URL with engine-portable regex/string ops.
+
+    Rules (applied in order, each a single anchored regex so Spark's
+    replace-all and DuckDB's replace-first semantics agree):
+
+    1. strip ``#fragment``
+    2. drop a query string consisting of tracking params (``?utm_...``)
+    3. lowercase the ``scheme://host`` prefix (path stays case-sensitive)
+    4. strip default ports ``:443`` / ``:80``
+    5. strip a trailing slash from the path
+    """
+    u1 = F.regexp_replace(u, r"#.*$", "")
+    u2 = F.regexp_replace(u1, r"\?utm_[^#]*$", "")
+    prefix = F.regexp_replace(
+        F.lower(F.regexp_extract(u2, r"^([^/]+//[^/]+)", 1)),
+        r":(443|80)$",
+        "",
+    )
+    rest = F.regexp_replace(
+        F.regexp_replace(u2, r"^[^/]+//[^/]+", ""), r"/$", ""
+    )
+    return F.concat(prefix, rest)
+
+
+def host_of(u: Column) -> Column:
+    """Host part of an (already normalized) URL."""
+    return F.regexp_extract(u, r"^[^/]+//([^/:]+)", 1)
+
+
+def normalized_links(links: DataFrame) -> DataFrame:
+    """Add ``norm_href`` / ``src_host`` / ``dst_host`` — still a pure
+    projection."""
+    return links.select(
+        "src_url",
+        "pos",
+        "href",
+        host_of(F.col("src_url")).alias("src_host"),
+        normalize_url(F.col("href")).alias("norm_href"),
+        host_of(normalize_url(F.col("href"))).alias("dst_host"),
+    )
+
+
+def url_dedup(links: DataFrame) -> DataFrame:
+    """Collapse raw href variants onto canonical URLs.
+
+    (norm_href, n_raw, n_variants, n_src_pages): one hash-partial-agg
+    shuffle on the canonical URL — the crawl-frontier dedup shape (at crawl
+    scale the same logical URL arrives spelled dozens of ways).
+    """
+    n = normalized_links(links)
+    return n.groupBy("norm_href").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.countDistinct("href").alias("n_variants"),
+        F.countDistinct("src_url").alias("n_src_pages"),
+    )
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links, n_src_pages) — the host-level web
+    graph. One partial-agg shuffle on the (src,dst) host pair; host
+    cardinality is tiny relative to pages, so the exchange is cheap and
+    skew-free (AQE coalesces post-shuffle partitions)."""
+    n = normalized_links(links)
+    return n.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("src_url").alias("n_src_pages"),
+    )
+
+
+def host_rank(hosts: DataFrame, iterations: int = 5) -> DataFrame:
+    """PageRank over the host graph — (host, rank_e9).
+
+    Reuses the exact-bigint fixed-point PageRank (operators/graphalgo.py):
+    bit-identical across engines and partitionings, oracle-checkable via the
+    unrolled-CTE twin.
+    """
+    from text_to_graph_spark.operators.graphalgo import pagerank
+
+    ranks = pagerank(hosts, src="src_host", dst="dst_host",
+                     iterations=iterations)
+    return ranks.withColumnRenamed("node", "host")
