@@ -935,6 +935,27 @@ def _q_web_host_graph(spark, sf_dir):
     return WL.host_graph(WL.extract_links(_linked_pages(spark, sf_dir)))
 
 
+def _q_web_dead_links(spark, sf_dir):
+    # crawl-frontier anti-join with a broadcast-Bloom fast path
+    # (functions/bloom.py): bloom-negative links (definite non-members)
+    # bypass the anti-join exchange; only the bloom-positive sliver pays the
+    # shuffle. Result is the exact anti-join — the oracle is the plain SQL.
+    from text_to_graph_spark.operators import weblinks as WL
+
+    pages = _linked_pages(spark, sf_dir)
+    return WL.dead_links(WL.extract_links(pages), pages)
+
+
+def _q_web_resolved_links(spark, sf_dir):
+    # big⋈big frontier resolution: links fact side Bloom-pruned against the
+    # crawled-URL set before the exact shuffle join; identical output to the
+    # plain inner join (the bloom is a superset filter)
+    from text_to_graph_spark.operators import weblinks as WL
+
+    pages = _linked_pages(spark, sf_dir)
+    return WL.resolved_links(WL.extract_links(pages), pages)
+
+
 def _q_web_host_rank(spark, sf_dir):
     # PageRank over the host graph — exact-bigint fixpoint, bit-identical to
     # the unrolled-CTE oracle; in-degree skew makes the ranking non-trivial
@@ -1349,6 +1370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_dedup": _q_web_url_dedup,
         "web_host_graph": _q_web_host_graph,
         "web_host_rank": _q_web_host_rank,
+        "web_dead_links": _q_web_dead_links,
+        "web_resolved_links": _q_web_resolved_links,
         "corpus_rollup": _q_corpus_rollup,
         "events_hourly": _q_events_hourly,
         "events_retention": _q_events_retention,
@@ -2607,6 +2630,35 @@ hostg AS (
 ),
 {_pagerank_cte(edges_src="SELECT u, v FROM hostg")}
 SELECT node AS host, CAST(r AS bigint) AS rank_e9 FROM r5
+""",
+        # crawl-frontier anti-join: the Bloom fast path is a superset filter
+        # feeding an exact left_anti, so the oracle is the plain NOT IN —
+        # crawled URLs come straight from the synthesis closed form
+        "web_dead_links": f"""
+{weblinks_normed},
+crawled AS (
+  SELECT DISTINCT 'https://' || source || '.example.test/page/' || doc_id
+         AS page_url
+  FROM documents
+)
+SELECT norm_href,
+       regexp_extract(norm_href, '^[^/]+//([^/:]+)', 1) AS dst_host,
+       CAST(count(*) AS bigint) AS n_refs,
+       CAST(count(DISTINCT src_url) AS bigint) AS n_src_pages
+FROM normed
+WHERE norm_href NOT IN (SELECT page_url FROM crawled)
+GROUP BY 1, 2
+""",
+        # frontier resolution: bloom-pruned inner join ≡ plain inner join
+        "web_resolved_links": f"""
+{weblinks_normed},
+pagelang AS (
+  SELECT 'https://' || source || '.example.test/page/' || doc_id AS page_url,
+         lang
+  FROM documents
+)
+SELECT n.src_url, n.pos, n.norm_href, p.lang AS dst_lang
+FROM normed n JOIN pagelang p ON n.norm_href = p.page_url
 """,
         # cohort retention triangle over tz-free event days
         "events_retention": """

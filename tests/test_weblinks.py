@@ -108,3 +108,77 @@ def test_host_graph_is_single_partial_agg_exchange(spark):
     assert count_exchanges(hg) <= 3
     p = plan_str(hg, "simple")
     assert "partial_count" in p and "CartesianProduct" not in p
+
+
+class TestBloomJoins:
+    """functions/bloom.py: exactness vs the plain joins + plan shapes."""
+
+    def _sides(self, spark):
+        fact = spark.createDataFrame(
+            [(i, f"k{i % 50}") for i in range(400)], "row_id int, k string"
+        )
+        keys = spark.createDataFrame(
+            [(f"k{i}", i * 10) for i in range(0, 50, 7)], "key string, attr int"
+        )
+        return fact, keys
+
+    def test_pruned_join_equals_plain_inner_join(self, spark):
+        from text_to_graph_spark.functions.bloom import bloom_pruned_join
+
+        fact, keys = self._sides(spark)
+        got = bloom_pruned_join(fact, keys, "k", "key", n_buckets=8)
+        want = fact.join(keys, fact["k"] == keys["key"], "inner")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_anti_join_equals_plain_left_anti(self, spark):
+        from text_to_graph_spark.functions.bloom import bloom_anti_join
+
+        fact, keys = self._sides(spark)
+        # tiny filter → lots of false positives; result must still be exact
+        got = bloom_anti_join(fact, keys, "k", "key", n_buckets=2)
+        want = fact.join(keys, fact["k"] == keys["key"], "left_anti")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_prune_is_superset_of_members_and_broadcast_only(self, spark):
+        from text_to_graph_spark.functions.bloom import (
+            bloom_prune,
+            build_bloom,
+        )
+        from text_to_graph_spark.plans.introspect import (
+            has_broadcast_join,
+            has_sort_merge_join,
+        )
+
+        fact, keys = self._sides(spark)
+        pruned = bloom_prune(fact, "k", build_bloom(keys, "key", 64), 64)
+        kept = {r.k for r in pruned.select("k").distinct().collect()}
+        members = {r.key for r in keys.collect()}
+        assert members <= kept  # false negatives are impossible
+        # the probe itself must not shuffle the fact side
+        assert has_broadcast_join(pruned)
+        assert not has_sort_merge_join(pruned)
+
+    def test_dead_links_bloom_plan_and_result(self, spark):
+        from text_to_graph_spark.sources.weblinks import synthesize_linked_pages
+        from text_to_graph_spark.plans.introspect import plan_str
+
+        pages = synthesize_linked_pages(spark, SF_SMOKE)
+        links = WL.extract_links(pages)
+        dead = WL.dead_links(links, pages)
+        p = plan_str(dead, "simple")
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p  # the bloom probe
+        # exact semantics: dead ∪ resolved == all distinct targets
+        n_dead = dead.count()
+        n_live = (
+            WL.resolved_links(links, pages)
+            .select("norm_href").distinct().count()
+        )
+        n_all = (
+            WL.normalized_links(links).select("norm_href").distinct().count()
+        )
+        assert n_dead + n_live == n_all

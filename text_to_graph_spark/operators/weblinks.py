@@ -121,6 +121,53 @@ def host_graph(links: DataFrame) -> DataFrame:
     )
 
 
+def dead_links(links: DataFrame, pages: DataFrame,
+               n_buckets: int = 4096) -> DataFrame:
+    """Crawl-frontier anti-join: link targets NOT in the crawled page set.
+
+    (norm_href, dst_host, n_refs, n_src_pages) per uncrawled target URL.
+    Both sides are page-scale at 100 TB, so neither can broadcast — but a
+    Bloom filter of the crawled-URL set *can* (8 bytes/bucket). Rows failing
+    the broadcast Bloom are definite non-members and bypass the anti-join
+    exchange entirely (``functions/bloom.py``); only the bloom-positive
+    sliver pays the shuffle for the exact check. In a frontier most
+    discovered links are uncrawled, so the bulk of the fact side skips the
+    exchange — the result is still the exact anti-join.
+    """
+    from text_to_graph_spark.functions.bloom import bloom_anti_join
+
+    n = normalized_links(links)
+    crawled = pages.select(normalize_url(F.col("url")).alias("page_url"))
+    dead = bloom_anti_join(n, crawled, "norm_href", "page_url", n_buckets)
+    return dead.groupBy("norm_href", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("src_url").alias("n_src_pages"),
+    )
+
+
+def resolved_links(links: DataFrame, pages: DataFrame,
+                   n_buckets: int = 4096) -> DataFrame:
+    """Resolve in-crawl links to their target page — the big⋈big frontier
+    join.
+
+    (src_url, pos, norm_href, dst_lang) per link whose canonical target was
+    crawled. The links fact table is Bloom-pruned against the crawled-URL
+    set before the exact shuffle join (``functions/bloom.py``): at frontier
+    selectivity only the surviving sliver is exchanged, instead of every
+    discovered anchor. Output is identical to the plain inner join.
+    """
+    from text_to_graph_spark.functions.bloom import bloom_pruned_join
+
+    n = normalized_links(links)
+    targets = pages.select(
+        normalize_url(F.col("url")).alias("page_url"), F.col("lang")
+    )
+    joined = bloom_pruned_join(n, targets, "norm_href", "page_url", n_buckets)
+    return joined.select(
+        "src_url", "pos", "norm_href", F.col("lang").alias("dst_lang")
+    )
+
+
 def host_rank(hosts: DataFrame, iterations: int = 5) -> DataFrame:
     """PageRank over the host graph — (host, rank_e9).
 

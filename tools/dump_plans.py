@@ -27,6 +27,14 @@ per the scale-design rules (enforced by tests/test_plans.py):
 """
 
 
+def _dead_links_plan(spark, sf):
+    from text_to_graph_spark.operators import weblinks as WL
+    from text_to_graph_spark.sources.weblinks import synthesize_linked_pages
+
+    pages = synthesize_linked_pages(spark, sf)
+    return WL.dead_links(WL.extract_links(pages), pages)
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -114,6 +122,9 @@ def main() -> int:
         ),
         "balanced mixture (small count agg broadcast back, one rank window)": (
             CUR.balanced_mixture(docs, {"en": 500000, "de": 500000})
+        ),
+        "dead links (bloom-negative rows bypass the anti-join exchange)": (
+            _dead_links_plan(spark, sf)
         ),
     }
 
