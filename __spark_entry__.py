@@ -956,6 +956,25 @@ def _q_web_resolved_links(spark, sf_dir):
     return WL.resolved_links(WL.extract_links(pages), pages)
 
 
+def _q_web_anchor_text(spark, sf_dir):
+    # anchor-text profiles per canonical target — how the web names a page;
+    # pure projection + one partial-agg shuffle, deterministic sorted sets
+    from text_to_graph_spark.operators import weblinks as WL
+
+    return WL.anchor_text_profiles(
+        WL.extract_links(_linked_pages(spark, sf_dir))
+    )
+
+
+def _q_web_crawl_frontier(spark, sf_dir):
+    # next-wave crawl scheduler: bloom-fast-path dead links, per-host top-k
+    # window over the (tiny) dead-link aggregate, broadcast host-rank join
+    from text_to_graph_spark.operators import weblinks as WL
+
+    pages = _linked_pages(spark, sf_dir)
+    return WL.crawl_frontier(WL.extract_links(pages), pages)
+
+
 def _q_web_host_rank(spark, sf_dir):
     # PageRank over the host graph — exact-bigint fixpoint, bit-identical to
     # the unrolled-CTE oracle; in-degree skew makes the ranking non-trivial
@@ -1372,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_rank": _q_web_host_rank,
         "web_dead_links": _q_web_dead_links,
         "web_resolved_links": _q_web_resolved_links,
+        "web_anchor_text": _q_web_anchor_text,
+        "web_crawl_frontier": _q_web_crawl_frontier,
         "corpus_rollup": _q_corpus_rollup,
         "events_hourly": _q_events_hourly,
         "events_retention": _q_events_retention,
@@ -2659,6 +2680,53 @@ pagelang AS (
 )
 SELECT n.src_url, n.pos, n.norm_href, p.lang AS dst_lang
 FROM normed n JOIN pagelang p ON n.norm_href = p.page_url
+""",
+        # anchor-text profiles: canonical target + sorted distinct texts
+        "web_anchor_text": f"""
+WITH {LINKED_PAGES_LINKS_CTE.strip()}
+SELECT {_norm_url_sql('href')} AS norm_href,
+       CAST(count(*) AS bigint) AS n_anchors,
+       CAST(count(DISTINCT anchor) AS bigint) AS n_texts,
+       list_sort(list(DISTINCT anchor)) AS anchor_texts
+FROM links GROUP BY 1
+""",
+        # crawl scheduler: per-host top-k over the dead-link aggregate,
+        # host PageRank attached via the same unrolled exact recurrence
+        "web_crawl_frontier": f"""
+{weblinks_normed},
+crawled AS (
+  SELECT DISTINCT 'https://' || source || '.example.test/page/' || doc_id
+         AS page_url
+  FROM documents
+),
+dead AS (
+  SELECT norm_href,
+         regexp_extract(norm_href, '^[^/]+//([^/:]+)', 1) AS dst_host,
+         count(*) AS n_refs
+  FROM normed
+  WHERE norm_href NOT IN (SELECT page_url FROM crawled)
+  GROUP BY 1, 2
+),
+picked AS (
+  SELECT dst_host,
+         row_number() OVER (PARTITION BY dst_host
+                            ORDER BY n_refs DESC, norm_href ASC) AS pick,
+         norm_href, n_refs
+  FROM dead
+),
+hostg AS (
+  SELECT DISTINCT src_host AS u,
+         regexp_extract(norm_href, '^[^/]+//([^/:]+)', 1) AS v
+  FROM normed
+),
+{_pagerank_cte(edges_src="SELECT u, v FROM hostg")}
+SELECT p.dst_host,
+       CAST(p.pick AS int) AS pick,
+       p.norm_href,
+       CAST(p.n_refs AS bigint) AS n_refs,
+       CAST(coalesce(r.r, 0) AS bigint) AS host_rank_e9
+FROM picked p LEFT JOIN r5 r ON p.dst_host = r.node
+WHERE p.pick <= 3
 """,
         # cohort retention triangle over tz-free event days
         "events_retention": """

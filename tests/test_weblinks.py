@@ -182,3 +182,41 @@ class TestBloomJoins:
             WL.normalized_links(links).select("norm_href").distinct().count()
         )
         assert n_dead + n_live == n_all
+
+
+def test_anchor_text_profiles_collapse_variants(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://s.test/a", 0, "https://t.test/p#x", "Alpha"),
+            ("https://s.test/b", 0, "https://t.test/p?utm_source=f", "Beta"),
+            ("https://s.test/c", 0, "https://t.test/p", "Alpha"),
+            ("https://s.test/c", 1, "https://other.test/q", "Gamma"),
+        ],
+        "src_url string, pos int, href string, anchor string",
+    )
+    rows = {r.norm_href: r for r in WL.anchor_text_profiles(links).collect()}
+    p = rows["https://t.test/p"]
+    # three raw variants collapse onto one canonical target
+    assert p.n_anchors == 3 and p.n_texts == 2
+    assert p.anchor_texts == ["Alpha", "Beta"]
+    assert rows["https://other.test/q"].anchor_texts == ["Gamma"]
+
+
+def test_crawl_frontier_caps_per_host_and_ranks_by_refs(spark):
+    from text_to_graph_spark.sources.weblinks import synthesize_linked_pages
+
+    pages = synthesize_linked_pages(spark, SF_SMOKE)
+    links = WL.extract_links(pages)
+    rows = WL.crawl_frontier(links, pages, per_host=2).collect()
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r.dst_host, []).append(r)
+    for host, rs in by_host.items():
+        assert len(rs) <= 2, host
+        rs.sort(key=lambda r: r.pick)
+        # ordered by reference count, never a crawled URL
+        refs = [r.n_refs for r in rs]
+        assert refs == sorted(refs, reverse=True)
+    # frontier rows must be a subset of the dead links
+    dead = {r.norm_href for r in WL.dead_links(links, pages).collect()}
+    assert {r.norm_href for r in rows} <= dead

@@ -168,6 +168,67 @@ def resolved_links(links: DataFrame, pages: DataFrame,
     )
 
 
+def anchor_text_profiles(links: DataFrame) -> DataFrame:
+    """Anchor-text profile per canonical target URL — the web-graph alias
+    source.
+
+    (norm_href, n_anchors, n_texts, anchor_texts) with the distinct texts
+    ``array_sort``ed for a deterministic render. Anchor text is how the rest
+    of the web *names* a page, so this table doubles as an entity-alias
+    candidate source for KG linking. One partial-agg shuffle on the
+    canonical URL; collect_set is bounded by the distinct-text count per
+    target (anchor vocabularies are tiny relative to in-degree).
+    """
+    return (
+        links.select(
+            normalize_url(F.col("href")).alias("norm_href"), "anchor"
+        )
+        .groupBy("norm_href")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.countDistinct("anchor").alias("n_texts"),
+            F.array_sort(F.collect_set("anchor")).alias("anchor_texts"),
+        )
+    )
+
+
+def crawl_frontier(links: DataFrame, pages: DataFrame,
+                   per_host: int = 3) -> DataFrame:
+    """Next-wave crawl scheduler: top uncrawled targets per destination host.
+
+    Composes the Bloom-fast-path dead-link anti-join with host PageRank:
+    uncrawled targets are ranked inside each dst_host by reference count
+    (ties broken by URL for determinism), capped at ``per_host``, and
+    carry the host's rank so the scheduler can order hosts globally.
+    The per-host top-k is a single window over the dead-link aggregate —
+    already tiny relative to the link fact table — and the host-rank join
+    broadcasts (host cardinality ≪ pages).
+    """
+    from pyspark.sql import Window
+
+    dead = dead_links(links, pages)
+    ranks = host_rank(host_graph(links))
+    w = Window.partitionBy("dst_host").orderBy(
+        F.desc("n_refs"), F.asc("norm_href")
+    )
+    return (
+        dead.withColumn("pick", F.row_number().over(w))
+        .where(F.col("pick") <= per_host)
+        .join(
+            F.broadcast(ranks),
+            dead["dst_host"] == ranks["host"],
+            "left",
+        )
+        .select(
+            "dst_host",
+            F.col("pick").cast("int").alias("pick"),
+            "norm_href",
+            "n_refs",
+            F.coalesce("rank_e9", F.lit(0).cast("bigint")).alias("host_rank_e9"),
+        )
+    )
+
+
 def host_rank(hosts: DataFrame, iterations: int = 5) -> DataFrame:
     """PageRank over the host graph — (host, rank_e9).
 
