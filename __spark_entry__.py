@@ -261,6 +261,23 @@ def _q_kg_top_predicates(spark, sf_dir):
     return G.edge_label_counts(_edges(spark, sf_dir), label_col="pred")
 
 
+def _q_kg_match_2hop(spark, sf_dir):
+    # SPARQL-style BGP: (a)-[join]->(b)-[scan]->(c); predicate filters
+    # push to the scan before the equi-join on the shared node
+    return G.match_2hop(
+        _edges(spark, sf_dir), "join", "scan", src="subj", dst="obj",
+        label="pred",
+    )
+
+
+def _q_kg_pred_cooccurrence(spark, sf_dir):
+    # schema discovery: predicate pairs sharing a subject; per-subject cost
+    # bounded by the predicate vocabulary, not data size
+    return G.predicate_cooccurrence(
+        _edges(spark, sf_dir), src="subj", label="pred"
+    )
+
+
 def _q_kg_degree(spark, sf_dir):
     return G.node_degrees(_edges(spark, sf_dir), src="subj", dst="obj").withColumnRenamed(
         "key", "label"
@@ -1329,6 +1346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": _q_kg_nodes,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
         "kg_top_predicates": _q_kg_top_predicates,
+        "kg_match_2hop": _q_kg_match_2hop,
+        "kg_pred_cooccurrence": _q_kg_pred_cooccurrence,
         "kg_degree": _q_kg_degree,
         "kg_parallel_edges": _q_kg_parallel_edges,
         "kg_khop2": _q_kg_khop2,
@@ -1826,6 +1845,23 @@ SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
         "kg_edges_incremental": f"""
 {_KG_PREFIX}
 SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
+""",
+        # BGP 2-hop: predicate-filtered equi-join on the shared node
+        "kg_match_2hop": f"""
+{_KG_PREFIX}
+SELECT h1.subj AS a, h1.obj AS b, h2.obj AS c
+FROM edges h1 JOIN edges h2 ON h1.obj = h2.subj
+WHERE h1.pred = 'join' AND h2.pred = 'scan'
+""",
+        # predicate co-occurrence over distinct (subj, pred)
+        "kg_pred_cooccurrence": f"""
+{_KG_PREFIX}
+SELECT a.pred AS pred_a, b.pred AS pred_b,
+       CAST(count(DISTINCT a.subj) AS bigint) AS n_subjects
+FROM (SELECT DISTINCT subj, pred FROM edges) a
+JOIN (SELECT DISTINCT subj, pred FROM edges) b USING (subj)
+WHERE a.pred < b.pred
+GROUP BY 1, 2
 """,
         "kg_nodes": f"""
 {_KG_PREFIX}

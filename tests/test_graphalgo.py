@@ -244,3 +244,23 @@ class TestKCore:
             r.node: r.degree for r in k_core(_edge_df(spark, cyc), k=2).collect()
         }
         assert got == {x: 2 for x in "abcd"}
+
+
+def test_match_2hop_and_pred_cooccurrence(spark):
+    from text_to_graph_spark.operators import graphq as G
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "p", "b"), ("b", "q", "c"), ("b", "q", "d"),
+            ("x", "p", "b"), ("a", "q", "z"), ("c", "r", "a"),
+        ],
+        "subj_key string, pred_key string, obj_key string",
+    )
+    got = sorted(map(tuple, G.match_2hop(edges, "p", "q").collect()))
+    # (a)-[p]->(b)-[q]->{c,d} and (x)-[p]->(b)-[q]->{c,d}
+    assert got == [("a", "b", "c"), ("a", "b", "d"),
+                   ("x", "b", "c"), ("x", "b", "d")]
+    co = {(r.pred_a, r.pred_b): r.n_subjects
+          for r in G.predicate_cooccurrence(edges).collect()}
+    # subjects a {p,q} and b {q} and x {p} and c {r} -> only a pairs p with q
+    assert co == {("p", "q"): 1}

@@ -98,3 +98,56 @@ def top_k_by_count(counts: DataFrame, count_col: str, k: int) -> DataFrame:
     as tiebreak."""
     others = [c for c in counts.columns if c != count_col]
     return counts.orderBy(F.desc(count_col), *[F.asc(c) for c in others]).limit(k)
+
+
+def match_2hop(
+    edges: DataFrame,
+    pred1: str,
+    pred2: str,
+    src: str = "subj_key",
+    dst: str = "obj_key",
+    label: str = "pred_key",
+) -> DataFrame:
+    """Triple-pattern match ``(a)-[pred1]->(b)-[pred2]->(c)`` — the basic
+    SPARQL-style BGP join over the canonical edge table.
+
+    Each hop filters its predicate *before* the join, so the predicate
+    selectivity (pushed to the scan) bounds what reaches the exchange; the
+    join itself is a plain equi-join on the shared node ``b``. Canonical
+    edges are unique per (subj, pred, obj), so the output needs no distinct.
+    At web scale a hub ``b`` fans out |in(b,pred1)| x |out(b,pred2)| — that
+    product is the true result size, not an artifact; cap upstream with a
+    degree filter when the pattern itself should exclude hubs.
+    """
+    hop1 = edges.where(F.col(label) == pred1).select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    )
+    hop2 = edges.where(F.col(label) == pred2).select(
+        F.col(src).alias("b"), F.col(dst).alias("c")
+    )
+    return hop1.join(hop2, "b").select("a", "b", "c")
+
+
+def predicate_cooccurrence(
+    edges: DataFrame, src: str = "subj_key", label: str = "pred_key"
+) -> DataFrame:
+    """Schema discovery: how often two predicates share a subject.
+
+    (pred_a, pred_b, n_subjects) for unordered predicate pairs — the
+    co-occurrence profile that reveals which relations describe the same
+    entity class. Self-join of the distinct (subj, pred) set on subject:
+    per-subject cost is (#distinct predicates)^2, bounded by the predicate
+    vocabulary (schema-sized, not data-sized), so no hub blowup.
+    """
+    ps = edges.select(
+        F.col(src).alias("subj"), F.col(label).alias("pred")
+    ).distinct()
+    return (
+        ps.alias("a")
+        .join(ps.alias("b"), "subj")
+        .where(F.col("a.pred") < F.col("b.pred"))
+        .groupBy(
+            F.col("a.pred").alias("pred_a"), F.col("b.pred").alias("pred_b")
+        )
+        .agg(F.countDistinct("subj").alias("n_subjects"))
+    )
