@@ -832,6 +832,13 @@ def _q_ann_topk_bucketed(spark, sf_dir):
     return SIM.topk_bucketed(emb, emb.where("vec_id < 10"), k=5)
 
 
+def _q_ann_recall(spark, sf_dir):
+    # measured recall@5 of the sign-bucket LSH index vs exact brute force —
+    # the approximation's quality as an oracle-checked table, exact ppm
+    emb = _emb(spark, sf_dir)
+    return SIM.ann_recall(emb, emb.where("vec_id < 10"), k=5)
+
+
 def _q_ann_topk_ivf_trained(spark, sf_dir):
     # trainer + index composed: k-means centroids (integer micro units)
     # coarse-quantize both sides, cosine top-k within the query's cluster
@@ -1391,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bucketed": _q_ann_topk_bucketed,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_ivf_trained": _q_ann_topk_ivf_trained,
+        "ann_recall": _q_ann_recall,
         "emb_kmeans": _q_emb_kmeans,
         "text_quality": _q_text_quality,
         "text_tokens": _q_text_tokens,
@@ -2452,6 +2460,44 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(rnk AS int) AS rank, (floor((c) * 1000000.0 + 0.5) / 1000000.0) AS cos
 FROM ranked WHERE rnk <= 5
+""",
+        # recall@5 of the LSH path vs brute force: both top-k twins above,
+        # joined; recall depends only on the neighbor-id sets (tie-breaks
+        # are pinned by the same (c DESC, neighbor_id) order in both)
+        "ann_recall": f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm,
+         CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS int) AS bucket
+  FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_DOT.format(a='q.embedding', b='e.embedding')}
+                      / (q.nrm * e.nrm) DESC, e.vec_id) AS rnk
+    FROM q JOIN e ON e.vec_id <> q.vec_id
+  ) WHERE rnk <= 5
+),
+lshr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_DOT.format(a='q.embedding', b='e.embedding')}
+                      / (q.nrm * e.nrm) DESC, e.vec_id) AS rnk
+    FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+  ) WHERE rnk <= 5
+)
+SELECT b.query_id,
+       CAST(count(l.neighbor_id) AS bigint) AS n_hits,
+       CAST(count(l.neighbor_id) * 1000000 // 5 AS bigint) AS recall_ppm
+FROM brute b LEFT JOIN lshr l USING (query_id, neighbor_id)
+GROUP BY 1
 """,
         "text_quality": """
 WITH t AS (

@@ -427,3 +427,36 @@ def topk_bucketed(
             round_half_up(F.col("cos"), 6).alias("cos"),
         )
     )
+
+
+def ann_recall(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k of the sign-bucket LSH path vs exact brute force.
+
+    (query_id, n_hits, recall_ppm) per query — "measure, don't guess" made
+    a first-class table: the approximate index's quality is computed by the
+    engine itself (left join of the exact top-k against the bucketed top-k,
+    count of survivors, exact integer ppm). Run it on a fixture-scale sample
+    whenever ``sign_bits``/``k`` change; at production scale the exact side
+    is only ever computed over such a sample (brute force is the O(n·q)
+    baseline), so the recall job stays cheap while the index serves the
+    full corpus.
+    """
+    brute = topk_bruteforce(emb, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = topk_bucketed(emb, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    j = brute.join(approx, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count("hit").alias("n_hits"),
+        F.floor(F.count("hit") * 1000000 / F.lit(k))
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )
