@@ -126,6 +126,14 @@ def main() -> int:
         e = triples_to_canonical_edges(t)
         _force(connected_components(e, "subj_key", "obj_key"))
 
+    def _q_web_dead(spark):
+        # anchor extraction + bloom-fast-path crawl-frontier anti-join
+        from text_to_graph_spark.operators import weblinks as WL
+        from text_to_graph_spark.sources.weblinks import synthesize_linked_pages
+
+        pages = synthesize_linked_pages(spark, SF_DIR)
+        _force(WL.dead_links(WL.extract_links(pages), pages))
+
     benches = {
         "kg_pipeline": q_kg_pipeline,
         "kg_pipeline_staged": q_kg_pipeline_staged,
@@ -144,6 +152,7 @@ def main() -> int:
         "olap_pricing_summary": lambda: _force(
             OL.pricing_summary(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"))
         ),
+        "web_dead_links": lambda: _q_web_dead(spark),
         "olap_ship_priority": lambda: _force(
             OL.ship_priority(
                 spark.read.parquet(f"{SF_DIR}/customer.parquet"),

@@ -220,3 +220,24 @@ def test_crawl_frontier_caps_per_host_and_ranks_by_refs(spark):
     # frontier rows must be a subset of the dead links
     dead = {r.norm_href for r in WL.dead_links(links, pages).collect()}
     assert {r.norm_href for r in rows} <= dead
+
+
+def test_normalize_url_idempotent_on_fuzz_corpus(spark):
+    # canonicalization must be a projection onto its own fixed points:
+    # normalize(normalize(u)) == normalize(u) for the full combinatorial
+    # grid of scheme/host/port/path/query/fragment messiness
+    import itertools
+
+    schemes = ["https://", "HTTP://", "http://"]
+    hosts = ["A.Test", "a.test:443", "b.test:80", "b.test:8443", "x.y.test"]
+    paths = ["", "/", "/P/1", "/p/1/", "/Mixed/Case"]
+    tails = ["", "#f", "?utm_source=x", "?q=1", "?utm_a=1#z", "#a#b"]
+    urls = ["".join(p) for p in itertools.product(schemes, hosts, paths, tails)]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = (
+        df.select(WL.normalize_url(F.col("u")).alias("n1"))
+        .select("n1", WL.normalize_url(F.col("n1")).alias("n2"))
+        .collect()
+    )
+    bad = [(r.n1, r.n2) for r in rows if r.n1 != r.n2]
+    assert not bad, bad[:5]
