@@ -278,6 +278,34 @@ def _q_kg_pred_cooccurrence(spark, sf_dir):
     )
 
 
+# SHACL-lite edge ontology: the (pred, subj_type, obj_type) combinations the
+# published graph is allowed to contain — single source of truth for the
+# Spark query and the DuckDB oracle
+_EDGE_ONTOLOGY = [
+    ("scan", "system", "storage"), ("scan", "storage", "data"),
+    ("scan", "actor", "storage"),
+    ("join", "data", "data"), ("join", "storage", "storage"),
+    ("filter", "system", "data"), ("filter", "data", "data"),
+    ("sort", "data", "data"), ("group", "data", "data"),
+    ("group", "system", "data"),
+    ("merge", "storage", "storage"), ("merge", "data", "data"),
+]
+
+
+def _q_kg_type_violations(spark, sf_dir):
+    # ontology-constraint report: type the edge stream via two broadcast
+    # schema-sized dims, profile, flag against the allowed table
+    from text_to_graph_spark.pipeline import vocab_category_table
+
+    allowed = spark.createDataFrame(
+        _EDGE_ONTOLOGY, "pred string, subj_type string, obj_type string"
+    )
+    return G.validate_edge_types(
+        _edges(spark, sf_dir), vocab_category_table(spark), allowed,
+        src="subj", dst="obj", label="pred",
+    )
+
+
 def _q_kg_degree(spark, sf_dir):
     return G.node_degrees(_edges(spark, sf_dir), src="subj", dst="obj").withColumnRenamed(
         "key", "label"
@@ -1355,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_top_predicates": _q_kg_top_predicates,
         "kg_match_2hop": _q_kg_match_2hop,
         "kg_pred_cooccurrence": _q_kg_pred_cooccurrence,
+        "kg_type_violations": _q_kg_type_violations,
         "kg_degree": _q_kg_degree,
         "kg_parallel_edges": _q_kg_parallel_edges,
         "kg_khop2": _q_kg_khop2,
@@ -1860,6 +1889,34 @@ SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
 SELECT h1.subj AS a, h1.obj AS b, h2.obj AS c
 FROM edges h1 JOIN edges h2 ON h1.obj = h2.subj
 WHERE h1.pred = 'join' AND h2.pred = 'scan'
+""",
+        # SHACL-lite: type via category VALUES dims, profile, flag vs the
+        # shared _EDGE_ONTOLOGY literal
+        "kg_type_violations": f"""
+{_KG_PREFIX},
+cat(key, type) AS (SELECT * FROM (VALUES {', '.join(
+            f"('{k}', '{v}')" for k, v in sorted(ENTITY_CATEGORIES.items())
+        )})),
+allowed(pred, subj_type, obj_type) AS (SELECT * FROM (VALUES {', '.join(
+            f"('{p}', '{s}', '{o}')" for p, s, o in _EDGE_ONTOLOGY
+        )})),
+typed AS (
+  SELECT e.pred, coalesce(cs.type, 'entity') AS subj_type,
+         coalesce(co.type, 'entity') AS obj_type
+  FROM edges e
+  LEFT JOIN cat cs ON e.subj = cs.key
+  LEFT JOIN cat co ON e.obj = co.key
+),
+prof AS (
+  SELECT pred, subj_type, obj_type, count(*) AS n_edges
+  FROM typed GROUP BY 1, 2, 3
+)
+SELECT p.pred, p.subj_type, p.obj_type,
+       CAST(p.n_edges AS bigint) AS n_edges,
+       (a.pred IS NOT NULL) AS is_allowed
+FROM prof p LEFT JOIN allowed a
+  ON p.pred = a.pred AND p.subj_type = a.subj_type
+     AND p.obj_type = a.obj_type
 """,
         # predicate co-occurrence over distinct (subj, pred)
         "kg_pred_cooccurrence": f"""

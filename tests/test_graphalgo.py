@@ -264,3 +264,27 @@ def test_match_2hop_and_pred_cooccurrence(spark):
           for r in G.predicate_cooccurrence(edges).collect()}
     # subjects a {p,q} and b {q} and x {p} and c {r} -> only a pairs p with q
     assert co == {("p", "q"): 1}
+
+
+def test_validate_edge_types_flags_only_allowed_combos(spark):
+    from text_to_graph_spark.operators import graphq as G
+
+    edges = spark.createDataFrame(
+        [("t1", "p", "t2"), ("t1", "p", "x"), ("t2", "p", "t1")],
+        "subj_key string, pred_key string, obj_key string",
+    )
+    cats = spark.createDataFrame(
+        [("t1", "A"), ("t2", "B")], "key string, type string"
+    )
+    allowed = spark.createDataFrame(
+        [("p", "A", "B")], "pred string, subj_type string, obj_type string"
+    )
+    rows = {
+        (r.pred, r.subj_type, r.obj_type): (r.n_edges, r.is_allowed)
+        for r in G.validate_edge_types(edges, cats, allowed).collect()
+    }
+    assert rows == {
+        ("p", "A", "B"): (1, True),       # t1->t2 permitted
+        ("p", "A", "entity"): (1, False),  # unknown key falls back
+        ("p", "B", "A"): (1, False),       # reversed direction not allowed
+    }

@@ -151,3 +151,53 @@ def predicate_cooccurrence(
         )
         .agg(F.countDistinct("subj").alias("n_subjects"))
     )
+
+
+def validate_edge_types(
+    edges: DataFrame,
+    categories: DataFrame,
+    allowed: DataFrame,
+    src: str = "subj_key",
+    dst: str = "obj_key",
+    label: str = "pred_key",
+) -> DataFrame:
+    """SHACL-lite constraint report: edge-type profile vs an ontology.
+
+    (pred, subj_type, obj_type, n_edges, is_allowed) — every observed
+    (predicate, subject-category, object-category) combination with its
+    edge count and whether the ontology's ``allowed`` table permits it.
+    The KG quality gate a construction pipeline runs before publishing.
+
+    ``categories`` (key, type) and ``allowed`` (pred, subj_type, obj_type)
+    are schema-sized dimensions: both broadcast, so the edge stream is
+    typed and profiled with zero extra exchanges beyond the one
+    partial-agg'd profile rollup (cardinality ≤ |preds|·|types|²).
+    Unknown keys fall back to the 'entity' category.
+    """
+    cs = categories.select(
+        F.col("key").alias(src), F.col("type").alias("_st")
+    )
+    co = categories.select(
+        F.col("key").alias(dst), F.col("type").alias("_ot")
+    )
+    typed = (
+        edges.join(F.broadcast(cs), src, "left")
+        .join(F.broadcast(co), dst, "left")
+        .select(
+            F.col(label).alias("pred"),
+            F.coalesce("_st", F.lit("entity")).alias("subj_type"),
+            F.coalesce("_ot", F.lit("entity")).alias("obj_type"),
+        )
+    )
+    prof = typed.groupBy("pred", "subj_type", "obj_type").agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+    ok = allowed.select("pred", "subj_type", "obj_type",
+                        F.lit(1).alias("_ok"))
+    return (
+        prof.join(F.broadcast(ok), ["pred", "subj_type", "obj_type"], "left")
+        .select(
+            "pred", "subj_type", "obj_type", "n_edges",
+            F.col("_ok").isNotNull().alias("is_allowed"),
+        )
+    )
