@@ -242,3 +242,35 @@ def test_ngram_and_site_stats_are_udf_free_single_agg(spark, pages_smoke):
     ss = site_stats(pages_smoke)
     assert python_eval_count(ss) == 0
     assert count_exchanges(ss) <= 3  # input repartition + distinct-lang 2-level agg
+
+
+def test_match_2hop_filters_before_equi_join_no_cartesian(spark):
+    """BGP 2-hop: each hop's predicate filter must precede the join (so
+    selectivity bounds the exchange) and the join must be an equi-join."""
+    from text_to_graph_spark.operators import graphq as G
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b")], "subj_key string, pred_key string, obj_key string"
+    )
+    out = G.match_2hop(edges, "p", "q")
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert python_eval_count(out) == 0
+
+
+def test_validate_edge_types_broadcasts_both_dims(spark):
+    """SHACL-lite: category and ontology dims are schema-sized — every join
+    must broadcast; the only exchange is the profile rollup."""
+    from text_to_graph_spark.operators import graphq as G
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b")], "subj_key string, pred_key string, obj_key string"
+    )
+    cats = spark.createDataFrame([("a", "A")], "key string, type string")
+    allowed = spark.createDataFrame(
+        [("p", "A", "A")], "pred string, subj_type string, obj_type string"
+    )
+    out = G.validate_edge_types(edges, cats, allowed)
+    s = plan_str(out, "simple")
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+    assert count_exchanges(out) <= 1  # the profile rollup only
