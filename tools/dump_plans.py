@@ -27,6 +27,23 @@ per the scale-design rules (enforced by tests/test_plans.py):
 """
 
 
+def _validate_plan(spark, triples):
+    from text_to_graph_spark.operators import graphq as GQ
+    from text_to_graph_spark.operators.canonicalize import (
+        triples_to_canonical_edges,
+    )
+    from text_to_graph_spark.pipeline import vocab_category_table
+
+    allowed = spark.createDataFrame(
+        [("join", "data", "data")],
+        "pred string, subj_type string, obj_type string",
+    )
+    return GQ.validate_edge_types(
+        triples_to_canonical_edges(triples), vocab_category_table(spark),
+        allowed,
+    )
+
+
 def _dead_links_plan(spark, sf):
     from text_to_graph_spark.operators import weblinks as WL
     from text_to_graph_spark.sources.weblinks import synthesize_linked_pages
@@ -40,6 +57,7 @@ def main() -> int:
 
     from text_to_graph_spark.operators import curation as CUR
     from text_to_graph_spark.operators import dedup as D
+    from text_to_graph_spark.operators import graphq as GQ
     from text_to_graph_spark.operators import graphalgo as GA
     from text_to_graph_spark.operators import textstats as TS
     from text_to_graph_spark.operators import linking as L
@@ -125,6 +143,14 @@ def main() -> int:
         ),
         "dead links (bloom-negative rows bypass the anti-join exchange)": (
             _dead_links_plan(spark, sf)
+        ),
+        "BGP 2-hop match (predicate filters ahead of the equi-join)": (
+            GQ.match_2hop(
+                triples_to_canonical_edges(triples), "join", "scan"
+            )
+        ),
+        "edge-ontology validation (both dims broadcast, one rollup exchange)": (
+            _validate_plan(spark, triples)
         ),
     }
 
