@@ -292,6 +292,16 @@ _EDGE_ONTOLOGY = [
 ]
 
 
+def _q_kg_random_walks(spark, sf_dir):
+    # DeepWalk-style skip-gram corpus: hash-seeded deterministic walks,
+    # one adjacency build + walk_len frontier equi-joins
+    from text_to_graph_spark.operators.graphalgo import random_walks
+
+    return random_walks(
+        _edges(spark, sf_dir), src="subj", dst="obj", n_walks=2, walk_len=3
+    )
+
+
 def _q_kg_type_violations(spark, sf_dir):
     # ontology-constraint report: type the edge stream via two broadcast
     # schema-sized dims, profile, flag against the allowed table
@@ -1384,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_match_2hop": _q_kg_match_2hop,
         "kg_pred_cooccurrence": _q_kg_pred_cooccurrence,
         "kg_type_violations": _q_kg_type_violations,
+        "kg_random_walks": _q_kg_random_walks,
         "kg_degree": _q_kg_degree,
         "kg_parallel_edges": _q_kg_parallel_edges,
         "kg_khop2": _q_kg_khop2,
@@ -1749,6 +1760,43 @@ def _kcore_cte(k: int = 3, rounds: int = 8) -> str:
     return ",\n".join(parts)
 
 
+def _walks_cte(n_walks: int = 2, walk_len: int = 3) -> str:
+    """Unrolled deterministic random walks as chained CTEs (w0..wL),
+    mirroring operators/graphalgo.random_walks: 48-bit md5 of
+    (start|walk_id|step|cur) mod out-degree over the sorted neighbor list,
+    1-based element pick, sink walks keep their shorter path."""
+    parts = [
+        "rw_adj AS (SELECT subj AS node, list_sort(list(DISTINCT obj)) AS"
+        " nbrs FROM edges GROUP BY 1)",
+        "rw_wid AS (SELECT unnest(generate_series(0,"
+        f" {n_walks - 1})) AS wid)",
+        "w0 AS (SELECT node AS start, wid, node AS cur, [node] AS path"
+        " FROM rw_adj CROSS JOIN rw_wid)",
+    ]
+    for i in range(1, walk_len + 1):
+        step = i - 1
+        h = (
+            "CAST(('0x' || substr(md5(w.start || '|' ||"
+            f" CAST(w.wid AS varchar) || '|' || '{step}' || '|' || w.cur),"
+            " 1, 12)) AS bigint)"
+        )
+        el = f"a.nbrs[CAST({h} % len(a.nbrs) AS int) + 1]"
+        parts.append(
+            f"""w{i}_j AS (
+  SELECT w.start, w.wid, w.path,
+         CASE WHEN a.nbrs IS NOT NULL THEN {el} END AS nxt
+  FROM w{i-1} w LEFT JOIN rw_adj a ON w.cur = a.node
+),
+w{i} AS (
+  SELECT start, wid, nxt AS cur,
+         CASE WHEN nxt IS NOT NULL THEN list_append(path, nxt)
+              ELSE path END AS path
+  FROM w{i}_j
+)"""
+        )
+    return ",\n".join(parts)
+
+
 def _pagerank_cte(
     iterations: int = 5,
     damping_pct: int = 85,
@@ -1889,6 +1937,12 @@ SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
 SELECT h1.subj AS a, h1.obj AS b, h2.obj AS c
 FROM edges h1 JOIN edges h2 ON h1.obj = h2.subj
 WHERE h1.pred = 'join' AND h2.pred = 'scan'
+""",
+        # deterministic DeepWalk corpus: unrolled hash-seeded walk steps
+        "kg_random_walks": f"""
+{_KG_PREFIX},
+{_walks_cte(n_walks=2, walk_len=3)}
+SELECT start, CAST(wid AS int) AS walk_id, path FROM w3
 """,
         # SHACL-lite: type via category VALUES dims, profile, flag vs the
         # shared _EDGE_ONTOLOGY literal

@@ -288,3 +288,34 @@ def test_validate_edge_types_flags_only_allowed_combos(spark):
         ("p", "A", "entity"): (1, False),  # unknown key falls back
         ("p", "B", "A"): (1, False),       # reversed direction not allowed
     }
+
+
+class TestRandomWalks:
+    EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+
+    def _walks(self, spark):
+        from text_to_graph_spark.operators.graphalgo import random_walks
+
+        df = random_walks(
+            _edge_df(spark, self.EDGES), n_walks=2, walk_len=3
+        )
+        return sorted((r.start, r.walk_id, tuple(r.path)) for r in df.collect())
+
+    def test_paths_are_real_walks(self, spark):
+        eset = set(self.EDGES)
+        got = self._walks(spark)
+        # 2 walks per node with out-edges (a, b, c; d is a sink)
+        assert len(got) == 6
+        for start, _wid, path in got:
+            assert path[0] == start and len(path) <= 4
+            for u, v in zip(path, path[1:]):
+                assert (u, v) in eset, (path, u, v)
+
+    def test_bit_identical_across_runs_and_seeded_by_walk_id(self, spark):
+        a, b = self._walks(spark), self._walks(spark)
+        assert a == b  # deterministic: no rand(), pure hash seeding
+        by_start = {}
+        for start, wid, path in a:
+            by_start.setdefault(start, set()).add(path)
+        # at least one node's two walks diverge (walk_id enters the hash)
+        assert any(len(p) > 1 for p in by_start.values())

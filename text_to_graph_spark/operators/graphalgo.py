@@ -367,3 +367,84 @@ def k_core(
     return active.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    n_walks: int = 2,
+    walk_len: int = 3,
+) -> DataFrame:
+    """Deterministic DeepWalk-style random walks — graph-embedding prep.
+
+    (start, walk_id, path) with ``n_walks`` walks of up to ``walk_len``
+    steps from every node that has out-edges; the skip-gram training corpus
+    for node embeddings. The "random" neighbor choice is a 48-bit md5 of
+    (start, walk_id, step, current) mod out-degree over the *sorted*
+    neighbor list — bit-identical across engines, partitionings and reruns
+    (no rand(), which would break both resumability and the oracle).
+
+    Plan: the adjacency (node → sorted neighbor array) is built once with
+    one partial-agg shuffle and reused by every step; each step is one
+    equi-join of the walk frontier against it (hub skew absorbed by AQE).
+    Walks that hit a sink terminate early (path stays short). ``walk_len``
+    joins total — the classic bounded-iteration frontier shape, same as
+    ``weighted_sssp``.
+    """
+    adj = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+        .groupBy("node")
+        .agg(F.array_sort(F.collect_set("nbr")).alias("nbrs"))
+        .localCheckpoint(eager=False)
+    )
+    walks = (
+        adj.select("node")
+        .withColumn(
+            "walk_id", F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1)))
+        )
+        .select(
+            F.col("node").alias("start"),
+            F.col("walk_id").cast("int").alias("walk_id"),
+            F.col("node").alias("cur"),
+            F.array(F.col("node")).alias("path"),
+        )
+    )
+    for step in range(walk_len):
+        j = walks.join(
+            adj.select(F.col("node").alias("cur"), "nbrs"), "cur", "left"
+        )
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("start"),
+                        F.col("walk_id").cast("string"),
+                        F.lit(str(step)),
+                        F.col("cur"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        nxt = F.when(
+            F.col("nbrs").isNotNull(),
+            F.element_at(
+                "nbrs", (F.pmod(h, F.size("nbrs")) + F.lit(1)).cast("int")
+            ),
+        )
+        walks = j.select(
+            "start",
+            "walk_id",
+            nxt.alias("cur"),
+            F.when(nxt.isNotNull(), F.concat("path", F.array(nxt)))
+            .otherwise(F.col("path"))
+            .alias("path"),
+        )
+    return walks.select("start", "walk_id", "path")
