@@ -302,6 +302,20 @@ def _q_kg_random_walks(spark, sf_dir):
     )
 
 
+def _q_kg_walk_pairs(spark, sf_dir):
+    # skip-gram (center, context) training pairs from the deterministic
+    # walks: walk-local positional self-join + one count rollup
+    from text_to_graph_spark.operators.graphalgo import (
+        random_walks,
+        walk_skipgram_pairs,
+    )
+
+    w = random_walks(
+        _edges(spark, sf_dir), src="subj", dst="obj", n_walks=2, walk_len=3
+    )
+    return walk_skipgram_pairs(w, window=2)
+
+
 def _q_kg_type_violations(spark, sf_dir):
     # ontology-constraint report: type the edge stream via two broadcast
     # schema-sized dims, profile, flag against the allowed table
@@ -1395,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_cooccurrence": _q_kg_pred_cooccurrence,
         "kg_type_violations": _q_kg_type_violations,
         "kg_random_walks": _q_kg_random_walks,
+        "kg_walk_pairs": _q_kg_walk_pairs,
         "kg_degree": _q_kg_degree,
         "kg_parallel_edges": _q_kg_parallel_edges,
         "kg_khop2": _q_kg_khop2,
@@ -1943,6 +1958,22 @@ WHERE h1.pred = 'join' AND h2.pred = 'scan'
 {_KG_PREFIX},
 {_walks_cte(n_walks=2, walk_len=3)}
 SELECT start, CAST(wid AS int) AS walk_id, path FROM w3
+""",
+        # skip-gram pairs from the unrolled walks; subscript base (1 vs 0)
+        # cancels inside abs(i - j)
+        "kg_walk_pairs": f"""
+{_KG_PREFIX},
+{_walks_cte(n_walks=2, walk_len=3)},
+pe AS (
+  SELECT start, wid, generate_subscripts(path, 1) AS i,
+         unnest(path) AS center
+  FROM w3
+)
+SELECT p.center, c.center AS context,
+       CAST(count(*) AS bigint) AS n_pairs
+FROM pe p JOIN pe c ON p.start = c.start AND p.wid = c.wid
+WHERE p.i <> c.i AND abs(p.i - c.i) <= 2
+GROUP BY 1, 2
 """,
         # SHACL-lite: type via category VALUES dims, profile, flag vs the
         # shared _EDGE_ONTOLOGY literal

@@ -319,3 +319,21 @@ class TestRandomWalks:
             by_start.setdefault(start, set()).add(path)
         # at least one node's two walks diverge (walk_id enters the hash)
         assert any(len(p) > 1 for p in by_start.values())
+
+
+def test_walk_skipgram_pairs_window_semantics(spark):
+    from text_to_graph_spark.operators.graphalgo import walk_skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("a", 0, ["a", "b", "c", "d"])],
+        "start string, walk_id int, path array<string>",
+    )
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in walk_skipgram_pairs(walks, window=1).collect()
+    }
+    # window=1: only adjacent pairs, both directions, once each
+    assert got == {
+        ("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
+        ("c", "b"): 1, ("c", "d"): 1, ("d", "c"): 1,
+    }

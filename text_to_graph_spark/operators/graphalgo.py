@@ -448,3 +448,33 @@ def random_walks(
             .alias("path"),
         )
     return walks.select("start", "walk_id", "path")
+
+
+def walk_skipgram_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """Skip-gram (center, context) pairs from walk paths — the actual
+    node-embedding training table.
+
+    (center, context, n_pairs) aggregated over all walks: each path is
+    posexploded once and pairs are formed by a positional self-join within
+    ``window`` hops (|i-j| ≤ window, i ≠ j). The join key is
+    (start, walk_id) — walk-local, so pair formation never crosses walks
+    and the per-row cost is walk_len × window, a constant; the only
+    data-sized exchange is the final (center, context) count rollup.
+    """
+    pos = walks.select(
+        "start", "walk_id", F.posexplode("path").alias("i", "center")
+    )
+    ctx = walks.select(
+        "start", "walk_id", F.posexplode("path").alias("j", "context")
+    )
+    return (
+        pos.join(ctx, ["start", "walk_id"])
+        .where(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
