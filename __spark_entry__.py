@@ -316,6 +316,20 @@ def _q_kg_walk_pairs(spark, sf_dir):
     return walk_skipgram_pairs(w, window=2)
 
 
+def _q_kg_edge_cut(spark, sf_dir):
+    # physical-layout self-diagnostic: fraction of edges whose endpoints
+    # hash to different partitions (would co-partitioned bucketing pay?)
+    return G.partition_edge_cut(
+        _edges(spark, sf_dir), n_partitions=32, src="subj", dst="obj"
+    )
+
+
+def _q_kg_degree_hist(spark, sf_dir):
+    # log2-bucketed degree distribution — the skew report behind the
+    # salting/AQE settings; exact integer bit-length bucketing
+    return G.degree_histogram(_edges(spark, sf_dir), src="subj", dst="obj")
+
+
 def _q_kg_type_violations(spark, sf_dir):
     # ontology-constraint report: type the edge stream via two broadcast
     # schema-sized dims, profile, flag against the allowed table
@@ -1410,6 +1424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_violations": _q_kg_type_violations,
         "kg_random_walks": _q_kg_random_walks,
         "kg_walk_pairs": _q_kg_walk_pairs,
+        "kg_edge_cut": _q_kg_edge_cut,
+        "kg_degree_hist": _q_kg_degree_hist,
         "kg_degree": _q_kg_degree,
         "kg_parallel_edges": _q_kg_parallel_edges,
         "kg_khop2": _q_kg_khop2,
@@ -1958,6 +1974,36 @@ WHERE h1.pred = 'join' AND h2.pred = 'scan'
 {_KG_PREFIX},
 {_walks_cte(n_walks=2, walk_len=3)}
 SELECT start, CAST(wid AS int) AS walk_id, path FROM w3
+""",
+        # hash-partition edge cut: same 48-bit md5 bucket both engines
+        "kg_edge_cut": f"""
+{_KG_PREFIX},
+cutf AS (
+  SELECT CASE WHEN
+      CAST(('0x' || substr(md5(subj), 1, 12)) AS bigint) % 32
+      <> CAST(('0x' || substr(md5(obj), 1, 12)) AS bigint) % 32
+    THEN 1 ELSE 0 END AS is_cut
+  FROM edges
+)
+SELECT CAST(32 AS int) AS n_partitions,
+       CAST(count(*) AS bigint) AS n_edges,
+       CAST(sum(is_cut) AS bigint) AS n_cut,
+       CAST(sum(is_cut) * 1000000 // count(*) AS bigint) AS cut_ppm
+FROM cutf
+""",
+        # degree histogram: exact bit-length bucket (length(bin(d)) - 1)
+        "kg_degree_hist": f"""
+{_KG_PREFIX},
+deg AS (
+  SELECT key, count(*) AS degree FROM (
+    SELECT subj AS key FROM edges UNION ALL SELECT obj FROM edges
+  ) GROUP BY 1
+)
+SELECT CAST(length(bin(degree)) - 1 AS int) AS degree_bucket,
+       CAST(count(*) AS bigint) AS n_nodes,
+       CAST(min(degree) AS bigint) AS min_degree,
+       CAST(max(degree) AS bigint) AS max_degree
+FROM deg GROUP BY 1
 """,
         # skip-gram pairs from the unrolled walks; subscript base (1 vs 0)
         # cancels inside abs(i - j)

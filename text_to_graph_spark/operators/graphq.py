@@ -201,3 +201,64 @@ def validate_edge_types(
             F.col("_ok").isNotNull().alias("is_allowed"),
         )
     )
+
+
+def partition_edge_cut(
+    edges: DataFrame,
+    n_partitions: int = 32,
+    src: str = "subj_key",
+    dst: str = "obj_key",
+) -> DataFrame:
+    """Edge-cut diagnostic for hash partitioning — would bucketing help?
+
+    One row: (n_partitions, n_edges, n_cut, cut_ppm) where an edge is cut
+    when its endpoints hash to different partitions (48-bit md5 buckets,
+    engine-portable). cut_ppm ≈ 1 - 1/P for a random graph; a much lower
+    value means the key space has exploitable locality and co-partitioned
+    bucketing of the node tables pays for itself. Pure projection + one
+    global agg — the cheapest possible self-diagnostic before committing
+    to a physical layout.
+    """
+    def bucket(c: str):
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.col(c)), 1, 12), 16, 10).cast(
+                "bigint"
+            ),
+            F.lit(n_partitions),
+        )
+
+    cut = (bucket(src) != bucket(dst)).cast("bigint")
+    return edges.select(cut.alias("is_cut")).agg(
+        F.lit(n_partitions).cast("int").alias("n_partitions"),
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("is_cut").alias("n_cut"),
+        F.floor(F.sum("is_cut") * 1000000 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("cut_ppm"),
+    )
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "subj_key", dst: str = "obj_key"
+) -> DataFrame:
+    """Log2-bucketed total-degree distribution — the web-graph skew report.
+
+    (degree_bucket, n_nodes, min_degree, max_degree) with bucket =
+    floor(log2(degree)), computed as the integer bit length (exact — no
+    float log whose rounding could differ across engines at powers of two);
+    the power-law tail this surfaces is what decides salting / AQE-skew
+    settings for the join keys. Two partial-agg exchanges (per-node degree,
+    then per-bucket rollup over ≤64 buckets).
+    """
+    deg = (
+        edges.select(F.col(src).alias("key"))
+        .unionByName(edges.select(F.col(dst).alias("key")))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    bucket = (F.length(F.bin("degree")) - 1).cast("int")
+    return deg.groupBy(bucket.alias("degree_bucket")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+    )
