@@ -1074,6 +1074,19 @@ def _q_web_host_rank(spark, sf_dir):
     return WL.host_rank(hg)
 
 
+def _q_web_hits(spark, sf_dir):
+    # HITS hubs & authorities over the host graph — exact-bigint fixpoint
+    # (graphalgo.hits), the mutual-reinforcement complement to web_host_rank;
+    # bit-identical to the unrolled-CTE oracle
+    from text_to_graph_spark.operators import weblinks as WL
+    from text_to_graph_spark.operators.graphalgo import hits
+
+    hg = WL.host_graph(WL.extract_links(_linked_pages(spark, sf_dir)))
+    return hits(hg, src="src_host", dst="dst_host").withColumnRenamed(
+        "node", "host"
+    )
+
+
 def _q_corpus_rollup(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -1487,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_dedup": _q_web_url_dedup,
         "web_host_graph": _q_web_host_graph,
         "web_host_rank": _q_web_host_rank,
+        "web_hits": _q_web_hits,
         "web_dead_links": _q_web_dead_links,
         "web_resolved_links": _q_web_resolved_links,
         "web_anchor_text": _q_web_anchor_text,
@@ -1823,6 +1837,52 @@ w{i} AS (
          CASE WHEN nxt IS NOT NULL THEN list_append(path, nxt)
               ELSE path END AS path
   FROM w{i}_j
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _hits_cte(
+    iterations: int = 4,
+    edges_src: str = "SELECT DISTINCT subj AS u, obj AS v FROM edges",
+) -> str:
+    """Unrolled fixed-point HITS recurrence as chained CTEs, mirroring
+    operators/graphalgo.hits exactly: bigint arithmetic, L1 normalize by
+    integer division each half-round. AS MATERIALIZED throughout — each
+    round's raw CTE is referenced both by the normalizer scalar subquery
+    and the join, and DuckDB's default inlining would recompute it."""
+    scale = 10**6
+    parts = [
+        f"ht_edges AS MATERIALIZED ({edges_src})",
+        "ht_nodes AS MATERIALIZED (SELECT DISTINCT node FROM"
+        " (SELECT u AS node FROM ht_edges UNION ALL SELECT v FROM ht_edges))",
+        f"h0 AS (SELECT node, CAST({scale} AS bigint) AS s FROM ht_nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.v AS node, sum(h{i-1}.s) AS raw
+  FROM ht_edges e JOIN h{i-1} ON h{i-1}.node = e.u GROUP BY e.v
+)"""
+        )
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT nd.node,
+         coalesce(ar.raw, 0) * {scale} // (SELECT sum(raw) FROM ar{i}) AS s
+  FROM ht_nodes nd LEFT JOIN ar{i} ar ON ar.node = nd.node
+)"""
+        )
+        parts.append(
+            f"""hr{i} AS MATERIALIZED (
+  SELECT e.u AS node, sum(a{i}.s) AS raw
+  FROM ht_edges e JOIN a{i} ON a{i}.node = e.v GROUP BY e.u
+)"""
+        )
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT nd.node,
+         coalesce(hr.raw, 0) * {scale} // (SELECT sum(raw) FROM hr{i}) AS s
+  FROM ht_nodes nd LEFT JOIN hr{i} hr ON hr.node = nd.node
 )"""
         )
     return ",\n".join(parts)
@@ -2921,6 +2981,21 @@ hostg AS (
 ),
 {_pagerank_cte(edges_src="SELECT u, v FROM hostg")}
 SELECT node AS host, CAST(r AS bigint) AS rank_e9 FROM r5
+""",
+        # host HITS: unrolled exact-bigint mutual-reinforcement recurrence
+        # (graphalgo.hits) over the same host graph edge list
+        "web_hits": f"""
+{weblinks_normed},
+hostg AS (
+  SELECT DISTINCT src_host AS u,
+         regexp_extract(norm_href, '^[^/]+//([^/:]+)', 1) AS v
+  FROM normed
+),
+{_hits_cte(edges_src="SELECT u, v FROM hostg")}
+SELECT a4.node AS host,
+       CAST(a4.s AS bigint) AS auth_e6,
+       CAST(h4.s AS bigint) AS hub_e6
+FROM a4 JOIN h4 ON h4.node = a4.node
 """,
         # crawl-frontier anti-join: the Bloom fast path is a superset filter
         # feeding an exact left_anti, so the oracle is the plain NOT IN —

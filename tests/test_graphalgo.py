@@ -4,7 +4,9 @@ the fixed-point recurrence, plus known-graph triangle fixtures."""
 from __future__ import annotations
 
 from text_to_graph_spark.operators.graphalgo import (
+    HITS_SCALE,
     RANK_SCALE,
+    hits,
     pagerank,
     triangle_count,
     weighted_sssp,
@@ -61,6 +63,56 @@ class TestPagerank:
             for r in pagerank(_edge_df(spark, EDGES + EDGES)).collect()
         }
         assert got == _pagerank_py(EDGES)
+
+
+def _hits_py(edges, iterations=4):
+    """Driver-side mirror of the exact integer HITS recurrence."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    hub = {x: HITS_SCALE for x in nodes}
+
+    def half(scores, outgoing):
+        raw = {x: 0 for x in nodes}
+        for u, v in e:
+            if outgoing:
+                raw[v] += scores[u]
+            else:
+                raw[u] += scores[v]
+        total = sum(raw.values()) or 1
+        return {x: raw[x] * HITS_SCALE // total for x in nodes}
+
+    auth = dict(hub)
+    for _ in range(iterations):
+        auth = half(hub, outgoing=True)
+        hub = half(auth, outgoing=False)
+    return {x: (auth[x], hub[x]) for x in nodes}
+
+
+class TestHits:
+    def test_exact_integer_parity_with_python_mirror(self, spark):
+        got = {
+            r.node: (r.auth_e6, r.hub_e6)
+            for r in hits(_edge_df(spark, EDGES)).collect()
+        }
+        assert got == _hits_py(EDGES)
+
+    def test_hub_and_authority_separate(self, spark):
+        # star: h links to a1..a3 — h is the hub, targets are authorities
+        star = [("h", "a1"), ("h", "a2"), ("h", "a3"), ("a1", "x")]
+        got = {
+            r.node: (r.auth_e6, r.hub_e6)
+            for r in hits(_edge_df(spark, star)).collect()
+        }
+        assert got["h"][1] > got["a2"][1]  # h the better hub
+        assert got["a2"][0] > got["h"][0]  # a2 the better authority
+        assert got["h"][0] == 0  # nothing links to h
+
+    def test_duplicate_edges_do_not_change_result(self, spark):
+        got = {
+            r.node: (r.auth_e6, r.hub_e6)
+            for r in hits(_edge_df(spark, EDGES + EDGES)).collect()
+        }
+        assert got == _hits_py(EDGES)
 
 
 class TestTriangleCount:

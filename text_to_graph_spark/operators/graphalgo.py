@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "pagerank",
+    "hits",
     "triangle_count",
     "weighted_sssp",
     "label_propagation",
@@ -215,6 +216,85 @@ def pagerank(
         )
         rank = rank.localCheckpoint(eager=True)
     return rank
+
+
+HITS_SCALE = 10**6
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    iterations: int = 4,
+) -> DataFrame:
+    """Fixed-iteration HITS (hubs & authorities), exact bigint arithmetic.
+
+    Kleinberg's mutual-reinforcement recurrence on the directed link graph
+    (the web-native complement to PageRank: a good *hub* links to good
+    *authorities* and vice versa — reference's viewer ranks nodes only by
+    degree, ``data_renderer.js``):
+
+        hub_0(u)  = SCALE
+        raw_a(v)  = sum over u->v of hub_i(u)
+        auth_i(v) = raw_a(v) * SCALE // sum(raw_a)       (L1 normalize)
+        raw_h(u)  = sum over u->v of auth_i(v)
+        hub_i(u)  = raw_h(u) * SCALE // sum(raw_h)
+
+    Float HITS is irreproducible under shuffle (summation order); the
+    fixed-point integer form is bit-identical across engines and
+    partitionings, so the SQL-oracle twin unrolls the same recurrence.
+    SCALE is 1e6 (not PageRank's 1e9) for overflow headroom: a raw score
+    is at most max_degree * SCALE, and the normalize multiplies by SCALE
+    again — max_degree * SCALE^2 must stay under 2^63, which holds to
+    max_degree ~ 9e6 (far beyond any host graph's degree after the
+    n_links>=1 host rollup).
+
+    Scale shape: per half-round one equi-join (edges x scores, both hashed
+    on the join key) + one partial-aggregated sum shuffle + one scalar agg
+    for the normalizer; the edge list is ``localCheckpoint``-ed once and
+    per-round scores cut lineage (the pagerank pattern). Returns
+    (node, auth_e6, hub_e6) for every node in the edge list.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select(
+        "node", F.lit(HITS_SCALE).cast("bigint").alias("score")
+    )
+    auth = hub
+
+    def _half(scores: DataFrame, join_on: str, group_to: str) -> DataFrame:
+        raw = (
+            e.join(scores.withColumnRenamed("node", join_on), join_on)
+            .groupBy(group_to)
+            .agg(F.sum("score").alias("raw"))
+            .withColumnRenamed(group_to, "node")
+        )
+        total = raw.agg(F.sum("raw")).first()[0] or 1
+        return nodes.join(raw, "node", "left").select(
+            "node",
+            F.expr(
+                f"coalesce(raw, 0) * {HITS_SCALE} DIV {total}"
+            ).cast("bigint").alias("score"),
+        ).localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        auth = _half(hub, "u", "v")
+        hub = _half(auth, "v", "u")
+    return (
+        auth.withColumnRenamed("score", "auth_e6")
+        .join(hub.withColumnRenamed("score", "hub_e6"), "node")
+        .select("node", "auth_e6", "hub_e6")
+    )
 
 
 def weighted_sssp(
