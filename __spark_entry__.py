@@ -1107,6 +1107,12 @@ def _q_events_sessionize(spark, sf_dir):
     return EV.sessionize(_events(spark, sf_dir))
 
 
+def _q_events_covisitation(spark, sf_dir):
+    # within-session item-to-item graph: sessionize -> per-session item set
+    # -> session-key self-join (a<b) -> exact-integer session Jaccard
+    return EV.covisitation(_events(spark, sf_dir))
+
+
 def _q_events_enrich(spark, sf_dir):
     return EV.enrich_with_customer(
         _events(spark, sf_dir), spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -1512,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": _q_events_heavy_hitters,
         "events_anomalies": _q_events_anomalies,
         "events_sessionize": _q_events_sessionize,
+        "events_covisitation": _q_events_covisitation,
         "events_enrich": _q_events_enrich,
         "events_top_users": _q_events_top_users,
         "events_asof": _q_events_asof,
@@ -3202,6 +3209,45 @@ SELECT user_id, CAST(max(session_id) AS bigint) AS n_sessions,
        max(n_events) AS max_session_events,
        max(duration_s) AS max_session_duration_s
 FROM per_session GROUP BY user_id
+""",
+        # within-session co-visitation: same window-based session assignment
+        # as events_sessionize, then per-session item sets self-joined a<b;
+        # affinity is exact-integer session Jaccard
+        "events_covisitation": """
+WITH x AS (
+  SELECT user_id,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec,
+         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS int) AS item,
+         lag(date_diff('second', TIMESTAMP '1970-01-01', ts))
+           OVER (PARTITION BY user_id
+                 ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts))
+           AS prev_sec
+  FROM events
+),
+w AS (
+  SELECT user_id, item,
+         sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING)
+           AS session_id
+  FROM x
+),
+items AS (SELECT DISTINCT user_id, session_id, item FROM w),
+marg AS (SELECT item, count(*) AS n FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_sessions
+  FROM items a
+  JOIN items b ON a.user_id = b.user_id AND a.session_id = b.session_id
+             AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.n_sessions,
+       ma.n AS n_a, mb.n AS n_b,
+       CAST(p.n_sessions * 1000000 // (ma.n + mb.n - p.n_sessions) AS bigint)
+         AS jaccard_e6
+FROM pairs p
+JOIN marg ma ON ma.item = p.item_a
+JOIN marg mb ON mb.item = p.item_b
 """,
         "events_enrich": """
 SELECT c.c_mktsegment, count(*) AS n_events,

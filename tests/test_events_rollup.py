@@ -343,3 +343,61 @@ class TestHourlyAnomalies:
         ev = _events(spark, n_users=10, n_events=500)
         df = hourly_anomalies(ev, trailing=3)
         assert df.agg(F.max("trailing_n")).first()[0] <= 3
+
+
+class TestCovisitation:
+    def _ev(self, spark, rows):
+        # rows: (user_id, sec_offset, item)
+        import datetime as dt
+
+        data = [
+            (
+                i,
+                dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec),
+                u,
+                "view",
+                1.0,
+                '{"k": %d}' % item,
+            )
+            for i, (u, sec, item) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    def test_pairs_within_session_only(self, spark):
+        from text_to_graph_spark.operators.events import covisitation
+
+        ev = self._ev(
+            spark,
+            [
+                (1, 0, 10),
+                (1, 60, 20),  # same session as above
+                (1, 60 + 3600, 30),  # new session (gap > 1800)
+                (2, 0, 10),
+                (2, 10, 30),
+            ],
+        )
+        got = {
+            (r.item_a, r.item_b): (r.n_sessions, r.n_a, r.n_b, r.jaccard_e6)
+            for r in covisitation(ev).collect()
+        }
+        # (10,20) co-occur in user1/session1; (10,30) in user2's only session;
+        # (20,30) never share a session
+        assert got == {
+            (10, 20): (1, 2, 1, 500000),
+            (10, 30): (1, 2, 2, 333333),
+        }
+
+    def test_duplicate_item_in_session_counts_once(self, spark):
+        from text_to_graph_spark.operators.events import covisitation
+
+        ev = self._ev(spark, [(1, 0, 5), (1, 1, 5), (1, 2, 7)])
+        got = covisitation(ev).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.item_a, r.item_b, r.n_sessions, r.jaccard_e6) == (
+            5, 7, 1, 1000000,
+        )

@@ -65,6 +65,82 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def covisitation(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Within-session item co-visitation — the item-to-item graph behind
+    "users who viewed X also viewed Y" and behavioral link prediction.
+
+    Items are the ``k`` key of the event ``props`` blob (extracted with a
+    portable regex, no engine JSON functions). Sessions are the same
+    30-minute-gap lag+running-sum assignment as :func:`sessionize`; the
+    per-(user, session) item set is deduplicated, then pairs are formed by
+    a self-equi-join on the session key with ``item_a < item_b`` so each
+    unordered pair appears once per session.
+
+    Affinity is exact-integer session Jaccard (``n_both * 1e6 DIV
+    (n_a + n_b - n_both)``) rather than lift: it needs no global total and
+    every term is a bounded bigint, so the number is bit-identical across
+    engines and partitionings at any scale (a float lift would not be).
+
+    Scale shape: one shuffle for the per-user window, one partial-agg
+    distinct on (user, session, item), a self-join keyed on the session id
+    (fan-out bounded by items-per-session squared, a per-session constant —
+    never a cross-corpus cartesian), one pair-count shuffle, and two
+    broadcast joins of the tiny per-item marginals. Returns
+    (item_a, item_b, n_sessions, n_a, n_b, jaccard_e6).
+    """
+    sec = epoch_seconds_ntz("ts")
+    w = Window.partitionBy("user_id").orderBy("sec")
+    x = (
+        events.select(
+            "user_id",
+            sec.alias("sec"),
+            F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("item"),
+        )
+        .withColumn("prev_sec", F.lag("sec").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_sec").isNull()
+                | (F.col("sec") - F.col("prev_sec") > gap_seconds)
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    items = x.select("user_id", "session_id", "item").distinct()
+    marg = items.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select("user_id", "session_id", F.col("item").alias("item_a"))
+    b = items.select("user_id", "session_id", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, ["user_id", "session_id"])
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_sessions",
+            "n_a",
+            "n_b",
+            F.expr("n_sessions * 1000000 DIV (n_a + n_b - n_sessions)")
+            .cast("bigint")
+            .alias("jaccard_e6"),
+        )
+    )
+
+
 def hypertable_rollup(events: DataFrame) -> DataFrame:
     """Multi-granularity continuous-aggregate rollup (the hypertable /
     timescale "continuous aggregate" shape): hour/day/month x event_type
