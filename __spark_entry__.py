@@ -398,6 +398,27 @@ def _q_kg_pagerank(spark, sf_dir):
     return pagerank(_edges(spark, sf_dir), src="subj", dst="obj")
 
 
+def _q_kg_dense_vocab(spark, sf_dir):
+    # scalable two-level dense ids over the node vocabulary: per-bucket
+    # row_number + prefix-summed bucket offsets (graphalgo.dense_ids) — the
+    # distributed replacement for a single-partition global sort
+    from text_to_graph_spark.operators.graphalgo import dense_ids
+
+    e = _edges(spark, sf_dir)
+    nodes = e.select(F.col("subj").alias("node")).unionByName(
+        e.select(F.col("obj").alias("node"))
+    )
+    return dense_ids(nodes, "node")
+
+
+def _q_kg_negative_samples(spark, sf_dir):
+    # deterministic filtered negative sampling (k=2 corrupted objects per
+    # positive triple) — the KG-embedding training-pair table
+    from text_to_graph_spark.operators.graphalgo import negative_samples
+
+    return negative_samples(_edges(spark, sf_dir), k=2)
+
+
 def _q_kg_weighted_sssp(spark, sf_dir):
     # bounded-hop Bellman-Ford (operators/graphalgo.py): exact bigint
     # min-plus recurrence, 8 rounds, root 'customer'; the oracle unrolls the
@@ -1451,6 +1472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": _q_kg_components,
         "kg_components_incremental": _q_kg_components_incremental,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_dense_vocab": _q_kg_dense_vocab,
+        "kg_negative_samples": _q_kg_negative_samples,
         "kg_weighted_sssp": _q_kg_weighted_sssp,
         "kg_triangles": _q_kg_triangles,
         "kg_communities": _q_kg_communities,
@@ -1849,6 +1872,28 @@ w{i} AS (
     return ",\n".join(parts)
 
 
+def _vocab_cte(buckets: int = 64) -> str:
+    """Two-level dense-id vocabulary as CTEs (mirrors graphalgo.dense_ids):
+    48-bit-md5 bucket, per-bucket row_number ordered by key, prefix-summed
+    bucket offsets. Expects an ``edges`` CTE; emits ``vocab`` (node, vid)
+    and ``nn`` (n)."""
+    return f"""vb AS (
+  SELECT node,
+         CAST(('0x' || substr(md5(node), 1, 12)) AS bigint) % {buckets} AS b
+  FROM (SELECT DISTINCT node FROM
+        (SELECT subj AS node FROM edges UNION ALL SELECT obj FROM edges))
+),
+vr AS (SELECT node, b, row_number() OVER (PARTITION BY b ORDER BY node) AS rn
+       FROM vb),
+vc AS (SELECT b, count(*) AS n FROM vb GROUP BY b),
+vo AS (SELECT b, coalesce(sum(n) OVER (ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       FROM vc),
+vocab AS (SELECT vr.node, CAST(vo.off + vr.rn - 1 AS bigint) AS vid
+          FROM vr JOIN vo ON vo.b = vr.b),
+nn AS (SELECT count(*) AS n FROM vocab)"""
+
+
 def _hits_cte(
     iterations: int = 4,
     edges_src: str = "SELECT DISTINCT subj AS u, obj AS v FROM edges",
@@ -2207,6 +2252,31 @@ SELECT node, min(r) AS component FROM reach GROUP BY node
 {_KG_PREFIX},
 {_pagerank_cte()}
 SELECT node, CAST(r AS bigint) AS rank_e9 FROM r5
+""",
+        # two-level dense-id vocabulary (bucketed row_number + prefix-summed
+        # offsets), mirroring graphalgo.dense_ids bit-for-bit
+        "kg_dense_vocab": f"""
+{_KG_PREFIX},
+{_vocab_cte()}
+SELECT node, vid FROM vocab
+""",
+        # deterministic filtered negative sampling: hash-draw into the dense
+        # vocabulary, shift by one on collision with the true object
+        "kg_negative_samples": f"""
+{_KG_PREFIX},
+{_vocab_cte()},
+cd AS (
+  SELECT subj, pred, obj, CAST(i AS int) AS sample_idx,
+         CAST(('0x' || substr(md5(subj || '|' || pred || '|' || obj || '|'
+               || CAST(i AS varchar)), 1, 12)) AS bigint)
+           % (SELECT n FROM nn) AS cid
+  FROM edges CROSS JOIN unnest(generate_series(0, 1)) AS g(i)
+)
+SELECT cd.subj, cd.pred, cd.obj, cd.sample_idx,
+       CASE WHEN v1.node = cd.obj THEN v2.node ELSE v1.node END AS neg_obj
+FROM cd
+JOIN vocab v1 ON v1.vid = cd.cid
+JOIN vocab v2 ON v2.vid = (cd.cid + 1) % (SELECT n FROM nn)
 """,
         # bounded-hop Bellman-Ford, recurrence unrolled (8 rounds) — exact
         # bigint min-plus, so the oracle is bit-equal to the Spark fixpoint

@@ -389,3 +389,61 @@ def test_walk_skipgram_pairs_window_semantics(spark):
         ("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
         ("c", "b"): 1, ("c", "d"): 1, ("d", "c"): 1,
     }
+
+
+class TestDenseIds:
+    def test_ids_are_dense_and_deterministic(self, spark):
+        from text_to_graph_spark.operators.graphalgo import dense_ids
+
+        labels = [f"node_{i}" for i in range(137)]
+        df = spark.createDataFrame([(x,) for x in labels], "node string")
+        got = dense_ids(df, "node").collect()
+        assert sorted(r.vid for r in got) == list(range(137))
+        # repartitioning must not change the assignment
+        again = {
+            r.node: r.vid
+            for r in dense_ids(df.repartition(7), "node").collect()
+        }
+        assert again == {r.node: r.vid for r in got}
+
+    def test_duplicates_collapse(self, spark):
+        from text_to_graph_spark.operators.graphalgo import dense_ids
+
+        df = spark.createDataFrame(
+            [("a",), ("b",), ("a",), ("b",)], "node string"
+        )
+        got = dense_ids(df, "node").collect()
+        assert sorted(r.vid for r in got) == [0, 1]
+
+
+class TestNegativeSamples:
+    def test_negatives_never_equal_positive(self, spark):
+        from text_to_graph_spark.operators.graphalgo import negative_samples
+
+        got = negative_samples(_edge_df_pred(spark, EDGES), k=3).collect()
+        assert len(got) == 3 * len(set(EDGES))
+        vocab = {u for u, _ in EDGES} | {v for _, v in EDGES}
+        for r in got:
+            assert r.neg_obj != r.obj
+            assert r.neg_obj in vocab
+
+    def test_deterministic_across_partitionings(self, spark):
+        from text_to_graph_spark.operators.graphalgo import negative_samples
+
+        e = _edge_df_pred(spark, EDGES)
+        a = {
+            (r.subj, r.pred, r.obj, r.sample_idx): r.neg_obj
+            for r in negative_samples(e, k=2).collect()
+        }
+        b = {
+            (r.subj, r.pred, r.obj, r.sample_idx): r.neg_obj
+            for r in negative_samples(e.repartition(13), k=2).collect()
+        }
+        assert a == b
+
+
+def _edge_df_pred(spark, edges):
+    return spark.createDataFrame(
+        [(u, "links_to", v) for u, v in edges],
+        "subj string, pred string, obj string",
+    )

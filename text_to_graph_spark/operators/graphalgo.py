@@ -25,7 +25,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -36,6 +36,8 @@ __all__ = [
     "label_propagation",
     "common_neighbors",
     "k_core",
+    "dense_ids",
+    "negative_samples",
 ]
 
 RANK_SCALE = 10**9
@@ -528,6 +530,116 @@ def random_walks(
             .alias("path"),
         )
     return walks.select("start", "walk_id", "path")
+
+
+def dense_ids(df: DataFrame, col: str = "node", buckets: int = 64) -> DataFrame:
+    """Scalable deterministic dense ids 0..N-1 for a key column.
+
+    Two-level composition — the distributed alternative to a global
+    ``row_number`` (whose single-partition sort is the export-only
+    ``with_dense_export_ids`` shape and a bottleneck on a large vocabulary):
+
+    1. bucket by a portable 48-bit md5 of the key (``buckets`` hash cells);
+    2. ``row_number`` per bucket, ordered by key — ``buckets`` independent
+       parallel window partitions, never one;
+    3. bucket offsets by prefix-summing the tiny per-bucket counts (a
+       ``buckets``-row window, driver-scale) and broadcast-joining them back.
+
+    Ids are dense and deterministic (ordered by (bucket, key) — a fixed
+    total order, just not the global lexicographic one). Returns
+    (``col``, vid).
+    """
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col(col)), 1, 12), 16, 10).cast("bigint"),
+        F.lit(buckets),
+    ).cast("int")
+    keyed = df.select(F.col(col)).distinct().withColumn("b", b)
+    rn = F.row_number().over(Window.partitionBy("b").orderBy(col))
+    counts = keyed.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.select(
+        "b",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("b").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    return (
+        keyed.withColumn("rn", rn)
+        .join(F.broadcast(offsets), "b")
+        .select(col, (F.col("off") + F.col("rn") - 1).cast("bigint").alias("vid"))
+    )
+
+
+def negative_samples(
+    edges: DataFrame,
+    src: str = "subj",
+    pred: str = "pred",
+    dst: str = "obj",
+    k: int = 2,
+    buckets: int = 64,
+) -> DataFrame:
+    """Deterministic filtered negative sampling for KG-embedding training.
+
+    For every positive triple, ``k`` corrupted-object negatives (the
+    TransE/DistMult training-pair recipe): replacement = the node whose
+    :func:`dense_ids` index is the 48-bit md5 of (subj|pred|obj|i) mod
+    vocabulary size, shifted to the next index (mod N) when the draw
+    collides with the true object ("filtered" sampling — a negative equal
+    to the positive would corrupt the loss). No ``rand()``: hash-derived
+    draws are bit-identical across engines, partitionings and reruns, so
+    the oracle twin replays them exactly and resumed jobs emit the same
+    pairs.
+
+    Scale shape: the candidate table is a constant-factor (``k``×)
+    projection of the edge list — no shuffle; the two vocab lookups (draw
+    and collision-shift) are equi-joins against the (label, vid) table,
+    broadcast when the vocabulary is small. Returns
+    (subj, pred, obj, sample_idx, neg_obj).
+    """
+    e = edges.select(
+        F.col(src).alias("subj"),
+        F.col(pred).alias("pred"),
+        F.col(dst).alias("obj"),
+    ).distinct()
+    vocab = dense_ids(
+        e.select(F.col("subj").alias("node"))
+        .unionByName(e.select(F.col("obj").alias("node"))),
+        "node",
+        buckets,
+    ).localCheckpoint(eager=True)
+    n = vocab.count()
+    cand = e.withColumn(
+        "sample_idx", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    ).withColumn("sample_idx", F.col("sample_idx").cast("int"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "subj", "pred", "obj", "sample_idx")), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cand = cand.withColumn("cid", F.pmod(h, F.lit(n))).withColumn(
+        "cid2", F.pmod(F.col("cid") + 1, F.lit(n))
+    )
+    v1 = vocab.select(F.col("vid").alias("cid"), F.col("node").alias("draw"))
+    v2 = vocab.select(F.col("vid").alias("cid2"), F.col("node").alias("shifted"))
+    return (
+        cand.join(v1, "cid")
+        .join(v2, "cid2")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "sample_idx",
+            F.when(F.col("draw") == F.col("obj"), F.col("shifted"))
+            .otherwise(F.col("draw"))
+            .alias("neg_obj"),
+        )
+    )
 
 
 def walk_skipgram_pairs(
