@@ -919,6 +919,13 @@ def _q_ann_topk_bucketed(spark, sf_dir):
     return SIM.topk_bucketed(emb, emb.where("vec_id < 10"), k=5)
 
 
+def _q_ann_topk_quantized(spark, sf_dir):
+    # int8 scalar-quantized twin of ann_topk: per-dim corpus min/max params
+    # inlined as literals (zero-shuffle code pass), exact bigint code dots
+    emb = _emb(spark, sf_dir)
+    return SIM.topk_quantized(emb, emb.where("vec_id < 10"), k=5)
+
+
 def _q_ann_recall(spark, sf_dir):
     # measured recall@5 of the sign-bucket LSH index vs exact brute force —
     # the approximation's quality as an oracle-checked table, exact ppm
@@ -1509,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "ann_topk": _q_ann_topk,
         "ann_topk_bucketed": _q_ann_topk_bucketed,
+        "ann_topk_quantized": _q_ann_topk_quantized,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_ivf_trained": _q_ann_topk_ivf_trained,
         "ann_recall": _q_ann_recall,
@@ -2762,6 +2770,41 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(rnk AS int) AS rank, (floor((c) * 1000000.0 + 0.5) / 1000000.0) AS cos
 FROM ranked WHERE rnk <= 5
+""",
+        # int8 scalar quantization in integer micro-units: same floor(x*1e6
+        # + 0.5) quantizer as emb_kmeans, per-dim affine codes, exact bigint
+        # code dot products
+        "ann_topk_quantized": """
+WITH mic AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS double) * 1000000 + 0.5) AS bigint))
+           AS mic
+  FROM embeddings
+),
+ev AS (SELECT vec_id, generate_subscripts(mic, 1) AS i, unnest(mic) AS m
+       FROM mic),
+params AS (SELECT i, min(m) AS mn, greatest(max(m) - min(m), 1) AS span
+           FROM ev GROUP BY i),
+quant AS (
+  SELECT ev.vec_id, ev.i, (ev.m - p.mn) * 255 // p.span AS q
+  FROM ev JOIN params p USING (i)
+),
+qv AS (SELECT vec_id, list(q ORDER BY i) AS qv FROM quant GROUP BY vec_id),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0 AS bigint),
+           list_transform(list_zip(q.qv, c.qv),
+             z -> CAST(z[1] AS bigint) * CAST(z[2] AS bigint))),
+           (x, y) -> x + y) AS qdot
+  FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, rank, qdot FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qdot DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
 """,
         "ann_topk_bucketed": f"""
 WITH e AS (

@@ -308,3 +308,56 @@ def test_topk_ivf_trained_within_trained_cluster(spark):
         ranks.setdefault(r.query_id, []).append(r.rank)
     for q, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+class TestQuantizedANN:
+    def test_codes_in_range_and_deterministic(self, spark, emb):
+        from text_to_graph_spark.operators.similarity import quantized_vectors
+
+        got = {r.vec_id: list(r.qv) for r in quantized_vectors(emb).collect()}
+        assert set(got) == {r[0] for r in EMB}
+        for codes in got.values():
+            assert all(0 <= c <= 255 for c in codes)
+        again = {
+            r.vec_id: list(r.qv)
+            for r in quantized_vectors(emb.repartition(5)).collect()
+        }
+        assert again == got
+        # extremes of each dim map to the ends of the code range
+        dim0 = {v: got[v][0] for v in got}
+        assert dim0[4] == 0      # -1.0 is the dim-0 min
+        assert dim0[1] == 255    # 1.0 is the dim-0 max
+
+    def test_python_mirror_parity(self, spark, emb):
+        from text_to_graph_spark.operators.similarity import topk_quantized
+
+        # mirror: micro-units -> per-dim affine codes -> integer dot
+        mic = {v: [math.floor(x * 1e6 + 0.5) for x in e] for v, e in EMB}
+        d = 3
+        mn = [min(m[i] for m in mic.values()) for i in range(d)]
+        span = [
+            max(max(m[i] for m in mic.values()) - mn[i], 1) for i in range(d)
+        ]
+        q = {
+            v: [(m[i] - mn[i]) * 255 // span[i] for i in range(d)]
+            for v, m in mic.items()
+        }
+
+        def qdot(a, b):
+            return sum(x * y for x, y in zip(q[a], q[b]))
+
+        want = {}
+        for qid in (1, 2):
+            scored = sorted(
+                ((qdot(qid, c), c) for c in q if c != qid),
+                key=lambda t: (-t[0], t[1]),
+            )[:2]
+            for rank, (s, c) in enumerate(scored, 1):
+                want[(qid, rank)] = (c, s)
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.qdot)
+            for r in topk_quantized(
+                emb, emb.where("vec_id IN (1, 2)"), k=2
+            ).collect()
+        }
+        assert got == want
