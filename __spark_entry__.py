@@ -904,6 +904,12 @@ def _q_dedup_clusters(spark, sf_dir):
     return D.near_dup_clusters(_docs(spark, sf_dir))
 
 
+def _q_dedup_spans(spark, sf_dir):
+    # exact-substring-dedup proxy: position-level 8-word spans shared with
+    # ANOTHER document, per-doc coverage as exact-integer ppm
+    return D.duplicated_span_stats(_docs(spark, sf_dir))
+
+
 def _q_ann_topk_ivf(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return SIM.topk_ivf(emb, emb.where("vec_id < 10"), k=5, n_centroids=8)
@@ -1514,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_spans": _q_dedup_spans,
         "ann_topk": _q_ann_topk,
         "ann_topk_bucketed": _q_ann_topk_bucketed,
         "ann_topk_quantized": _q_ann_topk_quantized,
@@ -2663,6 +2670,33 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE (floor(({_DOT.format(a='a.embedding', b='b.embedding')}
             / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= 0.3
+""",
+        # exact-substring proxy: position-level 8-word spans keyed by md5
+        # prefix (the narrow shuffle key the Spark side uses), multi-doc
+        # spans via HAVING, per-doc coverage in exact ppm
+        "dedup_spans": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (
+  SELECT doc_id,
+         substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS key
+  FROM t, unnest(generate_series(1, len(w) - 7)) AS g(i)
+  WHERE len(w) >= 8
+),
+multi AS (SELECT key FROM pos GROUP BY key
+          HAVING count(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT p.doc_id, count(*) AS n_spans,
+         sum(CASE WHEN m.key IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+  FROM pos p LEFT JOIN multi m ON m.key = p.key
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_spans, 0) AS bigint) AS n_spans,
+       CAST(coalesce(per.n_dup, 0) AS bigint) AS n_dup_spans,
+       CAST(coalesce(per.n_dup, 0) * 1000000
+            // greatest(coalesce(per.n_spans, 0), 1) AS bigint)
+         AS dup_frac_e6
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 """,
         "dedup_clusters": f"""
 WITH RECURSIVE {_MINHASH_CTE},

@@ -361,3 +361,49 @@ class TestQuantizedANN:
             ).collect()
         }
         assert got == want
+
+
+class TestDuplicatedSpanStats:
+    def test_coverage_counts_positions(self, spark):
+        from text_to_graph_spark.operators.dedup import duplicated_span_stats
+
+        shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+        docs = spark.createDataFrame(
+            [
+                # doc 1: shared span at both ends, unique middle word
+                (1, f"{shared} zz {shared}"),
+                # doc 2: shared span once
+                (2, f"aa bb {shared}"),
+                # doc 3: all-unique text, long enough for spans
+                (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+                # doc 4: too short for any 8-gram
+                (4, "tiny text"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_frac_e6)
+            for r in duplicated_span_stats(docs).collect()
+        }
+        # doc1: 17 words -> 10 spans; spans at positions 1 and 10 are the
+        # shared 8-gram (others straddle 'zz' or are offset)
+        assert got[1] == (10, 2, 200000)
+        # doc2: 10 words -> 3 spans, one of them shared
+        assert got[2] == (3, 1, 333333)
+        assert got[3] == (2, 0, 0)
+        assert got[4] == (0, 0, 0)
+
+    def test_within_doc_repeat_alone_not_duplicated(self, spark):
+        from text_to_graph_spark.operators.dedup import duplicated_span_stats
+
+        rep = "r1 r2 r3 r4 r5 r6 r7 r8"
+        docs = spark.createDataFrame(
+            [(1, f"{rep} {rep}"), (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.n_dup_spans
+            for r in duplicated_span_stats(docs).collect()
+        }
+        # the repeated span lives only in doc 1 — cross-doc count is 1
+        assert got == {1: 0, 2: 0}

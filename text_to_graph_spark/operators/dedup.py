@@ -284,3 +284,70 @@ def near_dup_clusters(
         .select("doc_id", "cluster")
     )
     return out.withColumn("is_representative", F.col("doc_id") == F.col("cluster"))
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document cross-document duplicated-span coverage — the
+    fixed-length proxy for suffix-array exact-substring dedup ("train-data
+    dedup makes LMs better"): every position-level word ``n``-gram that
+    also appears in ANOTHER document is a duplicated span.
+
+    Position-level (NOT distinct-shingle) counting: a document whose
+    boilerplate footer repeats a cross-doc shingle 5 times has 5 duplicated
+    positions — coverage measures how much of the byte stream is shared,
+    which is what the downstream "drop or trim" decision needs.
+
+    Scale shape: one explode (a row per word position, the same order of
+    magnitude as tokenization), then ONE hash shuffle on the shingle key
+    to find multi-doc shingles. The group key is the 64-bit-prefix md5 of
+    the shingle, not the string — shuffle rows carry 16 hex chars instead
+    of ~50+ text bytes (at corpus scale the shuffle IS the cost; hash
+    collisions are FPs at ~2^-64, acceptable for a dedup signal and
+    portable to the oracle). The per-doc rollup re-shuffles on doc_id with
+    map-side partial aggregation. Returns
+    (doc_id, n_spans, n_dup_spans, dup_frac_e6) — exact integers.
+    """
+    w = F.split(F.col(text_col), " ")
+    spans = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(spans).alias("span"),
+    ).select(
+        "doc_id", F.substring(F.md5("span"), 1, 16).alias("key")
+    )
+    multi = (
+        pos.where(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("key", F.lit(1).alias("dup"))
+    )
+    per_doc = (
+        pos.join(multi, "key", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("key").alias("n_spans"),
+            F.coalesce(F.sum("dup"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.expr("n_dup_spans * 1000000 DIV greatest(n_spans, 1)")
+        .cast("bigint")
+        .alias("dup_frac_e6"),
+    )
