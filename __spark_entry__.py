@@ -904,6 +904,26 @@ def _q_dedup_clusters(spark, sf_dir):
     return D.near_dup_clusters(_docs(spark, sf_dir))
 
 
+def _q_layout_zorder(spark, sf_dir):
+    # Morton-key clustering plan over (url-hash, warc_ts): per-Z-range file
+    # stats — the Iceberg data-layout evidence table
+    from text_to_graph_spark.operators.layout import zorder_file_stats
+
+    return zorder_file_stats(synthesize_pages(spark, sf_dir))
+
+
+def _q_layout_compaction(spark, sf_dir):
+    # greedy sequential bin-packing of per-page byte sizes into 64 KiB
+    # compacted outputs — the small-files table-maintenance pass
+    from text_to_graph_spark.operators.layout import compaction_plan
+
+    files = synthesize_pages(spark, sf_dir).select(
+        F.col("url").alias("file_name"),
+        F.length("html").alias("bytes"),
+    )
+    return compaction_plan(files, target_bytes=65536)
+
+
 def _q_dedup_spans(spark, sf_dir):
     # exact-substring-dedup proxy: position-level 8-word spans shared with
     # ANOTHER document, per-doc coverage as exact-integer ppm
@@ -1521,6 +1541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_spans": _q_dedup_spans,
+        "layout_zorder": _q_layout_zorder,
+        "layout_compaction": _q_layout_compaction,
         "ann_topk": _q_ann_topk,
         "ann_topk_bucketed": _q_ann_topk_bucketed,
         "ann_topk_quantized": _q_ann_topk_quantized,
@@ -1885,6 +1907,17 @@ w{i} AS (
 )"""
         )
     return ",\n".join(parts)
+
+
+def _zkey_duck(x: str, y: str, bits: int = 16) -> str:
+    """Morton interleave in DuckDB-native bit ops (``>> & <<``) — an
+    independent derivation of operators/layout.zorder_key_expr's pure
+    div/mod arithmetic; the gate checks the two agree."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b})")
+    return " + ".join(terms)
 
 
 def _vocab_cte(buckets: int = 64) -> str:
@@ -2670,6 +2703,50 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE (floor(({_DOT.format(a='a.embedding', b='b.embedding')}
             / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= 0.3
+""",
+        # Z-order layout plan: bit-op Morton key (independent derivation of
+        # the Spark side's div/mod arithmetic), equal Z-ranges as files
+        "layout_zorder": f"""
+{_KG_PREFIX},
+secs AS (
+  SELECT url,
+         date_diff('second', TIMESTAMP '1970-01-01', warc_ts) AS sec
+  FROM pages
+),
+prm AS (SELECT min(sec) AS lo, greatest(max(sec) - min(sec), 1) AS span
+        FROM secs),
+keyed AS (
+  SELECT url,
+         CAST(('0x' || substr(md5(url), 1, 12)) AS bigint) % 65536 AS xh,
+         (sec - (SELECT lo FROM prm)) * 65535
+           // (SELECT span FROM prm) AS yh
+  FROM secs
+),
+zs AS (SELECT url, {_zkey_duck("xh", "yh")} AS zkey FROM keyed)
+SELECT CAST(zkey * 32 // 4294967296 AS int) AS file_id,
+       CAST(count(*) AS bigint) AS n_pages,
+       CAST(count(DISTINCT url) AS bigint) AS n_urls,
+       CAST(min(zkey) AS bigint) AS min_z,
+       CAST(max(zkey) AS bigint) AS max_z
+FROM zs GROUP BY 1
+""",
+        # greedy sequential bin-packing: bin = prefix-bytes // target, a
+        # closed form of the cumulative sum over the name-ordered file list
+        "layout_compaction": f"""
+{_KG_PREFIX},
+f AS (SELECT url AS file_name, octet_length(html) AS sz FROM pages),
+c AS (
+  SELECT file_name, sz,
+         coalesce(sum(sz) OVER (ORDER BY file_name
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM f
+)
+SELECT CAST(cum_before // 65536 AS bigint) AS bin_id,
+       CAST(count(*) AS bigint) AS n_files,
+       CAST(sum(sz) AS bigint) AS total_bytes,
+       min(file_name) AS first_file,
+       max(file_name) AS last_file
+FROM c GROUP BY 1
 """,
         # exact-substring proxy: position-level 8-word spans keyed by md5
         # prefix (the narrow shuffle key the Spark side uses), multi-doc

@@ -1,0 +1,86 @@
+"""Z-order clustering keys and compaction bin-packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from text_to_graph_spark.operators.layout import (
+    compaction_plan,
+    zorder_file_stats,
+    zorder_key_expr,
+)
+
+
+def _morton_py(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b + 1)
+        z |= ((y >> b) & 1) << (2 * b)
+    return z
+
+
+class TestZorderKey:
+    def test_matches_python_bit_interleave(self, spark):
+        cases = [(0, 0), (1, 0), (0, 1), (3, 1), (65535, 65535), (4660, 43981)]
+        df = spark.createDataFrame(cases, "x long, y long")
+        got = df.select(
+            "x", "y",
+            F.expr(zorder_key_expr("x", "y")).alias("z"),
+        ).collect()
+        for r in got:
+            assert r.z == _morton_py(r.x, r.y), (r.x, r.y)
+
+    def test_file_stats_cover_all_pages(self, spark):
+        import datetime as dt
+
+        pages = spark.createDataFrame(
+            [
+                (
+                    f"https://h{i % 7}.test/p/{i}",
+                    dt.datetime(2025, 1, 1) + dt.timedelta(seconds=i * 100),
+                )
+                for i in range(200)
+            ],
+            "url string, warc_ts timestamp_ntz",
+        )
+        stats = zorder_file_stats(pages, n_files=8).collect()
+        assert sum(r.n_pages for r in stats) == 200
+        for r in stats:
+            assert 0 <= r.file_id < 8
+            assert r.min_z <= r.max_z
+        # file ranges must not overlap: files are Z-ranges
+        spans = sorted((r.min_z, r.max_z) for r in stats)
+        for (_, hi), (lo, _) in zip(spans, spans[1:]):
+            assert hi < lo
+
+
+class TestCompactionPlan:
+    def test_bins_sequential_and_bounded(self, spark):
+        files = spark.createDataFrame(
+            [(f"f{i:03d}", 300) for i in range(10)],
+            "file_name string, bytes long",
+        )
+        got = {
+            r.bin_id: (r.n_files, r.total_bytes, r.first_file, r.last_file)
+            for r in compaction_plan(files, target_bytes=1000).collect()
+        }
+        # cum_before of f0..f9 = 0,300,...,2700 -> bins 0,0,0,0(900->bin0? no:
+        # 900//1000=0),1200//1000=1...: bins {0: f0-f3, 1: f4-f6, 2: f7-f9}
+        assert got == {
+            0: (4, 1200, "f000", "f003"),
+            1: (3, 900, "f004", "f006"),
+            2: (3, 900, "f007", "f009"),
+        }
+
+    def test_overflow_at_most_one_file(self, spark):
+        sizes = [(f"g{i:02d}", 100 + 37 * i) for i in range(25)]
+        files = spark.createDataFrame(sizes, "file_name string, bytes long")
+        target = 1500
+        plan = compaction_plan(files, target_bytes=target).collect()
+        assert sum(r.n_files for r in plan) == 25
+        by_bin = sorted(plan, key=lambda r: r.bin_id)
+        # every bin except possibly the last holds >= target - max_file + 1
+        # bytes... the invariant from the closed form: a bin's span of
+        # cum_before values fits in [bin*target, (bin+1)*target)
+        for r in by_bin:
+            assert r.total_bytes <= target + max(s for _, s in sizes)
