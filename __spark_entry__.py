@@ -904,6 +904,26 @@ def _q_dedup_clusters(spark, sf_dir):
     return D.near_dup_clusters(_docs(spark, sf_dir))
 
 
+def _q_kg_edge_confidence(spark, sf_dir):
+    # linearized-PMI edge confidence: n_docs(s,p,o)*N*1e6 DIV (df_s*df_o)
+    # over node document frequencies — the extraction-noise filter
+    from text_to_graph_spark.operators.graphq import edge_confidence
+
+    return edge_confidence(
+        _stages(spark, sf_dir)["triples"].select("url", "subj", "pred", "obj")
+    )
+
+
+def _q_docs_profile(spark, sf_dir):
+    # one-scan column profiler over the documents table: per-column nulls,
+    # exact distincts, min/max — the corpus-drop data-quality gate
+    from text_to_graph_spark.operators.profile import column_profile
+
+    return column_profile(
+        _docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def _q_layout_zorder(spark, sf_dir):
     # Morton-key clustering plan over (url-hash, warc_ts): per-Z-range file
     # stats — the Iceberg data-layout evidence table
@@ -1541,6 +1561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_spans": _q_dedup_spans,
+        "kg_edge_confidence": _q_kg_edge_confidence,
+        "docs_profile": _q_docs_profile,
         "layout_zorder": _q_layout_zorder,
         "layout_compaction": _q_layout_compaction,
         "ann_topk": _q_ann_topk,
@@ -2703,6 +2725,54 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE (floor(({_DOT.format(a='a.embedding', b='b.embedding')}
             / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= 0.3
+""",
+        # linearized-PMI edge confidence over node document frequencies
+        "kg_edge_confidence": f"""
+{_KG_PREFIX},
+t AS (SELECT DISTINCT url, subj, pred, obj FROM triples),
+ed AS (SELECT subj, pred, obj, count(*) AS n_docs FROM t GROUP BY 1, 2, 3),
+nd AS (
+  SELECT node, count(*) AS df FROM (
+    SELECT DISTINCT url, node FROM (
+      SELECT url, subj AS node FROM t
+      UNION ALL SELECT url, obj FROM t)
+  ) GROUP BY node
+),
+nt AS (SELECT count(DISTINCT url) AS n FROM t)
+SELECT ed.subj, ed.pred, ed.obj, CAST(ed.n_docs AS bigint) AS n_docs,
+       CAST(s.df AS bigint) AS df_subj, CAST(o.df AS bigint) AS df_obj,
+       CAST(ed.n_docs * (SELECT n FROM nt) * 1000000
+            // (s.df * o.df) AS bigint) AS lift_e6
+FROM ed JOIN nd s ON s.node = ed.subj JOIN nd o ON o.node = ed.obj
+""",
+        # one row per column: count/null/exact-distinct/min/max as strings
+        "docs_profile": """
+SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+       count(*) - count(doc_id) AS n_nulls,
+       CAST(count(DISTINCT doc_id) AS bigint) AS n_distinct,
+       CAST(min(doc_id) AS varchar) AS min_value,
+       CAST(max(doc_id) AS varchar) AS max_value
+FROM documents
+UNION ALL
+SELECT 'text', count(*), count(*) - count(text),
+       CAST(count(DISTINCT text) AS bigint),
+       CAST(min(text) AS varchar), CAST(max(text) AS varchar)
+FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang),
+       CAST(count(DISTINCT lang) AS bigint),
+       CAST(min(lang) AS varchar), CAST(max(lang) AS varchar)
+FROM documents
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source),
+       CAST(count(DISTINCT source) AS bigint),
+       CAST(min(source) AS varchar), CAST(max(source) AS varchar)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars),
+       CAST(count(DISTINCT n_chars) AS bigint),
+       CAST(min(n_chars) AS varchar), CAST(max(n_chars) AS varchar)
+FROM documents
 """,
         # Z-order layout plan: bit-op Morton key (independent derivation of
         # the Spark side's div/mod arithmetic), equal Z-ranges as files

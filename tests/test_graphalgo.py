@@ -447,3 +447,53 @@ def _edge_df_pred(spark, edges):
         [(u, "links_to", v) for u, v in edges],
         "subj string, pred string, obj string",
     )
+
+
+class TestEdgeConfidence:
+    def test_lift_math_and_counts(self, spark):
+        from text_to_graph_spark.operators.graphq import edge_confidence
+
+        # 4 docs; (a,likes,b) in 2 of them; a in 3 docs, b in 2 docs
+        t = spark.createDataFrame(
+            [
+                ("d1", "a", "likes", "b"),
+                ("d2", "a", "likes", "b"),
+                ("d3", "a", "likes", "c"),
+                ("d4", "c", "likes", "b"),
+            ],
+            "url string, subj string, pred string, obj string",
+        )
+        got = {
+            (r.subj, r.pred, r.obj): (r.n_docs, r.df_subj, r.df_obj, r.lift_e6)
+            for r in edge_confidence(t).collect()
+        }
+        # N=4; df(a)=3 (d1,d2,d3), df(b)=3 (d1,d2,d4), df(c)=2 (d3,d4)
+        assert got[("a", "likes", "b")] == (2, 3, 3, 2 * 4 * 1000000 // 9)
+        assert got[("a", "likes", "c")] == (1, 3, 2, 4000000 // 6)
+        assert got[("c", "likes", "b")] == (1, 2, 3, 4000000 // 6)
+
+    def test_duplicate_rows_collapse(self, spark):
+        from text_to_graph_spark.operators.graphq import edge_confidence
+
+        t = spark.createDataFrame(
+            [("d1", "a", "p", "b")] * 3,
+            "url string, subj string, pred string, obj string",
+        )
+        got = edge_confidence(t).collect()
+        assert len(got) == 1 and got[0].n_docs == 1
+
+
+class TestColumnProfile:
+    def test_single_scan_profile(self, spark):
+        from text_to_graph_spark.operators.profile import column_profile
+
+        df = spark.createDataFrame(
+            [(1, "x"), (2, None), (3, "x"), (None, "y")],
+            "a long, b string",
+        )
+        got = {r.col_name: r for r in column_profile(df).collect()}
+        assert got["a"].n_rows == 4 and got["a"].n_nulls == 1
+        assert got["a"].n_distinct == 3
+        assert (got["a"].min_value, got["a"].max_value) == ("1", "3")
+        assert got["b"].n_nulls == 1 and got["b"].n_distinct == 2
+        assert (got["b"].min_value, got["b"].max_value) == ("x", "y")

@@ -262,3 +262,60 @@ def degree_histogram(
         F.min("degree").alias("min_degree"),
         F.max("degree").alias("max_degree"),
     )
+
+
+def edge_confidence(triples: DataFrame) -> DataFrame:
+    """Linearized-PMI confidence per canonical edge — how much more often
+    subject and object co-occur in documents than chance predicts (the
+    extraction-noise filter: hallucinated/boilerplate pairings score ~1e6,
+    genuinely associated pairs score high).
+
+    lift_e6 = n_docs(s,p,o) * N * 1e6 DIV (df(s) * df(o)) over document
+    frequencies of the nodes (a node "appears" in a doc when any triple
+    there has it as subject or object) — the same integer linearization of
+    P(s,o)/(P(s)P(o)) as textstats.term_cooccurrence: identical ranking to
+    PMI with no engine-dependent ``log``.
+
+    Scale shape: one distinct + partial-agg per input projection (edge
+    docs, node docs, total), then two equi-joins of the edge list against
+    the node-df table (broadcast when the vocabulary is small). Input is
+    the per-doc triple table (url, subj, pred, obj). Returns
+    (subj, pred, obj, n_docs, df_subj, df_obj, lift_e6).
+    """
+    t = triples.select("url", "subj", "pred", "obj").distinct()
+    n_total = t.select("url").distinct().count()
+    edge_docs = t.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    node_docs = (
+        t.select("url", F.col("subj").alias("node"))
+        .unionByName(t.select("url", F.col("obj").alias("node")))
+        .distinct()
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        edge_docs.join(
+            F.broadcast(
+                node_docs.select(F.col("node").alias("subj"), F.col("df").alias("df_subj"))
+            ),
+            "subj",
+        )
+        .join(
+            F.broadcast(
+                node_docs.select(F.col("node").alias("obj"), F.col("df").alias("df_obj"))
+            ),
+            "obj",
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "n_docs",
+            "df_subj",
+            "df_obj",
+            F.expr(f"n_docs * {n_total} * 1000000 DIV (df_subj * df_obj)")
+            .cast("bigint")
+            .alias("lift_e6"),
+        )
+    )
