@@ -274,3 +274,75 @@ def test_validate_edge_types_broadcasts_both_dims(spark):
     s = plan_str(out, "simple")
     assert "SortMergeJoin" not in s and "CartesianProduct" not in s
     assert count_exchanges(out) <= 1  # the profile rollup only
+
+
+def test_quantized_codes_pass_is_zero_shuffle_projection(spark):
+    """Int8 quantization params are inlined literals — the code pass must be
+    a pure projection with no exchange and no Python boundary."""
+    from text_to_graph_spark.operators.similarity import quantized_vectors
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = quantized_vectors(emb)
+    assert count_exchanges(out) == 0
+    assert python_eval_count(out) == 0
+
+
+def test_covisitation_has_no_cartesian_and_broadcasts_marginals(spark):
+    from text_to_graph_spark.operators.events import covisitation
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    out = covisitation(ev)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s  # session-key equi-join only
+    assert has_broadcast_join(out)  # per-item marginals broadcast
+
+
+def test_edge_confidence_broadcasts_node_df_table(spark, pages_smoke):
+    from text_to_graph_spark.operators.extraction import extract_triples_from_pages
+    from text_to_graph_spark.operators.graphq import edge_confidence
+
+    t = extract_triples_from_pages(pages_smoke).select(
+        "url", "subj", "pred", "obj"
+    )
+    out = edge_confidence(t)
+    assert has_broadcast_join(out)
+    assert "CartesianProduct" not in plan_str(out, "simple")
+
+
+def test_zorder_key_pass_is_zero_shuffle(spark):
+    """Morton keys with inlined time-scale params: pure projection until the
+    final n_files-group rollup (exactly one exchange)."""
+    import datetime as dt
+
+    from text_to_graph_spark.operators.layout import zorder_file_stats
+
+    pages = spark.createDataFrame(
+        [
+            (f"https://h.test/{i}", dt.datetime(2025, 1, 1, 0, 0, i))
+            for i in range(60)
+        ],
+        "url string, warc_ts timestamp_ntz",
+    )
+    out = zorder_file_stats(pages, n_files=4)
+    # two exchanges, both partial-aggregated: Spark expands the exact
+    # count_distinct(url) into a (file_id, url) pre-agg + the final rollup;
+    # the key computation itself must add none
+    assert count_exchanges(out) <= 2
+    assert python_eval_count(out) == 0
+
+
+def test_dense_ids_uses_bucketed_windows_not_global_sort(spark):
+    """dense_ids must partition its row_number window by bucket; a global
+    single-partition window would show an Exchange SinglePartition feeding
+    the big side."""
+    from text_to_graph_spark.operators.graphalgo import dense_ids
+
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("n"), F.col("id")).alias("node")
+    )
+    out = dense_ids(df, "node")
+    s = plan_str(out, "formatted")
+    # the only SinglePartition exchange allowed is the tiny 64-row offsets
+    # branch (which then broadcasts); the keyed branch hashes on (b)
+    assert "hashpartitioning(b" in s
+    assert has_broadcast_join(out)
