@@ -344,6 +344,17 @@ def _q_kg_type_violations(spark, sf_dir):
     )
 
 
+def _q_kg_schema_induction(spark, sf_dir):
+    # ontology induction: per-predicate observed type signatures with
+    # exact-ppm shares; the plurality signature is the induced schema row
+    from text_to_graph_spark.pipeline import vocab_category_table
+
+    return G.induce_predicate_schema(
+        _edges(spark, sf_dir), vocab_category_table(spark),
+        src="subj", dst="obj", label="pred",
+    )
+
+
 def _q_kg_degree(spark, sf_dir):
     return G.node_degrees(_edges(spark, sf_dir), src="subj", dst="obj").withColumnRenamed(
         "key", "label"
@@ -1515,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_match_2hop": _q_kg_match_2hop,
         "kg_pred_cooccurrence": _q_kg_pred_cooccurrence,
         "kg_type_violations": _q_kg_type_violations,
+        "kg_schema_induction": _q_kg_schema_induction,
         "kg_random_walks": _q_kg_random_walks,
         "kg_walk_pairs": _q_kg_walk_pairs,
         "kg_edge_cut": _q_kg_edge_cut,
@@ -2725,6 +2737,32 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE (floor(({_DOT.format(a='a.embedding', b='b.embedding')}
             / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= 0.3
+""",
+        # ontology induction: typed-profile shares per predicate, plurality
+        # signature flagged (ties by (subj_type, obj_type) asc)
+        "kg_schema_induction": f"""
+{_KG_PREFIX},
+cat(key, type) AS (SELECT * FROM (VALUES {', '.join(
+            f"('{k}', '{v}')" for k, v in sorted(ENTITY_CATEGORIES.items())
+        )})),
+typed AS (
+  SELECT e.pred, coalesce(cs.type, 'entity') AS subj_type,
+         coalesce(co.type, 'entity') AS obj_type
+  FROM edges e
+  LEFT JOIN cat cs ON e.subj = cs.key
+  LEFT JOIN cat co ON e.obj = co.key
+),
+prof AS (
+  SELECT pred, subj_type, obj_type, count(*) AS n_edges
+  FROM typed GROUP BY 1, 2, 3
+)
+SELECT pred, subj_type, obj_type, CAST(n_edges AS bigint) AS n_edges,
+       CAST(n_edges * 1000000 //
+            sum(n_edges) OVER (PARTITION BY pred) AS bigint) AS frac_e6,
+       row_number() OVER (PARTITION BY pred
+                          ORDER BY n_edges DESC, subj_type, obj_type) = 1
+         AS is_dominant
+FROM prof
 """,
         # linearized-PMI edge confidence over node document frequencies
         "kg_edge_confidence": f"""

@@ -497,3 +497,39 @@ class TestColumnProfile:
         assert (got["a"].min_value, got["a"].max_value) == ("1", "3")
         assert got["b"].n_nulls == 1 and got["b"].n_distinct == 2
         assert (got["b"].min_value, got["b"].max_value) == ("x", "y")
+
+
+class TestSchemaInduction:
+    def test_shares_and_dominant_flag(self, spark):
+        from text_to_graph_spark.operators.graphq import induce_predicate_schema
+
+        edges = spark.createDataFrame(
+            [("p1", "a", "x")] * 3 + [("p1", "b", "x")] + [("p2", "a", "y")],
+            "pred_key string, subj_key string, obj_key string",
+        )
+        cats = spark.createDataFrame(
+            [("a", "person"), ("b", "org"), ("x", "place"), ("y", "person")],
+            "key string, type string",
+        )
+        got = {
+            (r.pred, r.subj_type, r.obj_type): (
+                r.n_edges, r.frac_e6, r.is_dominant
+            )
+            for r in induce_predicate_schema(edges, cats).collect()
+        }
+        assert got[("p1", "person", "place")] == (3, 750000, True)
+        assert got[("p1", "org", "place")] == (1, 250000, False)
+        assert got[("p2", "person", "person")] == (1, 1000000, True)
+
+    def test_unknown_keys_fall_back_to_entity(self, spark):
+        from text_to_graph_spark.operators.graphq import induce_predicate_schema
+
+        edges = spark.createDataFrame(
+            [("p", "mystery", "riddle")],
+            "pred_key string, subj_key string, obj_key string",
+        )
+        cats = spark.createDataFrame([("a", "person")], "key string, type string")
+        r = induce_predicate_schema(edges, cats).collect()[0]
+        assert (r.subj_type, r.obj_type, r.is_dominant) == (
+            "entity", "entity", True,
+        )

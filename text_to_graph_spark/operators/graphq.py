@@ -17,7 +17,7 @@ All are single groupBy/join shapes — broadcast where one side is known-small.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -318,4 +318,58 @@ def edge_confidence(triples: DataFrame) -> DataFrame:
             .cast("bigint")
             .alias("lift_e6"),
         )
+    )
+
+
+def induce_predicate_schema(
+    edges: DataFrame,
+    categories: DataFrame,
+    src: str = "subj_key",
+    dst: str = "obj_key",
+    label: str = "pred_key",
+) -> DataFrame:
+    """Ontology induction — the inverse of :func:`validate_edge_types`:
+    instead of checking edges against a declared schema, DERIVE each
+    predicate's type signature from the data (what a construction pipeline
+    does on a new corpus before an ontology exists).
+
+    (pred, subj_type, obj_type, n_edges, frac_e6, is_dominant):
+    ``frac_e6`` is the signature's exact-ppm share of its predicate's
+    edges; ``is_dominant`` marks the plurality signature (ties broken by
+    (subj_type, obj_type) ascending, so the flag is deterministic). The
+    dominant rows ARE the induced ontology; low-frac rows are the
+    candidate extraction errors.
+
+    Scale shape: the category dimension broadcasts; one partial-agg'd
+    profile rollup (cardinality ≤ |preds|·|types|²) and one tiny window
+    over that profile — the window partitions by predicate over an
+    already-aggregated table, never over the edge stream.
+    """
+    cs = categories.select(F.col("key").alias(src), F.col("type").alias("_st"))
+    co = categories.select(F.col("key").alias(dst), F.col("type").alias("_ot"))
+    prof = (
+        edges.join(F.broadcast(cs), src, "left")
+        .join(F.broadcast(co), dst, "left")
+        .select(
+            F.col(label).alias("pred"),
+            F.coalesce("_st", F.lit("entity")).alias("subj_type"),
+            F.coalesce("_ot", F.lit("entity")).alias("obj_type"),
+        )
+        .groupBy("pred", "subj_type", "obj_type")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    tot = Window.partitionBy("pred")
+    rank = Window.partitionBy("pred").orderBy(
+        F.desc("n_edges"), F.asc("subj_type"), F.asc("obj_type")
+    )
+    return prof.select(
+        "pred",
+        "subj_type",
+        "obj_type",
+        "n_edges",
+        F.expr(
+            "n_edges * 1000000 DIV "
+            + "sum(n_edges) OVER (PARTITION BY pred)"
+        ).cast("bigint").alias("frac_e6"),
+        (F.row_number().over(rank) == 1).alias("is_dominant"),
     )
