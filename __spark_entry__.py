@@ -955,6 +955,20 @@ def _q_layout_compaction(spark, sf_dir):
     return compaction_plan(files, target_bytes=65536)
 
 
+def _q_corpus_overlap(spark, sf_dir):
+    # cross-source shingle-overlap matrix: per-shingle sorted source sets
+    # expanded to pairs in-plan; exact-integer Jaccard per source pair
+    return D.source_overlap(_docs(spark, sf_dir))
+
+
+def _q_docs_split(spark, sf_dir):
+    # leakage-safe train/val/test: fold = hash of the near-dup CLUSTER id,
+    # so duplicate families never straddle folds
+    from text_to_graph_spark.operators.curation import leakage_safe_split
+
+    return leakage_safe_split(_docs(spark, sf_dir))
+
+
 def _q_dedup_spans(spark, sf_dir):
     # exact-substring-dedup proxy: position-level 8-word spans shared with
     # ANOTHER document, per-doc coverage as exact-integer ppm
@@ -1573,6 +1587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_spans": _q_dedup_spans,
+        "corpus_overlap": _q_corpus_overlap,
+        "docs_split": _q_docs_split,
         "kg_edge_confidence": _q_kg_edge_confidence,
         "docs_profile": _q_docs_profile,
         "layout_zorder": _q_layout_zorder,
@@ -2855,6 +2871,63 @@ SELECT CAST(cum_before // 65536 AS bigint) AS bin_id,
        min(file_name) AS first_file,
        max(file_name) AS last_file
 FROM c GROUP BY 1
+""",
+        # cross-source shingle overlap: distinct (source, shingle) via the
+        # shared 3-gram CTE, self-join on shingle a<b, exact Jaccard
+        "corpus_overlap": f"""
+WITH {_SHINGLES_CTE.strip()},
+sh AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM shingles s JOIN documents d USING (doc_id)
+),
+marg AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, CAST(p.n_shared AS bigint) AS n_shared,
+       CAST(ma.n AS bigint) AS n_a, CAST(mb.n AS bigint) AS n_b,
+       CAST(p.n_shared * 1000000 // (ma.n + mb.n - p.n_shared) AS bigint)
+         AS jaccard_e6
+FROM pairs p
+JOIN marg ma ON ma.source = p.source_a
+JOIN marg mb ON mb.source = p.source_b
+""",
+        # leakage-safe split: the dedup_clusters min-reachable-id CC, fold
+        # drawn from the 48-bit md5 of the cluster id mod 100
+        "docs_split": f"""
+WITH RECURSIVE {_MINHASH_CTE},
+bands2 AS (
+  SELECT doc_id, mh0 AS h, 0 AS band FROM sig
+  UNION ALL SELECT doc_id, mh1, 1 FROM sig
+  UNION ALL SELECT doc_id, mh2, 2 FROM sig
+  UNION ALL SELECT doc_id, mh3, 3 FROM sig
+),
+pairs2 AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM bands2 a JOIN bands2 b ON a.h = b.h AND a.band = b.band
+  WHERE a.doc_id < b.doc_id
+),
+sym2 AS (SELECT ia AS u, ib AS v FROM pairs2 UNION SELECT ib, ia FROM pairs2),
+verts2 AS (SELECT DISTINCT doc_id FROM documents),
+reach3 AS (
+  SELECT doc_id AS node, doc_id AS r FROM verts2
+  UNION
+  SELECT s.u, reach3.r FROM sym2 s JOIN reach3 ON s.v = reach3.node
+),
+cl AS (SELECT node AS doc_id, min(r) AS cluster FROM reach3 GROUP BY node),
+sp AS (
+  SELECT doc_id, cluster,
+         CAST(CAST(('0x' || substr(md5(CAST(cluster AS varchar)), 1, 12))
+              AS bigint) % 100 AS int) AS bucket
+  FROM cl
+)
+SELECT doc_id, cluster, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM sp
 """,
         # exact-substring proxy: position-level 8-word spans keyed by md5
         # prefix (the narrow shuffle key the Spark side uses), multi-doc

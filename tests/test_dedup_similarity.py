@@ -407,3 +407,45 @@ class TestDuplicatedSpanStats:
         }
         # the repeated span lives only in doc 1 — cross-doc count is 1
         assert got == {1: 0, 2: 0}
+
+
+class TestSourceOverlap:
+    def test_pairwise_shingle_jaccard(self, spark):
+        from text_to_graph_spark.operators.dedup import source_overlap
+
+        shared = "alpha beta gamma"  # one 3-gram shared by s1 and s2
+        docs = spark.createDataFrame(
+            [
+                (1, "s1", f"{shared} delta"),       # shingles: ab g, b g d
+                (2, "s2", f"{shared}"),             # shingle: ab g
+                (3, "s3", "zeta eta theta iota"),   # disjoint
+            ],
+            "doc_id long, source string, text string",
+        )
+        got = {
+            (r.source_a, r.source_b): (r.n_shared, r.n_a, r.n_b, r.jaccard_e6)
+            for r in source_overlap(docs).collect()
+        }
+        # s1 has 2 distinct shingles, s2 has 1, shared = 1
+        assert got == {("s1", "s2"): (1, 2, 1, 500000)}
+
+
+class TestLeakageSafeSplit:
+    def test_clusters_never_straddle_folds(self, spark):
+        from text_to_graph_spark.operators.curation import leakage_safe_split
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [(i, base + f" tail{i % 3}") for i in range(30)]
+            + [(100 + i, f"unique text number {i} " * 3) for i in range(10)],
+            "doc_id long, text string",
+        )
+        rows = leakage_safe_split(docs).collect()
+        assert len(rows) == 40
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster, set()).add(r.split)
+            assert r.split in {"train", "val", "test"}
+            assert 0 <= r.bucket < 100
+        for splits in by_cluster.values():
+            assert len(splits) == 1  # a cluster lives in exactly one fold

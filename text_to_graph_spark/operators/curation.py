@@ -298,3 +298,45 @@ def site_stats(pages: DataFrame) -> DataFrame:
             F.max("epoch_s").alias("last_crawl_epoch"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates cannot straddle.
+
+    A hash split on doc_id leaks: a near-duplicate pair lands in train AND
+    test, and eval scores inflate. Splitting on the near-dup CLUSTER id
+    (minhash/LSH -> connected components, :func:`~text_to_graph_spark.
+    operators.dedup.near_dup_clusters`) puts every member of a duplicate
+    family in the same fold by construction. The fold draw is the 48-bit
+    md5 of the cluster id mod 100 — deterministic, engine-portable, and
+    stable when the corpus grows (adding documents never moves an existing
+    cluster between folds unless it merges clusters).
+
+    Scale shape: inherits the LSH-join + small-star CC cost of
+    near_dup_clusters; the split itself is a pure projection. Returns
+    (doc_id, cluster, bucket, split).
+    """
+    from text_to_graph_spark.operators.dedup import near_dup_clusters
+
+    cl = near_dup_clusters(docs, id_col=id_col, text_col=text_col)
+    h = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("cluster").cast("string")), 1, 12), 16, 10
+        ).cast("bigint"),
+        F.lit(100),
+    ).cast("int")
+    return cl.select(
+        "doc_id",
+        "cluster",
+        h.alias("bucket"),
+        F.when(h < train_pct, F.lit("train"))
+        .when(h < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -351,3 +351,71 @@ def duplicated_span_stats(
         .cast("bigint")
         .alias("dup_frac_e6"),
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source shingle-overlap matrix — which corpus slices duplicate
+    each other (mirror sites, syndication, scraped re-posts). The mixture
+    designer reads this before weighting sources: two sources with high
+    overlap should not both be upsampled.
+
+    One shuffle on the shingle, then the per-shingle sorted source set is
+    expanded to pairs with a nested-``transform`` array expression
+    (codegen'd; bounded by |sources|² per shingle — never a self-join of
+    the shingle table with itself, which at corpus scale would re-shuffle
+    the whole thing twice). Marginals broadcast. Exact-integer Jaccard.
+    Returns (source_a, source_b, n_shared, n_a, n_b, jaccard_e6).
+    """
+    sh = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    ).distinct()
+    marg = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pairs_expr = F.expr(
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), "
+        "y -> struct(x AS a, y AS b))))"
+    )
+    pc = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") >= 2)
+        .select(F.explode(pairs_expr).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pc.join(
+            F.broadcast(
+                marg.select(
+                    F.col("source").alias("source_a"), F.col("n").alias("n_a")
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                marg.select(
+                    F.col("source").alias("source_b"), F.col("n").alias("n_b")
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("n_shared * 1000000 DIV (n_a + n_b - n_shared)")
+            .cast("bigint")
+            .alias("jaccard_e6"),
+        )
+    )
