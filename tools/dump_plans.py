@@ -52,6 +52,30 @@ def _dead_links_plan(spark, sf):
     return WL.dead_links(WL.extract_links(pages), pages)
 
 
+def _covisitation_plan(spark, sf):
+    from text_to_graph_spark.operators.events import covisitation
+
+    return covisitation(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def _zorder_plan(spark, pages):
+    from text_to_graph_spark.operators.layout import zorder_file_stats
+
+    return zorder_file_stats(pages)
+
+
+def _schema_induction_plan(spark, triples):
+    from text_to_graph_spark.operators import graphq as GQ
+    from text_to_graph_spark.operators.canonicalize import (
+        triples_to_canonical_edges,
+    )
+    from text_to_graph_spark.pipeline import vocab_category_table
+
+    return GQ.induce_predicate_schema(
+        triples_to_canonical_edges(triples), vocab_category_table(spark)
+    )
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -151,6 +175,31 @@ def main() -> int:
         ),
         "edge-ontology validation (both dims broadcast, one rollup exchange)": (
             _validate_plan(spark, triples)
+        ),
+        "int8 quantization codes (inlined params, zero-shuffle projection)": (
+            SIM.quantized_vectors(emb)
+        ),
+        "session co-visitation (session-key equi-join, broadcast marginals)": (
+            _covisitation_plan(spark, sf)
+        ),
+        "dense vocab ids (bucketed windows + broadcast offsets, no global sort)": (
+            GA.dense_ids(
+                triples.select(F.col("subj").alias("node")), "node"
+            )
+        ),
+        "Z-order layout stats (zero-shuffle Morton keys, rollup exchanges only)": (
+            _zorder_plan(spark, pages)
+        ),
+        "edge confidence (broadcast node-df table, no cartesian)": (
+            GQ.edge_confidence(
+                triples.select("url", "subj", "pred", "obj")
+            )
+        ),
+        "schema induction (profile window over the aggregate, not the edges)": (
+            _schema_induction_plan(spark, triples)
+        ),
+        "source overlap (in-plan pair expansion, no shingle self-join)": (
+            D.source_overlap(docs)
         ),
     }
 
