@@ -955,6 +955,26 @@ def _q_layout_compaction(spark, sf_dir):
     return compaction_plan(files, target_bytes=65536)
 
 
+def _q_text_langid_confusion(spark, sf_dir):
+    # declared-vs-predicted language matrix with exact-ppm row shares —
+    # trust diagnostic for the upstream lang column / the guesser
+    from text_to_graph_spark.operators.textstats import langid_confusion
+
+    return langid_confusion(_docs(spark, sf_dir))
+
+
+def _q_kg_graph_delta(spark, sf_dir):
+    # time-travel diff vs the mid-corpus warc_ts snapshot: every canonical
+    # edge labeled new / grown / stable; filter rides the provenance column,
+    # extraction is NOT recomputed for the snapshot
+    from text_to_graph_spark.operators.temporal import snapshot_delta
+
+    return snapshot_delta(
+        _stages(spark, sf_dir)["triples"].select("url", "subj", "pred", "obj"),
+        synthesize_pages(spark, sf_dir),
+    )
+
+
 def _q_corpus_overlap(spark, sf_dir):
     # cross-source shingle-overlap matrix: per-shingle sorted source sets
     # expanded to pairs in-plan; exact-integer Jaccard per source pair
@@ -1589,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": _q_dedup_spans,
         "corpus_overlap": _q_corpus_overlap,
         "docs_split": _q_docs_split,
+        "text_langid_confusion": _q_text_langid_confusion,
+        "kg_graph_delta": _q_kg_graph_delta,
         "kg_edge_confidence": _q_kg_edge_confidence,
         "docs_profile": _q_docs_profile,
         "layout_zorder": _q_layout_zorder,
@@ -2871,6 +2893,69 @@ SELECT CAST(cum_before // 65536 AS bigint) AS bin_id,
        min(file_name) AS first_file,
        max(file_name) AS last_file
 FROM c GROUP BY 1
+""",
+        # langid confusion matrix: same stopword-profile argmax as
+        # text_langid, rolled up with exact-ppm row shares
+        "text_langid_confusion": """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    (floor((len(list_filter(w, x -> x IN ('the','a','and','of'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS s_en,
+    (floor((len(list_filter(w, x -> x IN ('der','die','und','das'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS s_de,
+    (floor((len(list_filter(w, x -> x IN ('le','la','et','les'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS s_fr,
+    (floor((len(list_filter(w, x -> x IN ('el','la','y','los'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS s_es
+  FROM t
+),
+p AS (
+  SELECT lang AS lang_declared,
+    CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         WHEN s_en >= s_de THEN 'en'
+         ELSE 'de' END AS lang_pred
+  FROM s
+),
+conf AS (
+  SELECT lang_declared, lang_pred, count(*) AS n_docs
+  FROM p GROUP BY 1, 2
+)
+SELECT lang_declared, lang_pred, CAST(n_docs AS bigint) AS n_docs,
+       CAST(n_docs * 1000000 //
+            sum(n_docs) OVER (PARTITION BY lang_declared) AS bigint)
+         AS frac_e6
+FROM conf
+""",
+        # snapshot delta: mid-warc_ts cutoff, full vs filtered edge rollups
+        # over the same triple x (url, sec) join, status by support change
+        "kg_graph_delta": f"""
+{_KG_PREFIX},
+secs AS (
+  SELECT url, date_diff('second', TIMESTAMP '1970-01-01', warc_ts) AS sec
+  FROM pages
+),
+prm AS (SELECT min(sec) + (max(sec) - min(sec)) // 2 AS cutoff FROM secs),
+tt AS (
+  SELECT DISTINCT t.url, t.subj, t.pred, t.obj, s.sec
+  FROM (SELECT DISTINCT url, subj, pred, obj FROM triples) t
+  JOIN secs s ON s.url = t.url
+),
+fullc AS (
+  SELECT subj, pred, obj, count(DISTINCT url) AS n_docs
+  FROM tt GROUP BY 1, 2, 3
+),
+asofc AS (
+  SELECT subj, pred, obj, count(DISTINCT url) AS n_docs_asof
+  FROM tt WHERE sec <= (SELECT cutoff FROM prm) GROUP BY 1, 2, 3
+)
+SELECT f.subj, f.pred, f.obj,
+       CAST(f.n_docs AS bigint) AS n_docs,
+       CAST(coalesce(a.n_docs_asof, 0) AS bigint) AS n_docs_asof,
+       CASE WHEN a.n_docs_asof IS NULL THEN 'new'
+            WHEN f.n_docs > a.n_docs_asof THEN 'grown'
+            ELSE 'stable' END AS status
+FROM fullc f LEFT JOIN asofc a
+  ON a.subj = f.subj AND a.pred = f.pred AND a.obj = f.obj
 """,
         # cross-source shingle overlap: distinct (source, shingle) via the
         # shared 3-gram CTE, self-join on shingle a<b, exact Jaccard

@@ -148,7 +148,9 @@ def main() -> int:
             SIM.topk_bruteforce(emb, emb.where("vec_id < 10"), k=5)
         ),
         "text_quality": lambda: _force(TS.quality_stats(docs)),
+        "dedup_spans": lambda: _force(D.duplicated_span_stats(docs)),
         "events_sessionize": lambda: _force(EV.sessionize(events)),
+        "events_covisitation": lambda: _force(EV.covisitation(events)),
         "olap_pricing_summary": lambda: _force(
             OL.pricing_summary(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"))
         ),

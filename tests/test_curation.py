@@ -311,3 +311,29 @@ class TestLmFamiliarity:
             3: (1, 1, 1.0),
             4: (0, 0, 0.0),
         }
+
+
+class TestLangidConfusion:
+    def test_rows_sum_to_one_and_diagonal(self, spark):
+        from text_to_graph_spark.operators.textstats import langid_confusion
+
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "the cat and the dog of note"),
+                (2, "en", "a fine day and more of this"),
+                (3, "de", "der hund und die katze das haus"),
+                (4, "fr", "le chat et les chiens la maison"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        rows = langid_confusion(docs).collect()
+        got = {(r.lang_declared, r.lang_pred): (r.n_docs, r.frac_e6) for r in rows}
+        assert got[("en", "en")] == (2, 1000000)
+        assert got[("de", "de")] == (1, 1000000)
+        assert got[("fr", "fr")] == (1, 1000000)
+        by_decl = {}
+        for (d, _), (n, f) in got.items():
+            by_decl.setdefault(d, 0)
+            by_decl[d] += f
+        for total in by_decl.values():
+            assert 999998 <= total <= 1000000

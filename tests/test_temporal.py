@@ -140,3 +140,37 @@ class TestRangeJoin:
         p = plan_str(out, "simple")
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+class TestSnapshotDelta:
+    def test_status_labels(self, spark):
+        import datetime as dt
+
+        from text_to_graph_spark.operators.temporal import snapshot_delta
+
+        # 4 pages over 0..90s -> cutoff at 45s (midpoint)
+        pages = spark.createDataFrame(
+            [
+                (f"u{i}", dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s))
+                for i, s in enumerate([0, 30, 60, 90])
+            ],
+            "url string, warc_ts timestamp_ntz",
+        )
+        triples = spark.createDataFrame(
+            [
+                ("u0", "a", "p", "b"),  # before cutoff only -> stable
+                ("u1", "c", "p", "d"),  # before cutoff...
+                ("u3", "c", "p", "d"),  # ...and after -> grown
+                ("u2", "e", "p", "f"),  # after cutoff only -> new
+            ],
+            "url string, subj string, pred string, obj string",
+        )
+        got = {
+            (r.subj, r.obj): (r.n_docs, r.n_docs_asof, r.status)
+            for r in snapshot_delta(triples, pages).collect()
+        }
+        assert got == {
+            ("a", "b"): (1, 1, "stable"),
+            ("c", "d"): (2, 1, "grown"),
+            ("e", "f"): (1, 0, "new"),
+        }

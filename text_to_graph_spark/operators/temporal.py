@@ -132,3 +132,59 @@ def range_join(
         F.abs(F.col(left_time) - F.col(rt)) <= window
     )
     return joined.drop("_bucket", "_d")
+
+
+def snapshot_delta(triples: DataFrame, pages: DataFrame) -> DataFrame:
+    """Canonical-edge delta between the mid-corpus snapshot and now — the
+    time-travel diff an append-only ingest publishes with each wave
+    ("what did this crawl add/strengthen?").
+
+    The snapshot cutoff is the midpoint of the corpus ``warc_ts`` range
+    (two scalars, inlined). Every edge is labeled:
+
+    - ``new``    — absent from the snapshot,
+    - ``grown``  — present but with more supporting documents now,
+    - ``stable`` — unchanged document support.
+
+    Scale shape: ONE equi-join of the triple stream against the narrow
+    (url, sec) pages projection, then two partial-agg'd rollups over the
+    same joined stream (full and time-filtered — Spark computes them as
+    grouped aggregates sharing the upstream scan under AQE reuse) and a
+    final edge-key join. No recomputation of extraction for the snapshot:
+    the filter is on the provenance column, which is the reason the triple
+    table carries ``url``. Returns
+    (subj, pred, obj, n_docs, n_docs_asof, status).
+    """
+    sec = F.expr(
+        "timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', warc_ts)"
+    )
+    lo, hi = pages.agg(F.min(sec), F.max(sec)).first()
+    cutoff = int(lo) + (int(hi) - int(lo)) // 2
+    pt = pages.select("url", sec.alias("sec"))
+    t = (
+        triples.select("url", "subj", "pred", "obj")
+        .distinct()
+        .join(pt, "url")
+    )
+    full = t.groupBy("subj", "pred", "obj").agg(
+        F.count_distinct("url").alias("n_docs")
+    )
+    asof = (
+        t.where(F.col("sec") <= F.lit(cutoff))
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count_distinct("url").alias("n_docs_asof"))
+    )
+    return (
+        full.join(asof, ["subj", "pred", "obj"], "left")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "n_docs",
+            F.coalesce("n_docs_asof", F.lit(0)).cast("bigint").alias("n_docs_asof"),
+            F.when(F.col("n_docs_asof").isNull(), F.lit("new"))
+            .when(F.col("n_docs") > F.col("n_docs_asof"), F.lit("grown"))
+            .otherwise(F.lit("stable"))
+            .alias("status"),
+        )
+    )

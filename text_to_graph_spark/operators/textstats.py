@@ -370,3 +370,30 @@ def lm_familiarity(
         )
         .alias("known_ratio"),
     )
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Language-ID confusion matrix — declared label vs heuristic
+    prediction (:func:`language_id`), the corpus-level diagnostic that
+    tells you whether to trust the upstream ``lang`` column, the guesser,
+    or neither before language-filtering a training mix.
+
+    (lang_declared, lang_pred, n_docs, frac_e6): ``frac_e6`` is the exact
+    ppm share within the declared language (rows of the matrix sum to
+    ~1e6). One partial-agg rollup over the per-doc predictions; the share
+    window runs over the ≤|langs|² aggregate, never the corpus.
+    """
+    conf = (
+        language_id(docs)
+        .groupBy("lang_declared", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return conf.select(
+        "lang_declared",
+        "lang_pred",
+        "n_docs",
+        F.expr(
+            "n_docs * 1000000 DIV "
+            "sum(n_docs) OVER (PARTITION BY lang_declared)"
+        ).cast("bigint").alias("frac_e6"),
+    )
