@@ -955,6 +955,46 @@ def _q_layout_compaction(spark, sf_dir):
     return compaction_plan(files, target_bytes=65536)
 
 
+def _q_kg_csr(spark, sf_dir):
+    # CSR serving layout: dense ids + sorted neighbor arrays + global row
+    # pointers via two-level prefix sums (no single-partition window)
+    from text_to_graph_spark.operators.graphalgo import csr_layout
+
+    return csr_layout(_edges(spark, sf_dir))
+
+
+def _q_events_transitions(spark, sf_dir):
+    # within-session first-order Markov matrix over a TOTAL (sec, event_id)
+    # order, exact-ppm row shares
+    return EV.event_transitions(_events(spark, sf_dir))
+
+
+def _q_kg_extraction_yield(spark, sf_dir):
+    # per-document extraction yield: triples per input token in exact ppm —
+    # the pipeline-observability row behind "is this crawl slice worth it"
+    pages = synthesize_pages(spark, sf_dir).select(
+        "url", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    tri = (
+        _stages(spark, sf_dir)["triples"]
+        .select("url", "subj", "pred", "obj")
+        .distinct()
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+    )
+    return (
+        pages.join(tri, "url", "left")
+        .select(
+            "url",
+            "n_tokens",
+            F.coalesce("n_triples", F.lit(0)).cast("bigint").alias("n_triples"),
+            F.expr(
+                "coalesce(n_triples, 0) * 1000000 DIV greatest(n_tokens, 1)"
+            ).cast("bigint").alias("yield_e6"),
+        )
+    )
+
+
 def _q_text_langid_confusion(spark, sf_dir):
     # declared-vs-predicted language matrix with exact-ppm row shares —
     # trust diagnostic for the upstream lang column / the guesser
@@ -1611,6 +1651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split": _q_docs_split,
         "text_langid_confusion": _q_text_langid_confusion,
         "kg_graph_delta": _q_kg_graph_delta,
+        "kg_csr": _q_kg_csr,
+        "events_transitions": _q_events_transitions,
+        "kg_extraction_yield": _q_kg_extraction_yield,
         "kg_edge_confidence": _q_kg_edge_confidence,
         "docs_profile": _q_docs_profile,
         "layout_zorder": _q_layout_zorder,
@@ -2893,6 +2936,81 @@ SELECT CAST(cum_before // 65536 AS bigint) AS bin_id,
        min(file_name) AS first_file,
        max(file_name) AS last_file
 FROM c GROUP BY 1
+""",
+        # CSR layout: dense-id vocab (two-level, mirrored via _vocab_cte)
+        # + sorted neighbor lists + global exclusive degree prefix sum (the
+        # oracle derives offsets with a plain global window — an independent
+        # derivation of the Spark side's two-level range composition)
+        "kg_csr": f"""
+{_KG_PREFIX},
+{_vocab_cte()},
+adj AS (
+  SELECT subj AS node, list_sort(list(DISTINCT obj)) AS nbrs
+  FROM edges GROUP BY 1
+),
+rows_ AS (
+  SELECT v.vid, v.node,
+         coalesce(a.nbrs, []) AS nbrs,
+         CAST(coalesce(len(a.nbrs), 0) AS bigint) AS degree
+  FROM vocab v LEFT JOIN adj a ON a.node = v.node
+)
+SELECT vid, node, degree,
+       CAST(coalesce(sum(degree) OVER (ORDER BY vid
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+         AS csr_offset,
+       nbrs
+FROM rows_
+""",
+        # within-session Markov transitions over the total (sec, event_id)
+        # order; exact-ppm row shares
+        "events_transitions": """
+WITH x AS (
+  SELECT user_id, event_id, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec,
+         lag(date_diff('second', TIMESTAMP '1970-01-01', ts))
+           OVER (PARTITION BY user_id
+                 ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts),
+                          event_id)
+           AS prev_sec
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, event_type, sec,
+         sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+),
+p AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id, session_id
+                                ORDER BY sec, event_id) AS nxt
+  FROM w
+),
+c AS (
+  SELECT cur, nxt, count(*) AS n_transitions
+  FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur, nxt, CAST(n_transitions AS bigint) AS n_transitions,
+       CAST(n_transitions * 1000000 //
+            sum(n_transitions) OVER (PARTITION BY cur) AS bigint) AS frac_e6
+FROM c
+""",
+        # per-document extraction yield in exact ppm of input tokens
+        "kg_extraction_yield": f"""
+{_KG_PREFIX},
+tok AS (SELECT url, CAST(len(string_split(text, ' ')) AS bigint)
+               AS n_tokens FROM pages),
+tri AS (
+  SELECT url, count(*) AS n_triples
+  FROM (SELECT DISTINCT url, subj, pred, obj FROM triples) GROUP BY url
+)
+SELECT t.url, t.n_tokens,
+       CAST(coalesce(tr.n_triples, 0) AS bigint) AS n_triples,
+       CAST(coalesce(tr.n_triples, 0) * 1000000
+            // greatest(t.n_tokens, 1) AS bigint) AS yield_e6
+FROM tok t LEFT JOIN tri tr ON tr.url = t.url
 """,
         # langid confusion matrix: same stopword-profile argmax as
         # text_langid, rolled up with exact-ppm row shares

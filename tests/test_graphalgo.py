@@ -533,3 +533,73 @@ class TestSchemaInduction:
         assert (r.subj_type, r.obj_type, r.is_dominant) == (
             "entity", "entity", True,
         )
+
+
+class TestCsrLayout:
+    def test_offsets_are_exclusive_degree_prefix_in_vid_order(self, spark):
+        from text_to_graph_spark.operators.graphalgo import csr_layout
+
+        edges = [(f"n{i}", f"n{(i * 7 + 1) % 50}") for i in range(200)]
+        df = spark.createDataFrame(edges, "subj string, obj string")
+        rows = sorted(csr_layout(df, range_width=8).collect(), key=lambda r: r.vid)
+        assert [r.vid for r in rows] == list(range(len(rows)))
+        running = 0
+        for r in rows:
+            assert r.csr_offset == running
+            assert r.degree == len(r.nbrs)
+            assert list(r.nbrs) == sorted(set(r.nbrs))
+            running += r.degree
+        assert running == len({(u, v) for u, v in edges})
+
+    def test_isolated_targets_have_zero_degree(self, spark):
+        from text_to_graph_spark.operators.graphalgo import csr_layout
+
+        df = spark.createDataFrame([("a", "b")], "subj string, obj string")
+        got = {r.node: (r.degree, list(r.nbrs)) for r in csr_layout(df).collect()}
+        assert got["a"] == (1, ["b"]) and got["b"] == (0, [])
+
+
+class TestEventTransitions:
+    def test_matrix_and_row_shares(self, spark):
+        import datetime as dt
+
+        from text_to_graph_spark.operators.events import event_transitions
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1, one session: a -> b -> a
+            (1, base, 1, "a"), (2, base + dt.timedelta(seconds=10), 1, "b"),
+            (3, base + dt.timedelta(seconds=20), 1, "a"),
+            # user 1, second session (gap > 1800): a -> b
+            (4, base + dt.timedelta(seconds=9999), 1, "a"),
+            (5, base + dt.timedelta(seconds=10009), 1, "b"),
+        ]
+        ev = spark.createDataFrame(
+            [(i, ts, u, t, 1.0, "{}") for i, ts, u, t in rows],
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        got = {
+            (r.cur, r.nxt): (r.n_transitions, r.frac_e6)
+            for r in event_transitions(ev).collect()
+        }
+        # a->b twice, b->a once; session boundary contributes NO transition
+        assert got == {("a", "b"): (2, 1000000), ("b", "a"): (1, 1000000)}
+
+    def test_same_second_ties_are_deterministic(self, spark):
+        import datetime as dt
+
+        from text_to_graph_spark.operators.events import event_transitions
+
+        base = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                (10, base, 1, "x", 1.0, "{}"),
+                (11, base, 1, "y", 1.0, "{}"),  # same sec: event_id breaks tie
+                (12, base, 1, "z", 1.0, "{}"),
+            ],
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        got = {(r.cur, r.nxt) for r in event_transitions(ev).collect()}
+        assert got == {("x", "y"), ("y", "z")}

@@ -599,3 +599,52 @@ def hourly_anomalies(
         dev.alias("dev_pct"),
         F.coalesce(dev >= threshold_pct, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def event_transitions(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Within-session event-type transition matrix — the first-order Markov
+    model of user behavior (what follows what), the input to journey
+    analysis and next-event prediction baselines.
+
+    Rows are ordered by (sec, event_id) inside each session — a TOTAL
+    order, so ``lead`` is deterministic even when events share a second.
+    (cur, nxt, n_transitions, frac_e6): ``frac_e6`` is the exact-ppm share
+    among transitions leaving ``cur`` (matrix rows sum to ~1e6).
+
+    Scale shape: one per-user window shuffle (shared with sessionize),
+    one partial-agg pair rollup, and a share window over the ≤|types|²
+    aggregate.
+    """
+    sec = epoch_seconds_ntz("ts")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    x = (
+        events.select("user_id", "event_id", "event_type", sec.alias("sec"))
+        .withColumn("prev_sec", F.lag("sec").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_sec").isNull()
+                | (F.col("sec") - F.col("prev_sec") > gap_seconds)
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("sec", "event_id")
+    pairs = (
+        x.withColumn("nxt", F.lead("event_type").over(ws))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), "nxt")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return pairs.select(
+        "cur",
+        "nxt",
+        "n_transitions",
+        F.expr(
+            "n_transitions * 1000000 DIV "
+            "sum(n_transitions) OVER (PARTITION BY cur)"
+        ).cast("bigint").alias("frac_e6"),
+    )

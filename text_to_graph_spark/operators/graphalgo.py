@@ -670,3 +670,82 @@ def walk_skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def csr_layout(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    buckets: int = 64,
+    range_width: int = 1024,
+) -> DataFrame:
+    """CSR (compressed sparse row) serving layout for the canonical graph:
+    every node with its dense id, sorted neighbor array, degree, and global
+    row-pointer offset — the array-packed adjacency a low-latency graph
+    service memory-maps.
+
+    The offset column is the exclusive prefix sum of degrees in dense-id
+    order, computed WITHOUT a global single-partition window (the same
+    two-level trick as :func:`dense_ids`, but over contiguous vid ranges
+    so the running order is the global id order): per-range window prefix
+    sums + prefix-summed range totals broadcast back. Isolated targets
+    (in-degree only) get degree 0 and a well-defined offset.
+
+    Returns (vid, node, degree, csr_offset, nbrs).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+    )
+    ids = dense_ids(
+        e.select(F.col("u").alias("node")).unionByName(
+            e.select(F.col("v").alias("node"))
+        ),
+        "node",
+        buckets,
+    )
+    adj = e.groupBy(F.col("u").alias("node")).agg(
+        F.array_sort(F.collect_set("v")).alias("nbrs")
+    )
+    rows = (
+        ids.join(adj, "node", "left")
+        .select(
+            "vid",
+            "node",
+            F.coalesce("nbrs", F.array().cast("array<string>")).alias("nbrs"),
+        )
+        .withColumn("degree", F.size("nbrs").cast("bigint"))
+        .withColumn("rng", F.expr(f"vid DIV {range_width}").cast("bigint"))
+    )
+    in_range = F.coalesce(
+        F.sum("degree").over(
+            Window.partitionBy("rng")
+            .orderBy("vid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    totals = rows.groupBy("rng").agg(F.sum("degree").alias("t"))
+    range_off = totals.select(
+        "rng",
+        F.coalesce(
+            F.sum("t").over(
+                Window.orderBy("rng").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("roff"),
+    )
+    return (
+        rows.withColumn("in_rng", in_range)
+        .join(F.broadcast(range_off), "rng")
+        .select(
+            "vid",
+            "node",
+            "degree",
+            (F.col("roff") + F.col("in_rng")).cast("bigint").alias("csr_offset"),
+            "nbrs",
+        )
+    )
