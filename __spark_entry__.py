@@ -955,6 +955,22 @@ def _q_layout_compaction(spark, sf_dir):
     return compaction_plan(files, target_bytes=65536)
 
 
+def _q_emb_pca1(spark, sf_dir):
+    # power-iteration first principal component: one D*(D+1)/2-sum Gram
+    # aggregation, driver-side exact-int iteration, zero-shuffle projection
+    return SIM.pca_first_component(_emb(spark, sf_dir))
+
+
+def _q_kg_entity_timeline(spark, sf_dir):
+    # per-entity daily document counts off the warc_ts provenance
+    from text_to_graph_spark.operators.temporal import entity_timeline
+
+    return entity_timeline(
+        _stages(spark, sf_dir)["triples"].select("url", "subj", "obj"),
+        synthesize_pages(spark, sf_dir),
+    )
+
+
 def _q_kg_csr(spark, sf_dir):
     # CSR serving layout: dense ids + sorted neighbor arrays + global row
     # pointers via two-level prefix sums (no single-partition window)
@@ -1654,6 +1670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_csr": _q_kg_csr,
         "events_transitions": _q_events_transitions,
         "kg_extraction_yield": _q_kg_extraction_yield,
+        "emb_pca1": _q_emb_pca1,
+        "kg_entity_timeline": _q_kg_entity_timeline,
         "kg_edge_confidence": _q_kg_edge_confidence,
         "docs_profile": _q_docs_profile,
         "layout_zorder": _q_layout_zorder,
@@ -2936,6 +2954,62 @@ SELECT CAST(cum_before // 65536 AS bigint) AS bin_id,
        min(file_name) AS first_file,
        max(file_name) AS last_file
 FROM c GROUP BY 1
+""",
+        # power-iteration PCA: same micro-unit Gram sums, same unrolled
+        # integer iteration (// floors on both engines, incl. negatives)
+        "emb_pca1": """
+WITH mic AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS double) * 1000000 + 0.5) AS bigint))
+           AS mic
+  FROM embeddings
+),
+ev AS (SELECT vec_id, generate_subscripts(mic, 1) AS i, unnest(mic) AS m
+       FROM mic),
+gram AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, sum(a.m * b.m) AS s
+  FROM ev a JOIN ev b USING (vec_id) GROUP BY 1, 2
+),
+v0 AS (SELECT DISTINCT i, CAST(1000000 AS bigint) AS v FROM ev),
+w1 AS MATERIALIZED (
+  SELECT g.i, sum((g.s // 1000000) * v0.v) AS x
+  FROM gram g JOIN v0 ON v0.i = g.j GROUP BY g.i),
+v1 AS MATERIALIZED (
+  SELECT i, x * 1000000 // (SELECT greatest(max(abs(x)), 1) FROM w1) AS v
+  FROM w1),
+w2 AS MATERIALIZED (
+  SELECT g.i, sum((g.s // 1000000) * v1.v) AS x
+  FROM gram g JOIN v1 ON v1.i = g.j GROUP BY g.i),
+v2 AS MATERIALIZED (
+  SELECT i, x * 1000000 // (SELECT greatest(max(abs(x)), 1) FROM w2) AS v
+  FROM w2),
+w3 AS MATERIALIZED (
+  SELECT g.i, sum((g.s // 1000000) * v2.v) AS x
+  FROM gram g JOIN v2 ON v2.i = g.j GROUP BY g.i),
+v3 AS MATERIALIZED (
+  SELECT i, x * 1000000 // (SELECT greatest(max(abs(x)), 1) FROM w3) AS v
+  FROM w3)
+SELECT e.vec_id, CAST(sum(e.m * v3.v) // 1000000 AS bigint) AS pc1_e6
+FROM ev e JOIN v3 ON v3.i = e.i
+GROUP BY e.vec_id
+""",
+        # per-entity daily doc counts off the warc_ts provenance
+        "kg_entity_timeline": f"""
+{_KG_PREFIX},
+pd_ AS (SELECT url, strftime(warc_ts, '%Y-%m-%d') AS day FROM pages),
+t AS (
+  SELECT DISTINCT tr.url, p.day, tr.subj, tr.obj
+  FROM (SELECT DISTINCT url, subj, obj FROM triples) tr
+  JOIN pd_ p ON p.url = tr.url
+),
+n AS (
+  SELECT DISTINCT url, day, node FROM (
+    SELECT url, day, subj AS node FROM t
+    UNION ALL SELECT url, day, obj FROM t)
+)
+SELECT node, day, CAST(count(*) AS bigint) AS n_docs
+FROM n GROUP BY 1, 2
 """,
         # CSR layout: dense-id vocab (two-level, mirrored via _vocab_cte)
         # + sorted neighbor lists + global exclusive degree prefix sum (the

@@ -449,3 +449,25 @@ class TestLeakageSafeSplit:
             assert 0 <= r.bucket < 100
         for splits in by_cluster.values():
             assert len(splits) == 1  # a cluster lives in exactly one fold
+
+
+class TestPcaFirstComponent:
+    def test_dominant_axis_ordering_and_determinism(self, spark):
+        from text_to_graph_spark.operators.similarity import pca_first_component
+
+        # variance concentrated on dim 0: projections must order by dim 0
+        pts = [
+            (i, [float(x), 0.01 * (i % 3), 0.0])
+            for i, x in enumerate([-9.0, -4.0, -1.0, 1.0, 4.0, 9.0])
+        ]
+        emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+        got = {r.vec_id: r.pc1_e6 for r in pca_first_component(emb).collect()}
+        proj = [got[i] for i in range(6)]
+        assert proj == sorted(proj) or proj == sorted(proj, reverse=True)
+        # extremes dominate
+        assert abs(proj[0]) > abs(proj[2]) and abs(proj[5]) > abs(proj[3])
+        again = {
+            r.vec_id: r.pc1_e6
+            for r in pca_first_component(emb.repartition(4)).collect()
+        }
+        assert again == got

@@ -174,3 +174,35 @@ class TestSnapshotDelta:
             ("c", "d"): (2, 1, "grown"),
             ("e", "f"): (1, 0, "new"),
         }
+
+
+class TestEntityTimeline:
+    def test_daily_counts_per_endpoint_role(self, spark):
+        import datetime as dt
+
+        from text_to_graph_spark.operators.temporal import entity_timeline
+
+        pages = spark.createDataFrame(
+            [
+                ("u1", dt.datetime(2025, 1, 1, 5)),
+                ("u2", dt.datetime(2025, 1, 1, 9)),
+                ("u3", dt.datetime(2025, 1, 2, 5)),
+            ],
+            "url string, warc_ts timestamp_ntz",
+        )
+        triples = spark.createDataFrame(
+            [
+                ("u1", "a", "b"),
+                ("u2", "a", "c"),
+                ("u3", "a", "b"),
+            ],
+            "url string, subj string, obj string",
+        )
+        got = {
+            (r.node, r.day): r.n_docs
+            for r in entity_timeline(triples, pages).collect()
+        }
+        assert got[("a", "2025-01-01")] == 2
+        assert got[("a", "2025-01-02")] == 1
+        assert got[("b", "2025-01-01")] == 1
+        assert got[("c", "2025-01-01")] == 1

@@ -551,3 +551,78 @@ def topk_quantized(
             "qdot",
         )
     )
+
+
+def pca_first_component(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 3,
+) -> DataFrame:
+    """First principal direction by deterministic power iteration, and the
+    corpus projected onto it — the 1-D embedding feature (outlier score /
+    coarse sort key / sharding dimension) without any eigen library.
+
+    Distributed part: the D x D Gram matrix of the mean-free-ish micro-unit
+    vectors — ONE aggregation with D*(D+1)/2 exact integer sums (map-side
+    partial agg; the shuffle carries a few thousand longs per partition).
+    The matrix is model state (driver-held, like k-means centroids); the
+    power iteration runs on it in exact Python ints — v_{k+1} =
+    (G//1e6) . v_k, renormalized to L-inf = 1e6 by integer division each
+    round (start vector all-ones; the //1e6 pre-scale bounds every matvec
+    term under 2^63). The final direction is inlined as literals, so the
+    projection pass is a zero-shuffle pure projection (the ivf_assign /
+    quantized_vectors design).
+
+    Everything is integer arithmetic end to end — bit-identical across
+    engines, partitionings, and reruns; the oracle twin replays the same
+    Gram sums and the same unrolled iteration. Returns
+    (``id_col``, pc1_e6) where pc1_e6 = dot(x_micro, v) // 1e6.
+    """
+    mic = emb.select(F.col(id_col), micro_vec_expr(vec_col).alias("mic"))
+    first = mic.select(F.size("mic").alias("d")).first()
+    if first is None:
+        raise ValueError("pca_first_component: empty input")
+    d = first["d"]
+    gram_aggs = [
+        F.sum(
+            F.element_at("mic", i + 1) * F.element_at("mic", j + 1)
+        ).alias(f"g_{i}_{j}")
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    row = mic.agg(*gram_aggs).first()
+    g = [[0] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            v = int(row[f"g_{i}_{j}"])
+            g[i][j] = v
+            g[j][i] = v
+    def tdiv(a: int, b: int) -> int:
+        # truncate toward zero (b > 0) — the integer-division semantics
+        # shared by Spark's DIV and DuckDB's // ; Python's // floors, which
+        # diverges on negatives
+        return a // b if a >= 0 else -((-a) // b)
+
+    v = [MICRO] * d
+    for _ in range(n_iter):
+        nxt = [
+            sum(tdiv(g[i][j], MICRO) * v[j] for j in range(d))
+            for i in range(d)
+        ]
+        m = max(abs(x) for x in nxt) or 1
+        v = [tdiv(x * MICRO, m) for x in nxt]
+    v_arr = F.array(*[F.lit(int(x)).cast("bigint") for x in v])
+    dot = F.aggregate(
+        F.zip_with(F.col("mic"), v_arr, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    # Spark's bigint DIV truncates toward zero — exactly DuckDB's `//`
+    return (
+        mic.select(F.col(id_col), dot.alias("dotv"))
+        .select(
+            id_col,
+            F.expr(f"dotv DIV {MICRO}").cast("bigint").alias("pc1_e6"),
+        )
+    )

@@ -188,3 +188,27 @@ def snapshot_delta(triples: DataFrame, pages: DataFrame) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+def entity_timeline(triples: DataFrame, pages: DataFrame) -> DataFrame:
+    """Per-entity daily document-mention counts — the popularity timeline
+    behind trend detection and snapshot-aware entity ranking.
+
+    An entity "appears" in a document when any triple there has it as
+    subject or object; the day comes from the page's ``warc_ts``. One
+    equi-join of the (distinct) triple provenance against the narrow
+    (url, day) pages projection, one union for the two endpoint roles, one
+    partial-agg'd rollup. Returns (node, day, n_docs).
+    """
+    pd_ = pages.select(
+        "url", F.date_format("warc_ts", "yyyy-MM-dd").alias("day")
+    )
+    t = triples.select("url", "subj", "obj").distinct().join(pd_, "url")
+    nodes = t.select("url", "day", F.col("subj").alias("node")).unionByName(
+        t.select("url", "day", F.col("obj").alias("node"))
+    )
+    return (
+        nodes.distinct()
+        .groupBy("node", "day")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
