@@ -70,8 +70,8 @@ def _fold_batch(
     agg = s.groupby(grp).agg(["min", "max", "size"])
 
     sessions: list[tuple[int, int, int]] = [
-        (int(r["min"]), int(r["max"]), int(r["size"]))
-        for _, r in agg.iterrows()
+        (int(a), int(b), int(n))
+        for a, b, n in zip(agg["min"], agg["max"], agg["size"])
     ]
     if carry is not None:
         if not bool(new_flag.iloc[0]):
