@@ -955,6 +955,29 @@ def _q_layout_compaction(spark, sf_dir):
     return compaction_plan(files, target_bytes=65536)
 
 
+def _q_kg_ppr(spark, sf_dir):
+    # personalized PageRank from the 2 lexicographically-smallest nodes —
+    # teleport mass restricted to the seed set (related-entity ranking)
+    from text_to_graph_spark.operators.graphalgo import personalized_pagerank
+
+    e = _edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("subj").alias("node"))
+        .unionByName(e.select(F.col("obj").alias("node")))
+        .distinct()
+        .orderBy("node")
+        .limit(2)
+    )
+    return personalized_pagerank(e, nodes)
+
+
+def _q_text_vocab_coverage(spark, sf_dir):
+    # tokenizer-sizing curve: top-200 terms with cumulative corpus share
+    from text_to_graph_spark.operators.textstats import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir))
+
+
 def _q_emb_pca1(spark, sf_dir):
     # power-iteration first principal component: one D*(D+1)/2-sum Gram
     # aggregation, driver-side exact-int iteration, zero-shuffle projection
@@ -1672,6 +1695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extraction_yield": _q_kg_extraction_yield,
         "emb_pca1": _q_emb_pca1,
         "kg_entity_timeline": _q_kg_entity_timeline,
+        "kg_ppr": _q_kg_ppr,
+        "text_vocab_coverage": _q_text_vocab_coverage,
         "kg_edge_confidence": _q_kg_edge_confidence,
         "docs_profile": _q_docs_profile,
         "layout_zorder": _q_layout_zorder,
@@ -2073,6 +2098,54 @@ vo AS (SELECT b, coalesce(sum(n) OVER (ORDER BY b
 vocab AS (SELECT vr.node, CAST(vo.off + vr.rn - 1 AS bigint) AS vid
           FROM vr JOIN vo ON vo.b = vr.b),
 nn AS (SELECT count(*) AS n FROM vocab)"""
+
+
+def _ppr_cte(
+    iterations: int = 5,
+    damping_pct: int = 85,
+    edges_src: str = "SELECT DISTINCT subj AS u, obj AS v FROM edges",
+    n_seeds: int = 2,
+) -> str:
+    """Unrolled personalized PageRank (graphalgo.personalized_pagerank):
+    seeds = the ``n_seeds`` lexicographically-smallest nodes; teleport mass
+    only on seeds; otherwise the exact-bigint pagerank recurrence."""
+    scale = 10**9
+    parts = [
+        f"pp_edges AS ({edges_src})",
+        "pp_deg AS (SELECT u, count(*) AS d FROM pp_edges GROUP BY u)",
+        "pp_nodes AS (SELECT DISTINCT node FROM (SELECT u AS node"
+        " FROM pp_edges UNION ALL SELECT v FROM pp_edges))",
+        f"pp_seeds AS (SELECT node FROM pp_nodes ORDER BY node"
+        f" LIMIT {n_seeds})",
+        "pp_s AS (SELECT count(*) AS s FROM pp_seeds)",
+        f"""p0 AS (
+  SELECT n.node,
+         CASE WHEN sd.node IS NOT NULL
+              THEN {scale} // (SELECT s FROM pp_s) ELSE 0 END AS r
+  FROM pp_nodes n LEFT JOIN pp_seeds sd ON sd.node = n.node
+)""",
+    ]
+    base = (
+        f"{(100 - damping_pct) * scale} // (100 * (SELECT s FROM pp_s))"
+    )
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT n.node,
+         CASE WHEN sd.node IS NOT NULL THEN {base} ELSE 0 END
+           + ({damping_pct} * coalesce(x.inc, 0)) // 100 AS r
+  FROM pp_nodes n
+  LEFT JOIN pp_seeds sd ON sd.node = n.node
+  LEFT JOIN (
+    SELECT e.v AS node, sum(p{i-1}.r // dg.d) AS inc
+    FROM pp_edges e
+    JOIN p{i-1} ON p{i-1}.node = e.u
+    JOIN pp_deg dg ON dg.u = e.u
+    GROUP BY e.v
+  ) x ON x.node = n.node
+)"""
+        )
+    return ",\n".join(parts)
 
 
 def _hits_cte(
@@ -2954,6 +3027,31 @@ SELECT CAST(cum_before // 65536 AS bigint) AS bin_id,
        min(file_name) AS first_file,
        max(file_name) AS last_file
 FROM c GROUP BY 1
+""",
+        # personalized PageRank: teleport mass only on the 2 smallest nodes
+        "kg_ppr": f"""
+{_KG_PREFIX},
+{_ppr_cte()}
+SELECT node, CAST(r AS bigint) AS rank_e9 FROM p5
+""",
+        # vocabulary coverage curve: top-200 terms, cumulative corpus share
+        # over ALL token occurrences
+        "text_vocab_coverage": """
+WITH terms AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tot AS (SELECT count(*) AS t FROM terms),
+tc AS (SELECT term, count(*) AS n_occurrences FROM terms GROUP BY term),
+top AS (SELECT term, n_occurrences FROM tc
+        ORDER BY n_occurrences DESC, term LIMIT 200)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, term) AS int)
+         AS rank,
+       term, CAST(n_occurrences AS bigint) AS n_occurrences,
+       CAST(sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, term
+              ROWS UNBOUNDED PRECEDING) * 1000000
+            // (SELECT t FROM tot) AS bigint) AS cum_frac_e6
+FROM top
 """,
         # power-iteration PCA: same micro-unit Gram sums, same unrolled
         # integer iteration (// floors on both engines, incl. negatives)

@@ -603,3 +603,63 @@ class TestEventTransitions:
         )
         got = {(r.cur, r.nxt) for r in event_transitions(ev).collect()}
         assert got == {("x", "y"), ("y", "z")}
+
+
+def _ppr_py(edges, seeds, iterations=5, damping_pct=85):
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    s = [x for x in seeds if x in nodes]
+    deg = {}
+    for u, _ in e:
+        deg[u] = deg.get(u, 0) + 1
+    init = RANK_SCALE // len(s)
+    base = (100 - damping_pct) * RANK_SCALE // (100 * len(s))
+    rank = {x: (init if x in s else 0) for x in nodes}
+    for _ in range(iterations):
+        inc = {x: 0 for x in nodes}
+        for u, v in e:
+            inc[v] += rank[u] // deg[u]
+        rank = {
+            x: (base if x in s else 0) + damping_pct * inc[x] // 100
+            for x in nodes
+        }
+    return rank
+
+
+class TestPersonalizedPagerank:
+    def test_parity_with_python_mirror(self, spark):
+        from text_to_graph_spark.operators.graphalgo import personalized_pagerank
+
+        seeds = spark.createDataFrame([("a",), ("d",)], "node string")
+        got = {
+            r.node: r.rank_e9
+            for r in personalized_pagerank(
+                _edge_df(spark, EDGES), seeds
+            ).collect()
+        }
+        assert got == _ppr_py(EDGES, ["a", "d"])
+
+    def test_mass_concentrates_near_seeds(self, spark):
+        from text_to_graph_spark.operators.graphalgo import personalized_pagerank
+
+        # two disconnected triangles; seed only in the first
+        tri2 = [
+            ("a", "b"), ("b", "c"), ("c", "a"),
+            ("x", "y"), ("y", "z"), ("z", "x"),
+        ]
+        seeds = spark.createDataFrame([("a",)], "node string")
+        got = {
+            r.node: r.rank_e9
+            for r in personalized_pagerank(_edge_df(spark, tri2), seeds).collect()
+        }
+        assert got["a"] > got["x"] and got["b"] > got["y"]
+        assert got["x"] == 0  # no path from the seed component
+
+    def test_seed_outside_graph_raises(self, spark):
+        import pytest
+
+        from text_to_graph_spark.operators.graphalgo import personalized_pagerank
+
+        seeds = spark.createDataFrame([("nope",)], "node string")
+        with pytest.raises(ValueError):
+            personalized_pagerank(_edge_df(spark, EDGES), seeds)

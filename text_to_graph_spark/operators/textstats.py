@@ -15,7 +15,7 @@ divisions rounded to 4 dp so they hash identically across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from text_to_graph_spark.functions.portable import round_half_up
@@ -396,4 +396,44 @@ def langid_confusion(docs: DataFrame) -> DataFrame:
             "n_docs * 1000000 DIV "
             "sum(n_docs) OVER (PARTITION BY lang_declared)"
         ).cast("bigint").alias("frac_e6"),
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 200,
+) -> DataFrame:
+    """Vocabulary coverage curve — the "how many types cover how much of
+    the corpus" table that sizes tokenizer vocabularies and stopword lists.
+
+    Top-``k`` terms by corpus frequency (ties by term ascending) with each
+    term's rank, count, and the CUMULATIVE corpus share in exact ppm
+    (denominator = ALL token occurrences, so the curve is honest about the
+    tail the cut drops). The heavy step is one partial-agg'd term count;
+    ranking is a TakeOrdered top-k (never a global sort), and the
+    cumulative window runs over k rows on the driver-scale result.
+    Returns (rank, term, n_occurrences, cum_frac_e6).
+    """
+    terms = docs.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("term")
+    )
+    total = terms.count()
+    top = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "term",
+        "n_occurrences",
+        F.expr(
+            f"sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, term "
+            f"ROWS UNBOUNDED PRECEDING) * 1000000 DIV {total}"
+        ).cast("bigint").alias("cum_frac_e6"),
     )
