@@ -346,3 +346,48 @@ def test_dense_ids_uses_bucketed_windows_not_global_sort(spark):
     # branch (which then broadcasts); the keyed branch hashes on (b)
     assert "hashpartitioning(b" in s
     assert has_broadcast_join(out)
+
+
+def test_pca_projection_pass_is_zero_shuffle(spark):
+    """After the Gram aggregation (eager, driver-held), the returned
+    projection plan must be shuffle-free and JVM-only."""
+    from text_to_graph_spark.operators.similarity import pca_first_component
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = pca_first_component(emb)
+    assert count_exchanges(out) == 0
+    assert python_eval_count(out) == 0
+
+
+def test_csr_layout_windows_are_bucketed_and_offsets_broadcast(spark):
+    from text_to_graph_spark.operators.graphalgo import csr_layout
+
+    df = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 40}") for i in range(40)],
+        "subj string, obj string",
+    )
+    out = csr_layout(df)
+    s = plan_str(out, "formatted")
+    assert "hashpartitioning(rng" in s  # per-range windows, not global
+    assert has_broadcast_join(out)      # range offsets broadcast back
+
+
+def test_event_transitions_no_cartesian(spark):
+    from text_to_graph_spark.operators.events import event_transitions
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    out = event_transitions(ev)
+    assert "CartesianProduct" not in plan_str(out, "simple")
+
+
+def test_personalized_pagerank_broadcasts_seed_flag(spark):
+    from text_to_graph_spark.operators.graphalgo import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "subj string, obj string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = personalized_pagerank(edges, seeds, iterations=1)
+    # the per-round plans are checkpointed; the final plan still carries
+    # the flagged-nodes join — assert it never degrades to a cartesian
+    assert "CartesianProduct" not in plan_str(out, "simple")
