@@ -955,6 +955,32 @@ def _q_layout_compaction(spark, sf_dir):
     return compaction_plan(files, target_bytes=65536)
 
 
+def _q_web_equivalence(spark, sf_dir):
+    # structural-equivalence classes over the page-level link graph:
+    # template pages linking identical nav sets collapse into supernodes
+    from text_to_graph_spark.operators import weblinks as WL
+    from text_to_graph_spark.operators.graphalgo import node_equivalence_classes
+
+    n = WL.normalized_links(WL.extract_links(_linked_pages(spark, sf_dir)))
+    return node_equivalence_classes(n, src="src_url", dst="norm_href")
+
+
+def _q_kg_clustering(spark, sf_dir):
+    # local clustering coefficient in exact ppm: triangles vs possible
+    # neighbor pairs per node
+    from text_to_graph_spark.operators.graphalgo import clustering_coefficient
+
+    return clustering_coefficient(_edges(spark, sf_dir))
+
+
+def _q_kg_entity_postings(spark, sf_dir):
+    # entity -> source-document posting lists, capped at 32 urls (exact
+    # n_docs) — the provenance-serving index
+    return G.entity_postings(
+        _stages(spark, sf_dir)["triples"].select("url", "subj", "obj")
+    )
+
+
 def _q_kg_ppr(spark, sf_dir):
     # personalized PageRank from the 2 lexicographically-smallest nodes —
     # teleport mass restricted to the seed set (related-entity ranking)
@@ -1697,6 +1723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_timeline": _q_kg_entity_timeline,
         "kg_ppr": _q_kg_ppr,
         "text_vocab_coverage": _q_text_vocab_coverage,
+        "web_equivalence": _q_web_equivalence,
+        "kg_clustering": _q_kg_clustering,
+        "kg_entity_postings": _q_kg_entity_postings,
         "kg_edge_confidence": _q_kg_edge_confidence,
         "docs_profile": _q_docs_profile,
         "layout_zorder": _q_layout_zorder,
@@ -3027,6 +3056,71 @@ SELECT CAST(cum_before // 65536 AS bigint) AS bin_id,
        min(file_name) AS first_file,
        max(file_name) AS last_file
 FROM c GROUP BY 1
+""",
+        # structural equivalence over the page link graph: md5 of the
+        # sorted undirected neighbor list; classes with >= 2 members
+        "web_equivalence": f"""
+{weblinks_normed},
+wse AS (
+  SELECT src_url AS u, norm_href AS v FROM normed
+  UNION
+  SELECT norm_href, src_url FROM normed
+),
+es AS (SELECT DISTINCT u, v FROM wse WHERE u <> v),
+adj AS (SELECT u AS node, list_sort(list(DISTINCT v)) AS nbrs
+        FROM es GROUP BY 1),
+keyed AS (
+  SELECT node, md5(array_to_string(nbrs, '|')) AS class_key,
+         CAST(len(nbrs) AS bigint) AS degree
+  FROM adj
+)
+SELECT class_key, CAST(count(*) AS bigint) AS n_members,
+       list_sort(list(node)) AS members, degree
+FROM keyed GROUP BY class_key, degree HAVING count(*) >= 2
+""",
+        # local clustering coefficient: triangle membership over possible
+        # neighbor pairs, exact ppm
+        "kg_clustering": f"""
+{_KG_PREFIX},
+es AS (SELECT DISTINCT u, v FROM sym WHERE u <> v),
+deg AS (SELECT u AS node, CAST(count(*) AS bigint) AS degree
+        FROM es GROUP BY 1),
+und AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM edges WHERE subj <> obj
+),
+tri AS (
+  SELECT x.a, x.b, y.b AS c
+  FROM und x JOIN und y ON x.b = y.a
+  WHERE EXISTS (SELECT 1 FROM und z WHERE z.a = x.a AND z.b = y.b)
+),
+member AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tcount AS (SELECT node, count(*) AS cnt FROM member GROUP BY node)
+SELECT d.node, d.degree,
+       CAST(coalesce(t.cnt, 0) AS bigint) AS n_triangles,
+       CAST(CASE WHEN d.degree >= 2 THEN
+              2 * coalesce(t.cnt, 0) * 1000000
+              // (d.degree * (d.degree - 1))
+            ELSE 0 END AS bigint) AS coeff_e6
+FROM deg d LEFT JOIN tcount t ON t.node = d.node
+""",
+        # entity posting lists: exact doc counts, sorted url list capped
+        # at 32 entries
+        "kg_entity_postings": f"""
+{_KG_PREFIX},
+en AS (
+  SELECT DISTINCT url, node FROM (
+    SELECT url, subj AS node FROM (SELECT DISTINCT url, subj FROM triples)
+    UNION ALL
+    SELECT url, obj FROM (SELECT DISTINCT url, obj FROM triples))
+)
+SELECT node, CAST(count(*) AS bigint) AS n_docs,
+       list_sort(list(url))[1:32] AS doc_urls
+FROM en GROUP BY node
 """,
         # personalized PageRank: teleport mass only on the 2 smallest nodes
         "kg_ppr": f"""

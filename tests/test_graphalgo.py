@@ -663,3 +663,54 @@ class TestPersonalizedPagerank:
         seeds = spark.createDataFrame([("nope",)], "node string")
         with pytest.raises(ValueError):
             personalized_pagerank(_edge_df(spark, EDGES), seeds)
+
+
+class TestNodeEquivalence:
+    def test_identical_neighbor_sets_collapse(self, spark):
+        from text_to_graph_spark.operators.graphalgo import (
+            node_equivalence_classes,
+        )
+
+        # p1, p2, p3 all link exactly {nav, home}; q links {nav} only
+        edges = [
+            ("p1", "nav"), ("p1", "home"),
+            ("p2", "nav"), ("p2", "home"),
+            ("p3", "nav"), ("p3", "home"),
+            ("q", "nav"),
+        ]
+        got = node_equivalence_classes(
+            _edge_df(spark, edges)
+        ).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert sorted(r.members) == ["p1", "p2", "p3"]
+        assert r.n_members == 3 and r.degree == 2
+
+    def test_no_false_merges(self, spark):
+        from text_to_graph_spark.operators.graphalgo import (
+            node_equivalence_classes,
+        )
+
+        edges = [("a", "x"), ("b", "y")]  # distinct neighborhoods
+        assert node_equivalence_classes(_edge_df(spark, edges)).count() == 0
+
+
+class TestClusteringCoefficient:
+    def test_triangle_and_star(self, spark):
+        from text_to_graph_spark.operators.graphalgo import (
+            clustering_coefficient,
+        )
+
+        # triangle abc (coeff 1.0) + star hub h->{a,b,s} where a-b linked
+        edges = [
+            ("a", "b"), ("b", "c"), ("c", "a"),
+            ("h", "a"), ("h", "b"), ("h", "s"),
+        ]
+        got = {
+            r.node: (r.degree, r.n_triangles, r.coeff_e6)
+            for r in clustering_coefficient(_edge_df(spark, edges)).collect()
+        }
+        assert got["c"] == (2, 1, 1000000)          # perfect triangle corner
+        # h: neighbors {a,b,s}, 3 possible pairs, 1 present (a-b)
+        assert got["h"] == (3, 1, 2 * 1 * 1000000 // 6)
+        assert got["s"] == (1, 0, 0)                # degree-1 -> 0

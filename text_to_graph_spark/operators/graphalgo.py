@@ -825,3 +825,69 @@ def personalized_pagerank(
         )
         rank = rank.localCheckpoint(eager=True)
     return rank
+
+
+def node_equivalence_classes(
+    edges: DataFrame, src: str = "subj", dst: str = "obj"
+) -> DataFrame:
+    """Structural-equivalence compression: nodes with IDENTICAL undirected
+    neighbor sets collapse into one class — the supernode summarization
+    that web boilerplate produces in bulk (every page of a template site
+    links the same nav targets) and that shrinks downstream graph
+    algorithms by the class multiplicity.
+
+    The class key is the md5 of the sorted neighbor list (engine-portable;
+    a collision is ~2^-128). One adjacency rollup + one class rollup, both
+    partial-agg'd. Returns one row per class with >= 2 members:
+    (class_key, n_members, members, degree).
+    """
+    sym = _sym_edges(edges, src, dst)
+    adj = sym.groupBy(F.col("u").alias("node")).agg(
+        F.array_sort(F.collect_set("v")).alias("nbrs")
+    )
+    keyed = adj.select(
+        "node",
+        F.md5(F.concat_ws("|", "nbrs")).alias("class_key"),
+        F.size("nbrs").cast("bigint").alias("degree"),
+    )
+    return (
+        keyed.groupBy("class_key", "degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_sort(F.collect_list("node")).alias("members"),
+        )
+        .where(F.col("n_members") >= 2)
+        .select("class_key", "n_members", "members", "degree")
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "subj", dst: str = "obj"
+) -> DataFrame:
+    """Local clustering coefficient per node in exact ppm — how close each
+    node's neighborhood is to a clique (community cores vs star hubs;
+    boilerplate hubs score ~0, tight entity clusters ~1e6).
+
+    coeff_e6 = 2 * triangles(v) * 1e6 DIV (deg(v) * (deg(v) - 1)) over the
+    undirected simple graph; degree-1 nodes report 0. Composes the existing
+    :func:`triangle_count` (two equi-joins) with the degree rollup — no new
+    heavy shape. Returns (node, degree, n_triangles, coeff_e6).
+    """
+    sym = _sym_edges(edges, src, dst)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    tri = triangle_count(edges, src, dst)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                "CASE WHEN degree >= 2 THEN "
+                "2 * coalesce(n_triangles, 0) * 1000000 "
+                "DIV (degree * (degree - 1)) ELSE 0 END"
+            ).cast("bigint").alias("coeff_e6"),
+        )
+    )

@@ -373,3 +373,27 @@ def induce_predicate_schema(
         ).cast("bigint").alias("frac_e6"),
         (F.row_number().over(rank) == 1).alias("is_dominant"),
     )
+
+
+def entity_postings(triples: DataFrame, max_docs: int = 32) -> DataFrame:
+    """Entity -> document posting lists — the serving-side index behind
+    "show me the sources for this node" (the viewer's provenance lookup,
+    generalized to corpus scale).
+
+    (node, n_docs, doc_urls): ``doc_urls`` is the sorted list TRUNCATED to
+    ``max_docs`` entries (at web scale a boilerplate entity appears in
+    millions of documents — an unbounded collect_set is the classic
+    skew/OOM trap; n_docs stays exact). One distinct + one partial-agg'd
+    rollup on the node key.
+    """
+    nodes = (
+        triples.select("url", F.col("subj").alias("node"))
+        .unionByName(triples.select("url", F.col("obj").alias("node")))
+        .distinct()
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.slice(F.array_sort(F.collect_set("url")), 1, max_docs).alias(
+            "doc_urls"
+        ),
+    )
