@@ -935,6 +935,29 @@ def _q_docs_profile(spark, sf_dir):
     )
 
 
+def _q_layout_pruning(spark, sf_dir):
+    # zone-map pruning report: the same mid-third time predicate against a
+    # url-hash layout (skips nothing) vs the Z-order layout (skips files)
+    from text_to_graph_spark.operators.layout import zone_map_pruning
+
+    return zone_map_pruning(synthesize_pages(spark, sf_dir))
+
+
+def _q_web_robots(spark, sf_dir):
+    # robots-style disallow-prefix filter over the crawl frontier: per-host
+    # rules broadcast, prefix match, left_anti survivors
+    from text_to_graph_spark.operators import weblinks as WL
+
+    links = WL.extract_links(_linked_pages(spark, sf_dir))
+    hosts = (
+        WL.normalized_links(links)
+        .select(F.col("dst_host").alias("host"))
+        .distinct()
+    )
+    rules = hosts.select("host", F.lit("/page/1").alias("disallow_prefix"))
+    return WL.robots_filter(links, rules)
+
+
 def _q_layout_zorder(spark, sf_dir):
     # Morton-key clustering plan over (url-hash, warc_ts): per-Z-range file
     # stats — the Iceberg data-layout evidence table
@@ -1730,6 +1753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_profile": _q_docs_profile,
         "layout_zorder": _q_layout_zorder,
         "layout_compaction": _q_layout_compaction,
+        "layout_pruning": _q_layout_pruning,
+        "web_robots": _q_web_robots,
         "ann_topk": _q_ann_topk,
         "ann_topk_bucketed": _q_ann_topk_bucketed,
         "ann_topk_quantized": _q_ann_topk_quantized,
@@ -3038,6 +3063,61 @@ SELECT CAST(zkey * 32 // 4294967296 AS int) AS file_id,
        CAST(min(zkey) AS bigint) AS min_z,
        CAST(max(zkey) AS bigint) AS max_z
 FROM zs GROUP BY 1
+""",
+        # zone-map pruning: hash layout vs Z-order layout under the same
+        # mid-third time predicate; bit-op Morton twin
+        "layout_pruning": f"""
+{_KG_PREFIX},
+secs AS (
+  SELECT url, date_diff('second', TIMESTAMP '1970-01-01', warc_ts) AS sec
+  FROM pages
+),
+prm AS (SELECT min(sec) AS lo, greatest(max(sec) - min(sec), 1) AS span
+        FROM secs),
+k2 AS (
+  SELECT CAST(uh % 16 AS int) AS hash_file,
+         uh % 65536 AS xh,
+         (sec - (SELECT lo FROM prm)) * 65535 // (SELECT span FROM prm) AS yh,
+         sec
+  FROM (SELECT CAST(('0x' || substr(md5(url), 1, 12)) AS bigint) AS uh, sec
+        FROM secs)
+),
+k3 AS (
+  SELECT sec, hash_file,
+         CAST(({_zkey_duck("xh", "yh")}) * 16 // 4294967296 AS int) AS z_file
+  FROM k2
+),
+u AS (
+  SELECT 'url_hash' AS layout, hash_file AS file_id,
+         count(*) AS n_pages, min(sec) AS min_sec, max(sec) AS max_sec
+  FROM k3 GROUP BY 2
+  UNION ALL
+  SELECT 'zorder', z_file, count(*), min(sec), max(sec)
+  FROM k3 GROUP BY 2
+)
+SELECT layout, file_id, CAST(n_pages AS bigint) AS n_pages,
+       CAST(min_sec AS bigint) AS min_sec, CAST(max_sec AS bigint) AS max_sec,
+       (max_sec < (SELECT lo + span // 3 FROM prm)
+        OR min_sec > (SELECT lo + 2 * span // 3 FROM prm)) AS is_skipped
+FROM u
+""",
+        # robots disallow-prefix filter: per-host rule, NOT-matched frontier
+        "web_robots": f"""
+{weblinks_normed},
+n AS (
+  SELECT DISTINCT norm_href,
+         regexp_extract(norm_href, '^[^/]+//([^/:]+)', 1) AS dst_host
+  FROM normed
+),
+matched AS (
+  SELECT DISTINCT norm_href FROM (
+    SELECT norm_href,
+           regexp_replace(norm_href, '^[^/]+//[^/]+', '') AS path
+    FROM n)
+  WHERE path LIKE '/page/1%'
+)
+SELECT n.norm_href, n.dst_host
+FROM n WHERE n.norm_href NOT IN (SELECT norm_href FROM matched)
 """,
         # greedy sequential bin-packing: bin = prefix-bytes // target, a
         # closed form of the cumulative sum over the name-ordered file list

@@ -84,3 +84,56 @@ class TestCompactionPlan:
         # cum_before values fits in [bin*target, (bin+1)*target)
         for r in by_bin:
             assert r.total_bytes <= target + max(s for _, s in sizes)
+
+
+class TestZoneMapPruning:
+    def test_zorder_prunes_hash_does_not(self, spark):
+        import datetime as dt
+
+        from text_to_graph_spark.operators.layout import zone_map_pruning
+
+        pages = spark.createDataFrame(
+            [
+                (
+                    f"https://h{i % 9}.test/p/{i}",
+                    dt.datetime(2025, 1, 1) + dt.timedelta(seconds=i * 50),
+                )
+                for i in range(600)
+            ],
+            "url string, warc_ts timestamp_ntz",
+        )
+        rows = zone_map_pruning(pages).collect()
+        skipped = {"url_hash": 0, "zorder": 0}
+        pages_total = {"url_hash": 0, "zorder": 0}
+        for r in rows:
+            pages_total[r.layout] += r.n_pages
+            skipped[r.layout] += int(r.is_skipped)
+            assert r.min_sec <= r.max_sec
+        # both layouts account for every page
+        assert pages_total["url_hash"] == 600 == pages_total["zorder"]
+        # the point of the operator: hash layout cannot skip, Z-order can
+        assert skipped["url_hash"] == 0
+        assert skipped["zorder"] > 0
+
+
+class TestRobotsFilter:
+    def test_disallowed_prefixes_removed(self, spark):
+        from text_to_graph_spark.operators.weblinks import robots_filter
+
+        links = spark.createDataFrame(
+            [
+                ("https://s.test/x", 0, "https://a.test/keep/1", "k"),
+                ("https://s.test/x", 1, "https://a.test/private/1", "p"),
+                ("https://s.test/x", 2, "https://b.test/private/2", "p"),
+            ],
+            "src_url string, pos int, href string, anchor string",
+        )
+        # only host a.test disallows /private
+        rules = spark.createDataFrame(
+            [("a.test", "/private")], "host string, disallow_prefix string"
+        )
+        got = {r.norm_href for r in robots_filter(links, rules).collect()}
+        assert got == {
+            "https://a.test/keep/1",
+            "https://b.test/private/2",  # b.test has no rule
+        }

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key_expr", "zorder_file_stats", "compaction_plan"]
+__all__ = [
+    "zorder_key_expr",
+    "zorder_file_stats",
+    "compaction_plan",
+    "zone_map_pruning",
+]
 
 
 def zorder_key_expr(x: str, y: str, bits: int = 16) -> str:
@@ -126,4 +131,83 @@ def compaction_plan(
             F.min(name_col).alias("first_file"),
             F.max(name_col).alias("last_file"),
         )
+    )
+
+
+def zone_map_pruning(
+    pages: DataFrame,
+    n_files: int = 16,
+    bits: int = 16,
+) -> DataFrame:
+    """Zone-map (min/max statistics) scan-planning report comparing TWO
+    physical layouts under the same time-range predicate — the Iceberg
+    manifest-pruning decision, made inspectable, and the direct evidence
+    for why Z-ordering matters:
+
+    - ``url_hash``: files = url-hash buckets (a pure-hash layout). Every
+      file's warc_ts window spans the whole corpus, so the zone-map rule
+      can skip NOTHING.
+    - ``zorder``  : files = equal Morton-key ranges of
+      (url-hash, scaled warc_ts) (:func:`zorder_file_stats`'s assignment).
+      The key's interleaved time bits give each file a narrow time window,
+      so a range predicate prunes whole files.
+
+    The predicate is the middle third of the corpus warc_ts range
+    (data-derived, SF-invariant). A file is skipped when its [min, max]
+    misses the predicate window entirely (the conservative zone-map rule:
+    overlap => must read). Returns per (layout, file_id):
+    (layout, file_id, n_pages, min_sec, max_sec, is_skipped).
+
+    Scale shape: the stats passes are partial-agg'd rollups (the write-time
+    stats pass, replayed); the predicate test is a projection over
+    file-count rows.
+    """
+    sec = F.expr(
+        "timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', warc_ts)"
+    )
+    lo, hi = pages.agg(F.min(sec), F.max(sec)).first()
+    lo, hi = int(lo), int(hi)
+    span = max(hi - lo, 1)
+    p_lo = lo + span // 3
+    p_hi = lo + 2 * span // 3
+    top = 2 ** bits - 1
+    keyed = pages.select(
+        F.conv(F.substring(F.md5("url"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("uh"),
+        sec.alias("sec"),
+    ).select(
+        F.pmod("uh", F.lit(n_files)).cast("int").alias("hash_file"),
+        F.pmod("uh", F.lit(2 ** bits)).alias("xh"),
+        F.expr(f"(sec - {lo}) * {top} DIV {span}").cast("bigint").alias("yh"),
+        "sec",
+    )
+    zspace = 2 ** (2 * bits)
+    keyed = keyed.withColumn(
+        "z_file",
+        F.expr(
+            f"({zorder_key_expr('xh', 'yh', bits)}) * {n_files} DIV {zspace}"
+        ).cast("int"),
+    )
+
+    def stats(col: str, layout: str) -> DataFrame:
+        return (
+            keyed.groupBy(F.col(col).alias("file_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pages"),
+                F.min("sec").alias("min_sec"),
+                F.max("sec").alias("max_sec"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
+        )
+
+    both = stats("hash_file", "url_hash").unionByName(stats("z_file", "zorder"))
+    return both.select(
+        "layout",
+        "file_id",
+        "n_pages",
+        "min_sec",
+        "max_sec",
+        ((F.col("max_sec") < F.lit(p_lo)) | (F.col("min_sec") > F.lit(p_hi)))
+        .alias("is_skipped"),
     )

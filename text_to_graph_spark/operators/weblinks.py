@@ -241,3 +241,38 @@ def host_rank(hosts: DataFrame, iterations: int = 5) -> DataFrame:
     ranks = pagerank(hosts, src="src_host", dst="dst_host",
                      iterations=iterations)
     return ranks.withColumnRenamed("node", "host")
+
+
+def robots_filter(
+    links: DataFrame, rules: DataFrame
+) -> DataFrame:
+    """Crawl-politeness filter: drop frontier URLs matched by a host's
+    disallow PREFIX rules (the robots.txt subset that matters for a
+    frontier: ``Disallow: /path-prefix`` per host).
+
+    ``rules`` is (host, disallow_prefix) — a per-host policy table, tiny
+    relative to the frontier, so it broadcasts; the match is one
+    equi-join on host plus a ``startswith`` on the path (no regex, no
+    cross join). A URL survives when NO rule of its host matches
+    (left_anti on the matched set). Returns the surviving
+    (norm_href, dst_host) frontier rows, deduplicated.
+    """
+    n = normalized_links(links).select("norm_href", "dst_host").distinct()
+    path = F.regexp_replace(F.col("norm_href"), r"^[^/]+//[^/]+", "")
+    with_path = n.select(
+        "norm_href", "dst_host", path.alias("path")
+    )
+    matched = (
+        with_path.join(
+            F.broadcast(rules.select(F.col("host").alias("dst_host"),
+                                     "disallow_prefix")),
+            "dst_host",
+        )
+        .where(F.col("path").startswith(F.col("disallow_prefix")))
+        .select("norm_href")
+        .distinct()
+    )
+    return (
+        n.join(matched, "norm_href", "left_anti")
+        .select("norm_href", "dst_host")
+    )
