@@ -1103,6 +1103,15 @@ def _q_kg_graph_delta(spark, sf_dir):
     )
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    # per-wave ingest dedup: odd doc_ids are the "new wave", probed against
+    # the even-id "existing corpus" signature table; new-x-new never pairs
+    docs = _docs(spark, sf_dir)
+    return D.incremental_neardup_probe(
+        docs.where("doc_id % 2 = 1"), docs.where("doc_id % 2 = 0")
+    )
+
+
 def _q_corpus_overlap(spark, sf_dir):
     # cross-source shingle-overlap matrix: per-shingle sorted source sets
     # expanded to pairs in-plan; exact-integer Jaccard per source pair
@@ -1737,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": _q_dedup_spans,
         "corpus_overlap": _q_corpus_overlap,
         "docs_split": _q_docs_split,
+        "dedup_incremental": _q_dedup_incremental,
         "text_langid_confusion": _q_text_langid_confusion,
         "kg_graph_delta": _q_kg_graph_delta,
         "kg_csr": _q_kg_csr,
@@ -3420,6 +3430,36 @@ SELECT f.subj, f.pred, f.obj,
             ELSE 'stable' END AS status
 FROM fullc f LEFT JOIN asofc a
   ON a.subj = f.subj AND a.pred = f.pred AND a.obj = f.obj
+""",
+        # incremental ingest dedup: odd-id wave banded against even-id
+        # corpus signatures; best match = (bands desc, old_id asc)
+        "dedup_incremental": f"""
+WITH {_MINHASH_CTE},
+bx AS (
+  SELECT doc_id, mh0 AS h, 0 AS band FROM sig
+  UNION ALL SELECT doc_id, mh1, 1 FROM sig
+  UNION ALL SELECT doc_id, mh2, 2 FROM sig
+  UNION ALL SELECT doc_id, mh3, 3 FROM sig
+),
+cand AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         count(DISTINCT n.band) AS n_bands_shared
+  FROM bx n JOIN bx o ON n.h = o.h AND n.band = o.band
+  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT new_id, old_id, n_bands_shared FROM (
+    SELECT *, row_number() OVER (PARTITION BY new_id
+               ORDER BY n_bands_shared DESC, old_id) AS rn
+    FROM cand) WHERE rn = 1
+)
+SELECT d.doc_id AS new_id,
+       (b.new_id IS NOT NULL) AS is_dup,
+       b.old_id AS dup_of,
+       CAST(coalesce(b.n_bands_shared, 0) AS bigint) AS n_bands_shared
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN best b ON b.new_id = d.doc_id
 """,
         # cross-source shingle overlap: distinct (source, shingle) via the
         # shared 3-gram CTE, self-join on shingle a<b, exact Jaccard

@@ -471,3 +471,42 @@ class TestPcaFirstComponent:
             for r in pca_first_component(emb.repartition(4)).collect()
         }
         assert again == got
+
+
+class TestIncrementalNeardupProbe:
+    def test_new_probes_old_only(self, spark):
+        from text_to_graph_spark.operators.dedup import incremental_neardup_probe
+
+        shared = "one two three four five six"
+        old = spark.createDataFrame(
+            [(2, shared), (4, "totally different old text here")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, shared),                       # dup of old doc 2
+                (3, shared),                       # also dup of old doc 2
+                (5, "fresh new content never seen"),  # no match
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.new_id: (r.is_dup, r.dup_of, r.n_bands_shared)
+            for r in incremental_neardup_probe(new, old).collect()
+        }
+        assert got[1] == (True, 2, 4)
+        assert got[3] == (True, 2, 4)
+        assert got[5] == (False, None, 0)
+        # in-wave duplicates (1 vs 3) are NOT paired by the probe
+        assert len(got) == 3
+
+    def test_best_match_prefers_more_bands_then_smaller_id(self, spark):
+        from text_to_graph_spark.operators.dedup import incremental_neardup_probe
+
+        t = "alpha beta gamma delta epsilon"
+        old = spark.createDataFrame(
+            [(10, t), (8, t)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame([(1, t)], "doc_id long, text string")
+        r = incremental_neardup_probe(new, old).collect()[0]
+        assert (r.dup_of, r.n_bands_shared) == (8, 4)  # tie -> smaller id

@@ -419,3 +419,65 @@ def source_overlap(
             .alias("jaccard_e6"),
         )
     )
+
+
+def incremental_neardup_probe(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental ingest dedup: probe NEW documents against the EXISTING
+    corpus's MinHash signatures — the per-crawl-wave shape (the batch
+    near-dup job re-hashes everything; the incremental one hashes only the
+    wave and joins the stored signature table, completing the incremental
+    family alongside edges/nodes/components maintenance).
+
+    The join is new-band x old-band on (band, hash) — candidate
+    generation never pairs new-with-new or old-with-old (in-wave dups are
+    the batch job's business). Every new doc appears exactly once:
+    (new_id, is_dup, dup_of, n_bands_shared) where ``dup_of`` is the
+    smallest matching old id (deterministic) and n_bands_shared its
+    agreement strength; non-duplicates carry nulls/0.
+
+    Scale shape: signature build for the wave only + one equi-join against
+    the (persisted, in production) old signature table, partial-agg'd
+    candidate rollup, then a min_by per new id.
+    """
+    new_sig = minhash_signatures(new_docs, id_col, text_col, n, bands)
+    old_sig = minhash_signatures(old_docs, id_col, text_col, n, bands)
+
+    def bandify(sig: DataFrame, out: str) -> DataFrame:
+        per = None
+        for b in range(bands):
+            part = sig.select(
+                F.col("id").alias(out),
+                F.col(f"mh{b}").alias("h"),
+                F.lit(b).alias("band"),
+            )
+            per = part if per is None else per.unionByName(part)
+        return per
+
+    cand = (
+        bandify(new_sig, "new_id")
+        .join(bandify(old_sig, "old_id"), ["h", "band"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count_distinct("band").alias("n_bands_shared"))
+    )
+    best = cand.groupBy("new_id").agg(
+        F.min_by(
+            F.struct("old_id", "n_bands_shared"),
+            F.struct(F.negate(F.col("n_bands_shared")), F.col("old_id")),
+        ).alias("b")
+    )
+    ids = new_docs.select(F.col(id_col).alias("new_id")).distinct()
+    return ids.join(best, "new_id", "left").select(
+        "new_id",
+        F.col("b").isNotNull().alias("is_dup"),
+        F.col("b.old_id").alias("dup_of"),
+        F.coalesce(F.col("b.n_bands_shared"), F.lit(0))
+        .cast("bigint")
+        .alias("n_bands_shared"),
+    )
