@@ -1004,6 +1004,20 @@ def _q_kg_entity_postings(spark, sf_dir):
     )
 
 
+def _q_events_hll(spark, sf_dir):
+    # 64-register HyperLogLog per event type, exact-integer estimator —
+    # the mergeable register sibling of events_kmv_distinct
+    return EV.hll_distinct(_events(spark, sf_dir))
+
+
+def _q_kg_inverse_predicates(spark, sf_dir):
+    # inverse-relation discovery: share of p-edges whose reverse exists
+    # under q, exact ppm
+    return G.inverse_predicates(
+        _edges(spark, sf_dir), src="subj", dst="obj", label="pred"
+    )
+
+
 def _q_kg_ppr(spark, sf_dir):
     # personalized PageRank from the 2 lexicographically-smallest nodes —
     # teleport mass restricted to the seed set (related-entity ranking)
@@ -1756,6 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_timeline": _q_kg_entity_timeline,
         "kg_ppr": _q_kg_ppr,
         "text_vocab_coverage": _q_text_vocab_coverage,
+        "events_hll": _q_events_hll,
+        "kg_inverse_predicates": _q_kg_inverse_predicates,
         "web_equivalence": _q_web_equivalence,
         "kg_clustering": _q_kg_clustering,
         "kg_entity_postings": _q_kg_entity_postings,
@@ -3211,6 +3227,49 @@ en AS (
 SELECT node, CAST(count(*) AS bigint) AS n_docs,
        list_sort(list(url))[1:32] AS doc_urls
 FROM en GROUP BY node
+""",
+        # 64-register HLL, exact-integer estimator (alpha as 7093/10000)
+        "events_hll": f"""
+WITH x AS (
+  SELECT event_type AS grp,
+         CAST(('0x' || substr(md5(CAST(user_id AS varchar)), 1, 13))
+              AS bigint) AS h
+  FROM events
+),
+b AS (SELECT grp, CAST(h % 64 AS int) AS bucket, h // 64 AS w FROM x),
+r AS (
+  SELECT grp, bucket,
+         max(CASE WHEN w = 0 THEN 47 ELSE 47 - length(bin(w)) END) AS r
+  FROM b GROUP BY 1, 2
+),
+p AS (
+  SELECT grp, sum(1::BIGINT << (47 - r)) AS s_present,
+         count(*) AS n_present
+  FROM r GROUP BY grp
+)
+SELECT grp AS event_type,
+       CAST(least(CAST({2 ** 59} AS bigint)
+                  // (s_present + (64 - n_present) * CAST({2 ** 47} AS bigint)),
+                  CAST({2 ** 46} AS bigint)) * 7093 // 10000
+            AS bigint) AS est_distinct_hll,
+       CAST(64 - n_present AS bigint) AS n_empty_buckets
+FROM p
+""",
+        # inverse-relation discovery: reversed-key self-join, exact ppm
+        "kg_inverse_predicates": f"""
+{_KG_PREFIX},
+e AS (SELECT DISTINCT subj AS s, obj AS o, pred AS p FROM edges),
+pairs AS (
+  SELECT a.p AS pred, b.p AS pred_rev, count(*) AS n_pairs
+  FROM e a JOIN e b ON a.s = b.o AND a.o = b.s
+  GROUP BY 1, 2
+),
+totals AS (SELECT p AS pred, count(*) AS n_pred FROM e GROUP BY 1)
+SELECT pr.pred, pr.pred_rev,
+       CAST(pr.n_pairs AS bigint) AS n_pairs,
+       CAST(t.n_pred AS bigint) AS n_pred,
+       CAST(pr.n_pairs * 1000000 // t.n_pred AS bigint) AS frac_e6
+FROM pairs pr JOIN totals t ON t.pred = pr.pred
 """,
         # personalized PageRank: teleport mass only on the 2 smallest nodes
         "kg_ppr": f"""

@@ -401,3 +401,57 @@ class TestCovisitation:
         assert (r.item_a, r.item_b, r.n_sessions, r.jaccard_e6) == (
             5, 7, 1, 1000000,
         )
+
+
+class TestHllDistinct:
+    def test_estimate_within_hll_error(self, spark):
+        from text_to_graph_spark.operators.events import hll_distinct
+
+        ev = _events(spark, n_users=150, n_events=3000)
+        exact = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        got = {
+            r.event_type: r.est_distinct_hll
+            for r in hll_distinct(ev).collect()
+        }
+        for t, n in exact.items():
+            # raw HLL with m=64: ~13% std error; allow 3 sigma + small bias
+            assert abs(got[t] - n) <= max(0.5 * n, 20), (t, got[t], n)
+
+    def test_deterministic_across_partitionings(self, spark):
+        from text_to_graph_spark.operators.events import hll_distinct
+
+        ev = _events(spark, n_users=80, n_events=1000)
+        a = {r.event_type: r.est_distinct_hll for r in hll_distinct(ev).collect()}
+        b = {
+            r.event_type: r.est_distinct_hll
+            for r in hll_distinct(ev.repartition(11)).collect()
+        }
+        assert a == b
+
+
+class TestInversePredicates:
+    def test_symmetric_and_inverse_detection(self, spark):
+        from text_to_graph_spark.operators.graphq import inverse_predicates
+
+        edges = spark.createDataFrame(
+            [
+                ("a", "b", "links"), ("b", "a", "linked_by"),
+                ("c", "d", "links"), ("d", "c", "linked_by"),
+                ("e", "f", "links"),                 # no reverse
+                ("g", "h", "knows"), ("h", "g", "knows"),  # symmetric
+            ],
+            "subj_key string, obj_key string, pred_key string",
+        )
+        got = {
+            (r.pred, r.pred_rev): (r.n_pairs, r.n_pred, r.frac_e6)
+            for r in inverse_predicates(edges).collect()
+        }
+        assert got[("links", "linked_by")] == (2, 3, 666666)
+        assert got[("linked_by", "links")] == (2, 2, 1000000)
+        assert got[("knows", "knows")] == (2, 2, 1000000)
+        assert ("links", "links") not in got

@@ -648,3 +648,61 @@ def event_transitions(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             "sum(n_transitions) OVER (PARTITION BY cur)"
         ).cast("bigint").alias("frac_e6"),
     )
+
+
+def hll_distinct(
+    events: DataFrame,
+    key: str = "user_id",
+    group: str = "event_type",
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch (64 registers), exact-integer
+    estimator — the mergeable register sibling of :func:`kmv_distinct`
+    (registers max-merge across partitions/waves; KMV needs a top-k merge).
+
+    Register update: the 52-bit md5 hash splits into bucket = h mod 64 and
+    a 46-bit suffix w; rho = 47 - bit_length(w) (47 for w = 0) and the
+    register keeps max(rho) — one partial-agg'd max per (group, bucket),
+    the textbook HLL shape. The estimate avoids floats entirely:
+
+        S = sum over all 64 registers of 2^(47 - r)   (empty: r = 0)
+        est = least(2^59 DIV S, 2^46) * 7093 DIV 10000
+
+    which is alpha_64 * m^2 * 2^47 / S (m^2 * 2^47 = 2^59) with alpha_64 =
+    0.7093 carried as the integer ratio 7093/10000; the single division
+    happens FIRST on the full 2^59 numerator so low-cardinality groups
+    don't truncate to zero, and the least() clamp (cardinalities beyond
+    the 52-bit hash's range anyway) keeps the bias multiply under 2^63.
+    No small-range correction (it needs ln; the KMV twin covers the
+    small-cardinality regime exactly) — documented raw-HLL semantics, and
+    bit-identical across engines/partitionings. Returns
+    (``group``, est_distinct_hll, n_empty_buckets).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    x = events.select(
+        F.col(group).alias("grp"),
+        F.pmod(h, F.lit(64)).cast("int").alias("bucket"),
+        h.alias("h"),
+    ).withColumn("w", F.expr("h DIV 64").cast("bigint"))
+    rho = F.when(F.col("w") == 0, F.lit(47)).otherwise(
+        F.lit(47) - F.length(F.bin("w"))
+    )
+    regs = (
+        x.select("grp", "bucket", rho.cast("int").alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    per = regs.groupBy("grp").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS bigint), 47 - r)")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    return per.select(
+        F.col("grp").alias(group),
+        F.expr(
+            f"least(CAST({2 ** 59} AS bigint) DIV "
+            f"(s_present + (64 - n_present) * CAST({2 ** 47} AS bigint)), "
+            f"CAST({2 ** 46} AS bigint)) * 7093 DIV 10000"
+        ).cast("bigint").alias("est_distinct_hll"),
+        (F.lit(64) - F.col("n_present")).cast("bigint").alias("n_empty_buckets"),
+    )

@@ -397,3 +397,47 @@ def entity_postings(triples: DataFrame, max_docs: int = 32) -> DataFrame:
             "doc_urls"
         ),
     )
+
+
+def inverse_predicates(
+    edges: DataFrame,
+    src: str = "subj_key",
+    dst: str = "obj_key",
+    label: str = "pred_key",
+) -> DataFrame:
+    """Inverse-relation discovery: predicate pairs (p, q) where ``a p b``
+    systematically co-exists with ``b q a`` — the ontology-induction signal
+    for inverse pairs (links_to/linked_from, parent_of/child_of) that a
+    canonicalization pass can then collapse into one directed relation.
+
+    (pred, pred_rev, n_pairs, n_pred, frac_e6): ``n_pairs`` counts edge
+    pairs where the reversed edge exists under ``pred_rev``; ``frac_e6`` is
+    the exact-ppm share of ``pred``'s edges that have that reverse — near
+    1e6 means "q is p's inverse". Includes p = q (symmetric relations).
+
+    Scale shape: ONE self-equi-join of the canonical edge list on the
+    reversed key pair (hash join on (subj, obj) vs (obj, subj)) + two
+    partial-agg'd rollups; the share join is against the schema-sized
+    per-predicate totals (broadcast).
+    """
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("o"), F.col(label).alias("p")
+    ).distinct()
+    rev = e.select(
+        F.col("o").alias("s"), F.col("s").alias("o"), F.col("p").alias("q")
+    )
+    pairs = (
+        e.join(rev, ["s", "o"])
+        .groupBy(F.col("p").alias("pred"), F.col("q").alias("pred_rev"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    totals = e.groupBy(F.col("p").alias("pred")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    return pairs.join(F.broadcast(totals), "pred").select(
+        "pred",
+        "pred_rev",
+        "n_pairs",
+        "n_pred",
+        F.expr("n_pairs * 1000000 DIV n_pred").cast("bigint").alias("frac_e6"),
+    )
