@@ -52,6 +52,12 @@ def _dead_links_plan(spark, sf):
     return WL.dead_links(WL.extract_links(pages), pages)
 
 
+def _hll_plan(spark, sf):
+    from text_to_graph_spark.operators.events import hll_distinct
+
+    return hll_distinct(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def _covisitation_plan(spark, sf):
     from text_to_graph_spark.operators.events import covisitation
 
@@ -200,6 +206,19 @@ def main() -> int:
         ),
         "source overlap (in-plan pair expansion, no shingle self-join)": (
             D.source_overlap(docs)
+        ),
+        "incremental near-dup probe (wave x corpus band equi-join only)": (
+            D.incremental_neardup_probe(
+                docs.where("doc_id % 2 = 1"), docs.where("doc_id % 2 = 0")
+            )
+        ),
+        "HLL registers (one partial-agg max per (group, bucket))": (
+            _hll_plan(spark, sf)
+        ),
+        "inverse predicates (reversed-key self-equi-join, broadcast totals)": (
+            GQ.inverse_predicates(
+                triples_to_canonical_edges(triples)
+            )
         ),
     }
 
