@@ -1117,6 +1117,12 @@ def _q_kg_graph_delta(spark, sf_dir):
     )
 
 
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    # band-index + Hamming verify (pigeonhole: <=3 flips must match one of
+    # 4 bands exactly) — candidate generation is a band equi-join
+    return D.simhash_neardup_pairs(_docs(spark, sf_dir))
+
+
 def _q_dedup_incremental(spark, sf_dir):
     # per-wave ingest dedup: odd doc_ids are the "new wave", probed against
     # the even-id "existing corpus" signature table; new-x-new never pairs
@@ -1761,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": _q_corpus_overlap,
         "docs_split": _q_docs_split,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "text_langid_confusion": _q_text_langid_confusion,
         "kg_graph_delta": _q_kg_graph_delta,
         "kg_csr": _q_kg_csr,
@@ -2951,6 +2958,46 @@ SELECT doc_id,
        string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit)
          AS simhash
 FROM votes GROUP BY doc_id
+""",
+        # simhash band-index pairs: 8-bit band equality candidates, exact
+        # Hamming verify <= 3 over the 32-char bit strings
+        "dedup_simhash_pairs": """
+WITH toks AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN substr(h, bit, 1) IN
+             ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+  FROM toks, unnest(generate_series(1, 32)) AS g(bit)
+  GROUP BY doc_id, bit
+),
+sg AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit)
+           AS simhash
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, substr(simhash, b * 8 + 1, 8) AS h, b AS band
+  FROM sg, unnest(generate_series(0, 3)) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.h = b.h AND a.band = b.band
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_filter(generate_series(1, 32),
+            i -> substr(x.simhash, CAST(i AS int), 1)
+                 <> substr(y.simhash, CAST(i AS int), 1))) AS bigint)
+         AS hamming
+FROM cand c
+JOIN sg x ON x.doc_id = c.id_a
+JOIN sg y ON y.doc_id = c.id_b
+WHERE len(list_filter(generate_series(1, 32),
+      i -> substr(x.simhash, CAST(i AS int), 1)
+           <> substr(y.simhash, CAST(i AS int), 1))) <= 3
 """,
         "dedup_jaccard": f"""
 WITH sh AS (

@@ -510,3 +510,55 @@ class TestIncrementalNeardupProbe:
         new = spark.createDataFrame([(1, t)], "doc_id long, text string")
         r = incremental_neardup_probe(new, old).collect()[0]
         assert (r.dup_of, r.n_bands_shared) == (8, 4)  # tie -> smaller id
+
+
+class TestSimhashNeardupPairs:
+    def test_identical_docs_pair_at_zero_hamming(self, spark):
+        from text_to_graph_spark.operators.dedup import simhash_neardup_pairs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, "completely unrelated words about spark planning"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_neardup_pairs(docs).collect()
+        }
+        assert got.get((1, 2)) == 0
+        # unrelated doc never pairs within 3 bit flips
+        assert all(k == (1, 2) for k in got)
+
+    def test_pigeonhole_band_guarantee(self, spark):
+        """Any pair the verify accepts (hamming <= 3) must have been
+        produced by the band join — the operator's output equals the
+        brute-force hamming filter."""
+        from text_to_graph_spark.operators.dedup import (
+            simhash,
+            simhash_neardup_pairs,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [(i, base + f" extra{i % 4}") for i in range(12)],
+            "doc_id long, text string",
+        )
+        sigs = {r.id: r.simhash for r in simhash(docs).collect()}
+
+        def ham(a, b):
+            return sum(x != y for x, y in zip(sigs[a], sigs[b]))
+
+        want = {
+            (a, b): ham(a, b)
+            for a in sigs
+            for b in sigs
+            if a < b and ham(a, b) <= 3
+        }
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_neardup_pairs(docs).collect()
+        }
+        assert got == want

@@ -481,3 +481,57 @@ def incremental_neardup_probe(
         .cast("bigint")
         .alias("n_bands_shared"),
     )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via the classic band-index + Hamming
+    verify (the Google web-dedup recipe): two documents within
+    ``max_hamming`` bit flips MUST agree exactly on at least one of
+    ``bands`` disjoint bit bands (pigeonhole, since max_hamming < bands),
+    so candidate generation is a band equi-join — never an all-pairs scan
+    — and the exact Hamming check runs only on band-collision survivors.
+
+    Scale shape: signatures computed once (``localCheckpoint`` — they feed
+    ``bands`` union branches and both join sides), the band join keyed on
+    (band, 8-bit substring), pair dedup by partial-agg distinct, then two
+    broadcast-light joins to re-attach full signatures for the verify.
+    Returns (id_a, id_b, hamming) with hamming <= max_hamming.
+    """
+    width = bits // bands
+    sig = simhash(docs, id_col, text_col, bits).localCheckpoint(eager=True)
+    per = None
+    for b in range(bands):
+        part = sig.select(
+            "id",
+            F.substring("simhash", b * width + 1, width).alias("h"),
+            F.lit(b).alias("band"),
+        )
+        per = part if per is None else per.unionByName(part)
+    a = per.select(F.col("id").alias("id_a"), "h", "band")
+    bdf = per.select(F.col("id").alias("id_b"), "h", "band")
+    cand = (
+        a.join(bdf, ["h", "band"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.expr(
+        f"size(filter(sequence(1, {bits}), "
+        "i -> substring(sh_a, i, 1) <> substring(sh_b, i, 1)))"
+    ).cast("bigint")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
