@@ -1041,6 +1041,18 @@ def _q_text_vocab_coverage(spark, sf_dir):
     return vocab_coverage(_docs(spark, sf_dir))
 
 
+def _q_emb_prototypes(spark, sf_dir):
+    # per-label prototype means in exact micro-int (supervised twin of the
+    # k-means update), long form
+    return SIM.label_prototypes(_emb(spark, sf_dir))
+
+
+def _q_emb_outliers(spark, sf_dir):
+    # top-5 farthest members from their own label prototype — the mislabel
+    # QA report; prototypes inlined, zero-shuffle distance pass
+    return SIM.prototype_outliers(_emb(spark, sf_dir), k=5)
+
+
 def _q_emb_pca1(spark, sf_dir):
     # power-iteration first principal component: one D*(D+1)/2-sum Gram
     # aggregation, driver-side exact-int iteration, zero-shuffle projection
@@ -1774,6 +1786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": _q_events_transitions,
         "kg_extraction_yield": _q_kg_extraction_yield,
         "emb_pca1": _q_emb_pca1,
+        "emb_prototypes": _q_emb_prototypes,
+        "emb_outliers": _q_emb_outliers,
         "kg_entity_timeline": _q_kg_entity_timeline,
         "kg_ppr": _q_kg_ppr,
         "text_vocab_coverage": _q_text_vocab_coverage,
@@ -3342,6 +3356,51 @@ SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, term) AS int)
               ROWS UNBOUNDED PRECEDING) * 1000000
             // (SELECT t FROM tot) AS bigint) AS cum_frac_e6
 FROM top
+""",
+        # per-label prototype means: micro-units, truncating division
+        "emb_prototypes": """
+WITH mic AS (
+  SELECT label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS double) * 1000000 + 0.5) AS bigint))
+           AS mic
+  FROM embeddings
+),
+ev AS (SELECT label, generate_subscripts(mic, 1) AS dim, unnest(mic) AS m
+       FROM mic)
+SELECT label, CAST(count(*) AS bigint) AS n_members,
+       CAST(dim AS int) AS dim,
+       CAST(sum(m) // count(*) AS bigint) AS mean_e6
+FROM ev GROUP BY label, dim
+""",
+        # prototype outliers: exact micro^2 squared-L2 to the own-label
+        # mean, per-label top-5 (ties by vec_id)
+        "emb_outliers": """
+WITH mic AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS double) * 1000000 + 0.5) AS bigint))
+           AS mic
+  FROM embeddings
+),
+ev AS (SELECT vec_id, label, generate_subscripts(mic, 1) AS dim,
+              unnest(mic) AS m
+       FROM mic),
+proto AS (
+  SELECT label, dim, CAST(sum(m) // count(*) AS bigint) AS mean_e6
+  FROM ev GROUP BY label, dim
+),
+d AS (
+  SELECT e.vec_id, e.label,
+         sum((e.m - p.mean_e6) * (e.m - p.mean_e6)) AS d2
+  FROM ev e JOIN proto p ON p.label = e.label AND p.dim = e.dim
+  GROUP BY 1, 2
+)
+SELECT label, vec_id, CAST(rank AS int) AS rank, CAST(d2 AS bigint) AS d2
+FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY d2 DESC, vec_id) AS rank
+      FROM d)
+WHERE rank <= 5
 """,
         # power-iteration PCA: same micro-unit Gram sums, same unrolled
         # integer iteration (// floors on both engines, incl. negatives)

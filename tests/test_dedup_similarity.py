@@ -562,3 +562,36 @@ class TestSimhashNeardupPairs:
             for r in simhash_neardup_pairs(docs).collect()
         }
         assert got == want
+
+
+class TestLabelPrototypes:
+    def test_means_and_outlier_pick(self, spark):
+        from text_to_graph_spark.operators.similarity import (
+            label_prototypes,
+            prototype_outliers,
+        )
+
+        pts = [
+            (1, 0, [0.0, 0.0]),
+            (2, 0, [2.0, 0.0]),
+            (3, 0, [10.0, 0.0]),   # the label-0 outlier
+            (4, 1, [-1.0, -1.0]),
+            (5, 1, [-1.0, -1.0]),
+        ]
+        emb = spark.createDataFrame(
+            pts, "vec_id long, label int, embedding array<float>"
+        )
+        protos = {
+            (r.label, r.dim): (r.n_members, r.mean_e6)
+            for r in label_prototypes(emb).collect()
+        }
+        assert protos[(0, 1)] == (3, 4_000_000)   # mean of 0, 2, 10
+        assert protos[(0, 2)] == (3, 0)
+        assert protos[(1, 1)] == (2, -1_000_000)
+        top = {
+            r.label: r.vec_id
+            for r in prototype_outliers(emb, k=1).collect()
+        }
+        assert top[0] == 3
+        # label 1 is two identical points: tie -> smaller id
+        assert top[1] == 4

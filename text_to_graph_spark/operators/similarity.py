@@ -626,3 +626,87 @@ def pca_first_component(
             F.expr(f"dotv DIV {MICRO}").cast("bigint").alias("pc1_e6"),
         )
     )
+
+
+def label_prototypes(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label prototype (mean) vectors in exact integer micro-units —
+    the class centroids a labeled-embedding QA pass compares members
+    against (and the supervised twin of the k-means update step).
+
+    mean_e6 per dimension = sum(micro) DIV n — truncating integer division
+    (Spark DIV ≡ DuckDB ``//`` on negatives), so prototypes are
+    bit-identical across engines and partitionings. One aggregation with D
+    per-dimension sums + count (partial agg; the shuffle carries
+    |labels| x (D+1) longs per partition). Returns long-form
+    (label, n_members, dim, mean_e6) — dim is 1-based.
+    """
+    mic = emb.select(F.col(label_col).alias("label"), micro_vec_expr(vec_col).alias("mic"))
+    first = mic.select(F.size("mic").alias("d")).first()
+    if first is None:
+        raise ValueError("label_prototypes: empty input")
+    d = first["d"]
+    agg = mic.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[F.sum(F.element_at("mic", i + 1)).alias(f"s{i}") for i in range(d)],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("dim"),
+                F.expr(f"s{i} DIV n_members").cast("bigint").alias("mean_e6"),
+            )
+            for i in range(d)
+        ]
+    )
+    return agg.select(
+        "label",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.explode(rows).alias("p"),
+    ).select("label", "n_members", "p.dim", "p.mean_e6")
+
+
+def prototype_outliers(
+    emb: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-``k`` farthest members from their own label's prototype — the
+    mislabel/outlier QA report for a labeled embedding table.
+
+    Prototypes are model state: computed by :func:`label_prototypes`,
+    collected (|labels| x D ints), and inlined as literals keyed by a CASE
+    on the label — the distance pass is a zero-shuffle projection (the
+    ivf_assign design); only the per-label top-k window shuffles, keyed on
+    the label. Distances are exact integer squared-L2 in micro^2 units.
+    Returns (label, vec_id, rank, d2).
+    """
+    protos = label_prototypes(emb, label_col, vec_col).collect()
+    by_label: dict = {}
+    for r in protos:
+        by_label.setdefault(r["label"], {})[r["dim"]] = r["mean_e6"]
+    mic = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        micro_vec_expr(vec_col).alias("mic"),
+    )
+    branches = None
+    for lab, dims in sorted(by_label.items()):
+        cvec = [int(dims[i + 1]) for i in range(len(dims))]
+        expr = _micro_d2("mic", cvec)
+        cond = F.col("label") == F.lit(lab)
+        branches = (
+            F.when(cond, expr) if branches is None else branches.when(cond, expr)
+        )
+    scored = mic.withColumn("d2", branches.cast("bigint"))
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("label", "vec_id", "rank", "d2")
+    )
