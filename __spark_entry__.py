@@ -911,6 +911,34 @@ def _q_kg_triples_streamed(spark, sf_dir):
     )
 
 
+def _q_kg_edges_streamed_incremental(spark, sf_dir):
+    # streaming foreachBatch upsert: per-micro-batch extraction + key-level
+    # merge into the running edge table; final snapshot must equal the
+    # batch aggregation (same oracle as kg_edges)
+    import tempfile
+
+    from text_to_graph_spark.streaming.ingest import (
+        streaming_incremental_edges,
+    )
+
+    base = tempfile.mkdtemp(prefix="t2g_incr_stream_")
+    landing = f"{base}/landing"
+    synthesize_pages(spark, sf_dir).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    q, state = streaming_incremental_edges(
+        spark, landing, f"{base}/out", f"{base}/ckpt"
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(state["path"]).select(
+        F.col("subj_key").alias("subj"),
+        F.col("pred_key").alias("pred"),
+        F.col("obj_key").alias("obj"),
+        "n_docs",
+        "n_occurrences",
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     return D.near_dup_clusters(_docs(spark, sf_dir))
 
@@ -1723,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_sql_impl": _q_kg_triples_sql_impl,
         "kg_edges": _q_kg_edges,
         "kg_edges_incremental": _q_kg_edges_incremental,
+        "kg_edges_streamed_incremental": _q_kg_edges_streamed_incremental,
         "kg_nodes": _q_kg_nodes,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
         "kg_top_predicates": _q_kg_top_predicates,
@@ -2426,6 +2455,11 @@ SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
         # incremental maintenance must equal the batch aggregation — the
         # oracle is deliberately the SAME full-corpus SQL as kg_edges
         "kg_edges_incremental": f"""
+{_KG_PREFIX}
+SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
+""",
+        # streaming foreachBatch upsert: same invariant, same oracle
+        "kg_edges_streamed_incremental": f"""
 {_KG_PREFIX}
 SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
 """,

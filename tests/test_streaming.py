@@ -289,3 +289,41 @@ def test_streaming_dedup_watermark_variant_bounded_state(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert len(got) == 2
+
+
+class TestStreamingIncrementalEdges:
+    def test_multi_batch_merge_equals_batch_table(self, spark, tmp_path):
+        from text_to_graph_spark.operators.canonicalize import (
+            triples_to_canonical_edges,
+        )
+        from text_to_graph_spark.operators.extraction import (
+            extract_triples_from_pages,
+        )
+        from text_to_graph_spark.sources.pages import synthesize_pages
+        from text_to_graph_spark.streaming.ingest import (
+            streaming_incremental_edges,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        pages = synthesize_pages(spark, sf)
+        landing = str(tmp_path / "landing")
+        pages.repartition(8).write.mode("overwrite").parquet(landing)
+
+        q, state = streaming_incremental_edges(
+            spark, landing, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            max_files_per_trigger=2,
+        )
+        q.awaitTermination(600)
+        assert state["n_batches"] > 1  # genuinely incremental, not one shot
+
+        got = {
+            (r.subj_key, r.pred_key, r.obj_key): (r.n_docs, r.n_occurrences)
+            for r in spark.read.parquet(state["path"]).collect()
+        }
+        want = {
+            (r.subj_key, r.pred_key, r.obj_key): (r.n_docs, r.n_occurrences)
+            for r in triples_to_canonical_edges(
+                extract_triples_from_pages(pages)
+            ).collect()
+        }
+        assert got == want
