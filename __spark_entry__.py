@@ -1423,6 +1423,12 @@ def _q_events_sessionize(spark, sf_dir):
     return EV.sessionize(_events(spark, sf_dir))
 
 
+def _q_events_attribution(spark, sf_dir):
+    # first-touch attribution: conversions credited to the event type that
+    # opened their session; min_by over the total (sec, event_id) order
+    return EV.first_touch_attribution(_events(spark, sf_dir))
+
+
 def _q_events_covisitation(spark, sf_dir):
     # within-session item-to-item graph: sessionize -> per-session item set
     # -> session-key self-join (a<b) -> exact-integer session Jaccard
@@ -1867,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomalies": _q_events_anomalies,
         "events_sessionize": _q_events_sessionize,
         "events_covisitation": _q_events_covisitation,
+        "events_attribution": _q_events_attribution,
         "events_enrich": _q_events_enrich,
         "events_top_users": _q_events_top_users,
         "events_asof": _q_events_asof,
@@ -4441,6 +4448,45 @@ SELECT p.item_a, p.item_b, p.n_sessions,
 FROM pairs p
 JOIN marg ma ON ma.item = p.item_a
 JOIN marg mb ON mb.item = p.item_b
+""",
+        # first-touch attribution: session opener credited with the
+        # session's conversions; same total (sec, event_id) order
+        "events_attribution": """
+WITH x AS (
+  SELECT user_id, event_id, event_type, value,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec,
+         lag(date_diff('second', TIMESTAMP '1970-01-01', ts))
+           OVER (PARTITION BY user_id
+                 ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts),
+                          event_id) AS prev_sec
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, event_type, value, sec,
+         sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+),
+firsts AS (
+  SELECT user_id, session_id, event_type AS first_touch_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                 ORDER BY sec, event_id) AS rn
+    FROM w) WHERE rn = 1
+),
+conv AS (
+  SELECT user_id, session_id,
+         CAST(round(value * 100) AS bigint) AS value_cents
+  FROM w WHERE event_type = 'purchase'
+)
+SELECT f.first_touch_type,
+       CAST(count(*) AS bigint) AS n_conversions,
+       CAST(count(DISTINCT c.user_id) AS bigint) AS n_users,
+       CAST(sum(c.value_cents) AS bigint) AS sum_value_cents
+FROM conv c JOIN firsts f
+  ON f.user_id = c.user_id AND f.session_id = c.session_id
+GROUP BY 1
 """,
         "events_enrich": """
 SELECT c.c_mktsegment, count(*) AS n_events,

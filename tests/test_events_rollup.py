@@ -455,3 +455,46 @@ class TestInversePredicates:
         assert got[("linked_by", "links")] == (2, 2, 1000000)
         assert got[("knows", "knows")] == (2, 2, 1000000)
         assert ("links", "links") not in got
+
+
+class TestFirstTouchAttribution:
+    def test_conversion_credits_session_opener(self, spark):
+        import datetime as dt
+
+        from text_to_graph_spark.operators.events import first_touch_attribution
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1, session 1 opened by 'view': purchase inside
+            (1, base, 1, "view", 1.0),
+            (2, base + dt.timedelta(seconds=60), 1, "purchase", 5.0),
+            # user 1, session 2 opened by 'click': two purchases
+            (3, base + dt.timedelta(seconds=9000), 1, "click", 1.0),
+            (4, base + dt.timedelta(seconds=9060), 1, "purchase", 2.5),
+            (5, base + dt.timedelta(seconds=9120), 1, "purchase", 1.5),
+            # user 2: session with no purchase
+            (6, base, 2, "view", 1.0),
+        ]
+        ev = spark.createDataFrame(
+            [(i, ts, u, t, v, "{}") for i, ts, u, t, v in rows],
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        got = {
+            r.first_touch_type: (r.n_conversions, r.n_users, r.sum_value_cents)
+            for r in first_touch_attribution(ev).collect()
+        }
+        assert got == {"view": (1, 1, 500), "click": (2, 1, 400)}
+
+    def test_purchase_opening_its_own_session_self_credits(self, spark):
+        import datetime as dt
+
+        from text_to_graph_spark.operators.events import first_touch_attribution
+
+        ev = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 7, "purchase", 3.0, "{}")],
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        got = first_touch_attribution(ev).collect()
+        assert len(got) == 1 and got[0].first_touch_type == "purchase"

@@ -706,3 +706,68 @@ def hll_distinct(
         ).cast("bigint").alias("est_distinct_hll"),
         (F.lit(64) - F.col("n_present")).cast("bigint").alias("n_empty_buckets"),
     )
+
+
+def first_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """First-touch attribution: credit each conversion to the FIRST event
+    type of its session — the classic marketing-attribution rollup, and a
+    second consumer of the sessionization window (journeys end in a
+    conversion; what started them?).
+
+    Sessions are the 30-minute-gap assignment over the total
+    (sec, event_id) order (deterministic under same-second ties). Per
+    (first_touch_type): number of conversions in sessions opened by that
+    type, distinct converting users, and exact-cents converted value.
+
+    Scale shape: one per-user window shuffle (shared with sessionize), a
+    per-session first-event reduction expressed as min_by over the same
+    total order (partial-agg'd — no second window), one broadcast-light
+    join of conversions against the tiny per-session firsts, one rollup.
+    Returns (first_touch_type, n_conversions, n_users, sum_value_cents).
+    """
+    sec = epoch_seconds_ntz("ts")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    x = (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            sec.alias("sec"),
+        )
+        .withColumn("prev_sec", F.lag("sec").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_sec").isNull()
+                | (F.col("sec") - F.col("prev_sec") > gap_seconds)
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    firsts = x.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", F.struct("sec", "event_id")).alias(
+            "first_touch_type"
+        )
+    )
+    conv = x.where(F.col("event_type") == conversion_type).select(
+        "user_id",
+        "session_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    return (
+        conv.join(firsts, ["user_id", "session_id"])
+        .groupBy("first_touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+    )
