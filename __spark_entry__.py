@@ -1654,6 +1654,41 @@ def _q_events_hourly_streamed(spark, sf_dir):
     )
 
 
+def _q_events_enrich_streamed(spark, sf_dir):
+    # stream-static broadcast join (stateless) materialized to parquet,
+    # batch per-segment rollup over the enriched rows — must equal the
+    # all-batch events_enrich (same oracle)
+    import tempfile
+
+    from text_to_graph_spark.streaming.ingest import (
+        run_to_parquet,
+        stream_events,
+        streaming_enriched_events,
+    )
+
+    base = tempfile.mkdtemp(prefix="t2g_enrich_stream_")
+    landing, out, ckpt = f"{base}/landing", f"{base}/out", f"{base}/ckpt"
+    _events(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(
+        landing
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    q = run_to_parquet(
+        streaming_enriched_events(stream_events(spark, landing), customer),
+        out,
+        ckpt,
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+    )
+
+
 def _q_mm_meta(spark, sf_dir):
     return MM.decode_metadata(MM.attach_payload(_docs(spark, sf_dir)))
 
@@ -1882,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_distinct": _q_events_kmv_distinct,
         "events_sessionize_stateful": _q_events_sessionize_stateful,
         "events_hourly_streamed": _q_events_hourly_streamed,
+        "events_enrich_streamed": _q_events_enrich_streamed,
         "dedup_streamed": _q_dedup_streamed,
         "mm_meta": _q_mm_meta,
         "mm_frames": _q_mm_frames,
@@ -4489,6 +4525,14 @@ FROM conv c JOIN firsts f
 GROUP BY 1
 """,
         "events_enrich": """
+SELECT c.c_mktsegment, count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       CAST(sum(CAST(round(e.value * 100) AS bigint)) AS bigint) AS sum_value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+        # stream-static join twin: must equal the all-batch enrichment
+        "events_enrich_streamed": """
 SELECT c.c_mktsegment, count(*) AS n_events,
        count(DISTINCT e.user_id) AS n_users,
        CAST(sum(CAST(round(e.value * 100) AS bigint)) AS bigint) AS sum_value_cents

@@ -327,3 +327,45 @@ class TestStreamingIncrementalEdges:
             ).collect()
         }
         assert got == want
+
+
+class TestStreamStaticEnrichment:
+    def test_joined_stream_matches_batch_enrichment(self, spark, tmp_path):
+        from text_to_graph_spark.operators.events import enrich_with_customer
+        from text_to_graph_spark.streaming.ingest import (
+            run_to_parquet,
+            stream_events,
+            streaming_enriched_events,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        events = spark.read.parquet(f"{sf}/events.parquet")
+        customer = spark.read.parquet(f"{sf}/customer.parquet")
+        landing = str(tmp_path / "landing")
+        events.repartition(4).write.mode("overwrite").parquet(landing)
+
+        q = run_to_parquet(
+            streaming_enriched_events(stream_events(spark, landing), customer),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(600)
+
+        from pyspark.sql import functions as F
+
+        got = {
+            r.c_mktsegment: (r.n_events, r.n_users, r.sum_value_cents)
+            for r in spark.read.parquet(str(tmp_path / "out"))
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct("user_id").alias("n_users"),
+                F.sum("value_cents").alias("sum_value_cents"),
+            )
+            .collect()
+        }
+        want = {
+            r.c_mktsegment: (r.n_events, r.n_users, r.sum_value_cents)
+            for r in enrich_with_customer(events, customer).collect()
+        }
+        assert got == want

@@ -233,3 +233,30 @@ def streaming_incremental_edges(
         .start()
     )
     return q, state
+
+
+def streaming_enriched_events(
+    events_stream: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Stream-static dimension join — the remaining core Structured
+    Streaming join shape (stateless: the static side broadcasts into every
+    micro-batch, no state store, no watermark). The streaming twin of
+    ``operators/events.enrich_with_customer``'s enrichment step; the rows
+    append to the landing table and the per-segment rollup runs as batch
+    over it (exact count_distinct is not a supported streaming aggregate —
+    the classic enrich-in-stream / aggregate-in-batch split).
+    """
+    from pyspark.sql import functions as F
+
+    return events_stream.join(
+        F.broadcast(
+            customer.select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            )
+        ),
+        "user_id",
+    ).select(
+        "user_id",
+        "c_mktsegment",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
