@@ -1046,6 +1046,24 @@ def _q_kg_inverse_predicates(spark, sf_dir):
     )
 
 
+def _q_kg_pred_closure(spark, sf_dir):
+    # SPARQL property-path reachability (p{1,3}): bounded-hop closure under
+    # ONE predicate from the 2 smallest subjects — unit-weight Bellman-Ford
+    from text_to_graph_spark.operators.graphalgo import weighted_sssp
+
+    e = (
+        _edges(spark, sf_dir)
+        .where(F.col("pred") == "join")
+        .withColumn("hop", F.lit(1))
+    )
+    seeds = (
+        e.select(F.col("subj").alias("node")).distinct().orderBy("node").limit(2)
+    )
+    return weighted_sssp(
+        e, seeds, src="subj", dst="obj", weight="hop", max_rounds=3
+    ).withColumnRenamed("dist", "min_hops")
+
+
 def _q_kg_ppr(spark, sf_dir):
     # personalized PageRank from the 2 lexicographically-smallest nodes —
     # teleport mass restricted to the seed set (related-entity ranking)
@@ -1863,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_coverage": _q_text_vocab_coverage,
         "events_hll": _q_events_hll,
         "kg_inverse_predicates": _q_kg_inverse_predicates,
+        "kg_pred_closure": _q_kg_pred_closure,
         "web_equivalence": _q_web_equivalence,
         "kg_clustering": _q_kg_clustering,
         "kg_entity_postings": _q_kg_entity_postings,
@@ -2047,15 +2066,24 @@ jac AS (
 """
 
 
-def _sssp_cte(rounds: int = 8, root: str = "customer") -> str:
+def _sssp_cte(
+    rounds: int = 8,
+    root: str = "customer",
+    edges_src: str = "SELECT subj AS u, obj AS v, min(n_occurrences) AS w"
+    " FROM edges GROUP BY 1, 2",
+    roots_src: str | None = None,
+) -> str:
     """Unrolled bounded-hop Bellman-Ford recurrence as chained CTEs
     (d0..dN), mirroring operators/graphalgo.weighted_sssp exactly: bigint
-    min-plus, parallel edges collapsed to their cheapest weight."""
-    parts = [
-        "we AS (SELECT subj AS u, obj AS v, min(n_occurrences) AS w"
-        " FROM edges GROUP BY 1, 2)",
-        f"d0 AS (SELECT '{root}' AS node, CAST(0 AS bigint) AS dist)",
-    ]
+    min-plus, parallel edges collapsed to their cheapest weight.
+    ``roots_src`` (SQL producing a ``node`` column) overrides the single
+    literal ``root``."""
+    d0 = (
+        f"d0 AS (SELECT node, CAST(0 AS bigint) AS dist FROM ({roots_src}))"
+        if roots_src
+        else f"d0 AS (SELECT '{root}' AS node, CAST(0 AS bigint) AS dist)"
+    )
+    parts = [f"we AS ({edges_src})", d0]
     for i in range(1, rounds + 1):
         parts.append(
             f"""d{i} AS (
@@ -3365,6 +3393,19 @@ en AS (
 SELECT node, CAST(count(*) AS bigint) AS n_docs,
        list_sort(list(url))[1:32] AS doc_urls
 FROM en GROUP BY node
+""",
+        # property-path closure p{{1,3}}: unit-weight Bellman-Ford under one
+        # predicate from the 2 smallest subjects
+        "kg_pred_closure": f"""
+{_KG_PREFIX},
+{_sssp_cte(
+    rounds=3,
+    edges_src="SELECT DISTINCT subj AS u, obj AS v, CAST(1 AS bigint) AS w"
+    " FROM edges WHERE pred = 'join'",
+    roots_src="SELECT DISTINCT subj AS node FROM edges WHERE pred = 'join'"
+    " ORDER BY 1 LIMIT 2",
+)}
+SELECT node, CAST(dist AS bigint) AS min_hops FROM d3
 """,
         # 64-register HLL, exact-integer estimator (alpha as 7093/10000)
         "events_hll": f"""
