@@ -52,6 +52,12 @@ def _dead_links_plan(spark, sf):
     return WL.dead_links(WL.extract_links(pages), pages)
 
 
+def _attribution_plan(spark, sf):
+    from text_to_graph_spark.operators.events import first_touch_attribution
+
+    return first_touch_attribution(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def _hll_plan(spark, sf):
     from text_to_graph_spark.operators.events import hll_distinct
 
@@ -219,6 +225,12 @@ def main() -> int:
             GQ.inverse_predicates(
                 triples_to_canonical_edges(triples)
             )
+        ),
+        "simhash band pairs (band equi-join candidates, no all-pairs)": (
+            D.simhash_neardup_pairs(docs)
+        ),
+        "first-touch attribution (one session window, min_by firsts)": (
+            _attribution_plan(spark, sf)
         ),
     }
 
