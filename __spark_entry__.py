@@ -1772,6 +1772,17 @@ def _q_olap_regional_volume(spark, sf_dir):
     )
 
 
+def _q_olap_returned_revenue(spark, sf_dir):
+    # TPC-H Q10 shape: returned-item revenue per customer, top-20 via
+    # TakeOrderedAndProject; nation broadcast, fact joins hash
+    return OL.returned_revenue(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
 def _q_events_percentiles(spark, sf_dir):
     return EV.exact_percentiles(_events(spark, sf_dir))
 
@@ -1944,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_pricing_summary": _q_olap_pricing_summary,
         "olap_ship_priority": _q_olap_ship_priority,
         "olap_regional_volume": _q_olap_regional_volume,
+        "olap_returned_revenue": _q_olap_returned_revenue,
         "events_percentiles": _q_events_percentiles,
         "events_quantile_sketch": _q_events_quantile_sketch,
         "events_rolling": _q_events_rolling,
@@ -4845,6 +4857,31 @@ ORDER BY revenue_cents DESC, l_orderkey ASC
 LIMIT 10
 """,
         # TPC-H Q5 shape (supplier-side snowflake only, every dim broadcast)
+        # Q10 shape: returned-item revenue per customer, deterministic
+        # top-20 (revenue desc, custkey asc), exact half-up cents
+        "olap_returned_revenue": """
+WITH items AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+              AS bigint) AS rev_cents
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+per_cust AS (
+  SELECT o.o_custkey, sum(i.rev_cents) AS revenue_cents,
+         count(*) AS n_returned_items
+  FROM items i JOIN orders o ON o.o_orderkey = i.l_orderkey
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(floor(c.c_acctbal * 100.0 + 0.5) AS bigint) AS acctbal_cents,
+       CAST(p.revenue_cents AS bigint) AS revenue_cents,
+       CAST(p.n_returned_items AS bigint) AS n_returned_items
+FROM per_cust p
+JOIN customer c ON c.c_custkey = p.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY p.revenue_cents DESC, c.c_custkey
+LIMIT 20
+""",
         "olap_regional_volume": """
 SELECT n.n_name,
        CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5) AS bigint)) AS bigint) AS revenue_cents,

@@ -121,3 +121,56 @@ def regional_volume(
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def returned_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` customers by revenue lost to returned items (the TPC-H
+    Q10 shape): lineitem filtered to returnflag 'R' at the scan, joined up
+    the orders -> customer chain, nation as a broadcast dim, revenue in
+    exact half-up cents, deterministic top-k (revenue desc, custkey asc)
+    via TakeOrderedAndProject — never a global sort.
+
+    Scale shape: the fact scan carries the pushed 'R' filter; orders and
+    customer join as hash joins on their keys (both fact-sized — NOT
+    broadcast); nation broadcasts. One partial-agg'd rollup on custkey.
+    """
+    items = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_cents"
+        ),
+    )
+    cust = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    per_cust = (
+        items.join(
+            orders.select("o_orderkey", "o_custkey"),
+            items.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("rev_cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            _cents(F.col("c_acctbal")).alias("acctbal_cents"),
+            "revenue_cents",
+            "n_returned_items",
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(k)
+    )
