@@ -294,12 +294,15 @@ _EDGE_ONTOLOGY = [
 
 def _q_kg_random_walks(spark, sf_dir):
     # DeepWalk-style skip-gram corpus: hash-seeded deterministic walks,
-    # one adjacency build + walk_len frontier equi-joins
+    # one adjacency build + walk_len frontier equi-joins. The operator API
+    # returns path as array<string>; the contract boundary renders it
+    # '>'-joined (reference export convention, graph_utils.py:68) because
+    # the driver canonicalizer only sorts scalar columns.
     from text_to_graph_spark.operators.graphalgo import random_walks
 
     return random_walks(
         _edges(spark, sf_dir), src="subj", dst="obj", n_walks=2, walk_len=3
-    )
+    ).withColumn("path", F.concat_ws(">", "path"))
 
 
 def _q_kg_walk_pairs(spark, sf_dir):
@@ -1013,7 +1016,9 @@ def _q_web_equivalence(spark, sf_dir):
     from text_to_graph_spark.operators.graphalgo import node_equivalence_classes
 
     n = WL.normalized_links(WL.extract_links(_linked_pages(spark, sf_dir)))
-    return node_equivalence_classes(n, src="src_url", dst="norm_href")
+    return node_equivalence_classes(
+        n, src="src_url", dst="norm_href"
+    ).withColumn("members", F.concat_ws("|", "members"))
 
 
 def _q_kg_clustering(spark, sf_dir):
@@ -1026,10 +1031,11 @@ def _q_kg_clustering(spark, sf_dir):
 
 def _q_kg_entity_postings(spark, sf_dir):
     # entity -> source-document posting lists, capped at 32 urls (exact
-    # n_docs) — the provenance-serving index
+    # n_docs) — the provenance-serving index; list rendered '|'-joined at
+    # the contract boundary (scalar-only driver canonicalizer)
     return G.entity_postings(
         _stages(spark, sf_dir)["triples"].select("url", "subj", "obj")
-    )
+    ).withColumn("doc_urls", F.concat_ws("|", "doc_urls"))
 
 
 def _q_events_hll(spark, sf_dir):
@@ -1117,10 +1123,13 @@ def _q_kg_entity_timeline(spark, sf_dir):
 
 def _q_kg_csr(spark, sf_dir):
     # CSR serving layout: dense ids + sorted neighbor arrays + global row
-    # pointers via two-level prefix sums (no single-partition window)
+    # pointers via two-level prefix sums (no single-partition window);
+    # nbrs rendered '|'-joined at the contract boundary
     from text_to_graph_spark.operators.graphalgo import csr_layout
 
-    return csr_layout(_edges(spark, sf_dir))
+    return csr_layout(_edges(spark, sf_dir)).withColumn(
+        "nbrs", F.concat_ws("|", "nbrs")
+    )
 
 
 def _q_events_transitions(spark, sf_dir):
@@ -1286,8 +1295,13 @@ def _q_text_tfidf(spark, sf_dir):
 
 def _q_text_inverted_index(spark, sf_dir):
     # search-index build: per term df + array_sort'd posting list; min_df=2
-    # floors the Zipf tail (operators/textstats.py)
-    return TS.inverted_index(_docs(spark, sf_dir), min_df=2)
+    # floors the Zipf tail (operators/textstats.py). The bigint posting list
+    # is rendered '|'-joined at the contract boundary (scalar-only driver
+    # canonicalizer); the operator keeps the array.
+    return TS.inverted_index(_docs(spark, sf_dir), min_df=2).withColumn(
+        "postings",
+        F.expr("array_join(transform(postings, x -> cast(x AS string)), '|')"),
+    )
 
 
 def _q_text_ngrams(spark, sf_dir):
@@ -1387,7 +1401,7 @@ def _q_web_anchor_text(spark, sf_dir):
 
     return WL.anchor_text_profiles(
         WL.extract_links(_linked_pages(spark, sf_dir))
-    )
+    ).withColumn("anchor_texts", F.concat_ws("|", "anchor_texts"))
 
 
 def _q_web_crawl_frontier(spark, sf_dir):
@@ -2557,7 +2571,9 @@ WHERE h1.pred = 'join' AND h2.pred = 'scan'
         "kg_random_walks": f"""
 {_KG_PREFIX},
 {_walks_cte(n_walks=2, walk_len=3)}
-SELECT start, CAST(wid AS int) AS walk_id, path FROM w3
+SELECT start, CAST(wid AS int) AS walk_id,
+       array_to_string(path, '>') AS path
+FROM w3
 """,
         # hash-partition edge cut: same 48-bit md5 bucket both engines
         "kg_edge_cut": f"""
@@ -3359,7 +3375,7 @@ keyed AS (
   FROM adj
 )
 SELECT class_key, CAST(count(*) AS bigint) AS n_members,
-       list_sort(list(node)) AS members, degree
+       array_to_string(list_sort(list(node)), '|') AS members, degree
 FROM keyed GROUP BY class_key, degree HAVING count(*) >= 2
 """,
         # local clustering coefficient: triangle membership over possible
@@ -3403,7 +3419,7 @@ en AS (
     SELECT url, obj FROM (SELECT DISTINCT url, obj FROM triples))
 )
 SELECT node, CAST(count(*) AS bigint) AS n_docs,
-       list_sort(list(url))[1:32] AS doc_urls
+       array_to_string(list_sort(list(url))[1:32], '|') AS doc_urls
 FROM en GROUP BY node
 """,
         # property-path closure p{{1,3}}: unit-weight Bellman-Ford under one
@@ -3609,7 +3625,7 @@ SELECT vid, node, degree,
        CAST(coalesce(sum(degree) OVER (ORDER BY vid
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
          AS csr_offset,
-       nbrs
+       coalesce(array_to_string(nbrs, '|'), '') AS nbrs
 FROM rows_
 """,
         # within-session Markov transitions over the total (sec, event_id)
@@ -4153,7 +4169,7 @@ WITH td AS (
   ) WHERE term <> ''
 )
 SELECT term, CAST(count(*) AS bigint) AS df,
-       list_sort(list(doc_id)) AS postings
+       array_to_string(list_sort(list(doc_id)), '|') AS postings
 FROM td GROUP BY term HAVING count(*) >= 2
 """,
         # corpus bigram counts; aligned-subscript expansion (no ORDINALITY)
@@ -4328,7 +4344,7 @@ WITH {LINKED_PAGES_LINKS_CTE.strip()}
 SELECT {_norm_url_sql('href')} AS norm_href,
        CAST(count(*) AS bigint) AS n_anchors,
        CAST(count(DISTINCT anchor) AS bigint) AS n_texts,
-       list_sort(list(DISTINCT anchor)) AS anchor_texts
+       array_to_string(list_sort(list(DISTINCT anchor)), '|') AS anchor_texts
 FROM links GROUP BY 1
 """,
         # crawl scheduler: per-host top-k over the dead-link aggregate,

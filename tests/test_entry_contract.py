@@ -31,6 +31,24 @@ def test_entry_returns_rows_with_stable_schema(spark):
     assert [f.name for f in df2.schema.fields] == schema1
 
 
+def test_no_complex_types_in_any_contract_output(spark):
+    """Driver-gate canonicalizer compatibility: every queries() output
+    column must be scalar (the driver's pandas sort_values cannot order
+    array/map/struct cells — kg_random_walks failed CORRECTNESS_r02 this
+    way). Arrays stay in the operator API; contract boundaries render
+    them joined strings (reference export convention, graph_utils.py:68).
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in entry.queries().items():
+        df = fn(spark, SF_SMOKE)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders
+
+
 @pytest.mark.parametrize(
     "name",
     ["kg_extract_text", "kg_triples", "kg_edges", "kg_top_predicates",

@@ -77,9 +77,34 @@ def compare(name: str, spark_df, duck_df) -> list[str]:
     return problems
 
 
+def schema_audit(sf_dir: str) -> int:
+    """Fail on any non-scalar output column in any contract query — the
+    driver's pandas canonicalizer cannot sort array/map/struct cells
+    (kg_random_walks failed CORRECTNESS_r02 exactly this way)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from text_to_graph_spark.session import get_spark
+
+    spark = get_spark(master="local[8]")
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    for o in offenders:
+        print(f"NON-SCALAR {o}")
+    print(f"\n{len(offenders)} non-scalar output columns "
+          f"across {len(entrymod.queries())} queries")
+    return 1 if offenders else 0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--schema-audit"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    if "--schema-audit" in sys.argv:
+        return schema_audit(sf_dir)
+    only = set(argv[1:])
 
     from text_to_graph_spark.session import get_spark
 
