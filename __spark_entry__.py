@@ -3225,7 +3225,7 @@ nd AS (
 nt AS (SELECT count(DISTINCT url) AS n FROM t)
 SELECT ed.subj, ed.pred, ed.obj, CAST(ed.n_docs AS bigint) AS n_docs,
        CAST(s.df AS bigint) AS df_subj, CAST(o.df AS bigint) AS df_obj,
-       CAST(ed.n_docs * (SELECT n FROM nt) * 1000000
+       CAST(CAST(ed.n_docs AS hugeint) * (SELECT n FROM nt) * 1000000
             // (s.df * o.df) AS bigint) AS lift_e6
 FROM ed JOIN nd s ON s.node = ed.subj JOIN nd o ON o.node = ed.obj
 """,
@@ -3441,7 +3441,7 @@ WITH x AS (
   SELECT event_type AS grp,
          CAST(('0x' || substr(md5(CAST(user_id AS varchar)), 1, 13))
               AS bigint) AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 b AS (SELECT grp, CAST(h % 64 AS int) AS bucket, h // 64 AS w FROM x),
 r AS (
@@ -3498,8 +3498,8 @@ top AS (SELECT term, n_occurrences FROM tc
 SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, term) AS int)
          AS rank,
        term, CAST(n_occurrences AS bigint) AS n_occurrences,
-       CAST(sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, term
-              ROWS UNBOUNDED PRECEDING) * 1000000
+       CAST(CAST(sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, term
+              ROWS UNBOUNDED PRECEDING) AS hugeint) * 1000000
             // (SELECT t FROM tot) AS bigint) AS cum_frac_e6
 FROM top
 """,
@@ -4208,8 +4208,8 @@ SELECT term_a, term_b,
        CAST(n_docs_pair AS bigint) AS n_docs_pair,
        CAST(da.df AS bigint) AS df_a,
        CAST(db.df AS bigint) AS df_b,
-       CAST((n_docs_pair * n.n_total * 1000000) // (da.df * db.df)
-            AS bigint) AS lift_e6
+       CAST(CAST(n_docs_pair AS hugeint) * n.n_total * 1000000
+            // (da.df * db.df) AS bigint) AS lift_e6
 FROM pc JOIN df da ON da.term = pc.term_a
         JOIN df db ON db.term = pc.term_b
         CROSS JOIN n

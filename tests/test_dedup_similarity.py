@@ -563,6 +563,20 @@ class TestSimhashNeardupPairs:
         }
         assert got == want
 
+    def test_invalid_pigeonhole_arguments_rejected(self, spark):
+        """max_hamming >= bands (pigeonhole void) and bits not divisible
+        by bands (high bits silently unbanded) both break the <=
+        max_hamming recall guarantee — must error, not silently miss."""
+        import pytest
+
+        from text_to_graph_spark.operators.dedup import simhash_neardup_pairs
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="pigeonhole"):
+            simhash_neardup_pairs(docs, max_hamming=4, bands=4)
+        with pytest.raises(ValueError, match="divide"):
+            simhash_neardup_pairs(docs, bits=32, bands=5)
+
 
 class TestLabelPrototypes:
     def test_means_and_outlier_pick(self, spark):

@@ -433,6 +433,26 @@ class TestHllDistinct:
         }
         assert a == b
 
+    def test_null_keys_ignored(self, spark):
+        """A null key must not occupy a register (it would understate the
+        empty-bucket correction): estimates with and without null keys
+        present are identical."""
+        from text_to_graph_spark.operators.events import hll_distinct
+
+        ev = _events(spark, n_users=80, n_events=1000)
+        nulled = ev.unionByName(
+            ev.limit(25).withColumn("user_id", F.lit(None).cast("long"))
+        )
+        a = {
+            r.event_type: (r.est_distinct_hll, r.n_empty_buckets)
+            for r in hll_distinct(ev).collect()
+        }
+        b = {
+            r.event_type: (r.est_distinct_hll, r.n_empty_buckets)
+            for r in hll_distinct(nulled).collect()
+        }
+        assert a == b
+
 
 class TestInversePredicates:
     def test_symmetric_and_inverse_detection(self, spark):

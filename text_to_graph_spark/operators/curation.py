@@ -314,9 +314,17 @@ def leakage_safe_split(
     (minhash/LSH -> connected components, :func:`~text_to_graph_spark.
     operators.dedup.near_dup_clusters`) puts every member of a duplicate
     family in the same fold by construction. The fold draw is the 48-bit
-    md5 of the cluster id mod 100 — deterministic, engine-portable, and
-    stable when the corpus grows (adding documents never moves an existing
-    cluster between folds unless it merges clusters).
+    md5 of the cluster id mod 100 — deterministic and engine-portable.
+
+    Stability caveat: the cluster id is the minimum member doc_id, so fold
+    assignment is stable across incremental ingests ONLY when new doc ids
+    are monotonically increasing (the standard crawl-wave convention). A
+    new document with a SMALLER id that joins an existing cluster renames
+    the cluster and moves the whole family to a (random) different fold —
+    as does a cluster merge, which is unavoidable under any
+    membership-derived key. For non-monotonic id schemes, re-split the
+    corpus from scratch or freeze fold assignments for previously seen
+    doc_ids in an external table; do not rely on the hash staying put.
 
     Scale shape: inherits the LSH-join + small-star CC cost of
     near_dup_clusters; the split itself is a pure projection. Returns

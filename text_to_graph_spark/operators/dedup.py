@@ -446,8 +446,16 @@ def incremental_neardup_probe(
     the (persisted, in production) old signature table, partial-agg'd
     candidate rollup, then a min_by per new id.
     """
-    new_sig = minhash_signatures(new_docs, id_col, text_col, n, bands)
-    old_sig = minhash_signatures(old_docs, id_col, text_col, n, bands)
+    # localCheckpoint: each signature DataFrame feeds `bands` union
+    # branches in bandify — without the lineage cut the shingle explode +
+    # min aggregation re-executes once per branch (the measured 7x
+    # regression documented in minhash_candidate_pairs).
+    new_sig = minhash_signatures(new_docs, id_col, text_col, n, bands).localCheckpoint(
+        eager=True
+    )
+    old_sig = minhash_signatures(old_docs, id_col, text_col, n, bands).localCheckpoint(
+        eager=True
+    )
 
     def bandify(sig: DataFrame, out: str) -> DataFrame:
         per = None
@@ -504,6 +512,17 @@ def simhash_neardup_pairs(
     broadcast-light joins to re-attach full signatures for the verify.
     Returns (id_a, id_b, hamming) with hamming <= max_hamming.
     """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole requires max_hamming < bands; got "
+            f"max_hamming={max_hamming}, bands={bands}"
+        )
+    if bits % bands != 0:
+        raise ValueError(
+            f"bits must divide evenly into bands (banding would silently "
+            f"drop the high {bits % bands} bit positions); got "
+            f"bits={bits}, bands={bands}"
+        )
     width = bits // bands
     sig = simhash(docs, id_col, text_col, bits).localCheckpoint(eager=True)
     per = None

@@ -680,7 +680,11 @@ def hll_distinct(
     h = F.conv(
         F.substring(F.md5(F.col(key).cast("string")), 1, 13), 16, 10
     ).cast("bigint")
-    x = events.select(
+    # null keys hash to a null bucket whose register contributes NULL to
+    # s_present while still counting in n_present — understating the
+    # empty-bucket correction. NULL means "no value" in distinct-count
+    # semantics anyway: drop before bucketing.
+    x = events.where(F.col(key).isNotNull()).select(
         F.col(group).alias("grp"),
         F.pmod(h, F.lit(64)).cast("int").alias("bucket"),
         h.alias("h"),

@@ -314,7 +314,13 @@ def edge_confidence(triples: DataFrame) -> DataFrame:
             "n_docs",
             "df_subj",
             "df_obj",
-            F.expr(f"n_docs * {n_total} * 1000000 DIV (df_subj * df_obj)")
+            # decimal(38,0) product: n_docs * n_total * 1e6 exceeds int64
+            # once n_docs * n_total > ~9.2e12 (a boilerplate edge in a ~3M
+            # doc corpus); 38-digit headroom covers 10^12-doc scale.
+            F.expr(
+                f"CAST(n_docs AS decimal(38,0)) * {n_total} * 1000000"
+                " DIV (df_subj * df_obj)"
+            )
             .cast("bigint")
             .alias("lift_e6"),
         )

@@ -311,10 +311,12 @@ def term_cooccurrence(
             F.col("n_docs_pair").cast("bigint").alias("n_docs_pair"),
             F.col("df_a").cast("bigint").alias("df_a"),
             F.col("df_b").cast("bigint").alias("df_b"),
+            # decimal(38,0) product: overflows int64 once
+            # n_docs_pair * n_total > ~9.2e12 (trivially hit at corpus scale)
             F.expr(
-                f"(n_docs_pair * CAST({n_total} AS BIGINT) * CAST({10**6} AS BIGINT))"
+                f"CAST(n_docs_pair AS decimal(38,0)) * {n_total} * 1000000"
                 " DIV (df_a * df_b)"
-            ).alias("lift_e6"),
+            ).cast("bigint").alias("lift_e6"),
         )
     )
 
@@ -432,8 +434,11 @@ def vocab_coverage(
         F.row_number().over(w).alias("rank"),
         "term",
         "n_occurrences",
+        # decimal(38,0) product: cumulative count * 1e6 overflows int64
+        # past ~9.2e12 total token occurrences (a few TB of text)
         F.expr(
-            f"sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, term "
-            f"ROWS UNBOUNDED PRECEDING) * 1000000 DIV {total}"
+            f"CAST(sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, "
+            f"term ROWS UNBOUNDED PRECEDING) AS decimal(38,0)) * 1000000 "
+            f"DIV {total}"
         ).cast("bigint").alias("cum_frac_e6"),
     )
