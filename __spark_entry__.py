@@ -425,6 +425,23 @@ def _q_kg_dense_vocab(spark, sf_dir):
     return dense_ids(nodes, "node")
 
 
+def _q_kg_walk_training_pairs(spark, sf_dir):
+    # the complete DeepWalk dataloader table: skip-gram positives joined
+    # with k=2 hash-drawn filtered negative contexts; zero extra shuffles
+    # beyond the pair rollup and the dense-id vocabulary build
+    from text_to_graph_spark.operators.graphalgo import (
+        random_walks,
+        walk_training_pairs,
+    )
+
+    e = _edges(spark, sf_dir)
+    w = random_walks(e, src="subj", dst="obj", n_walks=2, walk_len=3)
+    nodes = e.select(F.col("subj").alias("node")).unionByName(
+        e.select(F.col("obj").alias("node"))
+    )
+    return walk_training_pairs(w, nodes, window=2, k=2)
+
+
 def _q_kg_negative_samples(spark, sf_dir):
     # deterministic filtered negative sampling (k=2 corrupted objects per
     # positive triple) — the KG-embedding training-pair table
@@ -1855,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_dense_vocab": _q_kg_dense_vocab,
         "kg_negative_samples": _q_kg_negative_samples,
+        "kg_walk_training_pairs": _q_kg_walk_training_pairs,
         "kg_weighted_sssp": _q_kg_weighted_sssp,
         "kg_triangles": _q_kg_triangles,
         "kg_communities": _q_kg_communities,
@@ -2620,6 +2638,38 @@ SELECT p.center, c.center AS context,
 FROM pe p JOIN pe c ON p.start = c.start AND p.wid = c.wid
 WHERE p.i <> c.i AND abs(p.i - c.i) <= 2
 GROUP BY 1, 2
+""",
+        # DeepWalk dataloader: skip-gram positives x k=2 filtered
+        # hash-drawn negative contexts over the dense-id vocabulary
+        "kg_walk_training_pairs": f"""
+{_KG_PREFIX},
+{_walks_cte(n_walks=2, walk_len=3)},
+{_vocab_cte()},
+pe AS (
+  SELECT start, wid, generate_subscripts(path, 1) AS i,
+         unnest(path) AS center
+  FROM w3
+),
+pp AS (
+  SELECT p.center, c.center AS context,
+         CAST(count(*) AS bigint) AS n_pairs
+  FROM pe p JOIN pe c ON p.start = c.start AND p.wid = c.wid
+  WHERE p.i <> c.i AND abs(p.i - c.i) <= 2
+  GROUP BY 1, 2
+),
+cd AS (
+  SELECT center, context, n_pairs, CAST(i AS int) AS sample_idx,
+         CAST(('0x' || substr(md5(center || '|' || context || '|'
+               || CAST(i AS varchar)), 1, 12)) AS bigint)
+           % (SELECT n FROM nn) AS cid
+  FROM pp CROSS JOIN unnest(generate_series(0, 1)) AS g(i)
+)
+SELECT cd.center, cd.context, cd.n_pairs, cd.sample_idx,
+       CASE WHEN v1.node = cd.context THEN v2.node ELSE v1.node END
+         AS neg_context
+FROM cd
+JOIN vocab v1 ON v1.vid = cd.cid
+JOIN vocab v2 ON v2.vid = (cd.cid + 1) % (SELECT n FROM nn)
 """,
         # SHACL-lite: type via category VALUES dims, profile, flag vs the
         # shared _EDGE_ONTOLOGY literal

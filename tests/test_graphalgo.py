@@ -449,6 +449,46 @@ def _edge_df_pred(spark, edges):
     )
 
 
+class TestWalkTrainingPairs:
+    def _inputs(self, spark):
+        walks = spark.createDataFrame(
+            [("a", 0, ["a", "b", "c", "d"]), ("b", 0, ["b", "c", "a"])],
+            "start string, walk_id int, path array<string>",
+        )
+        vocab = spark.createDataFrame(
+            [(x,) for x in "abcdef"], "node string"
+        )
+        return walks, vocab
+
+    def test_k_negatives_per_positive_and_filtered(self, spark):
+        from text_to_graph_spark.operators.graphalgo import (
+            walk_skipgram_pairs,
+            walk_training_pairs,
+        )
+
+        walks, vocab = self._inputs(spark)
+        n_pos = walk_skipgram_pairs(walks, window=2).count()
+        got = walk_training_pairs(walks, vocab, window=2, k=2).collect()
+        assert len(got) == 2 * n_pos
+        vset = set("abcdef")
+        for r in got:
+            assert r.neg_context != r.context  # filtered sampling
+            assert r.neg_context in vset
+
+    def test_deterministic_across_partitionings(self, spark):
+        from text_to_graph_spark.operators.graphalgo import walk_training_pairs
+
+        walks, vocab = self._inputs(spark)
+        key = lambda r: (r.center, r.context, r.sample_idx)  # noqa: E731
+        a = {key(r): r.neg_context
+             for r in walk_training_pairs(walks, vocab, k=2).collect()}
+        b = {key(r): r.neg_context
+             for r in walk_training_pairs(
+                 walks.repartition(5), vocab.repartition(3), k=2
+             ).collect()}
+        assert a == b
+
+
 class TestEdgeConfidence:
     def test_lift_math_and_counts(self, spark):
         from text_to_graph_spark.operators.graphq import edge_confidence

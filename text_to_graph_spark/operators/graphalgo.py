@@ -38,6 +38,7 @@ __all__ = [
     "k_core",
     "dense_ids",
     "negative_samples",
+    "walk_training_pairs",
 ]
 
 RANK_SCALE = 10**9
@@ -669,6 +670,64 @@ def walk_skipgram_pairs(
         )
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def walk_training_pairs(
+    walks: DataFrame,
+    vocab_nodes: DataFrame,
+    window: int = 2,
+    k: int = 2,
+    buckets: int = 64,
+) -> DataFrame:
+    """The complete DeepWalk dataloader output: every skip-gram
+    (center, context) positive from :func:`walk_skipgram_pairs` joined
+    with ``k`` deterministic filtered negative contexts — the exact table
+    a skip-gram-with-negative-sampling trainer consumes per epoch.
+
+    Negative draw mirrors :func:`negative_samples`: the node whose
+    :func:`dense_ids` index is the 48-bit md5 of (center|context|i) mod
+    vocabulary size, shifted one index (mod N) when the draw collides
+    with the true context. No ``rand()`` — draws are bit-identical across
+    engines, partitionings and reruns.
+
+    Scale shape: zero extra shuffles beyond the two inputs — the positive
+    table's rollup (inside walk_skipgram_pairs) and the vocabulary build
+    (dense_ids); the k× negative expansion is a pure projection and the
+    two vid lookups are equi-joins against the (node, vid) table,
+    broadcast when the vocabulary is small. Returns
+    (center, context, n_pairs, sample_idx, neg_context).
+    """
+    pairs = walk_skipgram_pairs(walks, window)
+    vocab = dense_ids(vocab_nodes, "node", buckets).localCheckpoint(eager=True)
+    n = vocab.count()
+    cand = pairs.withColumn(
+        "sample_idx", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    ).withColumn("sample_idx", F.col("sample_idx").cast("int"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "center", "context", "sample_idx")), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cand = cand.withColumn("cid", F.pmod(h, F.lit(n))).withColumn(
+        "cid2", F.pmod(F.col("cid") + 1, F.lit(n))
+    )
+    v1 = vocab.select(F.col("vid").alias("cid"), F.col("node").alias("draw"))
+    v2 = vocab.select(F.col("vid").alias("cid2"), F.col("node").alias("shifted"))
+    return (
+        cand.join(v1, "cid")
+        .join(v2, "cid2")
+        .select(
+            "center",
+            "context",
+            "n_pairs",
+            "sample_idx",
+            F.when(F.col("draw") == F.col("context"), F.col("shifted"))
+            .otherwise(F.col("draw"))
+            .alias("neg_context"),
+        )
     )
 
 
