@@ -329,6 +329,90 @@ class TestStreamingIncrementalEdges:
         assert got == want
 
 
+class TestStreamingKillAndRestart:
+    def test_checkpoint_recovery_and_replay_idempotence(self, spark, tmp_path):
+        """Mid-stream kill evidence: a restarted query must (a) resume
+        from the checkpoint offsets (never re-extract already-committed
+        files), (b) merge into the on-disk snapshot lineage rather than
+        an empty in-memory state, and (c) under foreachBatch replay of an
+        uncommitted batch, re-derive the identical snapshot instead of
+        double-adding n_occurrences."""
+        import os
+        import shutil
+
+        from text_to_graph_spark.operators.canonicalize import (
+            triples_to_canonical_edges,
+        )
+        from text_to_graph_spark.operators.extraction import (
+            extract_triples_from_pages,
+        )
+        from text_to_graph_spark.sources.pages import synthesize_pages
+        from text_to_graph_spark.streaming.ingest import (
+            streaming_incremental_edges,
+        )
+
+        pages = synthesize_pages(spark, "/root/testdata/sf0.001")
+        staging = str(tmp_path / "staging")
+        pages.repartition(8).write.mode("overwrite").parquet(staging)
+        parts = sorted(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        assert len(parts) == 8
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def run():
+            q, state = streaming_incremental_edges(
+                spark, str(landing), out, ckpt, max_files_per_trigger=2
+            )
+            q.awaitTermination(600)
+            return state
+
+        def table(path):
+            return {
+                (r.subj_key, r.pred_key, r.obj_key): (
+                    r.n_docs, r.n_occurrences,
+                )
+                for r in spark.read.parquet(path).collect()
+            }
+
+        # phase 1: half the corpus lands, job runs to quiescence, "dies"
+        for f in parts[:4]:
+            shutil.copy(f"{staging}/{f}", landing / f)
+        s1 = run()
+        assert s1["n_batches"] == 2  # 4 files / maxFilesPerTrigger=2
+
+        # phase 2: rest of the corpus lands; RESTART with same checkpoint
+        for f in parts[4:]:
+            shutil.copy(f"{staging}/{f}", landing / f)
+        s2 = run()
+        # offsets recovered: only the 4 NEW files were processed
+        assert s2["n_batches"] == 2
+        want = {
+            (r.subj_key, r.pred_key, r.obj_key): (r.n_docs, r.n_occurrences)
+            for r in triples_to_canonical_edges(
+                extract_triples_from_pages(pages)
+            ).collect()
+        }
+        assert table(s2["path"]) == want
+
+        # phase 3: forge a mid-commit kill — drop the newest checkpoint
+        # commit so Structured Streaming replays the last (already
+        # written) batch on restart; counts must not double.
+        commits = sorted(
+            (f for f in os.listdir(f"{ckpt}/commits") if f.isdigit()),
+            key=int,
+        )
+        os.remove(f"{ckpt}/commits/{commits[-1]}")
+        crc = f"{ckpt}/commits/.{commits[-1]}.crc"  # hadoop checksum sidecar
+        if os.path.exists(crc):
+            os.remove(crc)
+        s3 = run()
+        assert s3["n_batches"] == 1  # exactly the replayed batch
+        assert table(s3["path"]) == want
+
+
 class TestStreamStaticEnrichment:
     def test_joined_stream_matches_batch_enrichment(self, spark, tmp_path):
         from text_to_graph_spark.operators.events import enrich_with_customer

@@ -196,7 +196,20 @@ def streaming_incremental_edges(
     ``triples_to_canonical_edges`` over the whole corpus (the oracle gate
     checks exactly that). Returns (query, state) — ``state["path"]`` holds
     the latest snapshot directory after ``query.awaitTermination()``.
+
+    Exactly-once under kill/restart: snapshots are versioned by the
+    streaming batch id (``out_dir/v{batch_id}``), which Structured
+    Streaming preserves across restarts, and each batch merges into the
+    newest snapshot whose id is STRICTLY BELOW its own — never into its
+    own possibly-half-written output. A replayed batch (written but not
+    committed to the checkpoint before a kill) therefore re-derives the
+    identical snapshot instead of double-adding its counts, and a
+    restarted query resumes from the on-disk lineage instead of an empty
+    in-memory state. (Iceberg MERGE with snapshot-id idempotence is the
+    production twin; local-fs versioned snapshots here.)
     """
+    import os
+    import re
     from text_to_graph_spark.operators.canonicalize import (
         merge_canonical_edges,
         triples_to_canonical_edges,
@@ -210,16 +223,34 @@ def streaming_incremental_edges(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(landing_dir)
     )
-    state: dict = {"path": None, "n_batches": 0}
+
+    def _snapshot_ids() -> list[int]:
+        try:
+            names = os.listdir(out_dir)
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            m = re.fullmatch(r"v(\d+)", n)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    ids = _snapshot_ids()
+    state: dict = {
+        "path": f"{out_dir}/v{ids[-1]}" if ids else None,
+        "n_batches": 0,
+    }
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         new_edges = triples_to_canonical_edges(
             extract_triples_from_pages(batch_df)
         )
-        if state["path"] is None:
+        prior = [i for i in _snapshot_ids() if i < batch_id]
+        if not prior:
             merged = new_edges
         else:
-            old = batch_df.sparkSession.read.parquet(state["path"])
+            old = batch_df.sparkSession.read.parquet(f"{out_dir}/v{max(prior)}")
             merged = merge_canonical_edges(old, new_edges)
         nxt = f"{out_dir}/v{batch_id}"
         merged.write.mode("overwrite").parquet(nxt)
