@@ -339,6 +339,61 @@ class TestViewerSink:
         for _s, _p, _o, plabel, docs in edge_rows:
             assert edge_decoded[plabel] == sorted(idx[d] for d in docs)
 
+    def test_golden_html_bytes(self, spark):
+        """End-to-end golden: the full viewer HTML for a fixed composite
+        fixture (labels exercising quote/backtick/backslash/comma and the
+        provenance suffixes) is pinned by sha256, so the escaping rules
+        (create_graph_viewer.py:28-30), the CSV quoting, the zlib/base64
+        payload encoding and the template can never silently drift. The
+        decoded payloads are pinned too, so a hash break is diagnosable.
+        """
+        import hashlib
+        import re
+
+        from text_to_graph_spark.sinks.viewer import (
+            build_viewer_html,
+            decode_payload,
+        )
+
+        nodes = spark.createDataFrame(
+            [
+                ("alpha", 'Al"pha', ["actor", "x|y"], ["doc_b", "doc_a"]),
+                ("beta", "Beta`tick", ["system"], ["doc_c"]),
+                ("gamma", "Gamma\\slash", ["data"], ["doc_a", "doc_c", "doc_b"]),
+            ],
+            "key string, label string, types array<string>, doc_ids array<string>",
+        )
+        edges = spark.createDataFrame(
+            [
+                ("alpha", "works_with", "beta", "works,with", ["doc_c", "doc_a"]),
+                ("beta", "feeds", "gamma", "feeds", ["doc_b"]),
+            ],
+            "subj_key string, pred_key string, obj_key string, "
+            "pred_label string, doc_ids array<string>",
+        )
+        html = build_viewer_html(nodes, edges, provenance=True)
+        assert (
+            hashlib.sha256(html.encode("utf-8")).hexdigest()
+            == "480c17795aabaae2f36bae57e4a5e42c180e714dc1e1a68093955e2f0378fbcc"
+        )
+        payloads = re.findall(r"`([A-Za-z0-9+/=]+)`", html)
+        nodes_csv, edges_csv, meta = (decode_payload(p) for p in payloads)
+        assert nodes_csv == (
+            "id,label,type\n"
+            '0,"Al""pha|0|1",actor|x|y\n'
+            "1,Beta`tick|2,system\n"
+            "2,Gamma\\slash|0|1|2,data\n"
+        )
+        assert edges_csv == (
+            "source,target,label\n"
+            '0,1,"works,with|0|2"\n'
+            "1,2,feeds|1\n"
+        )
+        assert meta == (
+            '[{"index": 0, "doc": "doc_a"}, {"index": 1, "doc": "doc_b"}, '
+            '{"index": 2, "doc": "doc_c"}]'
+        )
+
     def test_duplicate_node_labels_hard_error(self, spark):
         """P11's viewer abort (data_renderer.js:224-232) is enforced at
         export time."""
