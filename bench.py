@@ -126,6 +126,44 @@ def main() -> int:
         e = triples_to_canonical_edges(t)
         _force(connected_components(e, "subj_key", "obj_key"))
 
+    def _skew_inputs():
+        # Zipf-head drill: one edge key on 30% of 4M occurrence rows, id
+        # map too large to broadcast (the 100 TB no-broadcast remap regime)
+        from text_to_graph_spark.sources.pages import synthesize_skewed_triples
+
+        t = synthesize_skewed_triples(spark, 4_000_000).localCheckpoint(
+            eager=True
+        )
+        idmap = (
+            t.select(F.col("subj").alias("k"))
+            .distinct()
+            .withColumn("vid", F.pmod(F.xxhash64("k"), F.lit(10**6)))
+            .localCheckpoint(eager=True)
+        )
+        return t, idmap
+
+    def _skew_join(salted: bool):
+        from text_to_graph_spark.operators.canonicalize import skew_salted_join
+
+        t, idmap = _skew_inputs()
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            dim = idmap.withColumnRenamed("k", "subj")
+            j = (
+                skew_salted_join(t, dim, on="subj", salt_from="url")
+                if salted
+                else t.join(dim, "subj")
+            )
+            # same reduction either way; checksum pins result equality
+            row = j.select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("vid") % 97 + F.col("pos") % 97).alias("chk"),
+            ).collect()[0]
+            assert row["n"] == 4_000_000, row
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
     def _q_web_dead(spark):
         # anchor extraction + bloom-fast-path crawl-frontier anti-join
         from text_to_graph_spark.operators import weblinks as WL
@@ -155,6 +193,8 @@ def main() -> int:
             OL.pricing_summary(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"))
         ),
         "web_dead_links": lambda: _q_web_dead(spark),
+        "kg_skew_join_unsalted": lambda: _skew_join(salted=False),
+        "kg_skew_join_salted": lambda: _skew_join(salted=True),
         "olap_ship_priority": lambda: _force(
             OL.ship_priority(
                 spark.read.parquet(f"{SF_DIR}/customer.parquet"),

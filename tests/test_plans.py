@@ -391,3 +391,34 @@ def test_personalized_pagerank_broadcasts_seed_flag(spark):
     # the per-round plans are checkpointed; the final plan still carries
     # the flagged-nodes join — assert it never degrades to a cartesian
     assert "CartesianProduct" not in plan_str(out, "simple")
+
+
+def test_skew_salted_join_spreads_hot_key_no_single_reducer(spark):
+    """The skew drill's scale property: the salted remap join shuffles on
+    (key, _salt) — the hot key lands on `buckets` reducers, never one —
+    and no stage in the plan collapses to a single partition."""
+    from text_to_graph_spark.operators.canonicalize import skew_salted_join
+    from text_to_graph_spark.sources.pages import synthesize_skewed_triples
+
+    t = synthesize_skewed_triples(spark, 2000, n_keys=50)
+    dim = (
+        t.select(F.col("subj").alias("k")).distinct()
+        .withColumn("vid", F.pmod(F.xxhash64("k"), F.lit(10**6)))
+        .withColumnRenamed("k", "subj")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = skew_salted_join(t, dim, on="subj", salt_from="url", buckets=8)
+        s = plan_str(out, "formatted")
+        assert "_salt" in s                      # salt is a join/shuffle key
+        assert "SinglePartition" not in s        # no single-reducer stage
+        assert "CartesianProduct" not in s
+        # result parity: row-identical to the unsalted join
+        unsalted = t.join(dim, "subj")
+        cols = ["url", "pos", "subj", "vid"]
+        a = sorted(map(tuple, out.select(*cols).collect()))
+        b = sorted(map(tuple, unsalted.select(*cols).collect()))
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

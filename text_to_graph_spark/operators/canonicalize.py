@@ -279,6 +279,50 @@ def with_dense_export_ids(nodes: DataFrame, order_col: str = "key") -> DataFrame
     return nodes.withColumn("id", F.row_number().over(w) - 1)
 
 
+def skew_salted_join(
+    probe: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_from: str,
+    buckets: int = 32,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join of a hot-keyed probe stream against a
+    unique-key dimension too large to broadcast — the J1/J2 id-remap shape
+    in the 100 TB no-broadcast regime.
+
+    An unsalted shuffle join sends every probe row of a hot key (one
+    boilerplate predicate carrying 30% of the corpus) to ONE reducer: a
+    straggler task doing 30% of the work while the rest of the cluster
+    idles. Salting spreads it: the probe side gets
+    ``salt = pmod(xxhash64(salt_from), buckets)`` — derived from input
+    data (``salt_from`` should be a high-cardinality probe column, e.g.
+    url), never ``rand()``, so retries and reruns are deterministic — and
+    the dimension side replicates ×``buckets`` via an exploded sequence,
+    so the join on (key, salt) lands each hot key on ``buckets`` reducers.
+    Cost: the dimension shuffles ×buckets (cheap — it is the small side by
+    construction); results are row-identical to the unsalted join because
+    every (key, salt) probe row finds exactly its one replicated match.
+
+    AQE's skew-join split is the first lever for this (enabled in
+    session.py) — it needs no code change but only triggers past its
+    partition-size thresholds and only for sort-merge joins; the explicit
+    salt is the deterministic fallback that works at any size and plans
+    identically every run. Requires ``dim`` unique on ``on`` (replication
+    would otherwise duplicate output rows).
+    """
+    p = probe.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_from), F.lit(buckets)).cast("int")
+    )
+    d = (
+        dim.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+        )
+        .withColumn("_salt", F.col("_salt").cast("int"))
+    )
+    return p.join(d, [on, "_salt"], how).drop("_salt")
+
+
 def salted_collect_set(
     df: DataFrame, key_cols: list[str], value_col: str, salt_buckets: int = 16
 ) -> DataFrame:

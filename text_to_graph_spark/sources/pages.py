@@ -124,6 +124,43 @@ def pages_from_jsonl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def synthesize_skewed_triples(
+    spark: SparkSession,
+    n_rows: int,
+    hot_pct: int = 30,
+    n_keys: int = 50_000,
+) -> DataFrame:
+    """Deterministic Zipf-head skew fixture for the salted-aggregation
+    drill: ``hot_pct`` percent of all occurrence rows carry ONE edge key
+    (the boilerplate-predicate shape — think "page | has_footer | © 2025"
+    across a third of the crawl), the rest spread uniformly over
+    ``n_keys`` keys. Every row gets its own url, so the hot key's
+    collect_set(url) state is maximal — the worst case for the unsalted
+    single-reducer final merge and exactly what ``salt_buckets`` exists
+    for. Pure ``spark.range`` arithmetic: no rand(), bit-identical across
+    runs and partitionings. Returns the triples input-contract shape
+    (url, chunk_index, pos, subj, pred, obj).
+    """
+    r = spark.range(n_rows).repartition(max(spark.sparkContext.defaultParallelism, 8))
+    hot = F.pmod(F.col("id"), F.lit(100)) < hot_pct
+    return r.select(
+        F.concat(F.lit("https://skew.test/u"), F.col("id")).alias("url"),
+        F.lit(0).cast("int").alias("chunk_index"),
+        F.col("id").cast("int").alias("pos"),
+        F.when(hot, F.lit("alpha"))
+        .otherwise(F.concat(F.lit("s"), F.pmod(F.col("id"), F.lit(n_keys))))
+        .alias("subj"),
+        F.when(hot, F.lit("dominates"))
+        .otherwise(F.concat(F.lit("p"), F.pmod(F.col("id"), F.lit(7))))
+        .alias("pred"),
+        F.when(hot, F.lit("beta"))
+        .otherwise(
+            F.concat(F.lit("o"), F.pmod(F.col("id") * 31, F.lit(n_keys)))
+        )
+        .alias("obj"),
+    )
+
+
 # DuckDB-SQL mirror of synthesize_pages (replicate=1) — shared CTE prefix for
 # every oracle query. Kept here so Spark + SQL definitions live side by side.
 PAGES_ORACLE_CTE = """
