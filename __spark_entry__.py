@@ -54,7 +54,11 @@ from text_to_graph_spark.operators.extraction import (
     restrict_triples_to_mentions,
 )
 from text_to_graph_spark.pipeline import vocab_category_table
+from text_to_graph_spark.kit.bpe import PRETOKEN_PATTERN
 from text_to_graph_spark.sources.pages import PAGES_ORACLE_CTE, synthesize_pages
+
+# PRETOKEN_PATTERN with SQL string-literal quoting ('' for ')
+_PRETOKEN_SQL = PRETOKEN_PATTERN.replace("'", "''")
 
 # ---------------------------------------------------------------------------
 # shared vocab literals (single source of truth: kit/extract.py)
@@ -174,6 +178,20 @@ def _q_kg_extract_text(spark, sf_dir):
 
 def _q_kg_chunks(spark, sf_dir):
     return _stages(spark, sf_dir)["chunks"]
+
+
+def _q_kg_chunks_bpe(spark, sf_dir):
+    # C5 primary-path shape: chunk packing driven by the BPE pre-tokenizer
+    # piece count (kit/bpe.py) instead of the whitespace fallback. The
+    # regex piece count is the SQL-expressible stage of BPE (trained
+    # merges only combine bytes WITHIN pieces and are pytest-pinned —
+    # tests/test_kit.py); the oracle counts the same pattern via
+    # regexp_extract_all, so the chunk contract stays fully value-checked.
+    from text_to_graph_spark.operators.chunking import chunk_pages
+    from text_to_graph_spark.operators.extraction import extract_text
+
+    pages = synthesize_pages(spark, sf_dir)
+    return chunk_pages(extract_text(pages), token_counter="pretoken")
 
 
 def _q_kg_mentions(spark, sf_dir):
@@ -1845,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pages_jsonl": _q_kg_pages_jsonl,
         "kg_extract_text": _q_kg_extract_text,
         "kg_chunks": _q_kg_chunks,
+        "kg_chunks_bpe": _q_kg_chunks_bpe,
         "kg_mentions": _q_kg_mentions,
         "kg_mention_counts": _q_kg_mention_counts,
         "kg_triples": _q_kg_triples,
@@ -2536,6 +2555,21 @@ SELECT url,
        CAST(len(string_split(trim(text), ' ')) AS int) AS chunk_size,
        CAST(0 AS int) AS token_start,
        CAST(len(string_split(trim(text), ' ')) AS int) AS token_end,
+       trim(text) AS text
+FROM pages
+""",
+        # same one-chunk-per-url corpus shape as kg_chunks; chunk_size is
+        # the BPE pre-tokenizer piece count (kit/bpe.py PRETOKEN_PATTERN,
+        # identical semantics in Python re and RE2)
+        "kg_chunks_bpe": f"""
+{_KG_PREFIX}
+SELECT url,
+       CAST(0 AS int) AS chunk_index,
+       CAST(len(regexp_extract_all(trim(text),
+            '{_PRETOKEN_SQL}')) AS int) AS chunk_size,
+       CAST(0 AS int) AS token_start,
+       CAST(len(regexp_extract_all(trim(text),
+            '{_PRETOKEN_SQL}')) AS int) AS token_end,
        trim(text) AS text
 FROM pages
 """,

@@ -289,3 +289,67 @@ def test_parse_mention_list():
     assert parse_mention_list("") is None
     assert parse_mention_list(None) is None
     assert parse_mention_list(" , ,") is None
+
+
+# --- kit/bpe.py: deterministic byte-level BPE (C5 primary-path shape) ---
+
+_BPE_CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox isn't lazy, it's fast",
+    "pack 1000 tokens per chunk; don't overflow the max",
+]
+
+
+def test_pretokenize_is_lossless_and_counts_match():
+    from text_to_graph_spark.kit.bpe import count_pretokens, pretokenize
+
+    for t in _BPE_CORPUS:
+        pieces = pretokenize(t)
+        assert "".join(pieces) == t  # lossless split
+        assert count_pretokens(t) == len(pieces)
+    # contractions split into (word, 'suffix); multi-space runs are one piece
+    assert pretokenize("isn't  it") == ["isn", "'t", "  ", "it"]
+    assert pretokenize("isn't it") == ["isn", "'t", " it"]
+
+
+def test_train_bpe_deterministic_and_golden():
+    from text_to_graph_spark.kit.bpe import train_bpe
+
+    a = train_bpe(_BPE_CORPUS, 8)
+    b = train_bpe(list(reversed(_BPE_CORPUS)), 8)
+    assert a == b  # multiset of texts, not order, defines the table
+    # golden first merges on this corpus: most-frequent pair wins, byte
+    # ascending tie-break (pinned so the trainer can never silently drift)
+    assert a[0] == (b"h", b"e")
+    assert a[1] == (b"t", b"he")
+    assert len(a) == 8
+
+
+def test_bpe_encode_roundtrip_and_count_monotone():
+    from text_to_graph_spark.kit.bpe import BPE, count_pretokens, train_bpe
+
+    merges = train_bpe(_BPE_CORPUS, 24)
+    enc = BPE(merges)
+    for t in _BPE_CORPUS:
+        toks = enc.encode(t)
+        assert enc.decode(toks) == t  # byte-exact roundtrip
+        n_bytes = len(t.encode("utf-8"))
+        # piece count <= merged count <= raw byte count
+        assert count_pretokens(t) <= enc.count(t) <= n_bytes
+    # a longer merge table never increases any count
+    small, big = BPE(merges[:8]), BPE(merges)
+    for t in _BPE_CORPUS:
+        assert big.count(t) <= small.count(t)
+
+
+def test_pack_units_with_bpe_counter_matches_counter_arithmetic():
+    from text_to_graph_spark.kit.bpe import BPE, train_bpe
+    from text_to_graph_spark.kit.chunker import pack_units
+
+    merges = train_bpe(_BPE_CORPUS, 16)
+    enc = BPE(merges)
+    text = "\n\n".join(_BPE_CORPUS)  # three paragraphs -> three units
+    chunks = pack_units(text, target_chunk_size=12, counter=enc.count)
+    assert len(chunks) >= 2  # counter actually drives the boundaries
+    for c in chunks[:-1]:
+        assert c["chunk_size"] == enc.count(c["text"])

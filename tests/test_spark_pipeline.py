@@ -52,6 +52,41 @@ def test_chunks_match_reference_packer(spark, pages_smoke):
     )
 
 
+def test_chunks_with_trained_bpe_counter_match_local_packer(spark, pages_smoke):
+    """C5 primary-path shape end to end: the merge table trains once
+    driver-side, ships in the task closure, and the distributed packer
+    reproduces the local one exactly under the trained-BPE counter."""
+    from text_to_graph_spark.kit.bpe import BPE, train_bpe
+    from text_to_graph_spark.kit.chunker import pack_units
+
+    pdf = pages_smoke.select("url", "text").toPandas()
+    merges = train_bpe(list(pdf["text"].head(50)), 64)
+    enc = BPE(merges)
+
+    got = (
+        chunk_pages(extract_text(pages_smoke), chunk_size=200,
+                    token_counter="bpe", bpe_merges=merges)
+        .toPandas()
+        .sort_values(["url", "chunk_index"], ignore_index=True)
+    )
+    exp_rows = []
+    for url, text in zip(pdf["url"], pdf["text"]):
+        for row in pack_units(text, 200, counter=enc.count):
+            row["url"] = url
+            exp_rows.append(row)
+    exp = pd.DataFrame(exp_rows)[got.columns].sort_values(
+        ["url", "chunk_index"], ignore_index=True
+    )
+    ints = {c: "int64" for c in
+            ("chunk_index", "chunk_size", "token_start", "token_end")}
+    pd.testing.assert_frame_equal(got.astype(ints), exp.astype(ints))
+    # the subword counter genuinely differs from the whitespace fallback
+    ws = chunk_pages(extract_text(pages_smoke), chunk_size=200).toPandas()
+    assert not got["chunk_size"].equals(
+        ws.sort_values(["url", "chunk_index"], ignore_index=True)["chunk_size"]
+    )
+
+
 def _triple_set(df: pd.DataFrame) -> set:
     return set(zip(df["url"], df["chunk_index"], df["pos"],
                    df["subj"], df["pred"], df["obj"]))

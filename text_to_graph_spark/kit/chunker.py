@@ -22,12 +22,24 @@ of parallelism (one group per url under ``applyInPandas``).
 
 from __future__ import annotations
 
+from typing import Callable
+
 from text_to_graph_spark.kit.tokenize import count_tokens, text_units
 
 
-def pack_units(text: str | None, target_chunk_size: int) -> list[dict]:
+def pack_units(
+    text: str | None,
+    target_chunk_size: int,
+    counter: Callable[[str], int] = count_tokens,
+) -> list[dict]:
     """Return chunk rows ``{chunk_index, chunk_size, token_start, token_end,
-    text}`` for one document."""
+    text}`` for one document.
+
+    ``counter`` selects the token counter (C5): the default whitespace
+    fallback (``gpt.py:32-34``), or a subword counter from ``kit.bpe``
+    (``count_pretokens`` / ``BPE(...).count``) — the packing algorithm is
+    counter-agnostic, exactly as the reference's is tokenizer-agnostic.
+    """
     if text is None:
         return []
 
@@ -59,7 +71,7 @@ def pack_units(text: str | None, target_chunk_size: int) -> list[dict]:
     i = 0
     n = len(units)
     while i < n:
-        token_count = count_tokens(units[i])
+        token_count = counter(units[i])
         if current_tokens + token_count <= max_token_size:
             current_parts.append(units[i])
             current_tokens += token_count
@@ -78,12 +90,12 @@ def pack_units(text: str | None, target_chunk_size: int) -> list[dict]:
 
     if len(chunks) > 1:
         last = chunks[-1]
-        last_size = count_tokens(last["text"])
+        last_size = counter(last["text"])
         if last_size < min_token_size:
             prev = chunks[-2]
             prev["text"] = prev["text"] + " " + last["text"]
             prev["token_end"] += last_size
-            prev["chunk_size"] = count_tokens(prev["text"])
+            prev["chunk_size"] = counter(prev["text"])
             chunks.pop()
 
     return chunks

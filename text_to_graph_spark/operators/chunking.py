@@ -45,20 +45,54 @@ CHUNK_SCHEMA = (
 _CHUNK_COLS = ["url", "chunk_index", "chunk_size", "token_start", "token_end", "text"]
 
 
-def chunk_pages(extracted: DataFrame, chunk_size: int = 1000) -> DataFrame:
+def chunk_pages(
+    extracted: DataFrame,
+    chunk_size: int = 1000,
+    token_counter: str = "whitespace",
+    bpe_merges: list[tuple[bytes, bytes]] | None = None,
+) -> DataFrame:
     """(url, text) -> one row per chunk, reference packing semantics.
 
     One document per input row, so packing needs no co-grouping: a
     shuffle-free ``mapInPandas`` flatMap (chunk_index restarts at 0 per
     document, exactly as the per-group shape did).
+
+    ``token_counter`` selects C5's counter (see kit/bpe.py):
+    - ``"whitespace"``: the reference's deterministic fallback (default)
+    - ``"pretoken"``: BPE pre-tokenizer piece count (regex; DuckDB-oracle
+      expressible, so the chunk contract stays fully value-checked)
+    - ``"bpe"``: trained byte-pair merges applied within pieces;
+      ``bpe_merges`` (from ``kit.bpe.train_bpe``) ships to executors in
+      the task closure — the merge table is the model artifact, trained
+      once on a sample and broadcast, never per-task.
     """
     cols = extracted.select("url", "text")
+
+    if token_counter == "whitespace":
+        counter = None  # pack_units default
+    elif token_counter == "pretoken":
+        from text_to_graph_spark.kit.bpe import count_pretokens
+
+        counter = count_pretokens
+    elif token_counter == "bpe":
+        from text_to_graph_spark.kit.bpe import BPE
+
+        if bpe_merges is None:
+            raise ValueError("token_counter='bpe' requires bpe_merges")
+        counter = BPE(bpe_merges).count
+    else:
+        raise ValueError(f"unknown token_counter: {token_counter!r}")
 
     def _pack_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: list[dict] = []
             for url, text in zip(pdf["url"], pdf["text"]):
-                for row in pack_units(text, chunk_size):
+                rows = (
+                    pack_units(text, chunk_size)
+                    if counter is None
+                    else pack_units(text, chunk_size, counter)
+                )
+                for row in rows:
                     row["url"] = url
                     out.append(row)
             yield pd.DataFrame(out, columns=_CHUNK_COLS)

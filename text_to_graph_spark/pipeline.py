@@ -47,6 +47,10 @@ class PipelineConfig:
     # bytes, graph_generator.py:341-358): keep one page per sha256(html),
     # min(url) wins deterministically. Essential at CC scale.
     dedup_pages: bool = False
+    # C5 token counter: "whitespace" (reference fallback, gpt.py:32-34),
+    # "pretoken" (BPE pre-tokenizer regex pieces), or "bpe" (trained
+    # merges; pass merges to chunk_pages directly for that path)
+    token_counter: str = "whitespace"
 
     def config_id(self) -> str:
         import hashlib
@@ -91,7 +95,10 @@ def run_pipeline_checkpointed(
     )
     chunks = ck.resume(
         extracted, "chunks", cid, ["url"],
-        lambda missing: chunk_pages(missing, chunk_size=cfg.chunk_size),
+        lambda missing: chunk_pages(
+            missing, chunk_size=cfg.chunk_size,
+            token_counter=cfg.token_counter,
+        ),
     )
     triples = ck.resume(
         chunks, "triples", cid, ["url"],
@@ -155,7 +162,9 @@ def run_pipeline(
         nodes = triples_to_canonical_nodes(triples, category_of=cats)
         return {"pages": pages, "triples": triples, "edges": edges, "nodes": nodes}
     extracted = extract_text(pages)
-    chunks = chunk_pages(extracted, chunk_size=cfg.chunk_size)
+    chunks = chunk_pages(
+        extracted, chunk_size=cfg.chunk_size, token_counter=cfg.token_counter
+    )
     if cfg.overlap > 0:
         from text_to_graph_spark.operators.chunking import with_neighbor_context
 
