@@ -194,6 +194,45 @@ def _q_kg_chunks_bpe(spark, sf_dir):
     return chunk_pages(extract_text(pages), token_counter="pretoken")
 
 
+def _q_kg_graphs_catalog(spark, sf_dir):
+    # S10 / the legacy viewer's catalog scan (webpages/visualizer/1.0/
+    # db_utils.js:23-28: Graphs JOIN Configurations ON config_id): per-run
+    # graph stats joined against the configuration dimension. Two configs
+    # with different token counters produce genuinely different graphs;
+    # graph_id is PipelineConfig.config_id() (a config-literal constant,
+    # inlined identically in the oracle).
+    from text_to_graph_spark.operators.chunking import chunk_pages
+    from text_to_graph_spark.operators.extraction import extract_text
+    from text_to_graph_spark.pipeline import PipelineConfig
+
+    cfg_a = PipelineConfig()
+    cfg_b = PipelineConfig(chunk_size=500, overlap=100, token_counter="pretoken")
+    ext = extract_text(synthesize_pages(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    runs = chunk_pages(
+        ext, cfg_a.chunk_size, token_counter=cfg_a.token_counter
+    ).withColumn("graph_id", F.lit(cfg_a.config_id())).unionByName(
+        chunk_pages(
+            ext, cfg_b.chunk_size, token_counter=cfg_b.token_counter
+        ).withColumn("graph_id", F.lit(cfg_b.config_id()))
+    )
+    stats = runs.groupBy("graph_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_size").alias("total_tokens"),
+    )
+    configs = spark.createDataFrame(
+        [
+            (cfg_a.config_id(), cfg_a.chunk_size, cfg_a.overlap),
+            (cfg_b.config_id(), cfg_b.chunk_size, cfg_b.overlap),
+        ],
+        "graph_id string, chunk_size int, padding_size int",
+    )
+    return stats.join(F.broadcast(configs), "graph_id").select(
+        "graph_id", "chunk_size", "padding_size", "n_chunks", "total_tokens"
+    )
+
+
 def _q_kg_mentions(spark, sf_dir):
     m = extract_mentions(_stages(spark, sf_dir)["chunks"], "vocab")
     return m.select("url", "mention").distinct()
@@ -1864,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_text": _q_kg_extract_text,
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_bpe": _q_kg_chunks_bpe,
+        "kg_graphs_catalog": _q_kg_graphs_catalog,
         "kg_mentions": _q_kg_mentions,
         "kg_mention_counts": _q_kg_mention_counts,
         "kg_triples": _q_kg_triples,
@@ -2572,6 +2612,32 @@ SELECT url,
             '{_PRETOKEN_SQL}')) AS int) AS token_end,
        trim(text) AS text
 FROM pages
+""",
+        # S10 legacy-viewer catalog (db_utils.js:23-28): per-graph chunk
+        # stats x configuration dim; one chunk per url on the synthetic
+        # corpus, counters whitespace vs pretoken-regex
+        "kg_graphs_catalog": f"""
+{_KG_PREFIX},
+ws AS (
+  SELECT count(*) AS n, sum(len(string_split(trim(text), ' '))) AS tok
+  FROM pages
+),
+pt AS (
+  SELECT count(*) AS n,
+         sum(len(regexp_extract_all(trim(text), '{_PRETOKEN_SQL}'))) AS tok
+  FROM pages
+),
+cfg(graph_id, chunk_size, padding_size) AS (
+  SELECT * FROM (VALUES ('73a8da0f51b44c86', 1000, 0),
+                        ('7d461286d89ad8f4', 500, 100))
+)
+SELECT graph_id, CAST(chunk_size AS int) AS chunk_size,
+       CAST(padding_size AS int) AS padding_size,
+       CAST(CASE graph_id WHEN '73a8da0f51b44c86' THEN ws.n ELSE pt.n END
+            AS bigint) AS n_chunks,
+       CAST(CASE graph_id WHEN '73a8da0f51b44c86' THEN ws.tok ELSE pt.tok END
+            AS bigint) AS total_tokens
+FROM cfg CROSS JOIN ws CROSS JOIN pt
 """,
         "kg_mentions": f"""
 {_KG_PREFIX}
