@@ -88,6 +88,21 @@ def _schema_induction_plan(spark, triples):
     )
 
 
+def _skew_join_plan(spark):
+    from pyspark.sql import functions as F
+
+    from text_to_graph_spark.operators.canonicalize import skew_salted_join
+    from text_to_graph_spark.sources.pages import synthesize_skewed_triples
+
+    t = synthesize_skewed_triples(spark, 5000, n_keys=100)
+    dim = (
+        t.select(F.col("subj"))
+        .distinct()
+        .withColumn("vid", F.pmod(F.xxhash64("subj"), F.lit(10**6)))
+    )
+    return skew_salted_join(t, dim, on="subj", salt_from="url")
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -101,6 +116,7 @@ def main() -> int:
     from text_to_graph_spark.operators.canonicalize import (
         triples_to_canonical_edges,
     )
+    from text_to_graph_spark.operators.chunking import chunk_pages
     from text_to_graph_spark.operators.extraction import extract_triples_from_pages
     from text_to_graph_spark.plans.introspect import plan_str
     from text_to_graph_spark.session import get_spark
@@ -231,6 +247,29 @@ def main() -> int:
         ),
         "first-touch attribution (one session window, min_by firsts)": (
             _attribution_plan(spark, sf)
+        ),
+        "walk training pairs (pair rollup + broadcast vid lookups)": (
+            GA.walk_training_pairs(
+                GA.random_walks(
+                    triples_to_canonical_edges(triples)
+                    .select(
+                        F.col("subj_key").alias("subj"),
+                        F.col("obj_key").alias("obj"),
+                    ),
+                    src="subj",
+                    dst="obj",
+                    n_walks=1,
+                    walk_len=2,
+                ),
+                triples.select(F.col("subj").alias("node")),
+                k=1,
+            )
+        ),
+        "skew-salted remap join (hot key spread over salt buckets)": (
+            _skew_join_plan(spark)
+        ),
+        "BPE-pretoken chunking (shuffle-free mapInPandas packer)": (
+            chunk_pages(pages.select("url", "text"), token_counter="pretoken")
         ),
     }
 
