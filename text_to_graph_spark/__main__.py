@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--lang", default=None)
     ap.add_argument("--dedup-pages", action="store_true")
     ap.add_argument(
+        "--token-counter",
+        default="whitespace",
+        choices=["whitespace", "pretoken"],
+        help="C5 chunk-size counter (trained-BPE runs pass merges via the"
+        " library API; the CLI exposes the two zero-artifact counters)",
+    )
+    ap.add_argument(
         "--graph-out",
         default=None,
         help="also materialize url-hash-bucketed nodes/edges tables here",
@@ -52,6 +59,7 @@ def main(argv: list[str] | None = None) -> int:
         impl=args.impl,
         lang_filter=args.lang,
         dedup_pages=args.dedup_pages,
+        token_counter=args.token_counter,
     )
     t0 = time.monotonic()
     pages = synthesize_pages(spark, args.sf_dir)
