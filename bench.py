@@ -126,9 +126,15 @@ def main() -> int:
         e = triples_to_canonical_edges(t)
         _force(connected_components(e, "subj_key", "obj_key"))
 
+    _skew_cache: dict = {}
+
     def _skew_inputs():
         # Zipf-head drill: one edge key on 30% of 4M occurrence rows, id
-        # map too large to broadcast (the 100 TB no-broadcast remap regime)
+        # map too large to broadcast (the 100 TB no-broadcast remap regime).
+        # Built once and shared by both drill entries (the fixture is the
+        # same untimed input either way; each entry times only its join).
+        if "t" in _skew_cache:
+            return _skew_cache["t"], _skew_cache["idmap"]
         from text_to_graph_spark.sources.pages import synthesize_skewed_triples
 
         t = synthesize_skewed_triples(spark, 4_000_000).localCheckpoint(
@@ -140,6 +146,7 @@ def main() -> int:
             .withColumn("vid", F.pmod(F.xxhash64("k"), F.lit(10**6)))
             .localCheckpoint(eager=True)
         )
+        _skew_cache["t"], _skew_cache["idmap"] = t, idmap
         return t, idmap
 
     def _skew_join(salted: bool):
