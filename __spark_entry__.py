@@ -469,6 +469,22 @@ def _q_kg_pagerank(spark, sf_dir):
     return pagerank(_edges(spark, sf_dir), src="subj", dst="obj")
 
 
+def _q_kg_pagerank_incremental(spark, sf_dir):
+    # warm-start PageRank — the daily-crawl-delta shape completing the
+    # incremental family (edges/nodes/components/dedup): converged scores
+    # from the "old" half of the edge list (48-bit md5 parity split) seed
+    # 2 warm iterations over the full graph; new nodes start uniform.
+    from text_to_graph_spark.operators.graphalgo import pagerank
+
+    e = _edges(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "subj", "obj")), 1, 12), 16, 10
+    ).cast("bigint")
+    old = e.where(F.pmod(h, F.lit(2)) == 0)
+    prior = pagerank(old, src="subj", dst="obj", iterations=5)
+    return pagerank(e, src="subj", dst="obj", iterations=2, prior=prior)
+
+
 def _q_kg_dense_vocab(spark, sf_dir):
     # scalable two-level dense ids over the node vocabulary: per-bucket
     # row_number + prefix-summed bucket offsets (graphalgo.dense_ids) — the
@@ -1929,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": _q_kg_components,
         "kg_components_incremental": _q_kg_components_incremental,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_pagerank_incremental": _q_kg_pagerank_incremental,
         "kg_dense_vocab": _q_kg_dense_vocab,
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_walk_training_pairs": _q_kg_walk_training_pairs,
@@ -2502,37 +2519,55 @@ def _pagerank_cte(
     iterations: int = 5,
     damping_pct: int = 85,
     edges_src: str = "SELECT DISTINCT subj AS u, obj AS v FROM edges",
+    prefix: str = "pr_",
+    rname: str = "r",
+    init_src: str | None = None,
 ) -> str:
-    """Unrolled fixed-point PageRank recurrence as chained CTEs (r0..rN),
-    mirroring operators/graphalgo.pagerank exactly: integer division
-    everywhere, dangling mass not redistributed. ``edges_src`` is any SQL
-    producing the (u, v) edge list (KG edges by default, host graph for
-    web_host_rank)."""
+    """Unrolled fixed-point PageRank recurrence as chained CTEs
+    ({rname}0..{rname}N), mirroring operators/graphalgo.pagerank exactly:
+    integer division everywhere, dangling mass not redistributed.
+    ``edges_src`` is any SQL producing the (u, v) edge list (KG edges by
+    default, host graph for web_host_rank). ``prefix``/``rname`` namespace
+    the CTEs so two chains compose in one oracle (the warm-start query);
+    ``init_src`` is optional SQL producing (node, r) prior scores —
+    coalesced with the uniform init, mirroring pagerank(prior=...)."""
     scale = 10**9
+    p = prefix
     parts = [
-        f"pr_edges AS ({edges_src})",
-        "pr_deg AS (SELECT u, count(*) AS d FROM pr_edges GROUP BY u)",
+        f"{p}edges AS ({edges_src})",
+        f"{p}deg AS (SELECT u, count(*) AS d FROM {p}edges GROUP BY u)",
         # explicit DISTINCT subquery: under WITH RECURSIVE, DuckDB gives a
         # bare UNION CTE recursive-form semantics and skips the global dedup
-        "pr_nodes AS (SELECT DISTINCT node FROM (SELECT u AS node"
-        " FROM pr_edges UNION ALL SELECT v FROM pr_edges))",
-        "pr_n AS (SELECT count(*) AS n FROM pr_nodes)",
-        f"r0 AS (SELECT node, {scale} // (SELECT n FROM pr_n) AS r"
-        " FROM pr_nodes)",
+        f"{p}nodes AS (SELECT DISTINCT node FROM (SELECT u AS node"
+        f" FROM {p}edges UNION ALL SELECT v FROM {p}edges))",
+        f"{p}n AS (SELECT count(*) AS n FROM {p}nodes)",
     ]
+    if init_src is None:
+        parts.append(
+            f"{rname}0 AS (SELECT node, {scale} // (SELECT n FROM {p}n) AS r"
+            f" FROM {p}nodes)"
+        )
+    else:
+        parts.append(
+            f"""{rname}0 AS (
+  SELECT nd.node,
+         coalesce(pw.r, {scale} // (SELECT n FROM {p}n)) AS r
+  FROM {p}nodes nd LEFT JOIN ({init_src}) pw ON pw.node = nd.node
+)"""
+        )
     # pre-multiplied numerator: DuckDB types small literals INT32 and
     # 15 * 1e9 overflows it
-    base = f"{(100 - damping_pct) * scale} // (100 * (SELECT n FROM pr_n))"
+    base = f"{(100 - damping_pct) * scale} // (100 * (SELECT n FROM {p}n))"
     for i in range(1, iterations + 1):
         parts.append(
-            f"""r{i} AS (
+            f"""{rname}{i} AS (
   SELECT nd.node,
          {base} + ({damping_pct} * coalesce(s.inc, 0)) // 100 AS r
-  FROM pr_nodes nd LEFT JOIN (
-    SELECT e.v AS node, sum(r{i-1}.r // dg.d) AS inc
-    FROM pr_edges e
-    JOIN r{i-1} ON r{i-1}.node = e.u
-    JOIN pr_deg dg ON dg.u = e.u
+  FROM {p}nodes nd LEFT JOIN (
+    SELECT e.v AS node, sum({rname}{i-1}.r // dg.d) AS inc
+    FROM {p}edges e
+    JOIN {rname}{i-1} ON {rname}{i-1}.node = e.u
+    JOIN {p}deg dg ON dg.u = e.u
     GROUP BY e.v
   ) s ON s.node = nd.node
 )"""
@@ -2890,6 +2925,23 @@ SELECT node, min(r) AS component FROM reach GROUP BY node
 {_KG_PREFIX},
 {_pagerank_cte()}
 SELECT node, CAST(r AS bigint) AS rank_e9 FROM r5
+""",
+        # warm-start PageRank: converged old-half scores (md5-parity edge
+        # split) seed 2 warm iterations over the full graph; the two
+        # recurrence chains compose via namespaced CTEs
+        "kg_pagerank_incremental": f"""
+{_KG_PREFIX},
+full_e AS (SELECT DISTINCT subj AS u, obj AS v FROM edges),
+old_e AS (
+  SELECT u, v FROM full_e
+  WHERE CAST(('0x' || substr(md5(u || '|' || v), 1, 12)) AS bigint) % 2 = 0
+),
+{_pagerank_cte(5, edges_src="SELECT u, v FROM old_e",
+               prefix="po_", rname="po_r")},
+{_pagerank_cte(2, edges_src="SELECT u, v FROM full_e",
+               prefix="pw_", rname="pw_r",
+               init_src="SELECT node, r FROM po_r5")}
+SELECT node, CAST(r AS bigint) AS rank_e9 FROM pw_r2
 """,
         # two-level dense-id vocabulary (bucketed row_number + prefix-summed
         # offsets), mirroring graphalgo.dense_ids bit-for-bit

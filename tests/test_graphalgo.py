@@ -64,6 +64,43 @@ class TestPagerank:
         }
         assert got == _pagerank_py(EDGES)
 
+    def test_warm_start_semantics(self, spark):
+        """prior=uniform must equal the cold start (seeding identity);
+        a converged prior on an unchanged symmetric graph is a literal
+        integer fixpoint, so one warm iteration reproduces it."""
+        e = _edge_df(spark, EDGES)
+        cold = pagerank(e, iterations=3).collect()
+        uniform = spark.createDataFrame(
+            [(r.node, 10**9 // len(cold)) for r in cold],
+            "node string, rank_e9 long",
+        )
+        warm = {
+            r.node: r.rank_e9
+            for r in pagerank(e, iterations=3, prior=uniform).collect()
+        }
+        assert warm == {r.node: r.rank_e9 for r in cold}
+
+        cyc = _edge_df(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+        fixed = pagerank(cyc, iterations=8)
+        again = {
+            r.node: r.rank_e9
+            for r in pagerank(cyc, iterations=1, prior=fixed).collect()
+        }
+        assert again == {r.node: r.rank_e9 for r in fixed.collect()}
+
+    def test_warm_start_new_nodes_get_uniform_init(self, spark):
+        """A delta adding a brand-new node: the new node seeds at the NEW
+        graph's uniform init, old nodes keep their prior."""
+        old = _edge_df(spark, EDGES)
+        prior = pagerank(old, iterations=5)
+        new_edges = EDGES + [("e", "zz")]
+        got = pagerank(
+            _edge_df(spark, new_edges), iterations=2, prior=prior
+        ).collect()
+        assert {r.node for r in got} == (
+            {u for u, _ in new_edges} | {v for _, v in new_edges}
+        )
+
 
 def _hits_py(edges, iterations=4):
     """Driver-side mirror of the exact integer HITS recurrence."""

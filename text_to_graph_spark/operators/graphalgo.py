@@ -176,6 +176,7 @@ def pagerank(
     dst: str = "obj",
     iterations: int = 5,
     damping_pct: int = 85,
+    prior: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank, exact bigint arithmetic.
 
@@ -183,6 +184,14 @@ def pagerank(
     + d% * sum_{u->v}(rank_i(u) // out_deg(u)) // 100. Dangling-node mass
     is not redistributed (documented variant: totals decay slightly, the
     ranking is unaffected). Returns (node, rank_e9).
+
+    ``prior``: optional (node, rank_e9) scores from a previous run — the
+    incremental warm start for the daily-crawl-delta shape: after a small
+    graph delta, a couple of warm iterations re-converge where a cold
+    start needs the full count; nodes absent from the prior (newly crawled)
+    start at the uniform init. Same exact-integer recurrence either way,
+    so warm results are a pure function of (edges, prior, iterations) —
+    bit-identical across engines and partitionings.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -201,7 +210,15 @@ def pagerank(
 
     init = RANK_SCALE // n
     base = (100 - damping_pct) * RANK_SCALE // (100 * n)
-    rank = nodes.select("node", F.lit(init).cast("bigint").alias("rank_e9"))
+    if prior is not None:
+        rank = nodes.join(
+            prior.select("node", F.col("rank_e9").alias("_p")), "node", "left"
+        ).select(
+            "node",
+            F.coalesce(F.col("_p"), F.lit(init)).cast("bigint").alias("rank_e9"),
+        )
+    else:
+        rank = nodes.select("node", F.lit(init).cast("bigint").alias("rank_e9"))
     for _ in range(iterations):
         inc = (
             e_deg.join(rank.withColumnRenamed("node", "u"), "u")
