@@ -412,6 +412,31 @@ class TestStreamingKillAndRestart:
         assert s3["n_batches"] == 1  # exactly the replayed batch
         assert table(s3["path"]) == want
 
+        # time travel: the first snapshot is the as-of state of batch 0
+        # (2 files' pages), monotonically contained in the final table
+        from text_to_graph_spark.streaming.ingest import (
+            list_edge_snapshots,
+            read_edge_snapshot,
+        )
+
+        ids = list_edge_snapshots(out)
+        assert len(ids) >= 4  # 2 batches per phase, 2 ingest phases
+        first = {
+            (r.subj_key, r.pred_key, r.obj_key): r.n_occurrences
+            for r in read_edge_snapshot(spark, out, ids[0]).collect()
+        }
+        latest = {
+            (r.subj_key, r.pred_key, r.obj_key): (r.n_docs, r.n_occurrences)
+            for r in read_edge_snapshot(spark, out).collect()
+        }
+        assert latest == want  # default read = the as-of-latest state
+        for k, n in first.items():
+            assert k in want and n <= want[k][1]  # counts only ever grow
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no snapshot"):
+            read_edge_snapshot(spark, out, 10_000)
+
 
 class TestStreamStaticEnrichment:
     def test_joined_stream_matches_batch_enrichment(self, spark, tmp_path):

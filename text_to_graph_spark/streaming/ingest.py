@@ -291,3 +291,42 @@ def streaming_enriched_events(
         "c_mktsegment",
         F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
     )
+
+
+def list_edge_snapshots(out_dir: str) -> list[int]:
+    """Batch ids of the committed edge-table snapshots under ``out_dir``
+    (ascending) — the time-travel axis of the versioned table
+    (:func:`streaming_incremental_edges` writes one ``v{batch_id}``
+    directory per micro-batch; Iceberg snapshot ids in production)."""
+    import os
+    import re
+
+    try:
+        names = os.listdir(out_dir)
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        m = re.fullmatch(r"v(\d+)", n)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_edge_snapshot(
+    spark: SparkSession, out_dir: str, batch_id: int | None = None
+) -> DataFrame:
+    """Time-travel read of the incremental edge table: the state AS OF a
+    streaming batch id (default: latest). Each snapshot is a complete
+    merged table, so reading one IS the as-of state — no replay needed
+    (``SELECT … FOR VERSION AS OF`` in Iceberg terms). Raises on an
+    unknown id so a typo cannot silently read a different version.
+    """
+    ids = list_edge_snapshots(out_dir)
+    if not ids:
+        raise FileNotFoundError(f"no edge snapshots under {out_dir}")
+    if batch_id is None:
+        batch_id = ids[-1]
+    if batch_id not in ids:
+        raise ValueError(f"no snapshot v{batch_id}; have {ids}")
+    return spark.read.parquet(f"{out_dir}/v{batch_id}")
