@@ -800,6 +800,12 @@ def _q_dedup_minhash_pairs(spark, sf_dir):
     return D.minhash_candidate_pairs(_docs(spark, sf_dir))
 
 
+def _q_dedup_band_load(spark, sf_dir):
+    # LSH bucket-load pre-flight: exact candidate-pair mass per (band,
+    # log2 bucket size) — predicts the band join's cost before running it
+    return D.band_load_stats(_docs(spark, sf_dir))
+
+
 def _q_dedup_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
 
@@ -1978,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_band_load": _q_dedup_band_load,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_embedding": _q_dedup_embedding,
@@ -3291,6 +3298,25 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM bands a JOIN bands b ON a.h = b.h AND a.band = b.band
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
+""",
+        # LSH bucket-load histogram: C(size,2) mass per (band, log2 size)
+        "dedup_band_load": f"""
+WITH {_MINHASH_CTE},
+bands AS (
+  SELECT mh0 AS h, 0 AS band FROM sig
+  UNION ALL SELECT mh1, 1 FROM sig
+  UNION ALL SELECT mh2, 2 FROM sig
+  UNION ALL SELECT mh3, 3 FROM sig
+),
+buckets AS (
+  SELECT band, h, count(*) AS sz FROM bands GROUP BY 1, 2
+)
+SELECT CAST(band AS int) AS band,
+       CAST(length(bin(sz)) AS int) AS size_bucket,
+       CAST(count(*) AS bigint) AS n_buckets,
+       CAST(max(sz) AS bigint) AS max_bucket_size,
+       CAST(sum(sz * (sz - 1) // 2) AS bigint) AS n_candidate_pairs
+FROM buckets GROUP BY 1, 2
 """,
         "dedup_simhash": """
 WITH toks AS (

@@ -75,6 +75,23 @@ def test_minhash_pairs_find_exact_and_near(docs):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_band_load_mass_equals_pair_join_cost(docs):
+    """The pre-flight's candidate-pair mass must equal what the band join
+    actually pays: sum over buckets of C(size,2) == sum over emitted pairs
+    of n_bands_shared (each shared band contributes one bucket co-residence).
+    """
+    from text_to_graph_spark.operators.dedup import band_load_stats
+
+    stats = band_load_stats(docs).collect()
+    mass = sum(r.n_candidate_pairs for r in stats)
+    pairs = minhash_candidate_pairs(docs).collect()
+    assert mass == sum(r.n_bands_shared for r in pairs)
+    # singleton buckets contribute zero pairs and max size stays exact
+    for r in stats:
+        if r.size_bucket == 1:
+            assert r.n_candidate_pairs == 0 and r.max_bucket_size == 1
+
+
 def test_ngram_jaccard_exact_values(docs):
     got = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in ngram_jaccard_pairs(docs, group_col="source", threshold=0.0).collect()}

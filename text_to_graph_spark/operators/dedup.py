@@ -108,6 +108,58 @@ def minhash_candidate_pairs(
     )
 
 
+def band_load_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH bucket-load diagnostics — the pre-flight that predicts whether
+    the band join will blow up BEFORE paying for it.
+
+    The candidate-pair join's cost is sum over buckets of C(size, 2): one
+    overloaded bucket (boilerplate shingles hashing every mirror page
+    together) quadratically dominates the whole near-dup job at corpus
+    scale. Per (band, log2 bucket size): bucket count, the largest bucket,
+    and the EXACT candidate-pair mass those buckets contribute — all
+    integer (size*(size-1) DIV 2), bit-equal across engines. Reading the
+    top size_bucket rows tells you whether to shard hot buckets or raise
+    the shingle length before launching the join. One signature pass + a
+    (band, hash)-keyed partial-agg count; the histogram itself is ~64 rows
+    per band. Returns
+    (band, size_bucket, n_buckets, max_bucket_size, n_candidate_pairs).
+    """
+    sig = minhash_signatures(docs, id_col, text_col, n, bands).localCheckpoint(
+        eager=True
+    )
+    per_band = None
+    for b in range(bands):
+        part = sig.select(F.col(f"mh{b}").alias("h"), F.lit(b).alias("band"))
+        per_band = part if per_band is None else per_band.unionByName(part)
+    buckets = per_band.groupBy("band", "h").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        buckets.withColumn(
+            "size_bucket", F.length(F.bin("sz")).cast("int")
+        )
+        .groupBy("band", "size_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("sz").alias("max_bucket_size"),
+            F.sum(F.expr("sz * (sz - 1) DIV 2")).alias("n_candidate_pairs"),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "size_bucket",
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            F.col("max_bucket_size").cast("bigint").alias("max_bucket_size"),
+            F.col("n_candidate_pairs").cast("bigint").alias("n_candidate_pairs"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     group_col: str,
