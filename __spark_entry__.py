@@ -288,6 +288,25 @@ def _q_kg_edges_incremental(spark, sf_dir):
     )
 
 
+def _q_kg_edges_diff(spark, sf_dir):
+    # snapshot diff: old = the md5-half "previous crawl", new = the full
+    # corpus; emits only added/changed (removed impossible when old ⊂ new)
+    from text_to_graph_spark.operators.canonicalize import diff_canonical_edges
+
+    t = _stages(spark, sf_dir)["triples"]
+    cond = F.substring(F.md5("url"), 1, 1).isin(*list("01234567"))
+    old = triples_to_canonical_edges(t.where(cond))
+    new = _stages(spark, sf_dir)["edges"]
+    return diff_canonical_edges(old, new).select(
+        F.col("subj_key").alias("subj"),
+        F.col("pred_key").alias("pred"),
+        F.col("obj_key").alias("obj"),
+        "status",
+        "n_docs_delta",
+        "n_occurrences_delta",
+    )
+
+
 def _q_kg_nodes(spark, sf_dir):
     nodes = triples_to_canonical_nodes(
         _stages(spark, sf_dir)["triples"], category_of=vocab_category_table(spark)
@@ -1933,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_sql_impl": _q_kg_triples_sql_impl,
         "kg_edges": _q_kg_edges,
         "kg_edges_incremental": _q_kg_edges_incremental,
+        "kg_edges_diff": _q_kg_edges_diff,
         "kg_edges_streamed_incremental": _q_kg_edges_streamed_incremental,
         "kg_nodes": _q_kg_nodes,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
@@ -2714,6 +2734,38 @@ SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
         "kg_edges_incremental": f"""
 {_KG_PREFIX}
 SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
+""",
+        # snapshot diff: old = md5-half of the corpus, new = full; only
+        # differing keys emitted, deltas exact
+        "kg_edges_diff": f"""
+{_KG_PREFIX},
+old_e AS (
+  SELECT subj, pred, obj,
+         count(DISTINCT url) AS n_docs,
+         count(*)            AS n_occurrences
+  FROM triples WHERE substr(md5(url), 1, 1) IN
+    ('0','1','2','3','4','5','6','7')
+  GROUP BY 1, 2, 3
+)
+SELECT coalesce(e.subj, o.subj) AS subj,
+       coalesce(e.pred, o.pred) AS pred,
+       coalesce(e.obj, o.obj)   AS obj,
+       CASE WHEN o.n_occurrences IS NULL THEN 'added'
+            WHEN e.n_occurrences IS NULL THEN 'removed'
+            WHEN o.n_docs <> e.n_docs
+                 OR o.n_occurrences <> e.n_occurrences THEN 'changed'
+       END AS status,
+       CAST(coalesce(e.n_docs, 0) - coalesce(o.n_docs, 0) AS bigint)
+         AS n_docs_delta,
+       CAST(coalesce(e.n_occurrences, 0) - coalesce(o.n_occurrences, 0)
+            AS bigint) AS n_occurrences_delta
+FROM old_e o FULL JOIN edges e
+  ON e.subj = o.subj AND e.pred = o.pred AND e.obj = o.obj
+WHERE (CASE WHEN o.n_occurrences IS NULL THEN 'added'
+            WHEN e.n_occurrences IS NULL THEN 'removed'
+            WHEN o.n_docs <> e.n_docs
+                 OR o.n_occurrences <> e.n_occurrences THEN 'changed'
+       END) IS NOT NULL
 """,
         # streaming foreachBatch upsert: same invariant, same oracle
         "kg_edges_streamed_incremental": f"""

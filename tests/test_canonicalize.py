@@ -155,6 +155,53 @@ def test_merge_canonical_edges_one_sided_keys(spark):
     assert got["x"].n_occurrences == 2 and got["x"].doc_ids == ["u2"]
 
 
+def test_diff_canonical_edges_statuses_and_merge_inverse(spark):
+    """All three statuses, exact deltas, unchanged rows suppressed; and
+    diff(a, merge(a, b)) never reports 'removed' (the merge only grows)."""
+    from text_to_graph_spark.operators.canonicalize import (
+        diff_canonical_edges,
+        merge_canonical_edges,
+    )
+
+    schema = (
+        "subj_key string, pred_key string, obj_key string, "
+        "subj_label string, pred_label string, obj_label string, "
+        "doc_ids array<string>, n_docs long, n_occurrences long"
+    )
+    old = spark.createDataFrame(
+        [
+            ("s", "p", "o", "S", "P", "O", ["u1"], 1, 3),   # will change
+            ("g", "p", "o", "G", "P", "O", ["u1"], 1, 1),   # removed
+            ("k", "p", "o", "K", "P", "O", ["u3"], 1, 2),   # unchanged
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("s", "p", "o", "S", "P", "O", ["u1", "u2"], 2, 5),
+            ("x", "p", "o", "X", "P", "O", ["u2"], 1, 2),   # added
+            ("k", "p", "o", "K", "P", "O", ["u3"], 1, 2),
+        ],
+        schema,
+    )
+    got = {r.subj_key: r for r in diff_canonical_edges(old, new).collect()}
+    assert set(got) == {"s", "g", "x"}  # 'k' (unchanged) suppressed
+    assert got["s"].status == "changed"
+    assert (got["s"].n_docs_delta, got["s"].n_occurrences_delta) == (1, 2)
+    assert got["g"].status == "removed"
+    assert (got["g"].n_docs_delta, got["g"].n_occurrences_delta) == (-1, -1)
+    assert got["x"].status == "added"
+    assert (got["x"].n_docs_delta, got["x"].n_occurrences_delta) == (1, 2)
+
+    # merge only ever grows counts: diff vs the merged table has no removals
+    delta_only = spark.createDataFrame(
+        [("x", "p", "o", "X", "P", "O", ["u2"], 1, 2)], schema
+    )
+    merged = merge_canonical_edges(old, delta_only)
+    d2 = diff_canonical_edges(old, merged).collect()
+    assert {r.status for r in d2} == {"added"}
+
+
 def test_merge_canonical_nodes_equals_batch(spark, pages_smoke):
     from text_to_graph_spark.operators.canonicalize import merge_canonical_nodes
     from text_to_graph_spark.operators.extraction import extract_triples_from_pages

@@ -395,6 +395,48 @@ def merge_canonical_edges(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def diff_canonical_edges(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff — the inverse of :func:`merge_canonical_edges`: what
+    changed between two canonical edge tables (two crawl snapshots, or two
+    time-travel reads of the versioned streaming table).
+
+    Returns only the rows that differ — (subj_key, pred_key, obj_key,
+    status, n_docs_delta, n_occurrences_delta) with status
+    'added' | 'removed' | 'changed'; unchanged edges (the overwhelming
+    majority between adjacent snapshots) are filtered before anything
+    moves downstream. One key-level full-outer join of two
+    already-aggregated tables — the same cost shape as the merge, and the
+    audit/alerting counterpart to it at 100 TB (what did today's crawl do
+    to the graph?).
+    """
+    keys = ["subj_key", "pred_key", "obj_key"]
+    j = old.alias("o").join(new.alias("n"), keys, "full_outer")
+    status = (
+        F.when(F.col("o.n_occurrences").isNull(), F.lit("added"))
+        .when(F.col("n.n_occurrences").isNull(), F.lit("removed"))
+        .when(
+            (F.col("o.n_docs") != F.col("n.n_docs"))
+            | (F.col("o.n_occurrences") != F.col("n.n_occurrences")),
+            F.lit("changed"),
+        )
+    )
+    return (
+        j.select(
+            *keys,
+            status.alias("status"),
+            (
+                F.coalesce(F.col("n.n_docs"), F.lit(0))
+                - F.coalesce(F.col("o.n_docs"), F.lit(0))
+            ).cast("long").alias("n_docs_delta"),
+            (
+                F.coalesce(F.col("n.n_occurrences"), F.lit(0))
+                - F.coalesce(F.col("o.n_occurrences"), F.lit(0))
+            ).cast("long").alias("n_occurrences_delta"),
+        )
+        .where(F.col("status").isNotNull())
+    )
+
+
 def merge_canonical_nodes(a: DataFrame, b: DataFrame) -> DataFrame:
     """Node-table twin of :func:`merge_canonical_edges`: merge canonical
     node tables from url-disjoint corpus slices into exactly the batch
