@@ -1159,6 +1159,14 @@ def _q_events_hll(spark, sf_dir):
     return EV.hll_distinct(_events(spark, sf_dir))
 
 
+def _q_kg_predicate_synonyms(spark, sf_dir):
+    # synonym-relation discovery: same-(subj,obj) predicate overlap, exact
+    # ppm Jaccard — the same-direction sibling of kg_inverse_predicates
+    return G.predicate_synonyms(
+        _edges(spark, sf_dir), src="subj", dst="obj", label="pred"
+    )
+
+
 def _q_kg_inverse_predicates(spark, sf_dir):
     # inverse-relation discovery: share of p-edges whose reverse exists
     # under q, exact ppm
@@ -2027,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_coverage": _q_text_vocab_coverage,
         "events_hll": _q_events_hll,
         "kg_inverse_predicates": _q_kg_inverse_predicates,
+        "kg_predicate_synonyms": _q_kg_predicate_synonyms,
         "kg_pred_closure": _q_kg_pred_closure,
         "web_equivalence": _q_web_equivalence,
         "kg_clustering": _q_kg_clustering,
@@ -3741,6 +3750,27 @@ SELECT grp AS event_type,
             AS bigint) AS est_distinct_hll,
        CAST(64 - n_present AS bigint) AS n_empty_buckets
 FROM p
+""",
+        # synonym-relation discovery: same-(subj,obj) predicate overlap,
+        # exact-ppm Jaccard
+        "kg_predicate_synonyms": f"""
+{_KG_PREFIX},
+e AS (SELECT DISTINCT subj AS s, obj AS o, pred AS p FROM edges),
+tot AS (SELECT p, count(*) AS n FROM e GROUP BY p),
+sh AS (
+  SELECT a.p AS pred_a, b.p AS pred_b, count(*) AS n_shared
+  FROM e a JOIN e b ON a.s = b.s AND a.o = b.o
+  WHERE a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT sh.pred_a, sh.pred_b,
+       CAST(sh.n_shared AS bigint) AS n_shared,
+       CAST(ta.n AS bigint) AS n_a,
+       CAST(tb.n AS bigint) AS n_b,
+       CAST(CAST(sh.n_shared AS hugeint) * 1000000
+            // (ta.n + tb.n - sh.n_shared) AS bigint) AS jaccard_e6
+FROM sh JOIN tot ta ON ta.p = sh.pred_a
+        JOIN tot tb ON tb.p = sh.pred_b
 """,
         # inverse-relation discovery: reversed-key self-join, exact ppm
         "kg_inverse_predicates": f"""

@@ -791,3 +791,36 @@ class TestClusteringCoefficient:
         # h: neighbors {a,b,s}, 3 possible pairs, 1 present (a-b)
         assert got["h"] == (3, 1, 2 * 1 * 1000000 // 6)
         assert got["s"] == (1, 0, 0)                # degree-1 -> 0
+
+
+class TestPredicateSynonyms:
+    def test_jaccard_exact_and_blocking(self, spark):
+        from text_to_graph_spark.operators.graphq import predicate_synonyms
+
+        rows = [
+            # p and q share 2 of 3 pairs; r shares none
+            ("a", "p", "b"), ("c", "p", "d"), ("e", "p", "f"),
+            ("a", "q", "b"), ("c", "q", "d"),
+            ("x", "r", "y"),
+        ]
+        e = spark.createDataFrame(rows, "subj string, pred string, obj string")
+        got = {
+            (r.pred_a, r.pred_b): r
+            for r in predicate_synonyms(
+                e, src="subj", dst="obj", label="pred"
+            ).collect()
+        }
+        assert set(got) == {("p", "q")}  # r never meets anyone (blocking)
+        r = got[("p", "q")]
+        assert (r.n_shared, r.n_a, r.n_b) == (2, 3, 2)
+        assert r.jaccard_e6 == 2 * 10**6 // 3  # |∩|=2, |∪|=3
+
+    def test_duplicate_edges_do_not_inflate(self, spark):
+        from text_to_graph_spark.operators.graphq import predicate_synonyms
+
+        rows = [("a", "p", "b")] * 3 + [("a", "q", "b")] * 2
+        e = spark.createDataFrame(rows, "subj string, pred string, obj string")
+        got = predicate_synonyms(
+            e, src="subj", dst="obj", label="pred", min_shared=1
+        ).collect()
+        assert len(got) == 1 and got[0].n_shared == 1  # distinct pair sets

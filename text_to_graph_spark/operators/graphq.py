@@ -405,6 +405,61 @@ def entity_postings(triples: DataFrame, max_docs: int = 32) -> DataFrame:
     )
 
 
+def predicate_synonyms(
+    edges: DataFrame,
+    src: str = "subj_key",
+    dst: str = "obj_key",
+    label: str = "pred_key",
+    min_shared: int = 2,
+) -> DataFrame:
+    """Synonym-predicate discovery: predicate pairs (p, q) whose edge sets
+    overlap on the same (subj, obj) pairs — the ontology-dedup signal
+    ("uses"/"employs", "located_in"/"in") a canonicalization pass collapses
+    into one relation, the same-direction sibling of
+    :func:`inverse_predicates`.
+
+    (pred_a, pred_b, n_shared, n_a, n_b, jaccard_e6) with pred_a < pred_b;
+    ``jaccard_e6`` is the exact-ppm Jaccard of the two predicates' distinct
+    (subj, obj) sets. High overlap = synonym candidates; the report is
+    schema-sized (≤ |preds|²) regardless of corpus size.
+
+    Scale shape: candidates come from ONE self-equi-join on the (subj, obj)
+    pair key — predicates sharing no pair never meet (never all-pairs);
+    per-pair cost is C(k, 2) over the k predicates on that node pair,
+    bounded by the predicate vocabulary. Totals are schema-sized and
+    broadcast back.
+    """
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("o"), F.col(label).alias("p")
+    ).distinct()
+    totals = e.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    q = e.select("s", "o", F.col("p").alias("q"))
+    shared = (
+        e.join(q, ["s", "o"])
+        .where(F.col("p") < F.col("q"))
+        .groupBy(F.col("p").alias("pred_a"), F.col("q").alias("pred_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    ta = totals.select(F.col("p").alias("pred_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("p").alias("pred_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(ta), "pred_a")
+        .join(F.broadcast(tb), "pred_b")
+        .select(
+            "pred_a",
+            "pred_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr(
+                "CAST(n_shared AS decimal(38,0)) * 1000000"
+                " DIV (n_a + n_b - n_shared)"
+            ).cast("bigint").alias("jaccard_e6"),
+        )
+    )
+
+
 def inverse_predicates(
     edges: DataFrame,
     src: str = "subj_key",
