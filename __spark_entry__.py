@@ -288,6 +288,14 @@ def _q_kg_edges_incremental(spark, sf_dir):
     )
 
 
+def _q_kg_ntriples(spark, sf_dir):
+    # RDF N-Triples export: md5-of-key IRIs + escaped label literals —
+    # the KG interchange lines, a pure projection over the edge table
+    from text_to_graph_spark.sinks.graph_tables import render_ntriples
+
+    return render_ntriples(_stages(spark, sf_dir)["edges"])
+
+
 def _q_kg_edges_diff(spark, sf_dir):
     # snapshot diff: old = the md5-half "previous crawl", new = the full
     # corpus; emits only added/changed (removed impossible when old ⊂ new)
@@ -1961,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _q_kg_edges,
         "kg_edges_incremental": _q_kg_edges_incremental,
         "kg_edges_diff": _q_kg_edges_diff,
+        "kg_ntriples": _q_kg_ntriples,
         "kg_edges_streamed_incremental": _q_kg_edges_streamed_incremental,
         "kg_nodes": _q_kg_nodes,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
@@ -2743,6 +2752,27 @@ SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
         "kg_edges_incremental": f"""
 {_KG_PREFIX}
 SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
+""",
+        # N-Triples export: md5-IRI edge lines + escaped label literals
+        "kg_ntriples": f"""
+{_KG_PREFIX}
+SELECT '<urn:t2g:node:' || md5(subj) || '> <urn:t2g:pred:' || md5(pred)
+       || '> <urn:t2g:node:' || md5(obj) || '> .' AS ntriple
+FROM edges
+UNION ALL
+SELECT '<urn:t2g:node:' || md5(key) || '> <urn:t2g:pred:label> "'
+       || replace(replace(replace(replace(replace(key,
+            chr(92), chr(92) || chr(92)),
+            '"', chr(92) || '"'),
+            chr(10), chr(92) || 'n'),
+            chr(13), chr(92) || 'r'),
+            chr(9), chr(92) || 't')
+       || '" .' AS ntriple
+FROM (
+  SELECT DISTINCT key FROM (
+    SELECT subj AS key FROM edges UNION ALL SELECT obj FROM edges
+  )
+)
 """,
         # snapshot diff: old = md5-half of the corpus, new = full; only
         # differing keys emitted, deltas exact

@@ -137,3 +137,35 @@ class TestRobotsFilter:
             "https://a.test/keep/1",
             "https://b.test/private/2",  # b.test has no rule
         }
+
+
+class TestNtriplesExport:
+    def test_escaping_and_line_shapes(self, spark):
+        """Adversarial labels (backslash/quote/newline/tab) escape to valid
+        N-Triples; edge and label lines parse back losslessly."""
+        from text_to_graph_spark.sinks.graph_tables import render_ntriples
+
+        edges = spark.createDataFrame(
+            [('a"b', "p", "c\\d"), ("e\nf", "p", "g\th")],
+            "subj_key string, pred_key string, obj_key string",
+        )
+        lines = [r.ntriple for r in render_ntriples(edges).collect()]
+        assert len(lines) == 2 + 4  # 2 edges + 4 distinct node labels
+        for ln in lines:
+            assert ln.endswith(" .")
+            assert "\n" not in ln and "\t" not in ln  # raw control chars escaped
+        labels = sorted(ln for ln in lines if ":label> " in ln)
+        assert any('"a\\"b"' in ln for ln in labels)
+        assert any('"c\\\\d"' in ln for ln in labels)
+        assert any('"e\\nf"' in ln for ln in labels)
+        assert any('"g\\th"' in ln for ln in labels)
+
+    def test_pure_projection_no_shuffle_for_edge_lines(self, spark):
+        from text_to_graph_spark.plans.introspect import count_exchanges
+        from text_to_graph_spark.sinks.graph_tables import render_ntriples
+
+        edges = spark.createDataFrame(
+            [("a", "p", "b")], "subj_key string, pred_key string, obj_key string"
+        )
+        # one distinct for the label map is the only exchange
+        assert count_exchanges(render_ntriples(edges)) <= 1

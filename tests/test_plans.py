@@ -422,3 +422,31 @@ def test_skew_salted_join_spreads_hot_key_no_single_reducer(spark):
         assert a == b
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_diff_and_synonyms_no_cartesian_no_single_reducer(spark):
+    from text_to_graph_spark.operators.canonicalize import diff_canonical_edges
+    from text_to_graph_spark.operators.graphq import predicate_synonyms
+
+    schema = (
+        "subj_key string, pred_key string, obj_key string, "
+        "subj_label string, pred_label string, obj_label string, "
+        "doc_ids array<string>, n_docs long, n_occurrences long"
+    )
+    a = spark.createDataFrame(
+        [("s", "p", "o", "S", "P", "O", ["u1"], 1, 3)], schema
+    )
+    b = spark.createDataFrame(
+        [("x", "p", "o", "X", "P", "O", ["u2"], 1, 2)], schema
+    )
+    d = diff_canonical_edges(a, b)
+    s = plan_str(d, "simple")
+    assert "CartesianProduct" not in s
+
+    e = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "q", "b")], "subj string, pred string, obj string"
+    )
+    syn = predicate_synonyms(e, src="subj", dst="obj", label="pred")
+    s2 = plan_str(syn, "simple")
+    assert "CartesianProduct" not in s2  # pair-key equi-join, never all-pairs
+    assert has_broadcast_join(syn)       # schema-sized totals broadcast

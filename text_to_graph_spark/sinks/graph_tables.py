@@ -69,3 +69,54 @@ def edges_of_subject(
 
 def bucket_expr_lit(value: str, n_buckets: int = DEFAULT_BUCKETS):
     return F.pmod(F.xxhash64(F.lit(value)), F.lit(n_buckets)).cast("int")
+
+
+def render_ntriples(edges: DataFrame) -> DataFrame:
+    """Distributed RDF N-Triples export of the canonical edge table — the
+    standard KG interchange the reference's CSV sink cannot speak.
+
+    Two line families, one ``ntriple`` string column (write with
+    ``.write.text()`` — a pure projection, no shuffle, any partitioning):
+
+    - edge lines: ``<urn:t2g:node:md5(key)> <urn:t2g:pred:md5(key)>
+      <urn:t2g:node:md5(key)> .`` — md5-of-key IRIs are IRI-safe by
+      construction for arbitrary labels and stable across exports (no
+      dense-id pass, no percent-encoding table to keep in sync).
+    - label lines: ``<urn:t2g:node:md5> <urn:t2g:pred:label> "..." .``
+      with N-Triples string escaping (backslash first, then quote, LF,
+      CR, TAB) so round-tripping through any RDF parser is lossless.
+
+    Deterministic: identical chained-replace escaping on both engines.
+    """
+    subj_iri = F.concat(F.lit("<urn:t2g:node:"), F.md5("subj_key"), F.lit(">"))
+    pred_iri = F.concat(F.lit("<urn:t2g:pred:"), F.md5("pred_key"), F.lit(">"))
+    obj_iri = F.concat(F.lit("<urn:t2g:node:"), F.md5("obj_key"), F.lit(">"))
+    edge_lines = edges.select(
+        F.concat_ws(" ", subj_iri, pred_iri, obj_iri, F.lit(".")).alias("ntriple")
+    )
+
+    def esc(col):
+        # literal (non-regex) replaces; backslash first so escapes are
+        # never themselves re-escaped
+        out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+        out = F.replace(out, F.lit('"'), F.lit('\\"'))
+        out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+        out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+        out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+        return out
+
+    nodes = (
+        edges.select(F.col("subj_key").alias("key"))
+        .unionByName(edges.select(F.col("obj_key").alias("key")))
+        .distinct()
+    )
+    label_lines = nodes.select(
+        F.concat(
+            F.lit("<urn:t2g:node:"),
+            F.md5("key"),
+            F.lit('> <urn:t2g:pred:label> "'),
+            esc(F.col("key")),
+            F.lit('" .'),
+        ).alias("ntriple")
+    )
+    return edge_lines.unionByName(label_lines)
