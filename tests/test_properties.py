@@ -151,3 +151,34 @@ class TestVocabModelProperties:
             and toks[i + 2] in ENTITY_CATEGORIES
         ]
         assert list(zip(got["pos"], got["subj"], got["pred"], got["obj"])) == expect
+
+
+# --- kit/bpe.py properties ---------------------------------------------------
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_bpe_pretokenize_lossless_any_text(text):
+    from text_to_graph_spark.kit.bpe import pretokenize
+
+    assert "".join(pretokenize(text)) == text
+
+
+@given(st.lists(st.text(min_size=1, max_size=60), min_size=1, max_size=8),
+       st.text(max_size=120))
+@settings(max_examples=100, deadline=None)
+def test_bpe_roundtrip_and_bounds_any_text(corpus, text):
+    from text_to_graph_spark.kit.bpe import BPE, count_pretokens, train_bpe
+
+    enc = BPE(train_bpe(corpus, 16))
+    toks = enc.encode(text)
+    assert enc.decode(toks) == text  # byte-exact for arbitrary unicode
+    assert count_pretokens(text) <= enc.count(text) <= len(text.encode("utf-8"))
+
+
+@given(st.lists(st.text(min_size=1, max_size=40), min_size=1, max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_bpe_training_order_invariant(corpus):
+    from text_to_graph_spark.kit.bpe import train_bpe
+
+    assert train_bpe(corpus, 8) == train_bpe(list(reversed(corpus)), 8)
