@@ -582,6 +582,23 @@ def _q_kg_communities(spark, sf_dir):
     )
 
 
+def _q_kg_community_graph(spark, sf_dir):
+    # quotient graph: contract nodes to their LPA community, count the
+    # distinct underlying edges per community pair (intra rows kept — the
+    # compression diagnostic)
+    from text_to_graph_spark.operators.graphalgo import (
+        community_quotient,
+        label_propagation,
+    )
+
+    # rounds=1: the dense synthetic KG collapses to one community by
+    # round 2, so the single-round assignment is the discriminative
+    # contract (3 communities, 5 quotient rows at sf0.01)
+    e = _edges(spark, sf_dir)
+    comm = label_propagation(e, src="subj", dst="obj", rounds=1)
+    return community_quotient(e, comm, src="subj", dst="obj")
+
+
 def _q_kg_link_prediction(spark, sf_dir):
     # common-neighbor / neighbor-Jaccard link prediction with the wedge
     # centers degree-capped at 32 (the web-scale hub bound; oracle mirrors
@@ -1995,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_weighted_sssp": _q_kg_weighted_sssp,
         "kg_triangles": _q_kg_triangles,
         "kg_communities": _q_kg_communities,
+        "kg_community_graph": _q_kg_community_graph,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_kcore": _q_kg_kcore,
         "kg_node_type_counts": _q_kg_node_type_counts,
@@ -3110,6 +3128,18 @@ FROM allnodes n LEFT JOIN (
 {_KG_PREFIX},
 {_lpa_cte()}
 SELECT node, community FROM lp4
+""",
+        # quotient graph: contract to LPA communities, count distinct
+        # underlying directed edges per community pair
+        "kg_community_graph": f"""
+{_KG_PREFIX},
+{_lpa_cte(rounds=1)},
+de AS (SELECT DISTINCT subj AS u, obj AS v FROM edges)
+SELECT cu.community AS comm_src, cv.community AS comm_dst,
+       CAST(count(*) AS bigint) AS n_edges
+FROM de JOIN lp1 cu ON cu.node = de.u
+        JOIN lp1 cv ON cv.node = de.v
+GROUP BY 1, 2
 """,
         # common-neighbor link prediction with wedge centers degree-capped
         # at 32 (mirrors the Spark cap); jaccard in exact integer ppm

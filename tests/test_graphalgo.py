@@ -261,6 +261,52 @@ class TestLabelPropagation:
         assert set(got) == {"a", "b", "c", "x", "y", "z"}
 
 
+class TestCommunityQuotient:
+    # two triangles a-b-c / x-y-z joined by bridge c->x (directed edges as
+    # listed in TestLabelPropagation.CLUSTERED)
+    EDGES = TestLabelPropagation.CLUSTERED
+
+    def _run(self, spark, assignments):
+        from text_to_graph_spark.operators.graphalgo import community_quotient
+
+        e = _edge_df(spark, self.EDGES)
+        a = spark.createDataFrame(assignments, "node string, community string")
+        return {
+            (r.comm_src, r.comm_dst): r.n_edges
+            for r in community_quotient(e, a).collect()
+        }
+
+    TWO_COMMS = [
+        ("a", "A"), ("b", "A"), ("c", "A"),
+        ("x", "X"), ("y", "X"), ("z", "X"),
+    ]
+
+    def test_contract_two_triangles(self, spark):
+        # 3 intra edges each side + the single bridge; direction preserved
+        assert self._run(spark, self.TWO_COMMS) == {
+            ("A", "A"): 3, ("X", "X"): 3, ("A", "X"): 1,
+        }
+
+    def test_duplicate_edges_counted_once(self, spark):
+        from text_to_graph_spark.operators.graphalgo import community_quotient
+
+        e = _edge_df(spark, self.EDGES + [("c", "x"), ("c", "x")])
+        a = spark.createDataFrame(
+            self.TWO_COMMS, "node string, community string"
+        )
+        got = {
+            (r.comm_src, r.comm_dst): r.n_edges
+            for r in community_quotient(e, a).collect()
+        }
+        assert got[("A", "X")] == 1  # DISTINCT underlying edges
+
+    def test_singleton_communities_identity(self, spark):
+        # every node its own community: quotient == distinct edge list
+        singletons = [(n, n) for n in "abcxyz"]
+        got = self._run(spark, singletons)
+        assert got == {(u, v): 1 for u, v in self.EDGES}
+
+
 class TestCommonNeighbors:
     # square a-b-d-c-a: the two diagonals (a,d) and (b,c) each share both
     # opposite corners; every adjacent pair shares 0 common neighbors

@@ -690,6 +690,42 @@ def walk_skipgram_pairs(
     )
 
 
+def community_quotient(
+    edges: DataFrame,
+    assignments: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Quotient (super-node) graph: contract every node to its community
+    and count the distinct underlying edges between community pairs — the
+    graph-compression step that turns a billion-edge KG into a
+    community-level map small enough to serve, and the standard
+    coarsening move for multilevel layout/partitioning.
+
+    (comm_src, comm_dst, n_edges) over the DISTINCT directed edge list;
+    intra-community rows (comm_src == comm_dst) are kept — their share is
+    the compression diagnostic (how much of the graph the contraction
+    absorbs). Scale shape: two equi-joins of the edge list against the
+    (node, community) map plus one partial-agg'd rollup whose cardinality
+    is bounded by |communities|²; a hub community that dominates the map
+    is the :func:`~text_to_graph_spark.operators.canonicalize.
+    skew_salted_join` use case.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    cu = assignments.select(
+        F.col("node").alias("u"), F.col("community").alias("comm_src")
+    )
+    cv = assignments.select(
+        F.col("node").alias("v"), F.col("community").alias("comm_dst")
+    )
+    return (
+        e.join(cu, "u")
+        .join(cv, "v")
+        .groupBy("comm_src", "comm_dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+
+
 def walk_training_pairs(
     walks: DataFrame,
     vocab_nodes: DataFrame,
