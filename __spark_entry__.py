@@ -599,6 +599,35 @@ def _q_kg_community_graph(spark, sf_dir):
     return community_quotient(e, comm, src="subj", dst="obj")
 
 
+def _q_kg_source_reliability(spark, sf_dir):
+    # truth discovery step 1: majority-vote each (subj,pred), score every
+    # source by agreement with the consensus (TruthFinder/Knowledge-Vault
+    # one-step, exact-integer ppm)
+    from text_to_graph_spark.operators.fusion import (
+        source_claims,
+        source_reliability,
+        vote_facts,
+    )
+
+    claims = source_claims(_stages(spark, sf_dir)["triples"])
+    return source_reliability(claims, vote_facts(claims))
+
+
+def _q_kg_fused_facts(spark, sf_dir):
+    # truth discovery step 2: reliability-weighted re-vote; the fused fact
+    # table a downstream KG consumer would actually load
+    from text_to_graph_spark.operators.fusion import (
+        fused_facts,
+        source_claims,
+        source_reliability,
+        vote_facts,
+    )
+
+    claims = source_claims(_stages(spark, sf_dir)["triples"])
+    rel = source_reliability(claims, vote_facts(claims))
+    return fused_facts(claims, rel)
+
+
 def _q_kg_link_prediction(spark, sf_dir):
     # common-neighbor / neighbor-Jaccard link prediction with the wedge
     # centers degree-capped at 32 (the web-scale hub bound; oracle mirrors
@@ -2013,6 +2042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_kg_triangles,
         "kg_communities": _q_kg_communities,
         "kg_community_graph": _q_kg_community_graph,
+        "kg_source_reliability": _q_kg_source_reliability,
+        "kg_fused_facts": _q_kg_fused_facts,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_kcore": _q_kg_kcore,
         "kg_node_type_counts": _q_kg_node_type_counts,
@@ -2368,6 +2399,40 @@ SELECT {final}.cid AS cluster,
 FROM {final} LEFT JOIN sz ON sz.cid = {final}.cid
 """
     )
+
+
+def _fusion_cte() -> str:
+    """Truth-discovery CTE chain mirroring operators/fusion.py exactly:
+    source-level claim dedup, majority vote with the min(printf) argmax
+    (count desc, obj asc), source reliability in exact integer ppm."""
+    return """claims AS (
+  SELECT DISTINCT regexp_extract(url, 'example\\.test/([^/]+)/', 1) AS source,
+         subj, pred, obj
+  FROM triples
+),
+votes AS (
+  SELECT subj, pred, obj, CAST(count(*) AS bigint) AS n_src
+  FROM claims GROUP BY 1, 2, 3
+),
+vwin AS (
+  SELECT subj, pred,
+         substr(min(printf('%018d|%s', 999999999999999999 - n_src, obj)), 20)
+           AS obj_win
+  FROM votes GROUP BY 1, 2
+),
+rel AS (
+  SELECT c.source,
+         CAST(count(*) AS bigint) AS n_claims,
+         CAST(sum(CASE WHEN c.obj = v.obj_win THEN 1 ELSE 0 END) AS bigint)
+           AS n_agree
+  FROM claims c JOIN vwin v ON c.subj = v.subj AND c.pred = v.pred
+  GROUP BY 1
+),
+rel2 AS (
+  SELECT source, n_claims, n_agree,
+         CAST(n_agree * 1000000 // n_claims AS bigint) AS reliability_ppm
+  FROM rel
+)"""
 
 
 def _lpa_cte(rounds: int = 4) -> str:
@@ -3140,6 +3205,35 @@ SELECT cu.community AS comm_src, cv.community AS comm_dst,
 FROM de JOIN lp1 cu ON cu.node = de.u
         JOIN lp1 cv ON cv.node = de.v
 GROUP BY 1, 2
+""",
+        # truth discovery: per-source agreement with the per-(subj,pred)
+        # majority vote, exact integer ppm
+        "kg_source_reliability": f"""
+{_KG_PREFIX},
+{_fusion_cte()}
+SELECT source, n_claims, n_agree, reliability_ppm FROM rel2
+""",
+        # reliability-weighted re-vote: winning obj per (subj,pred) by
+        # summed source reliability, tie-break obj asc
+        "kg_fused_facts": f"""
+{_KG_PREFIX},
+{_fusion_cte()},
+support AS (
+  SELECT c.subj, c.pred, c.obj,
+         CAST(sum(r.reliability_ppm) AS bigint) AS support_e6,
+         CAST(count(*) AS bigint) AS n_sources
+  FROM claims c JOIN rel2 r ON c.source = r.source
+  GROUP BY 1, 2, 3
+),
+fwin AS (
+  SELECT subj, pred,
+         substr(min(printf('%018d|%s', 999999999999999999 - support_e6, obj)), 20)
+           AS obj_win
+  FROM support GROUP BY 1, 2
+)
+SELECT s.subj, s.pred, s.obj, s.support_e6, s.n_sources
+FROM support s
+JOIN fwin w ON s.subj = w.subj AND s.pred = w.pred AND s.obj = w.obj_win
 """,
         # common-neighbor link prediction with wedge centers degree-capped
         # at 32 (mirrors the Spark cap); jaccard in exact integer ppm
