@@ -628,6 +628,32 @@ def _q_kg_fused_facts(spark, sf_dir):
     return fused_facts(claims, rel)
 
 
+def _q_kg_harmonic(spark, sf_dir):
+    # harmonic-centrality estimate from the top-4-degree landmarks
+    # (Eppstein-Wang): per-root BFS to 4 hops, sum of 1e6//dist per node
+    from text_to_graph_spark.operators.components import (
+        harmonic_closeness,
+        landmark_distances,
+    )
+
+    e = _edges(spark, sf_dir)
+    adj = (
+        e.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+        .unionByName(e.select(F.col("obj").alias("u"), F.col("subj").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lm = (
+        adj.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), "u")
+        .limit(4)
+        .select(F.col("u").alias("node"))
+    )
+    d = landmark_distances(e, lm, src="subj", dst="obj", max_hops=4)
+    return harmonic_closeness(d)
+
+
 def _q_kg_link_prediction(spark, sf_dir):
     # common-neighbor / neighbor-Jaccard link prediction with the wedge
     # centers degree-capped at 32 (the web-scale hub bound; oracle mirrors
@@ -2044,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_community_graph": _q_kg_community_graph,
         "kg_source_reliability": _q_kg_source_reliability,
         "kg_fused_facts": _q_kg_fused_facts,
+        "kg_harmonic": _q_kg_harmonic,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_kcore": _q_kg_kcore,
         "kg_node_type_counts": _q_kg_node_type_counts,
@@ -2433,6 +2460,37 @@ rel2 AS (
          CAST(n_agree * 1000000 // n_claims AS bigint) AS reliability_ppm
   FROM rel
 )"""
+
+
+def _landmark_cte(hops: int = 4, k: int = 4) -> str:
+    """Unrolled per-landmark BFS mirroring components.landmark_distances:
+    landmarks = top-k by distinct undirected degree (ties: node asc),
+    hop i expands ONLY the hop-(i-1) frontier, anti-joined per root."""
+    parts = [
+        "sdist AS (SELECT DISTINCT u, v FROM sym WHERE u <> v)",
+        f"""lm AS (
+  SELECT u AS node FROM (SELECT u, count(*) AS deg FROM sdist GROUP BY 1)
+  ORDER BY deg DESC, u LIMIT {k}
+)""",
+        "v0 AS (SELECT node AS root, node, 0 AS distance FROM lm)",
+        "n0 AS (SELECT * FROM v0)",
+    ]
+    for i in range(1, hops + 1):
+        parts.append(
+            f"""f{i} AS (
+  SELECT DISTINCT n{i - 1}.root, s.v AS node
+  FROM n{i - 1} JOIN sdist s ON s.u = n{i - 1}.node
+),
+n{i} AS (
+  SELECT f{i}.root, f{i}.node, {i} AS distance FROM f{i}
+  WHERE NOT EXISTS (
+    SELECT 1 FROM v{i - 1} x
+    WHERE x.root = f{i}.root AND x.node = f{i}.node
+  )
+),
+v{i} AS (SELECT * FROM v{i - 1} UNION ALL SELECT * FROM n{i})"""
+        )
+    return ",\n".join(parts)
 
 
 def _lpa_cte(rounds: int = 4) -> str:
@@ -3234,6 +3292,17 @@ fwin AS (
 SELECT s.subj, s.pred, s.obj, s.support_e6, s.n_sources
 FROM support s
 JOIN fwin w ON s.subj = w.subj AND s.pred = w.pred AND s.obj = w.obj_win
+""",
+        # harmonic centrality from top-4-degree landmarks, 4-hop BFS,
+        # exact micro-units (1e6 // distance)
+        "kg_harmonic": f"""
+{_KG_PREFIX},
+{_landmark_cte(hops=4, k=4)}
+SELECT node,
+       CAST(count(*) AS bigint) AS n_landmarks,
+       CAST(sum(1000000 // distance) AS bigint) AS harmonic_e6
+FROM v4 WHERE distance > 0
+GROUP BY 1
 """,
         # common-neighbor link prediction with wedge centers degree-capped
         # at 32 (mirrors the Spark cap); jaccard in exact integer ppm

@@ -213,3 +213,45 @@ def test_merge_component_assignments_bridges_slices(spark):
     }
     # node 2 bridges the slices: {1,2,3} unify under min label "1"
     assert got == {"1": "1", "2": "1", "3": "1", "4": "4", "5": "4"}
+
+
+class TestLandmarkHarmonic:
+    # path a-b-c-d-e (directed as written; BFS symmetrizes)
+    PATH = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+
+    def _harmonic(self, spark, edges, landmarks, max_hops=4):
+        from text_to_graph_spark.operators.components import (
+            harmonic_closeness,
+            landmark_distances,
+        )
+
+        e = spark.createDataFrame(edges, "src string, dst string")
+        lm = spark.createDataFrame([(x,) for x in landmarks], "node string")
+        d = landmark_distances(e, lm, max_hops=max_hops)
+        return {
+            r.node: (r.n_landmarks, r.harmonic_e6)
+            for r in harmonic_closeness(d).collect()
+        }
+
+    def test_path_endpoint_landmarks(self, spark):
+        got = self._harmonic(spark, self.PATH, ["a", "e"])
+        assert got == {
+            "a": (1, 250_000),        # e at 4
+            "b": (2, 1_333_333),      # a:1, e:3
+            "c": (2, 1_000_000),      # 2 + 2
+            "d": (2, 1_333_333),
+            "e": (1, 250_000),
+        }
+
+    def test_hop_bound_truncates(self, spark):
+        got = self._harmonic(spark, self.PATH, ["a", "e"], max_hops=2)
+        assert got == {
+            "b": (1, 1_000_000),
+            "c": (2, 1_000_000),
+            "d": (1, 1_000_000),
+        }
+
+    def test_landmark_excluded_from_own_score(self, spark):
+        # single landmark: its own row (distance 0) must not appear
+        got = self._harmonic(spark, self.PATH, ["c"])
+        assert "c" not in got and got["a"] == (1, 500_000)

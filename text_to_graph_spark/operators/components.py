@@ -253,3 +253,67 @@ def merge_component_assignments(a: DataFrame, b: DataFrame) -> DataFrame:
         F.col("node").alias("u"), F.col("component").alias("v")
     )
     return connected_components(stars, "u", "v")
+
+
+def landmark_distances(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Per-landmark BFS (undirected): (root, node, distance) for every
+    node within ``max_hops`` of each landmark — the Eppstein-Wang landmark
+    scheme (public: Eppstein & Wang, SODA'01) that makes closeness-style
+    centrality tractable at scale: exact all-pairs BFS is O(|V|·|E|),
+    landmarks cost K frontier-join rounds with state bounded by K·|V|.
+
+    Unlike :func:`bfs_distances` (min over ALL roots), the root id rides
+    along, so each landmark's distance field stays separate. Each hop is
+    one equi-join frontier⋈adjacency plus a two-column left_anti against
+    the visited set; ``localCheckpoint`` per hop cuts lineage.
+    """
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        landmarks.select(F.col(node_col).alias("root"))
+        .distinct()
+        .select("root", F.col("root").alias("node"), F.lit(0).alias("distance"))
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        next_frontier = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select("root", F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("root", "node"), ["root", "node"], "left_anti")
+            .withColumn("distance", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if next_frontier.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(next_frontier)
+        frontier = next_frontier
+    return visited
+
+
+def harmonic_closeness(dists: DataFrame) -> DataFrame:
+    """Harmonic-centrality estimate from landmark distances: per node,
+    sum of 1e6 // distance over landmarks at distance >= 1 (the landmark
+    itself contributes nothing to its own score), plus the landmark-reach
+    count. Exact integer micro-units — floor division matches any ANSI
+    engine bit-for-bit; one partial-agg'd groupBy on node."""
+    return (
+        dists.where(F.col("distance") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_landmarks"),
+            F.sum(F.expr("1000000L DIV distance")).cast("long").alias("harmonic_e6"),
+        )
+    )
