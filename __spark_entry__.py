@@ -654,6 +654,40 @@ def _q_kg_harmonic(spark, sf_dir):
     return harmonic_closeness(d)
 
 
+def _q_kg_fact_history(spark, sf_dir):
+    # temporal KG: fact validity window (first/last WARC capture epoch,
+    # span, doc support) off crawl provenance
+    from text_to_graph_spark.operators.temporal import fact_history
+
+    return fact_history(
+        _stages(spark, sf_dir)["triples"], synthesize_pages(spark, sf_dir)
+    )
+
+
+def _facts(spark, sf_dir):
+    return (
+        _stages(spark, sf_dir)["triples"]
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+
+
+def _q_kg_functionality(spark, sf_dir):
+    # constraint mining: per-predicate functionality (key-likeness) in
+    # exact integer ppm
+    from text_to_graph_spark.operators.fusion import predicate_functionality
+
+    return predicate_functionality(_facts(spark, sf_dir))
+
+
+def _q_kg_conflicts(spark, sf_dir):
+    # conflict worklist: subjects asserting >=2 objects under a predicate,
+    # objs '|'-joined sorted (scalar contract boundary)
+    from text_to_graph_spark.operators.fusion import functional_conflicts
+
+    return functional_conflicts(_facts(spark, sf_dir))
+
+
 def _q_kg_link_prediction(spark, sf_dir):
     # common-neighbor / neighbor-Jaccard link prediction with the wedge
     # centers degree-capped at 32 (the web-scale hub bound; oracle mirrors
@@ -2071,6 +2105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_source_reliability": _q_kg_source_reliability,
         "kg_fused_facts": _q_kg_fused_facts,
         "kg_harmonic": _q_kg_harmonic,
+        "kg_fact_history": _q_kg_fact_history,
+        "kg_functionality": _q_kg_functionality,
+        "kg_conflicts": _q_kg_conflicts,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_kcore": _q_kg_kcore,
         "kg_node_type_counts": _q_kg_node_type_counts,
@@ -3303,6 +3340,59 @@ SELECT node,
        CAST(sum(1000000 // distance) AS bigint) AS harmonic_e6
 FROM v4 WHERE distance > 0
 GROUP BY 1
+""",
+        # temporal KG: fact validity window off WARC capture epochs
+        "kg_fact_history": f"""
+{_KG_PREFIX},
+pe AS (SELECT url, CAST(epoch(warc_ts) AS bigint) AS epoch FROM pages),
+t AS (SELECT DISTINCT url, subj, pred, obj FROM triples)
+SELECT subj, pred, obj,
+       CAST(min(epoch) AS bigint) AS first_seen,
+       CAST(max(epoch) AS bigint) AS last_seen,
+       CAST(max(epoch) - min(epoch) AS bigint) AS span_s,
+       CAST(count(DISTINCT t.url) AS bigint) AS n_docs
+FROM t JOIN pe ON pe.url = t.url
+GROUP BY 1, 2, 3
+""",
+        # constraint mining: per-predicate functionality ppm
+        "kg_functionality": f"""
+{_KG_PREFIX},
+facts AS (SELECT DISTINCT subj, pred, obj FROM triples),
+ps AS (
+  SELECT pred, subj, CAST(count(DISTINCT obj) AS bigint) AS n_objs
+  FROM facts GROUP BY 1, 2
+)
+SELECT pred,
+       CAST(count(*) AS bigint) AS n_subjects,
+       CAST(sum(CASE WHEN n_objs = 1 THEN 1 ELSE 0 END) AS bigint)
+         AS n_functional,
+       CAST(sum(CASE WHEN n_objs = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS bigint) AS functionality_ppm,
+       CAST(max(n_objs) AS bigint) AS max_objs
+FROM ps GROUP BY 1
+""",
+        # conflict worklist: multi-object subjects with the predicate's
+        # functionality attached; objs '|'-joined sorted
+        "kg_conflicts": f"""
+{_KG_PREFIX},
+facts AS (SELECT DISTINCT subj, pred, obj FROM triples),
+ps AS (
+  SELECT pred, subj, CAST(count(DISTINCT obj) AS bigint) AS n_objs
+  FROM facts GROUP BY 1, 2
+),
+conf AS (
+  SELECT pred, subj, CAST(count(*) AS bigint) AS n_objs,
+         string_agg(obj, '|' ORDER BY obj) AS objs
+  FROM facts GROUP BY 1, 2 HAVING count(*) >= 2
+),
+fstats AS (
+  SELECT pred,
+         CAST(sum(CASE WHEN n_objs = 1 THEN 1 ELSE 0 END) * 1000000
+              // count(*) AS bigint) AS functionality_ppm
+  FROM ps GROUP BY 1
+)
+SELECT c.pred, c.subj, c.n_objs, c.objs, f.functionality_ppm
+FROM conf c JOIN fstats f ON c.pred = f.pred
 """,
         # common-neighbor link prediction with wedge centers degree-capped
         # at 32 (mirrors the Spark cap); jaccard in exact integer ppm

@@ -126,3 +126,39 @@ class TestFusedFacts:
         # b1/b2: 1 of 3 claims agree -> 333333 each, z support 666666;
         # g1: 3 of 4 agree -> 750000, q support 750000 -> q wins strictly
         assert fused[("t", "p")] == "q"
+
+
+class TestConstraintMining:
+    FACTS = [
+        ("a", "p1", "x"), ("b", "p1", "y"), ("c", "p1", "u"), ("c", "p1", "v"),
+        ("a", "p2", "x"), ("a", "p2", "y"), ("a", "p2", "z"),
+    ]
+
+    def _facts(self, spark):
+        return spark.createDataFrame(
+            self.FACTS, "subj string, pred string, obj string"
+        )
+
+    def test_functionality_ppm(self, spark):
+        from text_to_graph_spark.operators.fusion import predicate_functionality
+
+        got = {
+            r.pred: (r.n_subjects, r.n_functional, r.functionality_ppm, r.max_objs)
+            for r in predicate_functionality(self._facts(spark)).collect()
+        }
+        assert got == {
+            "p1": (3, 2, 666_666, 2),
+            "p2": (1, 0, 0, 3),
+        }
+
+    def test_conflict_worklist(self, spark):
+        from text_to_graph_spark.operators.fusion import functional_conflicts
+
+        got = {
+            (r.pred, r.subj): (r.n_objs, r.objs, r.functionality_ppm)
+            for r in functional_conflicts(self._facts(spark)).collect()
+        }
+        assert got == {
+            ("p1", "c"): (2, "u|v", 666_666),
+            ("p2", "a"): (3, "x|y|z", 0),
+        }

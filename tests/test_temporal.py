@@ -206,3 +206,38 @@ class TestEntityTimeline:
         assert got[("a", "2025-01-02")] == 1
         assert got[("b", "2025-01-01")] == 1
         assert got[("c", "2025-01-01")] == 1
+
+
+class TestFactHistory:
+    def test_window_and_support(self, spark):
+        import datetime as dt
+
+        from text_to_graph_spark.operators.temporal import fact_history
+
+        def ts(sec):
+            return dt.datetime(2025, 1, 1) + dt.timedelta(seconds=sec)
+
+        pages = spark.createDataFrame(
+            [("u1", ts(100)), ("u2", ts(200)), ("u3", ts(350))],
+            "url string, warc_ts timestamp",
+        )
+        triples = spark.createDataFrame(
+            [
+                ("u1", "a", "p", "x"),
+                ("u1", "a", "p", "x"),  # same-doc repeat: one support
+                ("u2", "a", "p", "x"),
+                ("u3", "b", "p", "y"),
+            ],
+            "url string, subj string, pred string, obj string",
+        )
+        got = {
+            (r.subj, r.pred, r.obj): (
+                r.first_seen, r.last_seen, r.span_s, r.n_docs
+            )
+            for r in fact_history(triples, pages).collect()
+        }
+        base = int(dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+        assert got == {
+            ("a", "p", "x"): (base + 100, base + 200, 100, 2),
+            ("b", "p", "y"): (base + 350, base + 350, 0, 1),
+        }

@@ -129,3 +129,56 @@ def fused_facts(claims: DataFrame, reliability: DataFrame) -> DataFrame:
         .where(F.col("obj") == F.substring("k", 20, 1 << 20))
         .select("subj", "pred", "obj", "support_e6", "n_sources")
     )
+
+
+def predicate_functionality(facts: DataFrame) -> DataFrame:
+    """Constraint mining: how functional is each predicate?
+
+    ``facts`` is the distinct (subj, pred, obj) table. Per predicate:
+    n_subjects, n_functional (subjects with exactly one object),
+    functionality_ppm = floor(1e6 * n_functional / n_subjects), and
+    max_objs (the worst fan-out). A predicate near 1e6 is a key-like
+    relation ("born_in"); conflicts under it are extraction errors or
+    genuine disputes — the input signal for :func:`functional_conflicts`
+    and for the fusion re-vote. Two partial-agg'd groupBys, cardinality
+    |preds| at the end — no joins, no skew risk.
+    """
+    per_subj = facts.groupBy("pred", "subj").agg(
+        F.count_distinct("obj").cast("long").alias("n_objs")
+    )
+    return per_subj.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum(F.when(F.col("n_objs") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_functional"),
+        F.expr(
+            "sum(CASE WHEN n_objs = 1 THEN 1 ELSE 0 END) * 1000000L"
+            " DIV count(1)"
+        ).alias("functionality_ppm"),
+        F.max("n_objs").cast("long").alias("max_objs"),
+    )
+
+
+def functional_conflicts(facts: DataFrame) -> DataFrame:
+    """(pred, subj, n_objs, objs) for every subject asserting >= 2 objects
+    — the conflict worklist a fusion/curation pass consumes, with the
+    predicate's functionality_ppm attached so consumers can rank by how
+    anomalous the conflict is. ``objs`` is the '|'-joined sorted object
+    list (scalar at the contract boundary; the reference's own export
+    convention, graph_utils.py:68). The per-pred stats table is tiny —
+    broadcast — so the only shuffle on the big side is the (pred, subj)
+    rollup."""
+    per_subj = (
+        facts.groupBy("pred", "subj")
+        .agg(
+            F.count_distinct("obj").cast("long").alias("n_objs"),
+            F.concat_ws("|", F.array_sort(F.collect_set("obj"))).alias("objs"),
+        )
+        .where(F.col("n_objs") >= 2)
+    )
+    stats = F.broadcast(
+        predicate_functionality(facts).select("pred", "functionality_ppm")
+    )
+    return per_subj.join(stats, "pred").select(
+        "pred", "subj", "n_objs", "objs", "functionality_ppm"
+    )

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "fact_history"]
 
 
 def asof_join(
@@ -211,4 +211,30 @@ def entity_timeline(triples: DataFrame, pages: DataFrame) -> DataFrame:
         nodes.distinct()
         .groupBy("node", "day")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def fact_history(triples: DataFrame, pages: DataFrame) -> DataFrame:
+    """Fact validity window off crawl provenance: per distinct
+    (subj, pred, obj), the first/last WARC capture epoch asserting it, the
+    span between them, and the distinct-document support — the temporal-KG
+    primitive behind staleness filters ("drop facts not re-asserted in the
+    last N crawls") and fact-freshness features.
+
+    Scale shape: the fact list is deduped FIRST (one distinct-shuffle on
+    (url, subj, pred, obj)), the page join is a url equi-join projecting
+    only the epoch column, and the rollup partial-aggregates min/max/count
+    — no window functions, no skew-sensitive keys beyond the fact id.
+    """
+    t = triples.select("url", "subj", "pred", "obj").distinct()
+    p = pages.select("url", F.col("warc_ts").cast("long").alias("epoch"))
+    return (
+        t.join(p, "url")
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.min("epoch").cast("long").alias("first_seen"),
+            F.max("epoch").cast("long").alias("last_seen"),
+            (F.max("epoch") - F.min("epoch")).cast("long").alias("span_s"),
+            F.count_distinct("url").cast("long").alias("n_docs"),
+        )
     )
