@@ -450,3 +450,54 @@ def test_diff_and_synonyms_no_cartesian_no_single_reducer(spark):
     s2 = plan_str(syn, "simple")
     assert "CartesianProduct" not in s2  # pair-key equi-join, never all-pairs
     assert has_broadcast_join(syn)       # schema-sized totals broadcast
+
+
+def test_fusion_revote_broadcasts_reliability_no_cartesian(spark):
+    """The weighted re-vote's reliability side is |sources| rows — it must
+    arrive as a broadcast, and nothing in the fusion chain may plan a
+    cartesian or nested-loop join."""
+    from text_to_graph_spark.operators.fusion import (
+        fused_facts,
+        source_claims,
+        source_reliability,
+        vote_facts,
+    )
+
+    t = spark.createDataFrame(
+        [("https://example.test/s1/page/1/0", "a", "p", "x")],
+        "url string, subj string, pred string, obj string",
+    )
+    claims = source_claims(t)
+    out = fused_facts(claims, source_reliability(claims, vote_facts(claims)))
+    s = plan_str(out, "simple")
+    assert has_broadcast_join(out)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_functional_conflicts_broadcasts_pred_stats(spark):
+    from text_to_graph_spark.operators.fusion import functional_conflicts
+
+    facts = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "p", "y")],
+        "subj string, pred string, obj string",
+    )
+    out = functional_conflicts(facts)
+    s = plan_str(out, "simple")
+    assert has_broadcast_join(out)
+    assert "CartesianProduct" not in s
+
+
+def test_landmark_bfs_hop_is_equi_join_no_cartesian(spark):
+    """Each landmark-BFS hop must be a hash equi-join frontier⋈adjacency
+    plus a two-column anti-join — never a nested loop."""
+    from text_to_graph_spark.operators.components import landmark_distances
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    lm = spark.createDataFrame([("a",)], "node string")
+    out = landmark_distances(e, lm, max_hops=2)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
