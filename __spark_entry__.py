@@ -688,6 +688,16 @@ def _q_kg_conflicts(spark, sf_dir):
     return functional_conflicts(_facts(spark, sf_dir))
 
 
+def _q_kg_rules(spark, sf_dir):
+    # AMIE-style 2-hop horn rules p1(x,y) ∧ p2(y,z) ⇒ p3(x,z) with exact
+    # ppm confidence + head coverage; mid-node hub cap mirrored in the
+    # oracle (4096 = no-op at fixture SFs, the pytest pins the cap
+    # semantics discriminatively)
+    from text_to_graph_spark.operators.rules import mine_path_rules
+
+    return mine_path_rules(_facts(spark, sf_dir), max_mid_degree=4096)
+
+
 def _q_kg_link_prediction(spark, sf_dir):
     # common-neighbor / neighbor-Jaccard link prediction with the wedge
     # centers degree-capped at 32 (the web-scale hub bound; oracle mirrors
@@ -2108,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_history": _q_kg_fact_history,
         "kg_functionality": _q_kg_functionality,
         "kg_conflicts": _q_kg_conflicts,
+        "kg_rules": _q_kg_rules,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_kcore": _q_kg_kcore,
         "kg_node_type_counts": _q_kg_node_type_counts,
@@ -3393,6 +3404,38 @@ fstats AS (
 )
 SELECT c.pred, c.subj, c.n_objs, c.objs, f.functionality_ppm
 FROM conf c JOIN fstats f ON c.pred = f.pred
+""",
+        # AMIE path rules: body = 2-hop join on the shared variable with
+        # the mid-node hub cap; support = head-fact probe on (x, z)
+        "kg_rules": f"""
+{_KG_PREFIX},
+facts AS (SELECT DISTINCT subj, pred, obj FROM triples),
+degs AS (
+  SELECT node, CAST(count(*) AS bigint) AS d FROM (
+    SELECT subj AS node FROM facts UNION ALL SELECT obj AS node FROM facts
+  ) GROUP BY 1
+),
+mids AS (SELECT node FROM degs WHERE d <= 4096),
+bodies AS (
+  SELECT DISTINCT e1.pred AS p1, e2.pred AS p2, e1.subj AS x, e2.obj AS z
+  FROM facts e1
+  JOIN mids m ON m.node = e1.obj
+  JOIN facts e2 ON e2.subj = e1.obj
+  WHERE e1.subj <> e2.obj
+),
+nb AS (SELECT p1, p2, CAST(count(*) AS bigint) AS n_body FROM bodies GROUP BY 1, 2),
+sup AS (
+  SELECT b.p1, b.p2, h.pred AS p3, CAST(count(*) AS bigint) AS n_support
+  FROM bodies b JOIN facts h ON h.subj = b.x AND h.obj = b.z
+  GROUP BY 1, 2, 3
+),
+nh AS (SELECT pred AS p3, CAST(count(*) AS bigint) AS n_p3 FROM facts GROUP BY 1)
+SELECT s.p1, s.p2, s.p3, nb.n_body, s.n_support,
+       CAST(s.n_support * 1000000 // nb.n_body AS bigint) AS confidence_ppm,
+       CAST(s.n_support * 1000000 // nh.n_p3 AS bigint) AS head_coverage_ppm
+FROM sup s
+JOIN nb ON nb.p1 = s.p1 AND nb.p2 = s.p2
+JOIN nh ON nh.p3 = s.p3
 """,
         # common-neighbor link prediction with wedge centers degree-capped
         # at 32 (mirrors the Spark cap); jaccard in exact integer ppm
