@@ -698,6 +698,18 @@ def _q_kg_rules(spark, sf_dir):
     return mine_path_rules(_facts(spark, sf_dir), max_mid_degree=4096)
 
 
+def _q_kg_rule_inferred(spark, sf_dir):
+    # densification: facts implied by >=60%-confidence rules but absent
+    # from the graph, ranked by rule count + strongest confidence
+    from text_to_graph_spark.operators.rules import apply_rules, mine_path_rules
+
+    facts = _facts(spark, sf_dir)
+    rules = mine_path_rules(facts, max_mid_degree=4096)
+    return apply_rules(
+        facts, rules, min_confidence_ppm=600_000, max_mid_degree=4096
+    )
+
+
 def _q_kg_link_prediction(spark, sf_dir):
     # common-neighbor / neighbor-Jaccard link prediction with the wedge
     # centers degree-capped at 32 (the web-scale hub bound; oracle mirrors
@@ -2119,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_functionality": _q_kg_functionality,
         "kg_conflicts": _q_kg_conflicts,
         "kg_rules": _q_kg_rules,
+        "kg_rule_inferred": _q_kg_rule_inferred,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_kcore": _q_kg_kcore,
         "kg_node_type_counts": _q_kg_node_type_counts,
@@ -2539,6 +2552,40 @@ n{i} AS (
 v{i} AS (SELECT * FROM v{i - 1} UNION ALL SELECT * FROM n{i})"""
         )
     return ",\n".join(parts)
+
+
+def _rules_cte(cap: int = 4096) -> str:
+    """Shared AMIE CTE chain mirroring operators/rules.py: hub-capped
+    2-hop body grounding, head probe, ppm metrics as `ruleset`."""
+    return f"""facts AS (SELECT DISTINCT subj, pred, obj FROM triples),
+degs AS (
+  SELECT node, CAST(count(*) AS bigint) AS d FROM (
+    SELECT subj AS node FROM facts UNION ALL SELECT obj AS node FROM facts
+  ) GROUP BY 1
+),
+mids AS (SELECT node FROM degs WHERE d <= {cap}),
+bodies AS (
+  SELECT DISTINCT e1.pred AS p1, e2.pred AS p2, e1.subj AS x, e2.obj AS z
+  FROM facts e1
+  JOIN mids m ON m.node = e1.obj
+  JOIN facts e2 ON e2.subj = e1.obj
+  WHERE e1.subj <> e2.obj
+),
+nb AS (SELECT p1, p2, CAST(count(*) AS bigint) AS n_body FROM bodies GROUP BY 1, 2),
+sup AS (
+  SELECT b.p1, b.p2, h.pred AS p3, CAST(count(*) AS bigint) AS n_support
+  FROM bodies b JOIN facts h ON h.subj = b.x AND h.obj = b.z
+  GROUP BY 1, 2, 3
+),
+nh AS (SELECT pred AS p3, CAST(count(*) AS bigint) AS n_p3 FROM facts GROUP BY 1),
+ruleset AS (
+  SELECT s.p1, s.p2, s.p3, nb.n_body, s.n_support,
+         CAST(s.n_support * 1000000 // nb.n_body AS bigint) AS confidence_ppm,
+         CAST(s.n_support * 1000000 // nh.n_p3 AS bigint) AS head_coverage_ppm
+  FROM sup s
+  JOIN nb ON nb.p1 = s.p1 AND nb.p2 = s.p2
+  JOIN nh ON nh.p3 = s.p3
+)"""
 
 
 def _lpa_cte(rounds: int = 4) -> str:
@@ -3409,33 +3456,34 @@ FROM conf c JOIN fstats f ON c.pred = f.pred
         # the mid-node hub cap; support = head-fact probe on (x, z)
         "kg_rules": f"""
 {_KG_PREFIX},
-facts AS (SELECT DISTINCT subj, pred, obj FROM triples),
-degs AS (
-  SELECT node, CAST(count(*) AS bigint) AS d FROM (
-    SELECT subj AS node FROM facts UNION ALL SELECT obj AS node FROM facts
-  ) GROUP BY 1
+{_rules_cte()}
+SELECT p1, p2, p3, n_body, n_support, confidence_ppm, head_coverage_ppm
+FROM ruleset
+""",
+        # densification: bodies of >=60%-confidence rules whose implied
+        # head fact is absent, rolled up per inferred fact
+        "kg_rule_inferred": f"""
+{_KG_PREFIX},
+{_rules_cte()},
+accepted AS (
+  SELECT p1, p2, p3, confidence_ppm FROM ruleset
+  WHERE confidence_ppm >= 600000
 ),
-mids AS (SELECT node FROM degs WHERE d <= 4096),
-bodies AS (
-  SELECT DISTINCT e1.pred AS p1, e2.pred AS p2, e1.subj AS x, e2.obj AS z
-  FROM facts e1
-  JOIN mids m ON m.node = e1.obj
-  JOIN facts e2 ON e2.subj = e1.obj
-  WHERE e1.subj <> e2.obj
+implied AS (
+  SELECT b.x AS subj, a.p3 AS pred, b.z AS obj, a.p1, a.p2, a.confidence_ppm
+  FROM bodies b JOIN accepted a ON a.p1 = b.p1 AND a.p2 = b.p2
 ),
-nb AS (SELECT p1, p2, CAST(count(*) AS bigint) AS n_body FROM bodies GROUP BY 1, 2),
-sup AS (
-  SELECT b.p1, b.p2, h.pred AS p3, CAST(count(*) AS bigint) AS n_support
-  FROM bodies b JOIN facts h ON h.subj = b.x AND h.obj = b.z
-  GROUP BY 1, 2, 3
-),
-nh AS (SELECT pred AS p3, CAST(count(*) AS bigint) AS n_p3 FROM facts GROUP BY 1)
-SELECT s.p1, s.p2, s.p3, nb.n_body, s.n_support,
-       CAST(s.n_support * 1000000 // nb.n_body AS bigint) AS confidence_ppm,
-       CAST(s.n_support * 1000000 // nh.n_p3 AS bigint) AS head_coverage_ppm
-FROM sup s
-JOIN nb ON nb.p1 = s.p1 AND nb.p2 = s.p2
-JOIN nh ON nh.p3 = s.p3
+novel AS (
+  SELECT i.* FROM implied i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM facts f
+    WHERE f.subj = i.subj AND f.pred = i.pred AND f.obj = i.obj
+  )
+)
+SELECT subj, pred, obj,
+       CAST(count(*) AS bigint) AS n_rules,
+       CAST(max(confidence_ppm) AS bigint) AS max_confidence_ppm
+FROM novel GROUP BY 1, 2, 3
 """,
         # common-neighbor link prediction with wedge centers degree-capped
         # at 32 (mirrors the Spark cap); jaccard in exact integer ppm

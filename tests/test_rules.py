@@ -52,3 +52,33 @@ class TestRuleMining:
     def test_duplicate_facts_do_not_inflate_counts(self, spark):
         got = _mine(spark, FIX + FIX)
         assert got == {("r", "s", "t"): (2, 1, 500_000, 1_000_000)}
+
+
+class TestRuleApplication:
+    def _apply(self, spark, rows, **kw):
+        from text_to_graph_spark.operators.rules import apply_rules
+
+        facts = _facts(spark, rows)
+        rules = mine_path_rules(facts)
+        return {
+            (r.subj, r.pred, r.obj): (r.n_rules, r.max_confidence_ppm)
+            for r in apply_rules(facts, rules, **kw).collect()
+        }
+
+    def test_infers_only_novel_facts(self, spark):
+        got = self._apply(spark, FIX, min_confidence_ppm=500_000)
+        # body (a,b) already has t(a,b); only (c,d) is new
+        assert got == {("c", "t", "d"): (1, 500_000)}
+
+    def test_threshold_gates_rules(self, spark):
+        got = self._apply(spark, FIX, min_confidence_ppm=600_000)
+        assert got == {}
+
+    def test_multiple_rules_same_fact_counted(self, spark):
+        rows = FIX + [
+            # a second 50%-confidence rule (r2,s2 => t) also deriving (c,d)
+            ("c", "r2", "m3"), ("m3", "s2", "d"),
+            ("x1", "r2", "m4"), ("m4", "s2", "y1"), ("x1", "t", "y1"),
+        ]
+        got = self._apply(spark, rows, min_confidence_ppm=500_000)
+        assert got[("c", "t", "d")] == (2, 500_000)

@@ -97,3 +97,68 @@ def mine_path_rules(
             F.expr("n_support * 1000000L DIV n_p3").alias("head_coverage_ppm"),
         )
     )
+
+
+def apply_rules(
+    facts: DataFrame,
+    rules: DataFrame,
+    min_confidence_ppm: int = 500_000,
+    max_mid_degree: int | None = None,
+) -> DataFrame:
+    """Densification: materialize the facts that high-confidence rules
+    imply but the graph does not yet assert.
+
+    For every rule with ``confidence_ppm >= min_confidence_ppm``, ground
+    its body and emit the implied head (x, p3, z) if absent from ``facts``.
+    Output (subj, pred, obj, n_rules, max_confidence_ppm): how many
+    distinct rules derive the fact and the strongest one — the ranking a
+    human-in-the-loop or a downstream acceptance threshold consumes.
+
+    Scale shape: the accepted-rule table is tiny (|preds|³ bound) —
+    broadcast; body grounding reuses the hub-capped 2-hop equi-join of
+    :func:`mine_path_rules`; the novelty check is one left_anti equi-join
+    on the full fact key. Nothing quadratic beyond the capped body join.
+    """
+    f = facts.select("subj", "pred", "obj").distinct()
+    accepted = F.broadcast(
+        rules.where(F.col("confidence_ppm") >= min_confidence_ppm).select(
+            "p1", "p2", "p3", "confidence_ppm"
+        )
+    )
+    e1 = f.select(
+        F.col("subj").alias("x"), F.col("pred").alias("p1"), F.col("obj").alias("y")
+    )
+    e2 = f.select(
+        F.col("subj").alias("y"), F.col("pred").alias("p2"), F.col("obj").alias("z")
+    )
+    if max_mid_degree is not None:
+        deg = (
+            f.select(F.col("subj").alias("node"))
+            .unionByName(f.select(F.col("obj").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        mids = deg.where(F.col("d") <= max_mid_degree).select(
+            F.col("node").alias("y")
+        )
+        e1 = e1.join(mids, "y", "left_semi")
+        e2 = e2.join(mids, "y", "left_semi")
+    bodies = (
+        e1.join(e2, "y")
+        .where(F.col("x") != F.col("z"))
+        .select("p1", "p2", "x", "z")
+        .distinct()
+    )
+    implied = bodies.join(accepted, ["p1", "p2"]).select(
+        F.col("x").alias("subj"),
+        F.col("p3").alias("pred"),
+        F.col("z").alias("obj"),
+        "p1",
+        "p2",
+        "confidence_ppm",
+    )
+    novel = implied.join(f, ["subj", "pred", "obj"], "left_anti")
+    return novel.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rules"),
+        F.max("confidence_ppm").cast("long").alias("max_confidence_ppm"),
+    )
