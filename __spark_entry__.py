@@ -69,6 +69,23 @@ _CATEGORY_CASE = "CASE " + " ".join(
     f"WHEN label = '{k}' THEN '{v}'" for k, v in sorted(ENTITY_CATEGORIES.items())
 ) + " ELSE 'entity' END"
 
+# common-neighbor candidate CTEs (wedge centers degree-capped at 32),
+# shared by kg_link_prediction and kg_eval_ranking
+_CN_CTE = """
+cn_sym AS (SELECT DISTINCT u, v FROM sym WHERE u <> v),
+cn_deg AS (SELECT u, count(*) AS d FROM cn_sym GROUP BY u),
+cn_wedge AS (
+  SELECT s.u, s.v FROM cn_sym s JOIN cn_deg dc ON dc.u = s.v
+  WHERE dc.d <= 32
+),
+cn_pairs AS (
+  SELECT s1.u AS node_a, s2.u AS node_b, count(*) AS n_common
+  FROM cn_wedge s1 JOIN cn_wedge s2 ON s1.v = s2.v AND s1.u < s2.u
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+""".strip()
+
 # shared oracle CTE prefix: pages -> tokens -> triples -> canonical edges
 _KG_PREFIX = f"""
 WITH RECURSIVE {PAGES_ORACLE_CTE.strip()},
@@ -720,6 +737,37 @@ def _q_kg_link_prediction(spark, sf_dir):
         _edges(spark, sf_dir), src="subj", dst="obj",
         min_common=2, max_neighbor_degree=32,
     )
+
+
+def _q_kg_eval_ranking(spark, sf_dir):
+    # link-prediction report card: MRR / Hits@k of the common-neighbor
+    # scores against the asserted edges, exact ppm, deterministic
+    # (score DESC, item ASC) tiebreak mirrored in the oracle
+    from text_to_graph_spark.operators.graphalgo import (
+        common_neighbors,
+        ranking_eval,
+    )
+
+    preds = common_neighbors(
+        _edges(spark, sf_dir), src="subj", dst="obj",
+        min_common=2, max_neighbor_degree=32,
+    )
+    return ranking_eval(preds)
+
+
+def _q_kg_entity_salience(spark, sf_dir):
+    # per-doc entity salience from doc-global mention positions — pure
+    # Catalyst positional scan, exact-ppm freq/earliness components
+    from text_to_graph_spark.operators.extraction import entity_salience
+
+    return entity_salience(_stages(spark, sf_dir)["extracted"])
+
+
+def _q_kg_entity_pmi(spark, sf_dir):
+    # co-mention association mining: doc-level entity-pair lift in
+    # decimal(38,0) exact arithmetic (pairs edge_confidence can't see)
+    m = extract_mentions(_stages(spark, sf_dir)["chunks"], "vocab")
+    return G.entity_pair_lift(m, min_pair_docs=2)
 
 
 def _q_kg_kcore(spark, sf_dir):
@@ -2132,6 +2180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conflicts": _q_kg_conflicts,
         "kg_rules": _q_kg_rules,
         "kg_rule_inferred": _q_kg_rule_inferred,
+        "kg_eval_ranking": _q_kg_eval_ranking,
+        "kg_entity_salience": _q_kg_entity_salience,
+        "kg_entity_pmi": _q_kg_entity_pmi,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_kcore": _q_kg_kcore,
         "kg_node_type_counts": _q_kg_node_type_counts,
@@ -3489,18 +3540,7 @@ FROM novel GROUP BY 1, 2, 3
         # at 32 (mirrors the Spark cap); jaccard in exact integer ppm
         "kg_link_prediction": f"""
 {_KG_PREFIX},
-cn_sym AS (SELECT DISTINCT u, v FROM sym WHERE u <> v),
-cn_deg AS (SELECT u, count(*) AS d FROM cn_sym GROUP BY u),
-cn_wedge AS (
-  SELECT s.u, s.v FROM cn_sym s JOIN cn_deg dc ON dc.u = s.v
-  WHERE dc.d <= 32
-),
-cn_pairs AS (
-  SELECT s1.u AS node_a, s2.u AS node_b, count(*) AS n_common
-  FROM cn_wedge s1 JOIN cn_wedge s2 ON s1.v = s2.v AND s1.u < s2.u
-  GROUP BY 1, 2
-  HAVING count(*) >= 2
-)
+{_CN_CTE}
 SELECT p.node_a, p.node_b,
        CAST(p.n_common AS bigint) AS n_common,
        CAST(da.d + db.d - p.n_common AS bigint) AS n_union,
@@ -3511,6 +3551,97 @@ SELECT p.node_a, p.node_b,
 FROM cn_pairs p
 JOIN cn_deg da ON da.u = p.node_a
 JOIN cn_deg db ON db.u = p.node_b
+""",
+        # MRR / Hits@k of the common-neighbor scores vs asserted edges;
+        # rank tiebreak (jaccard DESC, node_b ASC) mirrors the Spark window
+        "kg_eval_ranking": f"""
+{_KG_PREFIX},
+{_CN_CTE},
+lp AS (
+  SELECT p.node_a, p.node_b,
+         CAST((1000000 * p.n_common) // (da.d + db.d - p.n_common) AS bigint)
+           AS jaccard_ppm,
+         EXISTS (SELECT 1 FROM cn_sym e
+                 WHERE e.u = p.node_a AND e.v = p.node_b) AS pos
+  FROM cn_pairs p
+  JOIN cn_deg da ON da.u = p.node_a
+  JOIN cn_deg db ON db.u = p.node_b
+),
+rk AS (
+  SELECT node_a AS grp, pos,
+         row_number() OVER (
+           PARTITION BY node_a ORDER BY jaccard_ppm DESC, node_b ASC
+         ) AS rank
+  FROM lp
+)
+SELECT CAST(count(DISTINCT CASE WHEN pos THEN grp END) AS bigint) AS n_queries,
+       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS bigint) AS n_positives,
+       CAST(sum(CASE WHEN pos THEN 1000000 // rank ELSE 0 END)
+            // sum(CASE WHEN pos THEN 1 ELSE 0 END) AS bigint) AS mrr_ppm,
+       CAST(sum(CASE WHEN pos AND rank <= 1 THEN 1 ELSE 0 END) AS bigint)
+         AS hits1,
+       CAST(sum(CASE WHEN pos AND rank <= 3 THEN 1 ELSE 0 END) AS bigint)
+         AS hits3,
+       CAST(sum(CASE WHEN pos AND rank <= 10 THEN 1 ELSE 0 END) AS bigint)
+         AS hits10,
+       CAST(1000000 * sum(CASE WHEN pos AND rank <= 10 THEN 1 ELSE 0 END)
+            // sum(CASE WHEN pos THEN 1 ELSE 0 END) AS bigint) AS hits10_ppm
+FROM rk
+""",
+        # per-doc entity salience: positional mention scan over the page
+        # token stream, exact-ppm freq/earliness/salience components
+        "kg_entity_salience": f"""
+{_KG_PREFIX},
+sal_tok AS (SELECT url, string_split(text, ' ') AS w FROM pages),
+sal_hits AS (
+  SELECT url, len(w) AS n_tokens, CAST(i - 1 AS bigint) AS pos, w[i] AS mention
+  FROM sal_tok, unnest(generate_series(1, len(w))) AS g(i)
+  WHERE w[i] IN ({ents})
+),
+sal AS (
+  SELECT url, mention,
+         CAST(count(*) AS bigint) AS n_mentions,
+         CAST(min(pos) AS bigint) AS first_pos,
+         CAST(max(pos) - min(pos) AS bigint) AS spread,
+         CAST(min(n_tokens) AS bigint) AS n_tokens
+  FROM sal_hits GROUP BY 1, 2
+)
+SELECT url, mention, n_mentions, first_pos, spread,
+       CAST(n_mentions * 1000000 // n_tokens AS bigint) AS freq_ppm,
+       CAST((n_tokens - first_pos) * 1000000 // n_tokens AS bigint)
+         AS earliness_ppm,
+       CAST((n_mentions * 1000000 // n_tokens
+             + (n_tokens - first_pos) * 1000000 // n_tokens) // 2 AS bigint)
+         AS salience_ppm
+FROM sal
+""",
+        # doc-level entity-pair lift (co-mention PMI, linearized); hugeint
+        # product mirrors the Spark decimal(38,0) overflow guard
+        "kg_entity_pmi": f"""
+{_KG_PREFIX},
+pm AS (
+  SELECT DISTINCT url, mention FROM (
+    SELECT url, unnest(string_split(text, ' ')) AS mention FROM pages
+  ) WHERE mention IN ({ents})
+),
+pmd AS (SELECT mention, count(*) AS df FROM pm GROUP BY 1),
+pmn AS (SELECT count(DISTINCT url) AS n_total FROM pm),
+pmp AS (
+  SELECT a.mention AS mention_a, b.mention AS mention_b,
+         CAST(count(*) AS bigint) AS n_docs
+  FROM pm a JOIN pm b ON a.url = b.url AND a.mention < b.mention
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.mention_a, p.mention_b, p.n_docs,
+       CAST(da.df AS bigint) AS df_a,
+       CAST(db.df AS bigint) AS df_b,
+       CAST(CAST(p.n_docs AS hugeint) * n.n_total * 1000000
+            // (da.df * db.df) AS bigint) AS lift_e6
+FROM pmp p
+CROSS JOIN pmn n
+JOIN pmd da ON da.mention = p.mention_a
+JOIN pmd db ON db.mention = p.mention_b
 """,
         # bounded-round 3-core peeling, recurrence unrolled (8 rounds)
         "kg_kcore": f"""

@@ -226,3 +226,66 @@ def _vocab_triples_sql(chunks: DataFrame) -> DataFrame:
             F.col("t.obj").alias("obj"),
         )
     )
+
+
+def entity_salience(extracted: DataFrame) -> DataFrame:
+    """Per-document entity salience from doc-global mention positions.
+
+    For every (url, mention) pair: mention count, first/last token
+    position, and exact-integer salience components over the document's
+    token count — the per-doc entity ranking a KG-construction pipeline
+    uses to pick which entities a page is *about* (vs merely names), the
+    signal the reference's viewer exposes only as raw counts
+    (``graph_extractor/src/graph_utils.py:62-76``).
+
+        freq_ppm      = floor(1e6 * n_mentions / n_tokens)
+        earliness_ppm = floor(1e6 * (n_tokens - first_pos) / n_tokens)
+        salience_ppm  = floor((freq_ppm + earliness_ppm) / 2)
+
+    Scale shape (100 TB): the positional scan is pure Catalyst — a
+    filter+transform over the token array inside whole-stage codegen (same
+    pattern as ``_vocab_triples_sql``), so no Python and no shuffle until
+    the one partial-agg'd groupBy on (url, mention). Output cardinality is
+    bounded by docs x vocab. All math is exact integer (engine-portable).
+    """
+    from text_to_graph_spark.kit.extract import ENTITY_CATEGORIES
+
+    ents = ", ".join(f"'{e}'" for e in sorted(ENTITY_CATEGORIES))
+    hits = (
+        extracted.select("url", F.split("text", " ").alias("w"))
+        .select(
+            "url",
+            F.size("w").alias("n_tokens"),
+            F.expr(
+                f"""
+                transform(
+                  filter(sequence(0, size(w) - 1), i -> w[i] IN ({ents})),
+                  i -> struct(i as pos, w[i] as mention)
+                )
+                """
+            ).alias("ms"),
+        )
+        .select("url", "n_tokens", F.explode("ms").alias("m"))
+        .select("url", "n_tokens", F.col("m.pos").alias("pos"), F.col("m.mention").alias("mention"))
+    )
+    agg = hits.groupBy("url", "mention").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.min("pos").cast("long").alias("first_pos"),
+        (F.max("pos") - F.min("pos")).cast("long").alias("spread"),
+        F.min("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return agg.select(
+        "url",
+        "mention",
+        "n_mentions",
+        "first_pos",
+        "spread",
+        F.expr("n_mentions * 1000000L DIV n_tokens").alias("freq_ppm"),
+        F.expr("(n_tokens - first_pos) * 1000000L DIV n_tokens").alias(
+            "earliness_ppm"
+        ),
+        F.expr(
+            "(n_mentions * 1000000L DIV n_tokens"
+            " + (n_tokens - first_pos) * 1000000L DIV n_tokens) DIV 2"
+        ).alias("salience_ppm"),
+    )

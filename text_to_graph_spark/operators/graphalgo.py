@@ -1003,3 +1003,65 @@ def clustering_coefficient(
             ).cast("bigint").alias("coeff_e6"),
         )
     )
+
+
+def ranking_eval(
+    preds: DataFrame,
+    group_col: str = "node_a",
+    item_col: str = "node_b",
+    score_col: str = "jaccard_ppm",
+    label_col: str = "is_linked",
+) -> DataFrame:
+    """KG-completion evaluation: filtered MRR / Hits@k of a scored
+    candidate table against ground-truth labels — the standard link-
+    prediction report card (Bordes et al., NeurIPS'13 eval protocol,
+    public literature), here over ``common_neighbors`` output where
+    ``is_linked`` marks pairs the graph already asserts.
+
+    Per group (query node), candidates rank by (score DESC, item ASC — the
+    deterministic tiebreak); every positive contributes its reciprocal
+    rank in exact ppm (1e6 DIV rank). One summary row:
+
+        n_queries, n_positives, mrr_ppm = sum(1e6 DIV rank) DIV n_pos,
+        hits1 / hits3 / hits10 (positives ranked <= k),
+        hits10_ppm = 1e6 * hits10 DIV n_positives.
+
+    Scale shape (100 TB): the rank window partitions by the query node —
+    per-group candidate lists are fan-out-bounded (the predictor already
+    degree-caps wedge centers), so no single-reducer window; the final
+    rollup is one partial-agg'd global aggregate to a single row. Exact
+    integer math end to end.
+    """
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            F.col(score_col).desc(), F.col(item_col).asc()
+        )
+    )
+    ranked = preds.select(
+        F.col(group_col).alias("grp"),
+        F.coalesce(F.col(label_col), F.lit(False)).alias("pos"),
+        rn.alias("rank"),
+    )
+    return ranked.agg(
+        F.count_distinct(F.when(F.col("pos"), F.col("grp"))).cast("long").alias(
+            "n_queries"
+        ),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("n_positives"),
+        F.expr(
+            "sum(CASE WHEN pos THEN 1000000L DIV rank ELSE 0L END)"
+            " DIV sum(CASE WHEN pos THEN 1L ELSE 0L END)"
+        ).alias("mrr_ppm"),
+        F.sum(F.when(F.col("pos") & (F.col("rank") <= 1), 1).otherwise(0))
+        .cast("long")
+        .alias("hits1"),
+        F.sum(F.when(F.col("pos") & (F.col("rank") <= 3), 1).otherwise(0))
+        .cast("long")
+        .alias("hits3"),
+        F.sum(F.when(F.col("pos") & (F.col("rank") <= 10), 1).otherwise(0))
+        .cast("long")
+        .alias("hits10"),
+        F.expr(
+            "1000000L * sum(CASE WHEN pos AND rank <= 10 THEN 1L ELSE 0L END)"
+            " DIV sum(CASE WHEN pos THEN 1L ELSE 0L END)"
+        ).alias("hits10_ppm"),
+    )

@@ -502,3 +502,77 @@ def inverse_predicates(
         "n_pred",
         F.expr("n_pairs * 1000000 DIV n_pred").cast("bigint").alias("frac_e6"),
     )
+
+
+def entity_pair_lift(mentions: DataFrame, min_pair_docs: int = 2) -> DataFrame:
+    """Co-mention association mining: linearized PMI over unordered entity
+    pairs that appear in the SAME document — including pairs the extractor
+    never joined into a triple, which is exactly the relation-discovery gap
+    ``edge_confidence`` (adjacent-pair lift) cannot see. High-lift unlinked
+    pairs are the candidate relations a KG-construction pipeline queues for
+    a second extraction pass.
+
+    lift_e6 = n_docs(a,b) * N * 1e6 DIV (df(a) * df(b)), exact integer; the
+    product runs in decimal(38,0) because n_docs * N * 1e6 exceeds int64
+    once n_docs * N > ~9.2e12 (same overflow class fixed in
+    edge_confidence / vocab_coverage).
+
+    Scale shape (100 TB): pair expansion is a codegen'd nested transform
+    over each doc's sorted-distinct mention array (same shape as
+    textstats.term_cooccurrence — never a per-doc self-join); per-doc
+    entity sets are vocabulary-bounded, so fan-out is ~|ents|²/2 per doc.
+    One partial-agg'd groupBy on the pair key; the per-entity df table is
+    vocabulary-sized and broadcast.
+    """
+    m = mentions.select("url", "mention").distinct()
+    n_total = m.select("url").distinct().count()
+    df_tab = m.groupBy("mention").agg(F.count(F.lit(1)).alias("df"))
+    sets = m.groupBy("url").agg(F.array_sort(F.collect_set("mention")).alias("ms"))
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(ms, (a, i) ->
+                      transform(slice(ms, i + 2, size(ms)),
+                                b -> struct(a AS mention_a, b AS mention_b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.mention_a", "p.mention_b")
+        .groupBy("mention_a", "mention_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= min_pair_docs)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                df_tab.select(
+                    F.col("mention").alias("mention_a"), F.col("df").alias("df_a")
+                )
+            ),
+            "mention_a",
+        )
+        .join(
+            F.broadcast(
+                df_tab.select(
+                    F.col("mention").alias("mention_b"), F.col("df").alias("df_b")
+                )
+            ),
+            "mention_b",
+        )
+        .select(
+            "mention_a",
+            "mention_b",
+            "n_docs",
+            F.col("df_a").cast("long").alias("df_a"),
+            F.col("df_b").cast("long").alias("df_b"),
+            F.expr(
+                f"CAST(n_docs AS decimal(38,0)) * {n_total} * 1000000"
+                " DIV (df_a * df_b)"
+            )
+            .cast("bigint")
+            .alias("lift_e6"),
+        )
+    )
