@@ -501,3 +501,86 @@ def test_landmark_bfs_hop_is_equi_join_no_cartesian(spark):
     s = plan_str(out, "simple")
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_rule_mining_body_join_is_equi_join_with_broadcast_head_counts(spark):
+    """The AMIE body join must be a hash equi-join on the shared variable y
+    (never a nested loop), and the per-head-relation count table (|preds|
+    rows) must arrive as a broadcast."""
+    from text_to_graph_spark.operators.rules import mine_path_rules
+
+    facts = spark.createDataFrame(
+        [("a", "r", "m"), ("m", "s", "b"), ("a", "t", "b")],
+        "subj string, pred string, obj string",
+    )
+    out = mine_path_rules(facts, max_mid_degree=64)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert has_broadcast_join(out)
+
+
+def test_rule_application_broadcasts_accepted_rules(spark):
+    """Densification grounds bodies against the tiny accepted-rule table —
+    that side must broadcast; the novelty check is a left_anti equi-join."""
+    from text_to_graph_spark.operators.rules import apply_rules, mine_path_rules
+
+    facts = spark.createDataFrame(
+        [("a", "r", "m"), ("m", "s", "b"), ("a", "t", "b"),
+         ("c", "r", "m"), ("m", "s", "d")],
+        "subj string, pred string, obj string",
+    )
+    out = apply_rules(facts, mine_path_rules(facts), min_confidence_ppm=400_000)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert has_broadcast_join(out)
+
+
+def test_entity_salience_is_pure_catalyst_no_python(spark):
+    """The positional mention scan must stay inside codegen (zero Python
+    boundaries) and shuffle only for the (url, mention) partial agg."""
+    from text_to_graph_spark.operators.extraction import entity_salience
+
+    ext = spark.createDataFrame(
+        [("u", "customer likes spark")], "url string, text string"
+    )
+    out = entity_salience(ext)
+    assert python_eval_count(out) == 0
+    assert count_exchanges(out) <= 1
+
+
+def test_entity_pair_lift_expands_pairs_without_self_join(spark):
+    """Pair expansion is a nested transform over the per-doc mention array —
+    the plan must contain no cartesian/nested-loop join, and the per-entity
+    df table must broadcast."""
+    from text_to_graph_spark.operators.graphq import entity_pair_lift
+
+    m = spark.createDataFrame(
+        [("d1", "customer"), ("d1", "spark"), ("d2", "customer"),
+         ("d2", "spark")],
+        "url string, mention string",
+    )
+    out = entity_pair_lift(m, min_pair_docs=1)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert has_broadcast_join(out)
+
+
+def test_ranking_eval_window_partitions_by_query_node(spark):
+    """The rank window must partition by the query node (no single-reducer
+    global window) and the rollup is one partial-agg'd global aggregate."""
+    from text_to_graph_spark.operators.graphalgo import ranking_eval
+
+    preds = spark.createDataFrame(
+        [("g1", "b1", 900, True)],
+        "node_a string, node_b string, jaccard_ppm long, is_linked boolean",
+    )
+    out = ranking_eval(preds)
+    s = plan_str(out, "simple")
+    # a partitionBy window plans hashpartitioning on the group key; a global
+    # window would plan SinglePartition before the Window node
+    assert "Window" in s
+    assert "SinglePartition, Window" not in s.replace("\n", " ")
+    assert "CartesianProduct" not in s

@@ -68,8 +68,11 @@ def mine_path_rules(
         .select("p1", "p2", "x", "z")
         .distinct()
     )
-    n_body = bodies.groupBy("p1", "p2").agg(
-        F.count(F.lit(1)).cast("long").alias("n_body")
+    # |preds|²-row rollup — broadcast so the support join never shuffles
+    n_body = F.broadcast(
+        bodies.groupBy("p1", "p2").agg(
+            F.count(F.lit(1)).cast("long").alias("n_body")
+        )
     )
 
     heads = f.select(

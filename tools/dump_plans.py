@@ -103,6 +103,32 @@ def _skew_join_plan(spark):
     return skew_salted_join(t, dim, on="subj", salt_from="url")
 
 
+def _rules_plan(spark, triples):
+    from pyspark.sql import functions as F
+
+    from text_to_graph_spark.operators.rules import mine_path_rules
+
+    return mine_path_rules(
+        triples.select("subj", "pred", "obj").distinct(), max_mid_degree=4096
+    )
+
+
+def _salience_plan(pages):
+    from text_to_graph_spark.operators.extraction import entity_salience, extract_text
+
+    return entity_salience(extract_text(pages))
+
+
+def _ranking_eval_plan(spark):
+    from text_to_graph_spark.operators.graphalgo import ranking_eval
+
+    preds = spark.createDataFrame(
+        [("g", "b", 900, True)],
+        "node_a string, node_b string, jaccard_ppm long, is_linked boolean",
+    )
+    return ranking_eval(preds)
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -270,6 +296,18 @@ def main() -> int:
         ),
         "BPE-pretoken chunking (shuffle-free mapInPandas packer)": (
             chunk_pages(pages.select("url", "text"), token_counter="pretoken")
+        ),
+        "AMIE rule mining (hub-capped body equi-join, broadcast head counts)": (
+            _rules_plan(spark, triples)
+        ),
+        "entity salience (pure-Catalyst positional scan, one partial agg)": (
+            _salience_plan(pages)
+        ),
+        "entity pair lift (nested-transform pairs, broadcast df table)": (
+            GQ.entity_pair_lift(mentions, min_pair_docs=1)
+        ),
+        "ranking eval (per-query-node window, single-row rollup)": (
+            _ranking_eval_plan(spark)
         ),
     }
 
