@@ -1017,6 +1017,20 @@ def _q_dedup_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), group_col="source", threshold=0.05)
 
 
+def _q_dedup_containment(spark, sf_dir):
+    # asymmetric shingle containment — the quote/boilerplate-wrap detector
+    # Jaccard misses; blocked by source like dedup_jaccard's verify step
+    return D.containment_pairs(
+        _docs(spark, sf_dir), group_col="source", threshold=0.05
+    )
+
+
+def _q_dedup_keep_best(spark, sf_dir):
+    # fuzzy dedup with quality-argmax survivors: LSH/CC clusters joined to
+    # quality_stats, per-cluster max quality_score (tiebreak min doc_id)
+    return D.neardup_keep_best(_docs(spark, sf_dir))
+
+
 def _q_dedup_embedding(spark, sf_dir):
     # the LSH-bucketed scale path is the contract (candidates from a sign-
     # bucket equi-join, then exact cosine verify); the brute-force twin is
@@ -1335,6 +1349,13 @@ def _q_kg_entity_postings(spark, sf_dir):
     return G.entity_postings(
         _stages(spark, sf_dir)["triples"].select("url", "subj", "obj")
     ).withColumn("doc_urls", F.concat_ws("|", "doc_urls"))
+
+
+def _q_kg_entity_cards(spark, sf_dir):
+    # denormalized per-entity serving card: node row + degree split +
+    # dominant outgoing predicate + dominant neighbor (argmax windows
+    # partitioned by label — no global sort)
+    return G.entity_cards(_q_kg_nodes(spark, sf_dir), _edges(spark, sf_dir))
 
 
 def _q_events_hll(spark, sf_dir):
@@ -2212,6 +2233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_band_load": _q_dedup_band_load,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_containment": _q_dedup_containment,
+        "dedup_keep_best": _q_dedup_keep_best,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_spans": _q_dedup_spans,
@@ -2237,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_equivalence": _q_web_equivalence,
         "kg_clustering": _q_kg_clustering,
         "kg_entity_postings": _q_kg_entity_postings,
+        "kg_entity_cards": _q_kg_entity_cards,
         "kg_edge_confidence": _q_kg_edge_confidence,
         "docs_profile": _q_docs_profile,
         "layout_zorder": _q_layout_zorder,
@@ -3262,6 +3286,60 @@ FROM (
   SELECT obj, 0, 1 FROM edges
 ) GROUP BY label
 """,
+        # per-entity serving card: node row + degree split + argmax
+        # outgoing predicate + argmax neighbor (ties: count desc, key asc)
+        "kg_entity_cards": f"""
+{_KG_PREFIX},
+nodes2 AS (
+  SELECT label, {cat} AS node_type, count(DISTINCT url) AS n_docs
+  FROM (
+    SELECT url, subj AS label FROM triples
+    UNION ALL
+    SELECT url, obj FROM triples
+  ) GROUP BY label
+),
+deg AS (
+  SELECT label, CAST(sum(out_d) AS bigint) AS out_degree,
+         CAST(sum(in_d) AS bigint) AS in_degree, count(*) AS degree
+  FROM (
+    SELECT subj AS label, 1 AS out_d, 0 AS in_d FROM edges
+    UNION ALL
+    SELECT obj, 0, 1 FROM edges
+  ) GROUP BY label
+),
+tp AS (
+  SELECT label, top_predicate FROM (
+    SELECT subj AS label, pred AS top_predicate,
+           row_number() OVER (PARTITION BY subj
+                              ORDER BY count(*) DESC, pred ASC) AS rn
+    FROM edges GROUP BY subj, pred
+  ) WHERE rn = 1
+),
+tn AS (
+  SELECT label, top_neighbor FROM (
+    SELECT label, top_neighbor,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY n DESC, top_neighbor ASC) AS rn
+    FROM (
+      SELECT label, top_neighbor, count(*) AS n FROM (
+        SELECT subj AS label, obj AS top_neighbor FROM edges
+        UNION ALL
+        SELECT obj, subj FROM edges
+      ) GROUP BY label, top_neighbor
+    )
+  ) WHERE rn = 1
+)
+SELECT n.label, n.node_type, n.n_docs,
+       CAST(coalesce(d.out_degree, 0) AS bigint) AS out_degree,
+       CAST(coalesce(d.in_degree, 0) AS bigint) AS in_degree,
+       CAST(coalesce(d.degree, 0) AS bigint) AS degree,
+       coalesce(tp.top_predicate, '') AS top_predicate,
+       coalesce(tn.top_neighbor, '') AS top_neighbor
+FROM nodes2 n
+LEFT JOIN deg d ON d.label = n.label
+LEFT JOIN tp ON tp.label = n.label
+LEFT JOIN tn ON tn.label = n.label
+""",
         "kg_parallel_edges": f"""
 {_KG_PREFIX}
 SELECT subj, obj,
@@ -3990,6 +4068,75 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE (floor((inter / CAST(sa.sz + sb.sz - inter AS double)) * 10000.0 + 0.5) / 10000.0) >= 0.05
+""",
+        # asymmetric shingle containment within the source block: inter/|A|
+        # and inter/|B| from exact integer counts, pair kept when either
+        # direction clears the threshold
+        "dedup_containment": """
+WITH sh AS (
+  SELECT DISTINCT d.doc_id, d.source AS grp,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents) d,
+       unnest(generate_series(1, len(w) - 2)) AS g(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.grp = b.grp AND a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM (
+  SELECT id_a, id_b,
+         (floor((inter / CAST(sa.sz AS double)) * 10000.0 + 0.5) / 10000.0) AS cont_a_in_b,
+         (floor((inter / CAST(sb.sz AS double)) * 10000.0 + 0.5) / 10000.0) AS cont_b_in_a
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.05
+""",
+        # fuzzy dedup with quality-argmax survivors: the dedup_clusters
+        # min-reachable-id CC joined to the text_quality score, per-cluster
+        # row_number over (quality DESC, doc_id ASC)
+        "dedup_keep_best": f"""
+WITH RECURSIVE {_MINHASH_CTE},
+bands2 AS (
+  SELECT doc_id, mh0 AS h, 0 AS band FROM sig
+  UNION ALL SELECT doc_id, mh1, 1 FROM sig
+  UNION ALL SELECT doc_id, mh2, 2 FROM sig
+  UNION ALL SELECT doc_id, mh3, 3 FROM sig
+),
+pairs2 AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM bands2 a JOIN bands2 b ON a.h = b.h AND a.band = b.band
+  WHERE a.doc_id < b.doc_id
+),
+sym2 AS (SELECT ia AS u, ib AS v FROM pairs2 UNION SELECT ib, ia FROM pairs2),
+verts2 AS (SELECT DISTINCT doc_id FROM documents),
+reach3 AS (
+  SELECT doc_id AS node, doc_id AS r FROM verts2
+  UNION
+  SELECT s.u, reach3.r FROM sym2 s JOIN reach3 ON s.v = reach3.node
+),
+cl AS (SELECT node AS doc_id, min(r) AS cluster FROM reach3 GROUP BY node),
+q AS (
+  SELECT doc_id,
+         (floor(((floor((len(list_distinct(w)) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) * 0.5 + (1.0 - (floor((len(list_filter(w, x -> x IN ('the', 'a'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0)) * 0.3 + least(len(w) / 100.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0) AS quality_score
+  FROM (SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_chars
+        FROM documents)
+),
+r AS (
+  SELECT cl.cluster, cl.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY cl.cluster
+                            ORDER BY q.quality_score DESC, cl.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cl.cluster) AS n_members
+  FROM cl JOIN q ON q.doc_id = cl.doc_id
+)
+SELECT cluster, doc_id AS kept_id, quality_score,
+       CAST(n_members AS bigint) AS n_members,
+       CAST(n_members - 1 AS bigint) AS n_dropped
+FROM r WHERE rn = 1
 """,
         # sign-bucket LSH candidates (first-3-component sign pattern) +
         # exact cosine verify — mirrors embedding_neardup_pairs_lsh

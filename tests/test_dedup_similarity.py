@@ -626,3 +626,48 @@ class TestLabelPrototypes:
         assert top[0] == 3
         # label 1 is two identical points: tie -> smaller id
         assert top[1] == 4
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    # doc 11 is fully quoted inside doc 10 (plus lots of wrapper text):
+    # containment(11 in 10) = 1.0 while Jaccard is far below 0.5
+    from text_to_graph_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon"
+    wrap = ("intro one two three four five six seven eight nine ten "
+            + quote + " outro eleven twelve thirteen fourteen fifteen")
+    df = spark.createDataFrame(
+        [(10, "g", wrap), (11, "g", quote), (12, "g", "unrelated words only here now")],
+        "doc_id long, source string, text string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in
+            containment_pairs(df, group_col="source", threshold=0.5).collect()}
+    assert set(rows) == {(10, 11)}
+    r = rows[(10, 11)]
+    assert r["cont_b_in_a"] == 1.0            # the quote is fully contained
+    assert r["cont_a_in_b"] < 0.25            # the wrapper is not
+    # symmetric-Jaccard twin on the same input stays silent at 0.5
+    j = ngram_jaccard_pairs(df, group_col="source", threshold=0.5).collect()
+    assert j == []
+
+
+def test_neardup_keep_best_prefers_quality_not_min_id(spark):
+    # two near-dup docs: the LOWER-id one is low quality (repeated token),
+    # the higher-id one is diverse -> keep_best must pick the higher id,
+    # which plain near_dup_clusters representatives (min id) would not
+    from text_to_graph_spark.operators.dedup import near_dup_clusters, neardup_keep_best
+
+    dup_a = "alpha beta gamma delta epsilon zeta eta theta alpha alpha alpha alpha"
+    dup_b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    df = spark.createDataFrame(
+        [(1, dup_a), (2, dup_b), (9, "totally different content words here")],
+        "doc_id long, text string",
+    )
+    kept = {r["cluster"]: r for r in neardup_keep_best(df).collect()}
+    assert kept[1]["kept_id"] == 2            # quality argmax, not min id
+    assert kept[1]["n_members"] == 2 and kept[1]["n_dropped"] == 1
+    assert kept[9]["kept_id"] == 9 and kept[9]["n_members"] == 1
+    # sanity: the min-id representative disagrees on this fixture
+    reps = {r["cluster"]: r["doc_id"]
+            for r in near_dup_clusters(df).where("is_representative").collect()}
+    assert reps[1] == 1

@@ -112,3 +112,46 @@ class TestEntityPairLift:
             for r in entity_pair_lift(m, min_pair_docs=2).collect()
         }
         assert got == {("customer", "spark"): 2}
+
+
+class TestEntityCards:
+    def test_card_fields_on_hand_graph(self, spark):
+        from text_to_graph_spark.operators.graphq import entity_cards
+
+        nodes = spark.createDataFrame(
+            [("a", "entity", 3), ("b", "entity", 2), ("c", "entity", 1),
+             ("z", "entity", 1)],
+            "label string, node_type string, n_docs long",
+        )
+        # a->b twice (via p, q), a->c once, c->a once; z isolated
+        edges = spark.createDataFrame(
+            [("a", "p", "b", 2, 2), ("a", "q", "b", 1, 1),
+             ("a", "p", "c", 1, 1), ("c", "r", "a", 1, 1)],
+            "subj string, pred string, obj string, n_docs long, n_occurrences long",
+        )
+        cards = {r["label"]: r for r in entity_cards(nodes, edges).collect()}
+        a = cards["a"]
+        assert (a.out_degree, a.in_degree, a.degree) == (3, 1, 4)
+        assert a.top_predicate == "p"      # p: 2 edges > q: 1
+        assert a.top_neighbor == "b"       # b: 2 mentions > c: 2? no — b=2, c=2
+        # tie c vs b at 2 each -> asc tiebreak picks 'b'
+        z = cards["z"]
+        assert (z.out_degree, z.in_degree, z.degree) == (0, 0, 0)
+        assert z.top_predicate == "" and z.top_neighbor == ""
+        b = cards["b"]
+        assert b.top_predicate == ""       # no outgoing edges
+        assert b.top_neighbor == "a"
+
+    def test_every_node_gets_exactly_one_card(self, spark):
+        from text_to_graph_spark.operators.graphq import entity_cards
+
+        nodes = spark.createDataFrame(
+            [("a", "t", 1), ("b", "t", 1)], "label string, node_type string, n_docs long"
+        )
+        edges = spark.createDataFrame(
+            [("a", "p", "b", 1, 1)],
+            "subj string, pred string, obj string, n_docs long, n_occurrences long",
+        )
+        out = entity_cards(nodes, edges)
+        assert out.count() == 2
+        assert out.select("label").distinct().count() == 2

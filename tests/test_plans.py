@@ -584,3 +584,55 @@ def test_ranking_eval_window_partitions_by_query_node(spark):
     assert "Window" in s
     assert "SinglePartition, Window" not in s.replace("\n", " ")
     assert "CartesianProduct" not in s
+
+
+def test_containment_pairs_is_blocked_equi_join(spark):
+    """The containment verify step joins shingles on (grp, shingle) — an
+    exact hash equi-join, never a nested loop over doc pairs."""
+    from text_to_graph_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "g", "a b c d e"), (2, "g", "a b c d f")],
+        "doc_id long, source string, text string",
+    )
+    out = containment_pairs(docs, group_col="source", threshold=0.1)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_keep_best_rank_window_partitions_by_cluster(spark):
+    """The survivor argmax is a window partitioned by cluster id — no
+    SinglePartition global sort; quality scoring stays in codegen."""
+    from text_to_graph_spark.operators.dedup import neardup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+    )
+    out = neardup_keep_best(docs)
+    s = plan_str(out, "simple")
+    assert "Window" in s
+    assert "SinglePartition, Window" not in s.replace("\n", " ")
+    assert "CartesianProduct" not in s
+    assert python_eval_count(out) == 0
+
+
+def test_entity_cards_windows_partition_by_label_no_cartesian(spark):
+    """Both argmax windows partition by the node label and every join is a
+    label equi-join — no nested loop, no global window."""
+    from text_to_graph_spark.operators.graphq import entity_cards
+
+    nodes = spark.createDataFrame(
+        [("a", "t", 1)], "label string, node_type string, n_docs long"
+    )
+    edges = spark.createDataFrame(
+        [("a", "p", "b", 1, 1)],
+        "subj string, pred string, obj string, n_docs long, n_occurrences long",
+    )
+    out = entity_cards(nodes, edges)
+    s = plan_str(out, "simple")
+    assert "Window" in s
+    assert "SinglePartition, Window" not in s.replace("\n", " ")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0

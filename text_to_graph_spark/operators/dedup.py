@@ -203,6 +203,61 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric shingle containment within a blocking group — the
+    quote/boilerplate-wrap detector symmetric Jaccard misses.
+
+    containment(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|: a
+    short doc fully quoted inside a long one scores ~1.0 here but near-zero
+    Jaccard (the union is dominated by the long doc). Output
+    (id_a, id_b, cont_a_in_b, cont_b_in_a) for unordered pairs where either
+    direction clears ``threshold``; containments rounded to 4 dp from exact
+    integer counts (engine-portable).
+
+    Scale: identical shape to :func:`ngram_jaccard_pairs` — the shingle
+    equi-join is blocked by ``group_col`` (in production the LSH band key),
+    so cost is per-block candidates, never corpus n². One localCheckpoint
+    keeps the shingle explosion from re-executing for sizes + both join
+    sides.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    ).localCheckpoint(eager=True)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "grp", "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "grp", "shingle")
+    inter = (
+        a.join(b, ["grp", "shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "cont_a_in_b",
+            round_half_up(F.col("inter") / F.col("sz_a").cast("double"), 4),
+        )
+        .withColumn(
+            "cont_b_in_a",
+            round_half_up(F.col("inter") / F.col("sz_b").cast("double"), 4),
+        )
+        .where(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+        .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+    )
+    return out
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """Per-doc SimHash over the (non-distinct) token stream.
 
@@ -336,6 +391,54 @@ def near_dup_clusters(
         .select("doc_id", "cluster")
     )
     return out.withColumn("is_representative", F.col("doc_id") == F.col("cluster"))
+
+
+def neardup_keep_best(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Fuzzy dedup with quality-argmax representatives — keep the BEST copy
+    of each near-duplicate family, not the arbitrary min-id one.
+
+    Production corpora (Dolma/FineWeb-style) don't keep a random cluster
+    member: they keep the highest-quality exemplar. Composition:
+    :func:`near_dup_clusters` (MinHash/LSH -> connected components) joined
+    with ``textstats.quality_stats``; per cluster the survivor is the max
+    ``quality_score`` doc, ties broken by min doc_id (deterministic).
+
+    Output one row per cluster: (cluster, kept_id, quality_score,
+    n_members, n_dropped).
+
+    Scale: the rank is a window partitioned by cluster id (hash-partitioned,
+    no global sort); cluster cardinality ~= corpus size post-dedup, member
+    counts come from the same partial-agg'd shuffle. Quality scores are
+    per-row expressions fused into the scan stage.
+    """
+    from text_to_graph_spark.operators.textstats import quality_stats
+
+    cl = near_dup_clusters(docs, id_col, text_col, n, bands)
+    q = quality_stats(docs, id_col, text_col).select("doc_id", "quality_score")
+    j = cl.select("doc_id", "cluster").join(q, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = j.select(
+        "cluster",
+        F.col("doc_id"),
+        "quality_score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("cluster")).alias("n_members"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster",
+        F.col("doc_id").alias("kept_id"),
+        "quality_score",
+        F.col("n_members").cast("long").alias("n_members"),
+        (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+    )
 
 
 def duplicated_span_stats(

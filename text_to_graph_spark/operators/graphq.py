@@ -576,3 +576,58 @@ def entity_pair_lift(mentions: DataFrame, min_pair_docs: int = 2) -> DataFrame:
             .alias("lift_e6"),
         )
     )
+
+
+def entity_cards(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-entity serving card — the denormalized profile row a KG lookup
+    layer materializes next to the nodes table (label, type, corpus reach,
+    degree split, dominant outgoing predicate, dominant neighbor).
+
+    ``top_predicate`` is the most frequent outgoing predicate (edge-count
+    desc, predicate asc tiebreak); ``top_neighbor`` the most frequent peer
+    across both directions. Nodes with no surviving edges still get a card
+    (zero degrees, empty strings) — the viewer's node list is the full node
+    table, not just edge endpoints.
+
+    Scale (100 TB): three aggregations, all keyed by the node label so the
+    shuffles are partial-agg'd and co-partitioned; the two argmax ranks are
+    windows partitioned by label (no global sort, no single reducer). Each
+    join is label-equi; nothing is collected.
+    """
+    deg = node_degrees(edges, src="subj", dst="obj").withColumnRenamed("key", "label")
+    wp = Window.partitionBy("label").orderBy(F.desc("n"), F.asc("top_predicate"))
+    top_pred = (
+        edges.groupBy(F.col("subj").alias("label"), F.col("pred").alias("top_predicate"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("label", "top_predicate")
+    )
+    peers = edges.select(
+        F.col("subj").alias("label"), F.col("obj").alias("top_neighbor")
+    ).unionByName(
+        edges.select(F.col("obj").alias("label"), F.col("subj").alias("top_neighbor"))
+    )
+    wn = Window.partitionBy("label").orderBy(F.desc("n"), F.asc("top_neighbor"))
+    top_peer = (
+        peers.groupBy("label", "top_neighbor")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") == 1)
+        .select("label", "top_neighbor")
+    )
+    return (
+        nodes.join(deg, "label", "left")
+        .join(top_pred, "label", "left")
+        .join(top_peer, "label", "left")
+        .select(
+            "label",
+            F.col("node_type"),
+            F.col("n_docs"),
+            F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("top_predicate", F.lit("")).alias("top_predicate"),
+            F.coalesce("top_neighbor", F.lit("")).alias("top_neighbor"),
+        )
+    )
