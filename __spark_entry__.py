@@ -1351,6 +1351,43 @@ def _q_kg_entity_postings(spark, sf_dir):
     ).withColumn("doc_urls", F.concat_ws("|", "doc_urls"))
 
 
+def _q_text_pii(spark, sf_dir):
+    # PII audit + redaction fingerprint: deterministic synthetic PII
+    # (email/ip per doc, phone on every 3rd) appended in the query itself so
+    # both engines scan identical input; counts are pure projections and the
+    # redacted text is carried as its md5 (scalar contract boundary)
+    from text_to_graph_spark.operators.pii import pii_stats, redact_pii
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact-"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    red = redact_pii(d).select(
+        "doc_id", F.md5("redacted").alias("redacted_md5"), "was_redacted"
+    )
+    return pii_stats(d).join(red, "doc_id")
+
+
+def _q_kg_skew_profile(spark, sf_dir):
+    # join-key skew pre-flight over the triple subj column — the diagnostic
+    # that sizes skew_salted_join's bucket count before the remap join runs
+    from text_to_graph_spark.operators.canonicalize import join_skew_profile
+
+    return join_skew_profile(
+        _stages(spark, sf_dir)["triples"].select("subj"), "subj", top_k=20
+    )
+
+
 def _q_kg_entity_cards(spark, sf_dir):
     # denormalized per-entity serving card: node row + degree split +
     # dominant outgoing predicate + dominant neighbor (argmax windows
@@ -2261,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clustering": _q_kg_clustering,
         "kg_entity_postings": _q_kg_entity_postings,
         "kg_entity_cards": _q_kg_entity_cards,
+        "kg_skew_profile": _q_kg_skew_profile,
         "kg_edge_confidence": _q_kg_edge_confidence,
         "docs_profile": _q_docs_profile,
         "layout_zorder": _q_layout_zorder,
@@ -2275,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "emb_kmeans": _q_emb_kmeans,
         "text_quality": _q_text_quality,
+        "text_pii": _q_text_pii,
         "text_tokens": _q_text_tokens,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -3339,6 +3378,22 @@ FROM nodes2 n
 LEFT JOIN deg d ON d.label = n.label
 LEFT JOIN tp ON tp.label = n.label
 LEFT JOIN tn ON tn.label = n.label
+""",
+        # join-key skew pre-flight: per-key share and mean-multiple in exact
+        # hugeint arithmetic, salt bucket = floor(mean multiple), capped
+        "kg_skew_profile": f"""
+{_KG_PREFIX},
+c AS (SELECT subj AS key, count(*) AS n_rows FROM triples GROUP BY subj),
+t AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c)
+SELECT key, n_rows,
+       CAST(CAST(n_rows AS hugeint) * 1000000 // t.total AS bigint) AS share_e6,
+       CAST(CAST(n_rows AS hugeint) * t.n_keys * 100 // t.total AS bigint) AS mean_x100,
+       CAST(least(1024, greatest(1,
+            CAST(n_rows AS hugeint) * t.n_keys * 100 // t.total // 100)) AS int)
+         AS salt_buckets
+FROM c, t
+ORDER BY n_rows DESC, key ASC
+LIMIT 20
 """,
         "kg_parallel_edges": f"""
 {_KG_PREFIX}
@@ -5065,6 +5120,37 @@ SELECT doc_id,
        (floor(((n_chars - (len(w) - 1)) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS avg_token_len,
        (floor(((floor((len(list_distinct(w)) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) * 0.5 + (1.0 - (floor((len(list_filter(w, x -> x IN ('the', 'a'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0)) * 0.3 + least(len(w) / 100.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0) AS quality_score
 FROM t
+""",
+        # PII audit over the deterministically-injected corpus; patterns are
+        # the Java-regex/RE2 common subset so replace output is byte-equal
+        "text_pii": """
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact-' || CAST(doc_id AS varchar) || '@example.com via 10.0.'
+              || CAST(doc_id % 256 AS varchar) || '.7'
+              || CASE WHEN doc_id % 3 = 0 THEN ' call 555-867-5309' ELSE '' END AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_extract_all(text, '\\b[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}\\b')) AS bigint) AS n_emails,
+    CAST(len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS bigint) AS n_phones,
+    CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS bigint) AS n_ipv4,
+    CAST(len(regexp_extract_all(text, '\\bhttps?://[a-zA-Z0-9./_%+?=&#-]+')) AS bigint) AS n_urls,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '\\bhttps?://[a-zA-Z0-9./_%+?=&#-]+', '<URL>', 'g'),
+          '\\b[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}\\b', '<EMAIL>', 'g'),
+        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+      '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS redacted
+  FROM d
+)
+SELECT doc_id, n_emails, n_phones, n_ipv4, n_urls,
+       n_emails + n_phones + n_ipv4 + n_urls AS n_pii,
+       md5(redacted) AS redacted_md5,
+       redacted <> text AS was_redacted
+FROM s
 """,
         "text_tokens": """
 SELECT doc_id,

@@ -337,3 +337,72 @@ class TestLangidConfusion:
             by_decl[d] += f
         for total in by_decl.values():
             assert 999998 <= total <= 1000000
+
+
+class TestPii:
+    def test_counts_and_redaction(self, spark):
+        from text_to_graph_spark.operators.pii import pii_stats, redact_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at bob@example.com or call 555-123-4567 now"),
+                (2, "server at 192.168.0.1 serves https://a.example.com/x?q=1 daily"),
+                (3, "nothing sensitive here at all"),
+            ],
+            "doc_id long, text string",
+        )
+        s = {r["doc_id"]: r for r in pii_stats(df).collect()}
+        assert (s[1].n_emails, s[1].n_phones, s[1].n_ipv4, s[1].n_urls) == (1, 1, 0, 0)
+        assert (s[2].n_emails, s[2].n_phones, s[2].n_ipv4, s[2].n_urls) == (0, 0, 1, 1)
+        assert s[3].n_pii == 0
+        r = {x["doc_id"]: x for x in redact_pii(df).collect()}
+        assert r[1].redacted == "mail me at <EMAIL> or call <PHONE> now"
+        assert r[2].redacted == "server at <IP> serves <URL> daily"
+        assert r[3].redacted == r[3].text and not r[3].was_redacted
+
+    def test_url_redacted_before_ip_and_email(self, spark):
+        # the URL contains both a dotted host and an @-free path: the URL
+        # placeholder must win, leaving no leftover for the other classes
+        from text_to_graph_spark.operators.pii import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "see http://10.0.0.1/path.html for details")],
+            "doc_id long, text string",
+        )
+        row = redact_pii(df).collect()[0]
+        assert row.redacted == "see <URL> for details"
+
+    def test_pii_is_pure_projection(self, spark):
+        from text_to_graph_spark.operators.pii import pii_stats
+        from text_to_graph_spark.plans.introspect import (
+            count_exchanges,
+            python_eval_count,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        out = pii_stats(df)
+        assert python_eval_count(out) == 0
+        assert count_exchanges(out) == 0
+
+
+class TestJoinSkewProfile:
+    def test_shares_and_salt_recommendation(self, spark):
+        from text_to_graph_spark.operators.canonicalize import join_skew_profile
+
+        # 10 rows: 'hot' carries 8, 'a' and 'b' one each -> 3 keys,
+        # mean = 10/3; hot mean_x100 = 8*3*100//10 = 240 -> salt 2
+        rows = [("hot",)] * 8 + [("a",), ("b",)]
+        df = spark.createDataFrame(rows, "k string")
+        out = {r["key"]: r for r in join_skew_profile(df, "k", top_k=10).collect()}
+        assert out["hot"].n_rows == 8
+        assert out["hot"].share_e6 == 800_000
+        assert out["hot"].mean_x100 == 240
+        assert out["hot"].salt_buckets == 2
+        assert out["a"].salt_buckets == 1 and out["a"].mean_x100 == 30
+
+    def test_top_k_is_deterministic_on_ties(self, spark):
+        from text_to_graph_spark.operators.canonicalize import join_skew_profile
+
+        df = spark.createDataFrame([("b",), ("a",), ("c",)], "k string")
+        got = [r["key"] for r in join_skew_profile(df, "k", top_k=2).collect()]
+        assert got == ["a", "b"]  # equal counts -> key asc

@@ -636,3 +636,15 @@ def test_entity_cards_windows_partition_by_label_no_cartesian(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert python_eval_count(out) == 0
+
+
+def test_skew_profile_topk_is_takeordered_not_global_sort(spark):
+    """The hottest-keys ranking must compile to TakeOrderedAndProject (a
+    bounded per-partition heap + driver merge), never a full Sort."""
+    from text_to_graph_spark.operators.canonicalize import join_skew_profile
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    out = join_skew_profile(df, "k", top_k=5)
+    s = plan_str(out, "simple")
+    assert "TakeOrderedAndProject" in s
+    assert python_eval_count(out) == 0

@@ -463,3 +463,53 @@ def merge_canonical_nodes(a: DataFrame, b: DataFrame) -> DataFrame:
         doc_ids.alias("doc_ids"),
         F.size(doc_ids).cast("int").alias("n_docs"),
     )
+
+
+def join_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
+    """Pre-flight skew profiler for a join/aggregation key — the diagnostic
+    that decides whether :func:`skew_salted_join` (or AQE's skew split) is
+    worth wiring in for this key, BEFORE the job straggles.
+
+    Top-``top_k`` hottest keys with ``n_rows``, exact-ppm corpus share,
+    ``mean_x100`` (how many times the average key's row count this key
+    carries, ×100), and ``salt_buckets`` — the bucket count a salted join
+    would need to level this key down to the mean (floor of the mean
+    multiple, capped at 1024, min 1). The LSH analog is
+    ``dedup.band_load_stats``; this is the plain-join twin.
+
+    Scale: one partial-agg'd groupBy on the key; total/row-count and key
+    cardinality are two scalar aggregates (driver holds two longs); the
+    ranking is a TakeOrdered top-k, never a global sort. Products go
+    through decimal(38,0) — n_rows × n_keys × 1e6 overflows int64 at
+    corpus scale.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot_row = counts.agg(
+        F.sum("n_rows").alias("t"), F.count(F.lit(1)).alias("k")
+    ).collect()[0]
+    total, n_keys = int(tot_row["t"] or 0), int(tot_row["k"] or 1)
+    mean_mult = F.expr(
+        f"CAST(n_rows AS decimal(38,0)) * {n_keys} * 100 DIV {max(total, 1)}"
+    ).cast("bigint")
+    return (
+        counts.orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_k)
+        .select(
+            "key",
+            "n_rows",
+            F.expr(
+                f"CAST(n_rows AS decimal(38,0)) * 1000000 DIV {max(total, 1)}"
+            )
+            .cast("bigint")
+            .alias("share_e6"),
+            mean_mult.alias("mean_x100"),
+            F.least(
+                F.lit(1024),
+                F.greatest(F.lit(1), (mean_mult / 100).cast("bigint")),
+            )
+            .cast("int")
+            .alias("salt_buckets"),
+        )
+    )
