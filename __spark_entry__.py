@@ -1351,6 +1351,39 @@ def _q_kg_entity_postings(spark, sf_dir):
     ).withColumn("doc_urls", F.concat_ws("|", "doc_urls"))
 
 
+def _q_docs_classifier(spark, sf_dir):
+    # frozen linear classifier inference (fastText-filter shape): hashed
+    # features ⋈ md5-derived weight vector, exact-integer dot product
+    return CUR.classifier_scores(_docs(spark, sf_dir))
+
+
+def _q_docs_quality_percentile(spark, sf_dir):
+    # per-source top-50% quality cut: exact-integer rank*100 <= pct*count,
+    # window partitioned by source (no global sort, no percent_rank float)
+    return CUR.quality_percentile_gate(_docs(spark, sf_dir), keep_pct=50)
+
+
+def _q_kg_lineage_rollup(spark, sf_dir):
+    # the per-partition lineage metrics the checkpointed DAG appends,
+    # rolled up per stage (partition ids/wall times are runtime-dependent;
+    # the per-stage row sums are the engine-portable contract)
+    import tempfile
+
+    from text_to_graph_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline_checkpointed,
+    )
+
+    wd = tempfile.mkdtemp(prefix="t2g_lin_")
+    st = run_pipeline_checkpointed(
+        spark, synthesize_pages(spark, sf_dir), wd, PipelineConfig()
+    )
+    ck = st["checkpoint"]
+    return ck.metrics().groupBy("stage").agg(
+        F.sum("rows_out").cast("long").alias("rows_out")
+    )
+
+
 def _q_text_pii(spark, sf_dir):
     # PII audit + redaction fingerprint: deterministic synthetic PII
     # (email/ip per doc, phone on every 3rd) appended in the query itself so
@@ -2314,6 +2347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": _q_emb_kmeans,
         "text_quality": _q_text_quality,
         "text_pii": _q_text_pii,
+        "docs_classifier": _q_docs_classifier,
+        "docs_quality_percentile": _q_docs_quality_percentile,
+        "kg_lineage_rollup": _q_kg_lineage_rollup,
         "text_tokens": _q_text_tokens,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -3866,6 +3902,19 @@ SELECT DISTINCT url, subj, pred, obj FROM triples
 {_KG_PREFIX}
 SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
 """,
+        # per-stage lineage-row sums: the default config chunks each url
+        # into exactly one chunk on this corpus, so extracted == chunks ==
+        # page count; triples/edges/nodes counts come from the shared CTEs
+        "kg_lineage_rollup": f"""
+{_KG_PREFIX}
+SELECT 'extracted' AS stage, count(*) AS rows_out FROM pages
+UNION ALL SELECT 'chunks', count(*) FROM pages
+UNION ALL SELECT 'triples', count(*) FROM triples
+UNION ALL SELECT 'edges', count(*) FROM edges
+UNION ALL SELECT 'nodes', count(DISTINCT label) FROM (
+  SELECT subj AS label FROM triples UNION ALL SELECT obj FROM triples
+)
+""",
         "kg_nodes_dense": f"""
 {_KG_PREFIX}
 SELECT CAST(row_number() OVER (ORDER BY label) - 1 AS int) AS id, label
@@ -5205,6 +5254,57 @@ SELECT doc_id, CAST(hv % 64 AS int) AS dim,
        CAST(sum(CASE WHEN (hv % 128) >= 64 THEN -1 ELSE 1 END) AS bigint) AS weight
 FROM h GROUP BY 1, 2
 HAVING sum(CASE WHEN (hv % 128) >= 64 THEN -1 ELSE 1 END) <> 0
+""",
+        # per-source percentile quality gate: rank*100 <= pct*count over
+        # the text_quality score, ties by doc_id asc
+        "docs_quality_percentile": """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w, length(text) AS n_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source,
+         (floor(((floor((len(list_distinct(w)) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) * 0.5 + (1.0 - (floor((len(list_filter(w, x -> x IN ('the', 'a'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0)) * 0.3 + least(len(w) / 100.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0) AS quality_score
+  FROM t
+),
+r AS (
+  SELECT doc_id, source, quality_score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, doc_id ASC) AS src_rank,
+         count(*) OVER (PARTITION BY source) AS src_docs
+  FROM q
+)
+SELECT doc_id, source, quality_score,
+       CAST(src_rank AS bigint) AS src_rank,
+       CAST(src_docs AS bigint) AS src_docs,
+       src_rank * 100 <= 50 * src_docs AS kept
+FROM r
+""",
+        # frozen linear classifier over hashed features; md5-derived weight
+        # per dim, exact-integer dot product, keep at score >= 0
+        "docs_classifier": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 12)) AS bigint) AS hv
+  FROM tok WHERE tok <> ''
+),
+f AS (
+  SELECT doc_id, CAST(hv % 64 AS int) AS dim,
+         sum(CASE WHEN (hv % 128) >= 64 THEN -1 ELSE 1 END) AS weight
+  FROM h GROUP BY 1, 2
+  HAVING sum(CASE WHEN (hv % 128) >= 64 THEN -1 ELSE 1 END) <> 0
+),
+sc AS (
+  SELECT doc_id,
+         sum(weight * ((CAST(('0x' || substr(md5('w#' || CAST(dim AS varchar)), 1, 12)) AS bigint) % 2001) - 1000)) AS score
+  FROM f GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(sc.score, 0) AS bigint) AS score,
+       coalesce(sc.score, 0) >= 0 AS kept
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN sc ON sc.doc_id = d.doc_id
 """,
         # integer-linearized tf-idf (idf_e6 = 1e6*N DIV df): same per-doc
         # ranking direction as tf*log(N/df), no float/ln engine seam

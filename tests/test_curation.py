@@ -406,3 +406,68 @@ class TestJoinSkewProfile:
         df = spark.createDataFrame([("b",), ("a",), ("c",)], "k string")
         got = [r["key"] for r in join_skew_profile(df, "k", top_k=2).collect()]
         assert got == ["a", "b"]  # equal counts -> key asc
+
+
+class TestClassifierScores:
+    def test_score_matches_hand_dot_product(self, spark):
+        import hashlib
+
+        from text_to_graph_spark.operators.curation import classifier_scores
+        from text_to_graph_spark.operators.textstats import hashed_features
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta alpha"), (2, "")], "doc_id long, text string"
+        )
+        feats = {(r["doc_id"], r["dim"]): r["weight"]
+                 for r in hashed_features(df).collect()}
+
+        def w(dim):
+            hv = int(hashlib.md5(f"w#{dim}".encode()).hexdigest()[:12], 16)
+            return hv % 2001 - 1000
+
+        exp1 = sum(weight * w(dim) for (d, dim), weight in feats.items() if d == 1)
+        got = {r["doc_id"]: r for r in classifier_scores(df).collect()}
+        assert got[1].score == exp1
+        assert got[1].kept == (exp1 >= 0)
+        # empty doc: no features, still present with score 0 / kept
+        assert got[2].score == 0 and got[2].kept
+
+    def test_inference_is_expression_only(self, spark):
+        from text_to_graph_spark.operators.curation import classifier_scores
+        from text_to_graph_spark.plans.introspect import python_eval_count
+
+        df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+        assert python_eval_count(classifier_scores(df)) == 0
+
+
+class TestQualityPercentileGate:
+    def test_per_source_cut_is_exact_and_tie_stable(self, spark):
+        from text_to_graph_spark.operators.curation import quality_percentile_gate
+
+        # source A: 3 docs with strictly ordered quality; 50% of 3 -> keep 1
+        # (rank*100 <= 50*3 only for rank 1). source B: 2 docs -> keep 1.
+        df = spark.createDataFrame(
+            [
+                (1, "A", "alpha beta gamma delta epsilon zeta"),
+                (2, "A", "alpha alpha alpha alpha alpha alpha"),
+                (3, "A", "alpha beta gamma delta epsilon eta theta iota"),
+                (4, "B", "one two three four five"),
+                (5, "B", "one one one one one"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        out = {r["doc_id"]: r for r in quality_percentile_gate(df, keep_pct=50).collect()}
+        kept = {d for d, r in out.items() if r["kept"]}
+        assert out[1].src_docs == 3 and out[4].src_docs == 2
+        # doc 3 has highest ttr+length score in A; doc 4 beats doc 5 in B
+        assert kept == {3, 4}
+        assert out[3].src_rank == 1 and out[2].src_rank == 3
+
+    def test_keep_pct_100_keeps_everything(self, spark):
+        from text_to_graph_spark.operators.curation import quality_percentile_gate
+
+        df = spark.createDataFrame(
+            [(1, "A", "x y"), (2, "A", "x x")], "doc_id long, source string, text string"
+        )
+        out = quality_percentile_gate(df, keep_pct=100).collect()
+        assert all(r["kept"] for r in out)

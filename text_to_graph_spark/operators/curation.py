@@ -348,3 +348,95 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def classifier_scores(
+    docs: DataFrame,
+    n_dims: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frozen linear quality-classifier inference at corpus scale — the
+    fastText/CCNet-style model filter a pretraining pipeline runs over
+    every document.
+
+    The SHAPE is the production path: sparse hashed feature vectors
+    (``textstats.hashed_features``) dotted with a model weight vector, one
+    partial-agg'd sum per doc, keep decision at score >= 0. The WEIGHTS are
+    a deterministic md5-derived stand-in (this sandbox trains no model) —
+    swap the inline expression for a broadcast (dim, weight) table to serve
+    a real checkpoint; nothing else changes. All-integer arithmetic, so the
+    score is bit-identical across engines and shuffle orders.
+
+    Docs whose every hashed dimension cancels to zero (or empty text) still
+    get a row (score 0, kept) via the left join against the doc id spine.
+
+    Scale: inference is expression-only (no Python, no UDF); the only
+    shuffles are hashed_features' (doc_id, dim) partial agg and the per-doc
+    sum — both keyed by doc_id, co-partitioned.
+    """
+    from text_to_graph_spark.operators.textstats import hashed_features
+
+    feats = hashed_features(docs, n_dims, id_col, text_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w#"), F.col("dim").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    model_w = (h % 2001) - 1000
+    sc = (
+        feats.select("doc_id", (F.col("weight") * model_w).cast("bigint").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("bigint").alias("score"))
+    )
+    spine = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return spine.join(sc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("score", F.lit(0)).cast("bigint").alias("score"),
+        (F.coalesce("score", F.lit(0)) >= 0).alias("kept"),
+    )
+
+
+def quality_percentile_gate(
+    docs: DataFrame,
+    keep_pct: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source percentile quality cut — keep the top ``keep_pct``% of
+    each source by quality score, instead of one global threshold.
+
+    Quality distributions differ wildly per source (a forum dump and an
+    encyclopedia don't share a cut line); a global threshold silently drops
+    whole sources. The gate is exact-integer: rank*100 <= keep_pct*count
+    with rank = row_number over (quality desc, doc_id asc), so the kept set
+    is deterministic under ties and identical across engines (no
+    percent_rank float seam).
+
+    Output: (doc_id, source, quality_score, src_rank, src_docs, kept).
+
+    Scale: quality is a per-row expression; the rank and count are one
+    window shuffle partitioned by source. A pathologically hot source makes
+    that window skewed — profile with ``canonicalize.join_skew_profile`` and
+    pre-split by a salt on the EXPRESSION level if needed (the rank can be
+    computed per salt-bucket and merged by (bucket offset) since the order
+    key is global per source; not wired here because source cardinality ×
+    docs-per-source stays reducer-sized in this corpus).
+    """
+    from text_to_graph_spark.operators.textstats import quality_stats
+
+    q = quality_stats(docs, id_col, text_col).select("doc_id", "quality_score")
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("source"))
+    j = base.join(q, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    ranked = j.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.row_number().over(w).cast("long").alias("src_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("long").alias("src_docs"),
+    )
+    return ranked.withColumn(
+        "kept", (F.col("src_rank") * 100) <= (F.lit(keep_pct) * F.col("src_docs"))
+    )
