@@ -139,7 +139,9 @@ def main() -> int:
     from text_to_graph_spark.operators import textstats as TS
     from text_to_graph_spark.operators import linking as L
     from text_to_graph_spark.operators import similarity as SIM
+    from text_to_graph_spark.operators import pii as PII
     from text_to_graph_spark.operators.canonicalize import (
+        join_skew_profile,
         triples_to_canonical_edges,
     )
     from text_to_graph_spark.operators.chunking import chunk_pages
@@ -308,6 +310,22 @@ def main() -> int:
         ),
         "ranking eval (per-query-node window, single-row rollup)": (
             _ranking_eval_plan(spark)
+        ),
+        "containment dedup (blocked shingle equi-join, no pair nested loop)": (
+            D.containment_pairs(docs, group_col="source", threshold=0.05)
+        ),
+        "keep-best fuzzy dedup (cluster-partitioned quality argmax window)": (
+            D.neardup_keep_best(docs.limit(50))
+        ),
+        "PII stats (pure projection, zero exchanges)": PII.pii_stats(docs),
+        "classifier inference (expression-only dot product, doc-id spine)": (
+            CUR.classifier_scores(docs)
+        ),
+        "skew profile (TakeOrdered top-k, scalar totals)": (
+            join_skew_profile(docs.select("source"), "source", top_k=5)
+        ),
+        "per-source percentile gate (source-partitioned rank window)": (
+            CUR.quality_percentile_gate(docs, keep_pct=50)
         ),
     }
 
