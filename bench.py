@@ -42,6 +42,7 @@ def _force(df) -> None:
 def main() -> int:
     from pyspark.sql import functions as F
 
+    from text_to_graph_spark.operators import curation as CUR
     from text_to_graph_spark.operators import dedup as D
     from text_to_graph_spark.operators import events as EV
     from text_to_graph_spark.operators import olap as OL
@@ -202,6 +203,11 @@ def main() -> int:
         t = _triples_fixture().select("subj", "pred", "obj")
         _force(mine_path_rules(t, max_mid_degree=4096))
 
+    def _pii_redact(docs):
+        from text_to_graph_spark.operators.pii import redact_pii
+
+        return redact_pii(docs)
+
     def _q_web_dead(spark):
         # anchor extraction + bloom-fast-path crawl-frontier anti-join
         from text_to_graph_spark.operators import weblinks as WL
@@ -224,6 +230,9 @@ def main() -> int:
             SIM.topk_bruteforce(emb, emb.where("vec_id < 10"), k=5)
         ),
         "text_quality": lambda: _force(TS.quality_stats(docs)),
+        "text_pii": lambda: _force(_pii_redact(docs)),
+        "docs_classifier": lambda: _force(CUR.classifier_scores(docs)),
+        "dedup_keep_best": lambda: _force(D.neardup_keep_best(docs)),
         "dedup_spans": lambda: _force(D.duplicated_span_stats(docs)),
         "events_sessionize": lambda: _force(EV.sessionize(events)),
         "events_covisitation": lambda: _force(EV.covisitation(events)),
