@@ -393,6 +393,18 @@ _EDGE_ONTOLOGY = [
 ]
 
 
+def _q_kg_node2vec(spark, sf_dir):
+    # node2vec second-order biased walks (p=4, q=2 as integer weights
+    # 1/4/2): weighted-wheel pick folded over the sorted neighbor array —
+    # pure expression, two adjacency equi-joins per step; path rendered
+    # '>'-joined at the contract boundary like kg_random_walks
+    from text_to_graph_spark.operators.graphalgo import node2vec_walks
+
+    return node2vec_walks(
+        _edges(spark, sf_dir), src="subj", dst="obj", n_walks=2, walk_len=3
+    ).withColumn("path", F.concat_ws(">", "path"))
+
+
 def _q_kg_random_walks(spark, sf_dir):
     # DeepWalk-style skip-gram corpus: hash-seeded deterministic walks,
     # one adjacency build + walk_len frontier equi-joins. The operator API
@@ -2246,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_violations": _q_kg_type_violations,
         "kg_schema_induction": _q_kg_schema_induction,
         "kg_random_walks": _q_kg_random_walks,
+        "kg_node2vec": _q_kg_node2vec,
         "kg_walk_pairs": _q_kg_walk_pairs,
         "kg_edge_cut": _q_kg_edge_cut,
         "kg_degree_hist": _q_kg_degree_hist,
@@ -2819,6 +2832,73 @@ w{i} AS (
     return ",\n".join(parts)
 
 
+def _n2v_cte(
+    n_walks: int = 2,
+    walk_len: int = 3,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_far: int = 2,
+) -> str:
+    """Unrolled node2vec second-order walks (v0..vL), mirroring
+    operators/graphalgo.node2vec_walks: integer p/q weights, weighted-wheel
+    pick via 48-bit md5 of (start|wid|step|prev|cur) mod total weight,
+    left-fold subtraction over the sorted neighbor list."""
+    parts = [
+        "n2v_adj AS (SELECT subj AS node, list_sort(list(DISTINCT obj)) AS"
+        " nbrs FROM edges GROUP BY 1)",
+        "n2v_wid AS (SELECT unnest(generate_series(0,"
+        f" {n_walks - 1})) AS wid)",
+        "v0 AS (SELECT node AS start, wid, CAST(NULL AS varchar) AS prev,"
+        " node AS cur, [node] AS path FROM n2v_adj CROSS JOIN n2v_wid)",
+    ]
+    for i in range(1, walk_len + 1):
+        step = i - 1
+        h = (
+            "CAST(('0x' || substr(md5(start || '|' ||"
+            " CAST(wid AS varchar) || '|' ||"
+            f" '{step}' || '|' || coalesce(prev, '') || '|' || cur),"
+            " 1, 12)) AS bigint)"
+        )
+        tot = "list_reduce(list_prepend(CAST(0 AS bigint), ws), (x, y) -> x + y)"
+        fold = f"""list_reduce(
+        list_prepend(
+          struct_pack(a := {h} % {tot}, b := CAST(NULL AS varchar)),
+          list_transform(list_zip(nbrs, ws), z -> struct_pack(a := z[2], b := z[1]))),
+        (acc, x) -> CASE WHEN acc.b IS NOT NULL THEN acc
+                         WHEN acc.a < x.a THEN struct_pack(a := acc.a, b := x.b)
+                         ELSE struct_pack(a := acc.a - x.a, b := acc.b) END).b"""
+        parts.append(
+            f"""v{i}_j AS (
+  SELECT w.start, w.wid, w.prev, w.cur, w.path, a.nbrs, b.nbrs AS pnbrs
+  FROM v{i-1} w LEFT JOIN n2v_adj a ON w.cur = a.node
+               LEFT JOIN n2v_adj b ON w.prev = b.node
+),
+v{i}_x AS (
+  SELECT start, wid, prev, cur, path, nbrs,
+         list_transform(nbrs, n -> CAST(CASE WHEN n = prev THEN {w_return}
+              WHEN pnbrs IS NOT NULL AND list_contains(pnbrs, n)
+                THEN {w_common}
+              ELSE {w_far} END AS bigint)) AS ws
+  FROM v{i}_j
+),
+v{i}_s AS (
+  SELECT start, wid, prev, cur, path,
+         CASE WHEN nbrs IS NOT NULL THEN {fold}
+         END AS nxt
+  FROM v{i}_x
+),
+v{i} AS (
+  SELECT start, wid,
+         CASE WHEN nxt IS NOT NULL THEN cur END AS prev,
+         nxt AS cur,
+         CASE WHEN nxt IS NOT NULL THEN list_append(path, nxt)
+              ELSE path END AS path
+  FROM v{i}_s
+)"""
+        )
+    return ",\n".join(parts)
+
+
 def _zkey_duck(x: str, y: str, bits: int = 16) -> str:
     """Morton interleave in DuckDB-native bit ops (``>> & <<``) — an
     independent derivation of operators/layout.zorder_key_expr's pure
@@ -3211,6 +3291,13 @@ WHERE h1.pred = 'join' AND h2.pred = 'scan'
 SELECT start, CAST(wid AS int) AS walk_id,
        array_to_string(path, '>') AS path
 FROM w3
+""",
+        "kg_node2vec": f"""
+{_KG_PREFIX},
+{_n2v_cte(n_walks=2, walk_len=3)}
+SELECT start, CAST(wid AS int) AS walk_id,
+       array_to_string(path, '>') AS path
+FROM v3
 """,
         # hash-partition edge cut: same 48-bit md5 bucket both engines
         "kg_edge_cut": f"""

@@ -870,3 +870,78 @@ class TestPredicateSynonyms:
             e, src="subj", dst="obj", label="pred", min_shared=1
         ).collect()
         assert len(got) == 1 and got[0].n_shared == 1  # distinct pair sets
+
+
+class TestNode2vecWalks:
+    @staticmethod
+    def _ref(edge_list, n_walks, walk_len, wr=1, wc=4, wf=2):
+        import hashlib
+
+        adj = {}
+        for s, d in edge_list:
+            adj.setdefault(s, set()).add(d)
+        adj = {k: sorted(v) for k, v in adj.items()}
+        out = []
+        for start in sorted(adj):
+            for wid in range(n_walks):
+                prev, cur, path = None, start, [start]
+                for step in range(walk_len):
+                    nbrs = adj.get(cur)
+                    if nbrs is None:
+                        break
+                    pn = set(adj.get(prev, [])) if prev is not None else set()
+                    ws = [
+                        wr if (prev is not None and n == prev)
+                        else wc if (prev is not None and n in pn)
+                        else wf
+                        for n in nbrs
+                    ]
+                    key = f"{start}|{wid}|{step}|{prev if prev is not None else ''}|{cur}"
+                    pick = int(hashlib.md5(key.encode()).hexdigest()[:12], 16) % sum(ws)
+                    for n, w in zip(nbrs, ws):
+                        if pick < w:
+                            nxt = n
+                            break
+                        pick -= w
+                    path.append(nxt)
+                    prev, cur = cur, nxt
+                out.append((start, wid, tuple(path)))
+        return sorted(out)
+
+    def test_matches_python_reference_exactly(self, spark):
+        from text_to_graph_spark.operators.graphalgo import node2vec_walks
+
+        edge_list = [
+            ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("c", "d"),
+            ("d", "b"), ("a", "c"), ("d", "a"),
+        ]
+        df = spark.createDataFrame(edge_list, "subj string, obj string")
+        got = sorted(
+            (r["start"], r["walk_id"], tuple(r["path"]))
+            for r in node2vec_walks(df, n_walks=2, walk_len=4).collect()
+        )
+        assert got == self._ref(edge_list, n_walks=2, walk_len=4)
+
+    def test_sink_terminates_walk_early(self, spark):
+        from text_to_graph_spark.operators.graphalgo import node2vec_walks
+
+        df = spark.createDataFrame([("a", "z")], "subj string, obj string")
+        rows = node2vec_walks(df, n_walks=1, walk_len=3).collect()
+        assert [tuple(r["path"]) for r in rows] == [("a", "z")]
+
+    def test_second_order_bias_changes_walks_vs_deepwalk(self, spark):
+        # on a graph with backtrack-vs-triangle choices, the biased walk
+        # must diverge from the first-order DeepWalk somewhere
+        from text_to_graph_spark.operators.graphalgo import (
+            node2vec_walks,
+            random_walks,
+        )
+
+        edge_list = [(f"n{i}", f"n{(i*7+j) % 12}") for i in range(12) for j in (1, 2, 3)]
+        df = spark.createDataFrame(edge_list, "subj string, obj string")
+        n2v = {(r["start"], r["walk_id"]): tuple(r["path"])
+               for r in node2vec_walks(df, n_walks=2, walk_len=4).collect()}
+        dw = {(r["start"], r["walk_id"]): tuple(r["path"])
+              for r in random_walks(df, n_walks=2, walk_len=4).collect()}
+        assert set(n2v) == set(dw)
+        assert any(n2v[k] != dw[k] for k in n2v)

@@ -648,3 +648,18 @@ def test_skew_profile_topk_is_takeordered_not_global_sort(spark):
     s = plan_str(out, "simple")
     assert "TakeOrderedAndProject" in s
     assert python_eval_count(out) == 0
+
+
+def test_node2vec_steps_are_equi_joins_pure_expression(spark):
+    """Each step probes the adjacency twice (cur + prev) as hash equi-joins;
+    the weighted-wheel fold is a pure array expression — no Python, no
+    nested loop, no per-step window/explode shuffle."""
+    from text_to_graph_spark.operators.graphalgo import node2vec_walks
+
+    df = spark.createDataFrame([("a", "b"), ("b", "a")], "subj string, obj string")
+    out = node2vec_walks(df, n_walks=1, walk_len=2)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0
+    assert "Window" not in s

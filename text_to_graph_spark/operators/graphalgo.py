@@ -1065,3 +1065,126 @@ def ranking_eval(
             " DIV sum(CASE WHEN pos THEN 1L ELSE 0L END)"
         ).alias("hits10_ppm"),
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    n_walks: int = 2,
+    walk_len: int = 3,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_far: int = 2,
+) -> DataFrame:
+    """Deterministic node2vec second-order biased walks (Grover & Leskovec,
+    KDD'16) — the BFS/DFS-interpolating upgrade of :func:`random_walks`.
+
+    Candidate weights are INTEGERS (defaults encode p=4, q=2 scaled by 4:
+    return=1, distance-1-from-prev=4, distance-2=2), and the "random" pick
+    is a weighted wheel: h = 48-bit md5 of (start|walk_id|step|prev|cur)
+    mod the total candidate weight, then a left fold over the sorted
+    neighbor list subtracts weights until the wheel lands — bit-identical
+    across engines, partitionings and reruns (no rand(), no float probs).
+    Step 0 has no prev, so every candidate carries ``w_far`` and the pick
+    is uniform. Sinks terminate early exactly like :func:`random_walks`.
+
+    Plan: the sorted adjacency is built once (one partial-agg shuffle) and
+    probed twice per step — cur's neighbors AND prev's (the second-order
+    state) — both label equi-joins; the wheel fold is a pure array
+    expression (zero Python, no per-step window/explode shuffle).
+    """
+    adj = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+        .groupBy("node")
+        .agg(F.array_sort(F.collect_set("nbr")).alias("nbrs"))
+        .localCheckpoint(eager=False)
+    )
+    walks = (
+        adj.select("node")
+        .withColumn("walk_id", F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))))
+        .select(
+            F.col("node").alias("start"),
+            F.col("walk_id").cast("int").alias("walk_id"),
+            F.lit(None).cast("string").alias("prev"),
+            F.col("node").alias("cur"),
+            F.array(F.col("node")).alias("path"),
+        )
+    )
+    for step in range(walk_len):
+        j = walks.join(
+            adj.select(F.col("node").alias("cur"), "nbrs"), "cur", "left"
+        ).join(
+            adj.select(F.col("node").alias("prev"), F.col("nbrs").alias("pnbrs")),
+            "prev",
+            "left",
+        )
+        ws = F.transform(
+            "nbrs",
+            lambda n: F.when(n == F.col("prev"), F.lit(w_return))
+            .when(
+                F.col("pnbrs").isNotNull() & F.array_contains("pnbrs", n),
+                F.lit(w_common),
+            )
+            .otherwise(F.lit(w_far))
+            .cast("long"),
+        )
+        total = F.aggregate(ws, F.lit(0).cast("bigint"), lambda a, x: a + x)
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("start"),
+                        F.col("walk_id").cast("string"),
+                        F.lit(str(step)),
+                        F.coalesce(F.col("prev"), F.lit("")),
+                        F.col("cur"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        items = F.zip_with(
+            "nbrs", ws, lambda n, w: F.struct(w.alias("a"), n.alias("b"))
+        )
+        init = F.struct(
+            F.pmod(h, total).alias("a"), F.lit(None).cast("string").alias("b")
+        )
+        nxt = F.when(
+            F.col("nbrs").isNotNull(),
+            F.aggregate(
+                items,
+                init,
+                lambda acc, x: F.when(acc["b"].isNotNull(), acc)
+                .when(
+                    acc["a"] < x["a"],
+                    F.struct(acc["a"].alias("a"), x["b"].alias("b")),
+                )
+                .otherwise(
+                    F.struct((acc["a"] - x["a"]).alias("a"), acc["b"].alias("b"))
+                ),
+                lambda acc: acc["b"],
+            ),
+        )
+        # evaluate the fold ONCE per row, then reference the attribute: a
+        # projection that repeats a nested-lambda aggregate tree 4x trips
+        # Spark's lambda-variable reuse (observed: two copies of the same
+        # expression disagreeing in one row) — the single-alias stage embeds
+        # one copy; the downstream refs are plain attributes
+        stepped = j.select("start", "walk_id", "cur", "path", nxt.alias("nxt"))
+        walks = stepped.select(
+            "start",
+            "walk_id",
+            F.when(F.col("nxt").isNotNull(), F.col("cur")).alias("prev"),
+            F.col("nxt").alias("cur"),
+            F.when(F.col("nxt").isNotNull(), F.concat("path", F.array("nxt")))
+            .otherwise(F.col("path"))
+            .alias("path"),
+        )
+    return walks.select("start", "walk_id", "path")
