@@ -393,6 +393,47 @@ _EDGE_ONTOLOGY = [
 ]
 
 
+def _q_kg_resource_allocation(spark, sf_dir):
+    # resource-allocation link prediction: each shared neighbor z scores
+    # 1e6 DIV deg(z) — hub-discounted common neighbors in exact ppm; wedge
+    # centers degree-capped at 32 like kg_link_prediction (oracle mirrors)
+    from text_to_graph_spark.operators.graphalgo import resource_allocation
+
+    return resource_allocation(
+        _edges(spark, sf_dir), src="subj", dst="obj",
+        min_common=1, max_neighbor_degree=32,
+    )
+
+
+def _q_kg_truss_support(spark, sf_dir):
+    # per-edge triangle support |N(a) ∩ N(b)| over the canonical KG —
+    # the k-truss building block; wedge equi-join + left_semi closure test
+    from text_to_graph_spark.operators.graphalgo import edge_triangle_support
+
+    return edge_triangle_support(_edges(spark, sf_dir), src="subj", dst="obj")
+
+
+def _q_kg_ktruss(spark, sf_dir):
+    # 3-truss cohesive core: peel edges with support < 1, bounded at 3
+    # rounds with early exit on fixpoint (extra unrolled oracle rounds are
+    # no-ops at fixpoint, so Spark/oracle agree round-for-round)
+    from text_to_graph_spark.operators.graphalgo import k_truss
+
+    return k_truss(_edges(spark, sf_dir), k=3, src="subj", dst="obj",
+                   max_rounds=3)
+
+
+def _q_kg_closure(spark, sf_dir):
+    # bounded transitive closure (3 hops, directed) with min-hop counts —
+    # the taxonomy/ancestor materialization; per round one frontier
+    # equi-join + one left_anti against the closure so far
+    from text_to_graph_spark.operators.graphalgo import bounded_closure
+
+    return bounded_closure(
+        _edges(spark, sf_dir), src="subj", dst="obj", max_hops=3
+    )
+
+
 def _q_kg_node2vec(spark, sf_dir):
     # node2vec second-order biased walks (p=4, q=2 as integer weights
     # 1/4/2): weighted-wheel pick folded over the sorted neighbor array —
@@ -2288,6 +2329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_salience": _q_kg_entity_salience,
         "kg_entity_pmi": _q_kg_entity_pmi,
         "kg_link_prediction": _q_kg_link_prediction,
+        "kg_resource_allocation": _q_kg_resource_allocation,
+        "kg_truss_support": _q_kg_truss_support,
+        "kg_ktruss": _q_kg_ktruss,
+        "kg_closure": _q_kg_closure,
         "kg_kcore": _q_kg_kcore,
         "kg_node_type_counts": _q_kg_node_type_counts,
         "kg_linked_mentions": _q_kg_linked_mentions,
@@ -3807,6 +3852,114 @@ SELECT p.node_a, p.node_b,
 FROM cn_pairs p
 JOIN cn_deg da ON da.u = p.node_a
 JOIN cn_deg db ON db.u = p.node_b
+""",
+        # resource-allocation index: sum over shared neighbors of
+        # 1e6 // deg(z), exact ppm; wedge centers capped at deg <= 32
+        "kg_resource_allocation": f"""
+{_KG_PREFIX},
+{_CN_CTE},
+ra_wedge AS (
+  SELECT s.u, s.v, dc.d AS dv FROM cn_sym s JOIN cn_deg dc ON dc.u = s.v
+  WHERE dc.d <= 32
+),
+ra_pairs AS (
+  SELECT s1.u AS node_a, s2.u AS node_b,
+         count(*) AS n_common,
+         sum(1000000 // s1.dv) AS ra_ppm
+  FROM ra_wedge s1 JOIN ra_wedge s2 ON s1.v = s2.v AND s1.u < s2.u
+  GROUP BY 1, 2
+)
+SELECT node_a, node_b,
+       CAST(n_common AS bigint) AS n_common,
+       CAST(ra_ppm AS bigint) AS ra_ppm,
+       EXISTS (SELECT 1 FROM cn_sym e
+               WHERE e.u = node_a AND e.v = node_b) AS is_linked
+FROM ra_pairs
+""",
+        # per-edge triangle support |N(a) ∩ N(b)| for every undirected
+        # canonical edge (a < b); zero-support edges report 0
+        "kg_truss_support": f"""
+{_KG_PREFIX},
+ts_sym AS (SELECT DISTINCT u, v FROM sym WHERE u <> v),
+ts_und AS (SELECT u AS node_a, v AS node_b FROM ts_sym WHERE u < v),
+ts_sup AS (
+  SELECT e.node_a, e.node_b, count(*) AS support
+  FROM ts_und e
+  JOIN ts_sym na ON na.u = e.node_a
+  WHERE EXISTS (SELECT 1 FROM ts_sym nb
+                WHERE nb.u = e.node_b AND nb.v = na.v)
+  GROUP BY 1, 2
+)
+SELECT e.node_a, e.node_b,
+       CAST(coalesce(s.support, 0) AS bigint) AS support
+FROM ts_und e
+LEFT JOIN ts_sup s ON s.node_a = e.node_a AND s.node_b = e.node_b
+""",
+        # 3-truss: three unrolled peel rounds (drop support < k-2 = 1),
+        # then the final in-subgraph support — matches the Spark loop's
+        # early-exit semantics because extra rounds are no-ops at fixpoint
+        "kg_ktruss": f"""
+{_KG_PREFIX},
+ts_sym AS (SELECT DISTINCT u, v FROM sym WHERE u <> v),
+kt_e0 AS MATERIALIZED (SELECT u AS a, v AS b FROM ts_sym WHERE u < v),
+kt_s0 AS MATERIALIZED (SELECT a AS u, b AS v FROM kt_e0 UNION ALL SELECT b, a FROM kt_e0),
+kt_sup0 AS MATERIALIZED (
+  SELECT e.a, e.b, count(*) AS support
+  FROM kt_e0 e JOIN kt_s0 na ON na.u = e.a
+  WHERE EXISTS (SELECT 1 FROM kt_s0 nb WHERE nb.u = e.b AND nb.v = na.v)
+  GROUP BY 1, 2
+),
+kt_e1 AS MATERIALIZED (SELECT a, b FROM kt_sup0 WHERE support >= 1),
+kt_s1 AS MATERIALIZED (SELECT a AS u, b AS v FROM kt_e1 UNION ALL SELECT b, a FROM kt_e1),
+kt_sup1 AS MATERIALIZED (
+  SELECT e.a, e.b, count(*) AS support
+  FROM kt_e1 e JOIN kt_s1 na ON na.u = e.a
+  WHERE EXISTS (SELECT 1 FROM kt_s1 nb WHERE nb.u = e.b AND nb.v = na.v)
+  GROUP BY 1, 2
+),
+kt_e2 AS MATERIALIZED (SELECT a, b FROM kt_sup1 WHERE support >= 1),
+kt_s2 AS MATERIALIZED (SELECT a AS u, b AS v FROM kt_e2 UNION ALL SELECT b, a FROM kt_e2),
+kt_sup2 AS MATERIALIZED (
+  SELECT e.a, e.b, count(*) AS support
+  FROM kt_e2 e JOIN kt_s2 na ON na.u = e.a
+  WHERE EXISTS (SELECT 1 FROM kt_s2 nb WHERE nb.u = e.b AND nb.v = na.v)
+  GROUP BY 1, 2
+),
+kt_e3 AS MATERIALIZED (SELECT a, b FROM kt_sup2 WHERE support >= 1),
+kt_s3 AS MATERIALIZED (SELECT a AS u, b AS v FROM kt_e3 UNION ALL SELECT b, a FROM kt_e3),
+kt_sup3 AS MATERIALIZED (
+  SELECT e.a, e.b, count(*) AS support
+  FROM kt_e3 e JOIN kt_s3 na ON na.u = e.a
+  WHERE EXISTS (SELECT 1 FROM kt_s3 nb WHERE nb.u = e.b AND nb.v = na.v)
+  GROUP BY 1, 2
+)
+SELECT e.a AS node_a, e.b AS node_b,
+       CAST(coalesce(s.support, 0) AS bigint) AS support
+FROM kt_e3 e
+LEFT JOIN kt_sup3 s ON s.a = e.a AND s.b = e.b
+""",
+        # bounded transitive closure, 3 hops directed, min-hop counts;
+        # each hop anti-joins against all pairs already reached
+        "kg_closure": f"""
+{_KG_PREFIX},
+tc_e AS (SELECT DISTINCT subj AS s, obj AS d FROM edges WHERE subj <> obj),
+tc_h1 AS (SELECT s, d, 1 AS hops FROM tc_e),
+tc_h2 AS (
+  SELECT DISTINCT a.s, e.d, 2 AS hops
+  FROM tc_h1 a JOIN tc_e e ON e.s = a.d
+  WHERE a.s <> e.d
+    AND NOT EXISTS (SELECT 1 FROM tc_h1 p WHERE p.s = a.s AND p.d = e.d)
+),
+tc_h3 AS (
+  SELECT DISTINCT a.s, e.d, 3 AS hops
+  FROM tc_h2 a JOIN tc_e e ON e.s = a.d
+  WHERE a.s <> e.d
+    AND NOT EXISTS (SELECT 1 FROM tc_h1 p WHERE p.s = a.s AND p.d = e.d)
+    AND NOT EXISTS (SELECT 1 FROM tc_h2 p WHERE p.s = a.s AND p.d = e.d)
+)
+SELECT s AS src_node, d AS dst_node, CAST(hops AS bigint) AS hops
+FROM (SELECT * FROM tc_h1 UNION ALL SELECT * FROM tc_h2
+      UNION ALL SELECT * FROM tc_h3)
 """,
         # MRR / Hits@k of the common-neighbor scores vs asserted edges;
         # rank tiebreak (jaccard DESC, node_b ASC) mirrors the Spark window

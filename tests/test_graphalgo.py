@@ -945,3 +945,231 @@ class TestNode2vecWalks:
               for r in random_walks(df, n_walks=2, walk_len=4).collect()}
         assert set(n2v) == set(dw)
         assert any(n2v[k] != dw[k] for k in n2v)
+
+
+class TestResourceAllocation:
+    @staticmethod
+    def _ref(edge_list, cap=None):
+        # brute-force: undirected simple graph, ra_ppm = sum 1e6 // deg(z)
+        adj = {}
+        for s, d in edge_list:
+            if s == d:
+                continue
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        deg = {n: len(v) for n, v in adj.items()}
+        out = {}
+        nodes = sorted(adj)
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                common = [
+                    z for z in adj[a] & adj[b]
+                    if cap is None or deg[z] <= cap
+                ]
+                if not common:
+                    continue
+                out[(a, b)] = (
+                    len(common),
+                    sum(1_000_000 // deg[z] for z in common),
+                    b in adj[a],
+                )
+        return out
+
+    def test_matches_bruteforce(self, spark):
+        from text_to_graph_spark.operators.graphalgo import resource_allocation
+
+        edge_list = [
+            ("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("b", "d"),
+            ("d", "e"), ("e", "a"), ("e", "c"),
+        ]
+        df = spark.createDataFrame(edge_list, "subj string, obj string")
+        got = {
+            (r["node_a"], r["node_b"]): (r["n_common"], r["ra_ppm"], r["is_linked"])
+            for r in resource_allocation(df, min_common=1).collect()
+        }
+        assert got == self._ref(edge_list)
+
+    def test_hub_discount(self, spark):
+        from text_to_graph_spark.operators.graphalgo import resource_allocation
+
+        # x and y share one hub (degree 6) and nothing else: ra = 1e6 // 6
+        edge_list = [("hub", n) for n in ["x", "y", "p", "q", "r", "s"]]
+        df = spark.createDataFrame(edge_list, "subj string, obj string")
+        rows = resource_allocation(df, min_common=1).collect()
+        assert all(r["ra_ppm"] == 1_000_000 // 6 for r in rows)
+
+    def test_center_degree_cap(self, spark):
+        from text_to_graph_spark.operators.graphalgo import resource_allocation
+
+        # hub degree 6 > cap 3 -> the hub contributes no wedges; the
+        # surviving pairs go through the low-degree centers only:
+        # (x, y) via m (deg 2), and (hub, m) via x and y (deg 2 each)
+        edge_list = [("hub", n) for n in ["x", "y", "p", "q", "r", "s"]]
+        edge_list += [("x", "m"), ("y", "m")]
+        df = spark.createDataFrame(edge_list, "subj string, obj string")
+        got = {
+            (r["node_a"], r["node_b"]): r["ra_ppm"]
+            for r in resource_allocation(
+                df, min_common=1, max_neighbor_degree=3
+            ).collect()
+        }
+        assert got == {("x", "y"): 500_000, ("hub", "m"): 1_000_000}
+
+
+class TestEdgeTriangleSupport:
+    def test_triangle_plus_pendant(self, spark):
+        from text_to_graph_spark.operators.graphalgo import edge_triangle_support
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+            "subj string, obj string",
+        )
+        got = {
+            (r["node_a"], r["node_b"]): r["support"]
+            for r in edge_triangle_support(df).collect()
+        }
+        assert got == {
+            ("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1, ("c", "d"): 0,
+        }
+
+    def test_shared_edge_counts_both_triangles(self, spark):
+        from text_to_graph_spark.operators.graphalgo import edge_triangle_support
+
+        # triangles abc and abd share edge (a, b)
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("d", "a")],
+            "subj string, obj string",
+        )
+        got = {
+            (r["node_a"], r["node_b"]): r["support"]
+            for r in edge_triangle_support(df).collect()
+        }
+        assert got[("a", "b")] == 2
+        assert got[("b", "c")] == 1 and got[("a", "d")] == 1
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        from text_to_graph_spark.operators.graphalgo import edge_triangle_support
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c")],
+            "subj string, obj string",
+        )
+        got = {
+            (r["node_a"], r["node_b"]): r["support"]
+            for r in edge_triangle_support(df).collect()
+        }
+        assert got == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1}
+
+
+class TestKTruss:
+    def test_pendant_peeled_triangle_survives(self, spark):
+        from text_to_graph_spark.operators.graphalgo import k_truss
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+            "subj string, obj string",
+        )
+        got = {
+            (r["node_a"], r["node_b"]): r["support"]
+            for r in k_truss(df, k=3).collect()
+        }
+        assert got == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1}
+
+    def test_cascade_peel(self, spark):
+        from text_to_graph_spark.operators.graphalgo import k_truss
+
+        # K4 minus one edge: edges (a,d),(b,d) close only 1 triangle each
+        # once (c,d) is gone; k=4 (need 2) peels everything except... K4
+        # minus an edge has supports: (a,b)=2, others=1 -> round 1 keeps
+        # only (a,b); round 2 drops it too (support 0) -> empty
+        df = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")],
+            "subj string, obj string",
+        )
+        assert k_truss(df, k=4).count() == 0
+
+    def test_k4_survives_4truss(self, spark):
+        from text_to_graph_spark.operators.graphalgo import k_truss
+
+        nodes = ["a", "b", "c", "d"]
+        df = spark.createDataFrame(
+            [(x, y) for x in nodes for y in nodes if x < y],
+            "subj string, obj string",
+        )
+        got = {
+            (r["node_a"], r["node_b"]): r["support"]
+            for r in k_truss(df, k=4).collect()
+        }
+        assert len(got) == 6 and all(v == 2 for v in got.values())
+
+    def test_bounded_equals_longer_run_at_fixpoint(self, spark):
+        from text_to_graph_spark.operators.graphalgo import k_truss
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+            "subj string, obj string",
+        )
+        a = sorted(map(tuple, k_truss(df, k=3, max_rounds=3).collect()))
+        b = sorted(map(tuple, k_truss(df, k=3, max_rounds=6).collect()))
+        assert a == b
+
+    def test_k_below_2_rejected(self, spark):
+        from text_to_graph_spark.operators.graphalgo import k_truss
+        import pytest as _pytest
+
+        df = spark.createDataFrame([("a", "b")], "subj string, obj string")
+        with _pytest.raises(ValueError):
+            k_truss(df, k=1)
+
+
+class TestBoundedClosure:
+    def test_chain_min_hops(self, spark):
+        from text_to_graph_spark.operators.graphalgo import bounded_closure
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+            "subj string, obj string",
+        )
+        got = {
+            (r["src_node"], r["dst_node"]): r["hops"]
+            for r in bounded_closure(df, max_hops=3).collect()
+        }
+        assert got == {
+            ("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1, ("d", "e"): 1,
+            ("a", "c"): 2, ("b", "d"): 2, ("c", "e"): 2,
+            ("a", "d"): 3, ("b", "e"): 3,
+        }
+
+    def test_shortcut_wins(self, spark):
+        from text_to_graph_spark.operators.graphalgo import bounded_closure
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c")], "subj string, obj string"
+        )
+        got = {
+            (r["src_node"], r["dst_node"]): r["hops"]
+            for r in bounded_closure(df, max_hops=3).collect()
+        }
+        assert got[("a", "c")] == 1
+
+    def test_cycle_excludes_self_pairs(self, spark):
+        from text_to_graph_spark.operators.graphalgo import bounded_closure
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "a")], "subj string, obj string"
+        )
+        got = {
+            (r["src_node"], r["dst_node"]): r["hops"]
+            for r in bounded_closure(df, max_hops=3).collect()
+        }
+        assert got == {("a", "b"): 1, ("b", "a"): 1}
+
+    def test_directedness(self, spark):
+        from text_to_graph_spark.operators.graphalgo import bounded_closure
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("c", "b")], "subj string, obj string"
+        )
+        got = {(r["src_node"], r["dst_node"]) for r in
+               bounded_closure(df, max_hops=2).collect()}
+        assert got == {("a", "b"), ("c", "b")}

@@ -1188,3 +1188,203 @@ def node2vec_walks(
             .alias("path"),
         )
     return walks.select("start", "walk_id", "path")
+
+
+def resource_allocation(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    min_common: int = 1,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Resource-allocation link prediction — the hub-discounted upgrade of
+    :func:`common_neighbors`: each shared neighbor z contributes 1/deg(z)
+    instead of 1, so a pair bridged only by a boilerplate mega-hub (every
+    page's "Home" entity) scores near zero while a pair sharing three
+    specific low-degree entities scores high. On web-extracted KGs this is
+    the difference between predicting real links and predicting the hub's
+    star.
+
+    Exact integer arithmetic: ra_ppm = sum_z (1_000_000 DIV deg(z)) —
+    bit-identical across engines and shuffle orders (no float sums). The
+    reference computes no link prediction; this extends its viewer's
+    degree/BFS metrics (data_renderer.js) to corpus-scale inference.
+
+    Scale shape: identical to common_neighbors — the wedge self-join on
+    the shared-neighbor key is the one expensive step, and the center's
+    degree rides the wedge rows as a column (no extra join after the
+    groupBy). ``max_neighbor_degree`` drops mega-hub centers BEFORE the
+    join; since those centers contribute <= 1e6/cap ppm each, the cap is
+    both the cost bound and an explicit score floor cut, mirrored exactly
+    by the oracle. Returns (node_a, node_b, n_common, ra_ppm, is_linked).
+    """
+    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # wedge rows keyed by center v, carrying the center's degree
+    center_deg = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    wedge_src = sym.join(center_deg, "v")
+    if max_neighbor_degree is not None:
+        wedge_src = wedge_src.where(F.col("dv") <= max_neighbor_degree)
+    s1 = wedge_src.alias("s1")
+    s2 = wedge_src.select("u", "v").alias("s2")
+    pairs = (
+        s1.join(
+            s2,
+            (F.col("s1.v") == F.col("s2.v")) & (F.col("s1.u") < F.col("s2.u")),
+        )
+        .groupBy(F.col("s1.u").alias("node_a"), F.col("s2.u").alias("node_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.expr("1000000 DIV dv")).alias("ra_ppm"),
+        )
+        .where(F.col("n_common") >= min_common)
+    )
+    und = sym.where(F.col("u") < F.col("v")).select(
+        F.col("u").alias("node_a"), F.col("v").alias("node_b"),
+        F.lit(True).alias("is_linked"),
+    )
+    return pairs.join(und, ["node_a", "node_b"], "left").select(
+        "node_a",
+        "node_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("ra_ppm").cast("bigint").alias("ra_ppm"),
+        F.coalesce(F.col("is_linked"), F.lit(False)).alias("is_linked"),
+    )
+
+
+def edge_triangle_support(
+    edges: DataFrame, src: str = "subj", dst: str = "obj"
+) -> DataFrame:
+    """Per-EDGE triangle support: for every undirected edge (a < b), the
+    number of triangles it participates in (= |N(a) ∩ N(b)|). The edge-level
+    twin of :func:`triangle_count` and the building block of k-truss
+    peeling: an edge with zero support is a bridge / star spoke, an edge
+    with high support sits inside a dense community.
+
+    Shape: one wedge equi-join of the symmetric adjacency against itself
+    (common-neighbor enumeration), restricted to pairs that ARE edges via a
+    pre-join semi filter — so the expensive join only runs on (edge,
+    neighbor-of-endpoint) rows, not all pairs. Returns
+    (node_a, node_b, support) with support >= 0 for every edge.
+    """
+    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=True)
+    und = sym.where(F.col("u") < F.col("v")).select(
+        F.col("u").alias("node_a"), F.col("v").alias("node_b")
+    )
+    # neighbors of node_a, keyed so the second join can test node_b adjacency
+    na = sym.select(F.col("u").alias("node_a"), F.col("v").alias("w"))
+    nb = sym.select(F.col("u").alias("node_b"), F.col("v").alias("w"))
+    support = (
+        und.join(na, "node_a")
+        .join(nb, ["node_b", "w"], "left_semi")
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return und.join(support, ["node_a", "node_b"], "left").select(
+        "node_a",
+        "node_b",
+        F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "subj",
+    dst: str = "obj",
+    max_rounds: int = 3,
+) -> DataFrame:
+    """k-truss cohesive-subgraph mining: iteratively delete every edge whose
+    triangle support is below k-2 until no edge is deleted (or
+    ``max_rounds`` peels ran — the bounded-propagation convention shared
+    with :func:`weighted_sssp`: web-scale graphs converge in a few peels
+    and a fixed bound keeps the oracle an exact unroll). The k-truss is
+    the standard community-core definition one notch stronger than
+    k-core: every surviving edge closes >= k-2 triangles INSIDE the
+    surviving subgraph.
+
+    Per round: one :func:`edge_triangle_support` pass over the surviving
+    edge list (two equi-joins + one partial-agg shuffle) and a filter;
+    survivors are ``localCheckpoint``-ed so each peel reads a materialized
+    edge list instead of replaying the whole peel history. Early exit on
+    fixpoint is safe for oracle parity: extra unrolled rounds are no-ops
+    once no edge is deleted. Returns the surviving edges with their final
+    in-subgraph support: (node_a, node_b, support).
+    """
+    if k < 2:
+        raise ValueError("k_truss: k must be >= 2")
+    cur = (
+        _sym_edges(edges, src, dst)
+        .where(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("node_a"), F.col("v").alias("node_b"))
+        .localCheckpoint(eager=True)
+    )
+    need = k - 2
+    for _ in range(max_rounds):
+        sup = edge_triangle_support(cur, src="node_a", dst="node_b")
+        kept = sup.where(F.col("support") >= need).localCheckpoint(eager=True)
+        if kept.count() == cur.count():
+            return kept
+        cur = kept.select("node_a", "node_b").localCheckpoint(eager=True)
+    return edge_triangle_support(cur, src="node_a", dst="node_b")
+
+
+def bounded_closure(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bounded transitive closure with min-hop distances: every DIRECTED
+    reachable pair within ``max_hops`` and the length of the shortest
+    directed path. The taxonomy materialization — run over the KG's
+    "is-a"/"part-of" predicate slice it turns chains into ancestor tables
+    so type queries become one equi-join instead of a per-query traversal.
+
+    The bound is the point at corpus scale: full closure of a web KG is
+    quadratic blow-up; hop-bounded closure grows one frontier join per
+    round and real type hierarchies are shallow. Per round: one equi-join
+    (frontier x edges) + one min partial-agg shuffle; per-round
+    ``localCheckpoint`` lineage cuts. The min() re-aggregation ensures each
+    pair appears once with its true min-hop count (a pair reachable at
+    hops 2 and 3 reports 2). Returns (src_node, dst_node, hops),
+    self-pairs excluded.
+    """
+    if max_hops < 1:
+        raise ValueError("bounded_closure: max_hops must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("src_node"), F.col(dst).alias("dst_node"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    closure = e.select("src_node", "dst_node", F.lit(1).alias("hops"))
+    frontier = closure
+    for h in range(2, max_hops + 1):
+        step = (
+            frontier.join(
+                e.select(
+                    F.col("src_node").alias("dst_node"),
+                    F.col("dst_node").alias("next_node"),
+                ),
+                "dst_node",
+            )
+            .where(F.col("src_node") != F.col("next_node"))
+            .select(
+                "src_node",
+                F.col("next_node").alias("dst_node"),
+                F.lit(h).alias("hops"),
+            )
+            .distinct()
+        )
+        # keep only pairs not already reached at a lower hop count
+        frontier = step.join(
+            closure.select("src_node", "dst_node"),
+            ["src_node", "dst_node"],
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        closure = closure.unionByName(frontier).localCheckpoint(eager=True)
+    return closure.select(
+        "src_node", "dst_node", F.col("hops").cast("bigint").alias("hops")
+    )
