@@ -663,3 +663,50 @@ def test_node2vec_steps_are_equi_joins_pure_expression(spark):
     assert "BroadcastNestedLoopJoin" not in s
     assert python_eval_count(out) == 0
     assert "Window" not in s
+
+
+def test_resource_allocation_degree_rides_wedge_no_cartesian(spark):
+    """The center's degree is a column on the wedge rows, so the scoring
+    needs no join after the pair groupBy; candidate generation is the wedge
+    hash equi-join, never an all-pairs product; pure expression arithmetic."""
+    from text_to_graph_spark.operators.graphalgo import resource_allocation
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "subj string, obj string"
+    )
+    out = resource_allocation(df, max_neighbor_degree=32)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0
+
+
+def test_edge_triangle_support_is_equi_join_plus_semi(spark):
+    """Support counting = wedge hash equi-join + left_semi closure test;
+    no all-pairs product, no Python, no window."""
+    from text_to_graph_spark.operators.graphalgo import edge_triangle_support
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "subj string, obj string"
+    )
+    out = edge_triangle_support(df)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0
+    assert "Window" not in s
+
+
+def test_bounded_closure_hops_are_equi_joins(spark):
+    """Each hop is a frontier hash equi-join + left_anti dedup against the
+    closure so far — no all-pairs product, no Python."""
+    from text_to_graph_spark.operators.graphalgo import bounded_closure
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "subj string, obj string"
+    )
+    out = bounded_closure(df, max_hops=3)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0

@@ -327,6 +327,29 @@ def main() -> int:
         "per-source percentile gate (source-partitioned rank window)": (
             CUR.quality_percentile_gate(docs, keep_pct=50)
         ),
+        "node2vec walks (sorted-adjacency rollup, per-step prev-neighbor join)": (
+            GA.node2vec_walks(
+                triples_to_canonical_edges(triples).select(
+                    F.col("subj_key").alias("subj"),
+                    F.col("obj_key").alias("obj"),
+                ),
+                src="subj",
+                dst="obj",
+                n_walks=1,
+                walk_len=3,
+            )
+        ),
+        "resource allocation (degree rides the wedge rows, no post-agg join)": (
+            GA.resource_allocation(
+                triples.select("subj", "obj"), max_neighbor_degree=32
+            )
+        ),
+        "edge triangle support (wedge equi-join + left_semi closure test)": (
+            GA.edge_triangle_support(triples.select("subj", "obj"))
+        ),
+        "bounded closure (per-hop frontier equi-join + left_anti dedup)": (
+            GA.bounded_closure(triples.select("subj", "obj"), max_hops=2)
+        ),
     }
 
     out = [HEADER]
