@@ -540,6 +540,21 @@ def _q_kg_components(spark, sf_dir):
     return connected_components(_edges(spark, sf_dir), src="subj", dst="obj")
 
 
+def _q_kg_scc(spark, sf_dir):
+    # directed strongly-connected components over the predicate-directed
+    # canonical edge list (subj -> obj): FW-BW min-label peeling with trim
+    # (operators/components.strongly_connected_components). Beyond-reference
+    # (the reference viewer treats the KG as undirected); the oracle is the
+    # exact reflexive transitive closure + mutual-reachability min.
+    from text_to_graph_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(
+        _edges(spark, sf_dir), src="subj", dst="obj"
+    )
+
+
 def _q_kg_components_incremental(spark, sf_dir):
     # incremental CC: per-slice CC star graphs unioned, one CC over stars
     # (operators/components.merge_component_assignments) == batch CC
@@ -1873,6 +1888,20 @@ def _q_web_host_rank(spark, sf_dir):
     return WL.host_rank(hg)
 
 
+def _q_web_bowtie(spark, sf_dir):
+    # Broder bow-tie decomposition (WWW'00) of the directed host graph:
+    # core = largest SCC (tie -> min id), in/out = BFS sweeps seeded by the
+    # core member set, everything else 'other'. One SCC run + two
+    # multi-source BFS passes; the only collect is the single core id.
+    from text_to_graph_spark.operators import weblinks as WL
+    from text_to_graph_spark.operators.components import bowtie_regions
+
+    hg = WL.host_graph(WL.extract_links(_linked_pages(spark, sf_dir)))
+    return bowtie_regions(hg, src="src_host", dst="dst_host").withColumnRenamed(
+        "node", "host"
+    )
+
+
 def _q_web_hits(spark, sf_dir):
     # HITS hubs & authorities over the host graph — exact-bigint fixpoint
     # (graphalgo.hits), the mutual-reinforcement complement to web_host_rank;
@@ -2307,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_parallel_edges": _q_kg_parallel_edges,
         "kg_khop2": _q_kg_khop2,
         "kg_components": _q_kg_components,
+        "kg_scc": _q_kg_scc,
         "kg_components_incremental": _q_kg_components_incremental,
         "kg_pagerank": _q_kg_pagerank,
         "kg_pagerank_incremental": _q_kg_pagerank_incremental,
@@ -2424,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_graph": _q_web_host_graph,
         "web_host_rank": _q_web_host_rank,
         "web_hits": _q_web_hits,
+        "web_bowtie": _q_web_bowtie,
         "web_dead_links": _q_web_dead_links,
         "web_resolved_links": _q_web_resolved_links,
         "web_anchor_text": _q_web_anchor_text,
@@ -3162,6 +3193,10 @@ normed AS (
          {_norm_url_sql('href')} AS norm_href
   FROM links
 )"""
+    # recursive-CTE variant for the web queries that need a closure
+    # (DuckDB requires RECURSIVE on the WITH clause; it is harmless for
+    # the non-recursive CTEs it also covers)
+    weblinks_normed_rec = weblinks_normed.replace("WITH ", "WITH RECURSIVE ", 1)
     return {
         "kg_pages": f"""
 {_KG_PREFIX}
@@ -3592,6 +3627,22 @@ reach AS (
   SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
 )
 SELECT node, min(r) AS component FROM reach GROUP BY node
+""",
+        # directed SCC: reflexive transitive closure over subj->obj, scc =
+        # min mutually-reachable id (self rows make every vertex mutual
+        # with itself, so isolated / self-loop-only nodes are singletons)
+        "kg_scc": f"""
+{_KG_PREFIX},
+de AS (SELECT DISTINCT subj AS u, obj AS v FROM edges WHERE subj <> obj),
+verts AS (SELECT DISTINCT u AS node FROM sym),
+dreach AS (
+  SELECT node, node AS r FROM verts
+  UNION
+  SELECT de.u, dreach.r FROM de JOIN dreach ON de.v = dreach.node
+)
+SELECT r1.node AS node, min(r1.r) AS scc
+FROM dreach r1 JOIN dreach r2 ON r1.node = r2.r AND r1.r = r2.node
+GROUP BY r1.node
 """,
         # incremental CC must equal batch CC — same full-corpus SQL
         "kg_components_incremental": f"""
@@ -5726,6 +5777,44 @@ SELECT a4.node AS host,
        CAST(a4.s AS bigint) AS auth_e6,
        CAST(h4.s AS bigint) AS hub_e6
 FROM a4 JOIN h4 ON h4.node = a4.node
+""",
+        # Broder bow-tie over the directed host graph: SCC by mutual
+        # reachability (exact closure), core = largest SCC (tie -> min id);
+        # 'in' reaches the core rep, 'out' is reached from it — reaching
+        # any member of an SCC is equivalent to reaching its rep
+        "web_bowtie": f"""
+{weblinks_normed_rec},
+hostg AS (
+  SELECT DISTINCT src_host AS u,
+         regexp_extract(norm_href, '^[^/]+//([^/:]+)', 1) AS v
+  FROM normed
+),
+de AS (SELECT u, v FROM hostg WHERE u <> v),
+verts AS (SELECT u AS node FROM hostg UNION SELECT v FROM hostg),
+dreach AS (
+  SELECT node, node AS r FROM verts
+  UNION
+  SELECT de.u, dreach.r FROM de JOIN dreach ON de.v = dreach.node
+),
+sccs AS (
+  SELECT r1.node AS node, min(r1.r) AS scc
+  FROM dreach r1 JOIN dreach r2 ON r1.node = r2.r AND r1.r = r2.node
+  GROUP BY r1.node
+),
+core AS (
+  SELECT scc FROM (SELECT scc, count(*) AS n FROM sccs GROUP BY scc)
+  ORDER BY n DESC, scc ASC LIMIT 1
+)
+SELECT s.node AS host,
+       CASE WHEN s.scc = (SELECT scc FROM core) THEN 'core'
+            WHEN EXISTS (SELECT 1 FROM dreach d
+                         WHERE d.node = s.node
+                           AND d.r = (SELECT scc FROM core)) THEN 'in'
+            WHEN EXISTS (SELECT 1 FROM dreach d
+                         WHERE d.node = (SELECT scc FROM core)
+                           AND d.r = s.node) THEN 'out'
+            ELSE 'other' END AS region
+FROM sccs s
 """,
         # crawl-frontier anti-join: the Bloom fast path is a superset filter
         # feeding an exact left_anti, so the oracle is the plain NOT IN —

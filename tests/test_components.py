@@ -255,3 +255,128 @@ class TestLandmarkHarmonic:
         # single landmark: its own row (distance 0) must not appear
         got = self._harmonic(spark, self.PATH, ["c"])
         assert "c" not in got and got["a"] == (1, 500_000)
+
+
+class TestStronglyConnectedComponents:
+    """FW-BW min-label SCC vs an exact iterative-Tarjan oracle."""
+
+    # bow-tie-ish directed graph: core cycle {b,c,d}, IN chain a->b,
+    # OUT chain d->e->f, a separate 2-cycle {g,h}, a tendril h->i,
+    # a self-loop-only node j, and an isolated sink k (via e->k)
+    DIRECTED = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "b"),
+        ("d", "e"), ("e", "f"), ("e", "k"),
+        ("g", "h"), ("h", "g"), ("h", "i"),
+        ("j", "j"),
+    ]
+
+    @staticmethod
+    def _tarjan(edges):
+        adj = {}
+        nodes = set()
+        for u, v in edges:
+            nodes.update((u, v))
+            if u != v:
+                adj.setdefault(u, []).append(v)
+        index = {}
+        low = {}
+        on_stack = set()
+        stack = []
+        sccs = {}
+        counter = [0]
+
+        def strongconnect(v0):
+            # iterative Tarjan (explicit work stack)
+            work = [(v0, 0)]
+            while work:
+                v, pi = work.pop()
+                if pi == 0:
+                    index[v] = low[v] = counter[0]
+                    counter[0] += 1
+                    stack.append(v)
+                    on_stack.add(v)
+                recurse = False
+                nbrs = adj.get(v, [])
+                for i in range(pi, len(nbrs)):
+                    w = nbrs[i]
+                    if w not in index:
+                        work.append((v, i + 1))
+                        work.append((w, 0))
+                        recurse = True
+                        break
+                    elif w in on_stack:
+                        low[v] = min(low[v], index[w])
+                if not recurse:
+                    for w in nbrs:
+                        if w in low and w in on_stack and index[w] > index[v]:
+                            low[v] = min(low[v], low[w])
+                    if low[v] == index[v]:
+                        comp = []
+                        while True:
+                            w = stack.pop()
+                            on_stack.discard(w)
+                            comp.append(w)
+                            if w == v:
+                                break
+                        rep = min(comp)
+                        for w in comp:
+                            sccs[w] = rep
+
+        for n in sorted(nodes):
+            if n not in index:
+                strongconnect(n)
+        return sccs
+
+    def _spark_scc(self, spark, edges):
+        from text_to_graph_spark.operators.components import (
+            strongly_connected_components,
+        )
+
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return {
+            r["node"]: r["scc"]
+            for r in strongly_connected_components(df).collect()
+        }
+
+    def test_bowtie_fixture_matches_tarjan(self, spark):
+        assert self._spark_scc(spark, self.DIRECTED) == self._tarjan(
+            self.DIRECTED
+        )
+
+    def test_pure_cycle_is_one_scc(self, spark):
+        cyc = [(str(i), str((i + 1) % 7)) for i in range(7)]
+        got = self._spark_scc(spark, cyc)
+        assert set(got.values()) == {"0"} and len(got) == 7
+
+    def test_dag_is_all_singletons(self, spark):
+        dag = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+        got = self._spark_scc(spark, dag)
+        assert got == {n: n for n in "abcd"}
+
+    def test_random_graph_matches_tarjan(self, spark):
+        # deterministic pseudo-random digraph (hash-derived, no RNG state)
+        import hashlib
+
+        edges = []
+        for i in range(160):
+            h = hashlib.md5(f"scc{i}".encode()).hexdigest()
+            u = int(h[:4], 16) % 40
+            v = int(h[4:8], 16) % 40
+            edges.append((f"n{u:02d}", f"n{v:02d}"))
+        assert self._spark_scc(spark, edges) == self._tarjan(edges)
+
+
+class TestBowtieRegions:
+    def test_broder_regions(self, spark):
+        from text_to_graph_spark.operators.components import bowtie_regions
+
+        edges = TestStronglyConnectedComponents.DIRECTED
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r["node"]: r["region"] for r in bowtie_regions(df).collect()}
+        # largest SCC is {b,c,d} (size 3 beats {g,h} size 2)
+        assert got == {
+            "a": "in",
+            "b": "core", "c": "core", "d": "core",
+            "e": "out", "f": "out", "k": "out",
+            "g": "other", "h": "other", "i": "other", "j": "other",
+        }

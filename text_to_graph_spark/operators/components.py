@@ -317,3 +317,256 @@ def harmonic_closeness(dists: DataFrame) -> DataFrame:
             F.sum(F.expr("1000000L DIV distance")).cast("long").alias("harmonic_e6"),
         )
     )
+
+
+def _directed_min_reach(
+    adj: DataFrame, nodes: DataFrame, max_iterations: int = 40
+) -> DataFrame:
+    """min-label forward-reachability fixpoint over a DIRECTED edge list.
+
+    Returns (node, lab) where lab = min node id reachable from ``node``
+    following edges u->v in ``adj`` (columns ``u``, ``v``), restricted to
+    ``nodes`` (column ``node``). Propagation lab(u) <- min(lab(u), lab(v))
+    per edge, plus a pointer-jump lab(u) <- min(lab(u), lab(lab(u)))
+    (valid because reachability is transitive), so convergence is
+    O(log diameter) rounds. Each round is two hash joins + one partial-agg
+    min; ``localCheckpoint`` per round cuts lineage (same discipline as
+    :func:`connected_components`).
+    """
+    lab = nodes.select("node", F.col("node").alias("lab")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iterations):
+        nb = (
+            adj.join(lab.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lab").alias("nb_lab"))
+            .withColumnRenamed("u", "node")
+        )
+        new_lab = lab.join(nb, "node", "left").select(
+            "node",
+            F.least(
+                F.col("lab"), F.coalesce(F.col("nb_lab"), F.col("lab"))
+            ).alias("lab"),
+        )
+        jumped = (
+            new_lab.alias("a")
+            .join(
+                new_lab.select(
+                    F.col("node").alias("lab"), F.col("lab").alias("lab2")
+                ).alias("b"),
+                "lab",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("lab2"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(lab.alias("o"), "node")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        lab = jumped
+        if changed == 0:
+            break
+    return lab
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 20,
+) -> DataFrame:
+    """Directed SCC: (node, scc) where scc = min node id in the component.
+
+    FW-BW min-label peeling (public algorithm family: Fleischer/Hendrickson/
+    Pinar DCSC, and Slota-Rajamanickam-Madduri's Multistep variant):
+
+      1. TRIM — nodes with no in-edges or no out-edges in the remaining
+         subgraph cannot lie on a cycle, so they are singleton SCCs.
+         Iterated to a fixpoint: each round is two distinct-projections and
+         an anti-join, and on web-shaped graphs it strips the huge tendril
+         tail before any fixpoint math runs.
+      2. fwd(v) = min id reachable FROM v (forward fixpoint);
+         bwd(v) = min id that REACHES v (same fixpoint on reversed edges).
+         Every v with fwd(v) == bwd(v) == c is mutually reachable with c,
+         so {v : fwd=bwd=c} is exactly the SCC of c. The globally minimal
+         remaining id always satisfies this, so every outer round retires
+         at least one SCC — termination is guaranteed, and on bow-tie web
+         graphs the giant core goes in round one.
+      3. Peel the assigned nodes/edges and repeat.
+
+    All state is (node, label) pairs — never pairwise reachability — so the
+    footprint is O(|V|) per round and every step is an equi-join Catalyst
+    can plan as a shuffle hash join; nothing is collected to the driver
+    except the convergence counters. Reference parity: the reference has no
+    directed-graph analytics (its viewer treats the KG as undirected,
+    data_renderer.js:497-513); this is a beyond-reference operator for
+    predicate-directed KGs and host-level web graphs.
+    """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    )
+    # the node universe keeps self-loop-only nodes (each its own SCC); the
+    # edge list drops self-loops (irrelevant to strong connectivity)
+    remaining = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        raw.where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    )
+    cur = e
+    assigned_parts: list[DataFrame] = []
+
+    for _ in range(max_outer):
+        if remaining.limit(1).count() == 0:
+            break
+        # ---- 1. trim fixpoint: no-in or no-out nodes are singleton SCCs
+        while True:
+            keep = (
+                cur.select(F.col("u").alias("node"))
+                .distinct()
+                .join(cur.select(F.col("v").alias("node")).distinct(), "node")
+                .localCheckpoint(eager=True)
+            )
+            trimmed = remaining.join(keep, "node", "left_anti")
+            if trimmed.limit(1).count() == 0:
+                break
+            assigned_parts.append(
+                trimmed.select("node", F.col("node").alias("scc"))
+                .localCheckpoint(eager=True)
+            )
+            remaining = remaining.join(keep, "node", "left_semi").localCheckpoint(
+                eager=True
+            )
+            cur = (
+                cur.join(
+                    remaining.withColumnRenamed("node", "u"), "u", "left_semi"
+                )
+                .join(remaining.withColumnRenamed("node", "v"), "v", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        if remaining.limit(1).count() == 0:
+            break
+        # ---- 2. forward / backward min-label fixpoints
+        fwd = _directed_min_reach(cur, remaining)
+        bwd = _directed_min_reach(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v")), remaining
+        )
+        done = (
+            fwd.withColumnRenamed("lab", "fwd")
+            .join(bwd.withColumnRenamed("lab", "bwd"), "node")
+            .where(F.col("fwd") == F.col("bwd"))
+            .select("node", F.col("fwd").alias("scc"))
+            .localCheckpoint(eager=True)
+        )
+        assigned_parts.append(done)
+        # ---- 3. peel
+        remaining = remaining.join(done, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        cur = (
+            cur.join(remaining.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(remaining.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    # max_outer exhausted with stragglers: own-id singletons (never reached
+    # on sane inputs — every round provably retires >= 1 SCC)
+    assigned_parts.append(
+        remaining.select("node", F.col("node").alias("scc"))
+    )
+    # Assemble the parts under constraintPropagation=off and return a
+    # checkpointed leaf. The parts' checkpointed leaves preserve their
+    # ORIGIN plans' constraints (LogicalRDD keeps them across
+    # localCheckpoint), which reference attribute ids long dropped from the
+    # outputs; Union's rewriteConstraints then key-misses
+    # (NoSuchElementException: key not found: node#N) on any downstream
+    # filter/checkpoint. With the flag off the final leaf carries an empty
+    # constraint set, so every downstream query is safe — and the flag is
+    # restored immediately (it only gates inferred-filter extras).
+    fresh = [
+        p.select(F.col("node").alias("node"), F.col("scc").alias("scc"))
+        for p in assigned_parts
+    ]
+    spark = edges.sparkSession
+    conf_key = "spark.sql.constraintPropagation.enabled"
+    old = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        out = fresh[0]
+        for p in fresh[1:]:
+            out = out.unionByName(p)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf_key, old)
+    return out
+
+
+def bowtie_regions(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Broder bow-tie decomposition (public: Broder et al., "Graph
+    structure in the Web", WWW'00): (node, region) with region in
+    {'core', 'in', 'out', 'other'}.
+
+    core  = the largest SCC (ties broken by min scc id — deterministic);
+    in    = reaches the core but is outside it;
+    out   = reachable from the core but outside it;
+    other = tendrils/tubes/disconnected.
+
+    Cost: one SCC run, one tiny groupBy to size components (collect of ONE
+    scalar core id — a model parameter, not data), and two multi-source
+    BFS sweeps seeded by the core member set. A node that were both 'in'
+    and 'out' would be mutually reachable with the core and hence inside
+    it, so the CASE ordering is unambiguous.
+    """
+    # scc is already a materialized constraint-free leaf (see
+    # strongly_connected_components' assembly) — reused by 4 queries below
+    scc = strongly_connected_components(edges, src=src, dst=dst)
+    sizes = scc.groupBy("scc").agg(F.count(F.lit(1)).alias("n"))
+    core_row = (
+        sizes.orderBy(F.col("n").desc(), F.col("scc").asc()).limit(1).collect()
+    )
+    if not core_row:
+        return scc.select("node", F.lit("other").alias("region"))
+    core_id = core_row[0]["scc"]
+    core = scc.where(F.col("scc") == F.lit(core_id)).select("node")
+    reaches_core = bfs_distances(
+        edges, core, src=src, dst=dst, direction="in"
+    ).select("node")
+    reached_from_core = bfs_distances(
+        edges, core, src=src, dst=dst, direction="out"
+    ).select("node")
+    return (
+        scc.select("node", "scc")
+        .join(core.withColumn("is_core", F.lit(1)), "node", "left")
+        .join(
+            reaches_core.withColumn("r_in", F.lit(1)).distinct(), "node", "left"
+        )
+        .join(
+            reached_from_core.withColumn("r_out", F.lit(1)).distinct(),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.when(F.col("is_core") == 1, F.lit("core"))
+            .when(F.col("r_in") == 1, F.lit("in"))
+            .when(F.col("r_out") == 1, F.lit("out"))
+            .otherwise(F.lit("other"))
+            .alias("region"),
+        )
+    )
