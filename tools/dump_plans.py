@@ -129,6 +129,16 @@ def _ranking_eval_plan(spark):
     return ranking_eval(preds)
 
 
+def _scc_plan(spark, triples):
+    from text_to_graph_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(
+        triples.select("subj", "obj"), src="subj", dst="obj"
+    )
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -349,6 +359,9 @@ def main() -> int:
         ),
         "bounded closure (per-hop frontier equi-join + left_anti dedup)": (
             GA.bounded_closure(triples.select("subj", "obj"), max_hops=2)
+        ),
+        "directed SCC (FW-BW min-label peeling; constraint-free leaf)": (
+            _scc_plan(spark, triples)
         ),
     }
 
