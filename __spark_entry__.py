@@ -211,6 +211,45 @@ def _q_kg_chunks_bpe(spark, sf_dir):
     return chunk_pages(extract_text(pages), token_counter="pretoken")
 
 
+def _q_kg_bpe_train(spark, sf_dir):
+    # C5 corpus-scale tokenizer TRAINING (operators/tokenizer.py): the
+    # distributed twin of kit.train_bpe — the merge-table model learned
+    # from the extracted corpus without the corpus ever leaving the
+    # executors. Output is the k-row model (rank, left_hex, right_hex,
+    # freq). The oracle unrolls the same rounds with a list_reduce fold
+    # (RE2 has no lookahead), so the two derivations are genuinely
+    # independent implementations of the same training recurrence.
+    from text_to_graph_spark.operators.extraction import extract_text
+    from text_to_graph_spark.operators.tokenizer import train_bpe_merges
+
+    pages = synthesize_pages(spark, sf_dir)
+    return train_bpe_merges(extract_text(pages), n_merges=8)
+
+
+def _q_kg_subword_counts(spark, sf_dir):
+    # tokenizer train -> apply, end to end: the 8-merge model learned by
+    # the distributed trainer (a driver-side k-row literal, like any
+    # model artifact) applied back over the corpus as 8 chained codegen'd
+    # regexp_replace passes — per-url pre-token and subword counts, the
+    # sizing signal chunk packing and token-budget curation run on. The
+    # oracle re-derives the merges itself (unrolled training CTEs) and
+    # applies them with the RE2-safe list_reduce fold — fully independent
+    # of the Spark derivation at every stage.
+    from text_to_graph_spark.operators.extraction import extract_text
+    from text_to_graph_spark.operators.tokenizer import (
+        subword_token_counts,
+        train_bpe_merges,
+    )
+
+    text = extract_text(synthesize_pages(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    model = train_bpe_merges(text, n_merges=8).orderBy("rank").collect()
+    return subword_token_counts(
+        text, [(r["left_hex"], r["right_hex"]) for r in model]
+    )
+
+
 def _q_kg_graphs_catalog(spark, sf_dir):
     # S10 / the legacy viewer's catalog scan (webpages/visualizer/1.0/
     # db_utils.js:23-28: Graphs JOIN Configurations ON config_id): per-run
@@ -2309,6 +2348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_text": _q_kg_extract_text,
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_bpe": _q_kg_chunks_bpe,
+        "kg_bpe_train": _q_kg_bpe_train,
+        "kg_subword_counts": _q_kg_subword_counts,
         "kg_graphs_catalog": _q_kg_graphs_catalog,
         "kg_mentions": _q_kg_mentions,
         "kg_mention_counts": _q_kg_mention_counts,
@@ -3180,6 +3221,109 @@ def _norm_url_sql(col: str) -> str:
     return f"({prefix} || {rest})"
 
 
+_BPE_FOLD_CASE = """CASE WHEN m.a IS NULL THEN p.state
+              ELSE list_reduce(string_split(p.state, ','),
+                     (acc, x) -> CASE WHEN x = m.b AND (acc = m.a
+                                          OR ends_with(acc, ',' || m.a))
+                                      THEN acc || x
+                                      ELSE acc || ',' || x END)
+         END AS state"""
+
+_BPE_STATE_SQL = (
+    "rtrim(regexp_replace(lower(hex(encode(piece))), '(..)', '\\1,', 'g'), ',')"
+)
+
+
+def _bpe_cte(n_rounds: int) -> str:
+    """Unrolled BPE-training rounds (same unroll convention as the
+    kg_harmonic / closure oracles): per round, a pair-count rollup over
+    the piece-frequency table, the f>=2 argmax (f DESC, a, b — the byte
+    order, because each byte is a fixed-width monotone hex chunk), and a
+    list_reduce fold that applies the merge left-to-right non-overlapping
+    (RE2 has no lookahead, so the fold replaces the Spark side's
+    regexp_replace; a merged symbol a||b can never equal a, so the fold
+    needs no just-merged flag). Early stop: an empty argmax leaves the
+    piece table unchanged, so every later round is empty too. Yields
+    CTEs bp0..bp{n} (piece frequencies per round) and bb0..bb{n-1}
+    (the per-round argmax = the ranked merge table)."""
+    sql = [
+        f"""{_KG_PREFIX},
+bp0 AS (
+  SELECT {_BPE_STATE_SQL} AS state,
+         CAST(count(*) AS bigint) AS freq
+  FROM (SELECT unnest(regexp_extract_all(text, '{_PRETOKEN_SQL}')) AS piece
+        FROM pages)
+  WHERE len(piece) > 0
+  GROUP BY 1
+)"""
+    ]
+    for r in range(n_rounds):
+        sql.append(
+            f""",
+pc{r} AS (
+  SELECT sy[i] AS a, sy[i+1] AS b, CAST(sum(freq) AS bigint) AS f
+  FROM (SELECT string_split(state, ',') AS sy, freq FROM bp{r}),
+       unnest(generate_series(1, len(sy) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+bb{r} AS (
+  SELECT a, b, f FROM pc{r} WHERE f >= 2 ORDER BY f DESC, a ASC, b ASC LIMIT 1
+),
+bp{r + 1} AS (
+  SELECT {_BPE_FOLD_CASE},
+         p.freq
+  FROM bp{r} p LEFT JOIN bb{r} m ON TRUE
+)"""
+        )
+    return "".join(sql)
+
+
+def _bpe_train_oracle(n_rounds: int) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS int) AS rank, a AS left_hex, b AS right_hex,"
+        f" f AS freq FROM bb{r}"
+        for r in range(n_rounds)
+    )
+    return f"{_bpe_cte(n_rounds)}\n{union}\n"
+
+
+def _subword_counts_oracle(n_rounds: int) -> str:
+    """Training (shared CTE chain) composed with the sequential rank-order
+    apply over per-(url, piece) rows — the same fold, keyed by url, then a
+    per-url rollup on a distinct-url spine (0-count rows kept)."""
+    sql = [
+        f"""{_bpe_cte(n_rounds)},
+up0 AS (
+  SELECT url, {_BPE_STATE_SQL} AS state
+  FROM (SELECT url, unnest(regexp_extract_all(text, '{_PRETOKEN_SQL}')) AS piece
+        FROM pages)
+  WHERE len(piece) > 0
+)"""
+    ]
+    for r in range(n_rounds):
+        sql.append(
+            f""",
+up{r + 1} AS (
+  SELECT p.url, {_BPE_FOLD_CASE}
+  FROM up{r} p LEFT JOIN bb{r} m ON TRUE
+)"""
+        )
+    sql.append(
+        f"""
+SELECT p.url,
+       CAST(coalesce(c.n_pre, 0) AS bigint) AS n_pretokens,
+       CAST(coalesce(c.n_sub, 0) AS bigint) AS n_subwords
+FROM (SELECT DISTINCT url FROM pages) p
+LEFT JOIN (
+  SELECT url, count(*) AS n_pre,
+         sum(len(string_split(state, ','))) AS n_sub
+  FROM up{n_rounds} GROUP BY 1
+) c USING (url)
+"""
+    )
+    return "".join(sql)
+
+
 def oracle_sql() -> dict[str, str]:
     ents, preds, cat = _ENTS_SQL, _PREDS_SQL, _CATEGORY_CASE
     linked_cte = _LINKED_CTE.format(ents=ents)
@@ -3239,6 +3383,12 @@ SELECT url,
        trim(text) AS text
 FROM pages
 """,
+        # C5 corpus-scale BPE training: 8 unrolled merge rounds over the
+        # pre-token piece-frequency table (independent fold-based apply;
+        # see _bpe_train_oracle)
+        "kg_bpe_train": _bpe_train_oracle(8),
+        # tokenizer train -> sequential rank-order apply, per-url counts
+        "kg_subword_counts": _subword_counts_oracle(8),
         # S10 legacy-viewer catalog (db_utils.js:23-28): per-graph chunk
         # stats x configuration dim; one chunk per url on the synthetic
         # corpus, counters whitespace vs pretoken-regex

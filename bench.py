@@ -216,8 +216,27 @@ def main() -> int:
         pages = synthesize_linked_pages(spark, SF_DIR)
         _force(WL.dead_links(WL.extract_links(pages), pages))
 
+    def q_kg_bpe_tokenizer():
+        # distributed tokenizer train (8 merge rounds over the piece
+        # vocabulary) + sequential apply back over the corpus (8 chained
+        # codegen'd regexp_replace passes) — the iterative-job bench
+        from text_to_graph_spark.operators.tokenizer import (
+            subword_token_counts,
+            train_bpe_merges,
+        )
+
+        model = train_bpe_merges(docs, n_merges=8).orderBy("rank").collect()
+        _force(
+            subword_token_counts(
+                docs,
+                [(r["left_hex"], r["right_hex"]) for r in model],
+                key_col="doc_id",
+            )
+        )
+
     benches = {
         "kg_pipeline": q_kg_pipeline,
+        "kg_bpe_tokenizer": q_kg_bpe_tokenizer,
         "kg_pipeline_staged": q_kg_pipeline_staged,
         "kg_triples_sql": q_kg_triples_sql,
         "kg_pipeline_highres": q_kg_highres,

@@ -1,0 +1,105 @@
+"""Distributed BPE training (operators/tokenizer.py) parity with the
+driver-side trainer (kit/bpe.py train_bpe) — same merges, same order, same
+stop rules, on the same corpus."""
+
+from __future__ import annotations
+
+from text_to_graph_spark.kit.bpe import train_bpe
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cats sat on the mats",
+    "low lower lowest, the low low low",
+    "don't stop the testing tests",
+    "héllo héllo héllo world",  # multi-byte utf-8 pieces
+]
+
+
+def _hex_merges(merges):
+    return [(a.hex(), b.hex()) for a, b in merges]
+
+
+def test_train_bpe_merges_matches_driver_trainer(spark):
+    from text_to_graph_spark.operators.tokenizer import train_bpe_merges
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = train_bpe_merges(df, n_merges=12).orderBy("rank").collect()
+    want = _hex_merges(train_bpe(CORPUS, 12))
+    assert [(r["left_hex"], r["right_hex"]) for r in got] == want
+    assert [r["rank"] for r in got] == list(range(1, len(want) + 1))
+    assert all(r["freq"] >= 2 for r in got)
+
+
+def test_train_bpe_merges_partitioning_invariant(spark):
+    """The merge table is a pure function of the corpus multiset — the
+    same corpus split across many partitions trains identically."""
+    from text_to_graph_spark.operators.tokenizer import train_bpe_merges
+
+    one = spark.createDataFrame([(t,) for t in CORPUS], "text string").coalesce(1)
+    many = spark.createDataFrame(
+        [(t,) for t in CORPUS], "text string"
+    ).repartition(8)
+    a = train_bpe_merges(one, n_merges=6).orderBy("rank").collect()
+    b = train_bpe_merges(many, n_merges=6).orderBy("rank").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def _seq_apply_counts(text, merges_hex):
+    """Reference implementation of the sequential rank-order apply spec
+    (each rule once, globally, left-to-right non-overlapping)."""
+    from text_to_graph_spark.kit.bpe import pretokenize
+
+    n_pre = n_sub = 0
+    for piece in pretokenize(text):
+        sym = [format(b, "02x") for b in piece.encode("utf-8")]
+        for a, b in merges_hex:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        n_pre += 1
+        n_sub += len(sym)
+    return n_pre, n_sub
+
+
+def test_subword_token_counts_match_reference_apply(spark):
+    from text_to_graph_spark.operators.tokenizer import subword_token_counts
+
+    merges = _hex_merges(train_bpe(CORPUS, 8))
+    rows = [(f"u{i}", t) for i, t in enumerate(CORPUS)] + [("u-empty", "")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        r["url"]: (r["n_pretokens"], r["n_subwords"])
+        for r in subword_token_counts(df, merges).collect()
+    }
+    want = {f"u{i}": _seq_apply_counts(t, merges) for i, t in enumerate(CORPUS)}
+    want["u-empty"] = (0, 0)
+    assert got == want
+    # merges strictly reduce (or keep) the subword count vs raw bytes
+    raw = {u: _seq_apply_counts(t, []) for u, t in dict(rows).items()}
+    assert all(got[u][1] <= raw[u][1] for u in got)
+
+
+def test_subword_token_counts_rejects_non_hex_merges(spark):
+    import pytest
+
+    from text_to_graph_spark.operators.tokenizer import subword_token_counts
+
+    df = spark.createDataFrame([("u", "x")], "url string, text string")
+    with pytest.raises(ValueError):
+        subword_token_counts(df, [("61", "zz")])
+
+
+def test_train_bpe_merges_early_stop(spark):
+    """All adjacent pair frequencies are 1 -> the <2 stop rule fires on
+    round one and the merge table is empty (mirrors kit.train_bpe)."""
+    from text_to_graph_spark.operators.tokenizer import train_bpe_merges
+
+    df = spark.createDataFrame([("ab cd ef",)], "text string")
+    assert train_bpe_merges(df, n_merges=5).collect() == []
+    assert train_bpe(["ab cd ef"], 5) == []

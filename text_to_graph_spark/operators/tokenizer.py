@@ -1,0 +1,188 @@
+"""Distributed BPE tokenizer training — the 100-TB path for learning the
+merge table that ``kit/bpe.py`` applies.
+
+The reference's tokenizer is a fixed downloaded artifact (tiktoken,
+``gpt.py:27-34``); ``kit.train_bpe`` is this repo's deterministic
+driver-side trainer for bounded samples. This module is the corpus-scale
+twin: identical semantics (Sennrich et al. 2016, arXiv:1508.07909; most
+frequent adjacent byte pair per round, ties broken by byte values
+ascending), but the corpus never leaves the cluster:
+
+- ONE corpus-sized shuffle up front: pre-token pieces -> frequency table.
+  Everything after runs on the piece VOCABULARY (Zipf: orders of magnitude
+  smaller than the corpus; 100 TB of web text is ~10^7 distinct pieces).
+- per merge round: one partial-agg pair-count shuffle over the vocabulary,
+  one scalar argmax to the driver (the model parameter — 1 row), and one
+  codegen'd regexp_replace to apply the merge (no Python, no fold UDF).
+- piece state is a comma-joined list of lowercase-hex byte symbols, so a
+  merge is literal string surgery and the tie-break order on hex strings
+  equals the byte lexicographic order the driver trainer uses (each byte
+  maps to a fixed 2-char chunk, monotone in the byte value; '0'-'9' <
+  'a'-'f' in ASCII).
+
+Applying a merge with ``regexp_replace(',' || state || ',', ',A,B(?=,)',
+',AB')`` reproduces BPE's left-to-right non-overlapping scan exactly: the
+engine resumes after each consumed match, the lookahead asserts the right
+symbol boundary without consuming the next pair's leading comma, and
+symbols cannot false-match because commas appear only at symbol
+boundaries. (The DuckDB oracle uses a list_reduce fold instead — RE2 has
+no lookahead — and the driver gate checks the two derivations agree.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from text_to_graph_spark.kit.bpe import PRETOKEN_PATTERN
+
+
+def piece_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(state, freq): distinct pre-token pieces with corpus frequencies,
+    piece rendered as the comma-joined lowercase-hex byte-symbol state the
+    merge rounds operate on. The one corpus-sized exchange of training."""
+    pieces = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), F.lit(0))
+        ).alias("piece")
+    )
+    hexed = pieces.select(
+        F.lower(F.hex(F.encode("piece", "utf-8"))).alias("h")
+    ).where(F.length("h") > 0)
+    state = hexed.select(
+        F.expr(
+            "array_join(transform(sequence(1, length(h) DIV 2),"
+            " i -> substring(h, (i-1)*2+1, 2)), ',')"
+        ).alias("state")
+    )
+    return state.groupBy("state").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _pair_counts(pf: DataFrame) -> DataFrame:
+    """(a, b, f): adjacent-symbol pair counts over the piece table,
+    overlapping occurrences included (training counts every adjacency;
+    only APPLYING a merge is non-overlapping — mirrors kit.train_bpe)."""
+    return (
+        pf.select(F.split("state", ",").alias("sy"), "freq")
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(sy, 1, size(sy)-1), slice(sy, 2, size(sy)-1),"
+                    " (x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("f"))
+    )
+
+
+def train_bpe_merges(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 10
+) -> DataFrame:
+    """Learn ``n_merges`` merges distributed; returns the merge table
+    (rank, left_hex, right_hex, freq) — identical to ``kit.train_bpe`` on
+    the same corpus (pytest-pinned), with the same stop rules (no pairs
+    left, or best frequency < 2).
+
+    The returned table is the MODEL (k rows) and is built driver-side from
+    the k collected argmax scalars — the corpus itself never leaves the
+    executors.
+    """
+    spark = docs.sparkSession
+    pf = piece_frequencies(docs, text_col).localCheckpoint(eager=True)
+    rows = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            _pair_counts(pf)
+            .orderBy(F.col("f").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["f"] < 2:
+            break
+        a, b, f = best[0]["a"], best[0]["b"], best[0]["f"]
+        rows.append((rank, a, b, int(f)))
+        # non-overlapping left-to-right merge application (see module doc)
+        pf = (
+            pf.select(
+                F.regexp_replace(
+                    F.concat(F.lit(","), F.col("state"), F.lit(",")),
+                    F.lit(f",{a},{b}(?=,)"),
+                    F.lit(f",{a}{b}"),
+                ).alias("padded"),
+                "freq",
+            )
+            .select(
+                F.expr("substring(padded, 2, length(padded)-2)").alias("state"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        rows, "rank int, left_hex string, right_hex string, freq long"
+    )
+
+
+def subword_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    key_col: str = "url",
+) -> DataFrame:
+    """(key, n_pretokens, n_subwords): per-document token counts after
+    applying the ranked merge table SEQUENTIALLY in rank order — each rule
+    applied once, globally, left-to-right non-overlapping. That is exactly
+    the segmentation training itself produced (each round applies one
+    merge globally), so on the training corpus these counts ARE the
+    training-final symbol counts. (kit.BPE.encode uses the rank-priority
+    order instead; the two agree on tables BPE training can emit, where
+    every rule's operands come from strictly earlier rules.)
+
+    ``merges`` is the (left_hex, right_hex) list in rank order — the
+    k-row model from :func:`train_bpe_merges`, a driver-side literal, so
+    the whole apply chain is k codegen'd regexp_replace passes: no
+    Python in the per-document path, no shuffle before the final per-key
+    rollup. Documents with no pre-token pieces keep a 0-count row (doc-id
+    spine left join)."""
+    hexdigits = set("0123456789abcdef")
+    for a, b in merges:
+        if not (a and b and set(a) <= hexdigits and set(b) <= hexdigits):
+            raise ValueError(f"merge symbols must be lowercase hex: {(a, b)}")
+    hexed = docs.select(
+        key_col,
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), F.lit(0))
+        ).alias("piece"),
+    ).select(
+        key_col, F.lower(F.hex(F.encode("piece", "utf-8"))).alias("h")
+    ).where(F.length("h") > 0)
+    padded = hexed.select(
+        key_col,
+        F.expr(
+            "',' || array_join(transform(sequence(1, length(h) DIV 2),"
+            " i -> substring(h, (i-1)*2+1, 2)), ',') || ','"
+        ).alias("padded"),
+    )
+    state = F.col("padded")
+    for a, b in merges:
+        # one non-overlapping left-to-right pass (module doc: the engine
+        # resumes after each consumed match; the lookahead asserts the
+        # right boundary without consuming the next pair's comma)
+        state = F.regexp_replace(state, F.lit(f",{a},{b}(?=,)"), F.lit(f",{a}{b}"))
+    per_piece = padded.select(key_col, state.alias("padded")).select(
+        key_col,
+        F.size(
+            F.split(F.expr("substring(padded, 2, length(padded)-2)"), ",")
+        ).alias("n_sym"),
+    )
+    counts = per_piece.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_pretokens"),
+        F.sum("n_sym").alias("n_subwords"),
+    )
+    spine = docs.select(key_col).distinct()
+    return spine.join(counts, key_col, "left").select(
+        key_col,
+        F.coalesce("n_pretokens", F.lit(0)).cast("long").alias("n_pretokens"),
+        F.coalesce("n_subwords", F.lit(0)).cast("long").alias("n_subwords"),
+    )

@@ -129,6 +129,19 @@ def _ranking_eval_plan(spark):
     return ranking_eval(preds)
 
 
+def _bpe_round_plan(spark, pages):
+    # one training round's shuffle shape: the pair-count partial agg runs
+    # over the piece VOCABULARY (not the corpus); the corpus-sized
+    # exchange happens exactly once, in piece_frequencies.
+    from text_to_graph_spark.operators.extraction import extract_text
+    from text_to_graph_spark.operators.tokenizer import (
+        _pair_counts,
+        piece_frequencies,
+    )
+
+    return _pair_counts(piece_frequencies(extract_text(pages)))
+
+
 def _scc_plan(spark, triples):
     from text_to_graph_spark.operators.components import (
         strongly_connected_components,
@@ -362,6 +375,9 @@ def main() -> int:
         ),
         "directed SCC (FW-BW min-label peeling; constraint-free leaf)": (
             _scc_plan(spark, triples)
+        ),
+        "BPE training round (vocab-sized pair-count partial agg)": (
+            _bpe_round_plan(spark, pages)
         ),
     }
 
