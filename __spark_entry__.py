@@ -788,6 +788,44 @@ def _q_kg_fact_history(spark, sf_dir):
     )
 
 
+def _q_kg_fact_intervals(spark, sf_dir):
+    # temporal-KG gaps-and-islands: coalesce a fact's capture epochs into
+    # validity intervals split at >20s silences (one window pass per fact)
+    from text_to_graph_spark.operators.temporal import fact_validity_intervals
+
+    return fact_validity_intervals(
+        _stages(spark, sf_dir)["triples"],
+        synthesize_pages(spark, sf_dir),
+        max_gap_s=20,
+    )
+
+
+def _q_kg_property_table(spark, sf_dir):
+    # vertical-to-horizontal pivot: one row per subject, one column per
+    # schema predicate (min-object policy), plan-time static schema —
+    # no pivot() value inference, one partial-agg'd shuffle
+    from text_to_graph_spark.kit.extract import PREDICATES
+    from text_to_graph_spark.operators.graphq import property_table
+
+    return property_table(_edges(spark, sf_dir), PREDICATES)
+
+
+def _q_kg_neighbor_sample(spark, sf_dir):
+    # GraphSAGE-style bounded frontier: ≤4 hop-1 + ≤2 hop-2 neighbors per
+    # parent, deterministic md5 ordering (reproducible across engines)
+    from text_to_graph_spark.operators.graphalgo import sampled_neighborhood
+
+    return sampled_neighborhood(_edges(spark, sf_dir), fanout=(4, 2))
+
+
+def _q_kg_motifs(spark, sf_dir):
+    # directed triad census: reciprocal pairs, feed-forward loops,
+    # directed 3-cycles — equi-join path enumeration + closure semi-join
+    from text_to_graph_spark.operators.graphalgo import triad_motifs
+
+    return triad_motifs(_edges(spark, sf_dir))
+
+
 def _facts(spark, sf_dir):
     return (
         _stages(spark, sf_dir)["triples"]
@@ -2392,6 +2430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fused_facts": _q_kg_fused_facts,
         "kg_harmonic": _q_kg_harmonic,
         "kg_fact_history": _q_kg_fact_history,
+        "kg_fact_intervals": _q_kg_fact_intervals,
+        "kg_property_table": _q_kg_property_table,
+        "kg_neighbor_sample": _q_kg_neighbor_sample,
+        "kg_motifs": _q_kg_motifs,
         "kg_functionality": _q_kg_functionality,
         "kg_conflicts": _q_kg_conflicts,
         "kg_rules": _q_kg_rules,
@@ -3964,6 +4006,85 @@ SELECT subj, pred, obj,
        CAST(count(DISTINCT t.url) AS bigint) AS n_docs
 FROM t JOIN pe ON pe.url = t.url
 GROUP BY 1, 2, 3
+""",
+        # temporal KG: gaps-and-islands validity intervals (>20s silence
+        # closes an interval; lag flag + running sum numbers the islands)
+        "kg_fact_intervals": f"""
+{_KG_PREFIX},
+pe AS (SELECT url, CAST(epoch(warc_ts) AS bigint) AS epoch FROM pages),
+t AS (SELECT DISTINCT url, subj, pred, obj FROM triples),
+obs AS (SELECT DISTINCT subj, pred, obj, epoch FROM t JOIN pe ON pe.url = t.url),
+flagged AS (
+  SELECT subj, pred, obj, epoch,
+         CASE WHEN lag(epoch) OVER w IS NULL
+                   OR epoch - lag(epoch) OVER w > 20 THEN 1 ELSE 0 END AS is_start
+  FROM obs WINDOW w AS (PARTITION BY subj, pred, obj ORDER BY epoch)
+),
+numbered AS (
+  SELECT subj, pred, obj, epoch,
+         CAST(sum(is_start) OVER (PARTITION BY subj, pred, obj ORDER BY epoch
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+           AS interval_id
+  FROM flagged
+)
+SELECT subj, pred, obj, interval_id,
+       CAST(min(epoch) AS bigint) AS first_seen,
+       CAST(max(epoch) AS bigint) AS last_seen,
+       CAST(count(*) AS bigint) AS n_captures
+FROM numbered GROUP BY 1, 2, 3, 4
+""",
+        # serving layout: per-subject wide property row, min-object policy,
+        # static schema (extraction predicate vocabulary)
+        "kg_property_table": f"""
+{_KG_PREFIX}
+SELECT subj AS entity,
+       {", ".join(
+           f"coalesce(min(CASE WHEN pred = '{p}' THEN obj END), '') AS p_{p}"
+           for p in PREDICATES
+       )},
+       CAST(count(*) AS bigint) AS n_facts
+FROM edges GROUP BY subj
+""",
+        # GNN dataloader frontier: deterministic md5-ranked fan-out caps
+        # (4 hop-1 per root, 2 hop-2 per sampled parent)
+        "kg_neighbor_sample": f"""
+{_KG_PREFIX},
+e AS (SELECT DISTINCT subj AS s, obj AS d FROM edges WHERE subj <> obj),
+h1 AS (
+  SELECT s AS root, d AS n1 FROM (
+    SELECT s, d,
+           row_number() OVER (PARTITION BY s ORDER BY md5(s || '|' || d)) AS rn
+    FROM e
+  ) WHERE rn <= 4
+),
+h2 AS (
+  SELECT root, n2 AS node FROM (
+    SELECT h1.root, e.d AS n2,
+           row_number() OVER (PARTITION BY h1.root, h1.n1
+                              ORDER BY md5(h1.n1 || '|' || e.d)) AS rn
+    FROM h1 JOIN e ON e.s = h1.n1
+  ) WHERE rn <= 2
+)
+SELECT DISTINCT root, hop, node FROM (
+  SELECT root, 1 AS hop, n1 AS node FROM h1
+  UNION ALL
+  SELECT root, 2 AS hop, node FROM h2
+)
+""",
+        # directed triad census: reciprocal / feed-forward / 3-cycle counts
+        "kg_motifs": f"""
+{_KG_PREFIX},
+e AS (SELECT DISTINCT subj AS a, obj AS b FROM edges WHERE subj <> obj),
+paths AS (SELECT x.a, x.b, y.b AS c FROM e x JOIN e y ON x.b = y.a
+          WHERE x.a <> y.b)
+SELECT 'reciprocal' AS motif, CAST(count(*) AS bigint) AS n
+FROM e x JOIN e y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b
+UNION ALL
+SELECT 'feedforward', CAST(count(*) AS bigint)
+FROM paths p WHERE EXISTS (SELECT 1 FROM e z WHERE z.a = p.a AND z.b = p.c)
+UNION ALL
+SELECT 'cycle', CAST(count(*) // 3 AS bigint)
+FROM paths p WHERE EXISTS (SELECT 1 FROM e z WHERE z.a = p.c AND z.b = p.a)
 """,
         # constraint mining: per-predicate functionality ppm
         "kg_functionality": f"""

@@ -155,3 +155,25 @@ class TestEntityCards:
         out = entity_cards(nodes, edges)
         assert out.count() == 2
         assert out.select("label").distinct().count() == 2
+
+
+class TestPropertyTable:
+    def test_pivot_min_policy_and_density(self, spark):
+        from text_to_graph_spark.operators.graphq import property_table
+
+        edges = spark.createDataFrame(
+            [
+                ("a", "join", "z"),
+                ("a", "join", "x"),   # min policy -> "x"
+                ("a", "scan", "y"),
+                ("b", "merge", "m"),
+            ],
+            "subj string, pred string, obj string",
+        )
+        rows = {
+            r.entity: r
+            for r in property_table(edges, ("join", "scan", "merge")).collect()
+        }
+        a, b = rows["a"], rows["b"]
+        assert (a.p_join, a.p_scan, a.p_merge, a.n_facts) == ("x", "y", "", 3)
+        assert (b.p_join, b.p_scan, b.p_merge, b.n_facts) == ("", "", "m", 1)

@@ -1173,3 +1173,60 @@ class TestBoundedClosure:
         got = {(r["src_node"], r["dst_node"]) for r in
                bounded_closure(df, max_hops=2).collect()}
         assert got == {("a", "b"), ("c", "b")}
+
+
+class TestSampledNeighborhood:
+    def test_fanout_caps_and_determinism(self, spark):
+        import hashlib
+
+        from text_to_graph_spark.operators.graphalgo import sampled_neighborhood
+
+        # root r has 6 out-neighbors n0..n5; each ni has 3 out-neighbors
+        edges = [("r", f"n{i}") for i in range(6)]
+        edges += [(f"n{i}", f"m{i}{j}") for i in range(6) for j in range(3)]
+        df = spark.createDataFrame(edges, "subj string, obj string")
+        out = sampled_neighborhood(df, fanout=(4, 2)).collect()
+        by_root = [r for r in out if r.root == "r"]
+        hop1 = sorted(r.node for r in by_root if r.hop == 1)
+        # exactly the 4 smallest md5("r|ni") neighbors survive
+        want = sorted(
+            (f"n{i}" for i in range(6)),
+            key=lambda n: hashlib.md5(f"r|{n}".encode()).hexdigest(),
+        )[:4]
+        assert hop1 == sorted(want)
+        # hop-2: at most 2 per sampled parent -> exactly 8 (all distinct)
+        hop2 = [r.node for r in by_root if r.hop == 2]
+        assert len(hop2) == 8 and len(set(hop2)) == 8
+        # deterministic across runs
+        again = sampled_neighborhood(df, fanout=(4, 2)).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_no_cartesian(self, spark):
+        from text_to_graph_spark.operators.graphalgo import sampled_neighborhood
+        from text_to_graph_spark.plans.introspect import plan_str
+
+        df = spark.createDataFrame([("a", "b")], "subj string, obj string")
+        assert "CartesianProduct" not in plan_str(sampled_neighborhood(df))
+
+
+class TestTriadMotifs:
+    def test_hand_counted_census(self, spark):
+        from text_to_graph_spark.operators.graphalgo import triad_motifs
+
+        # reciprocal {a,b}; feed-forward a->b->c/a->c AND b->a->c/b->c;
+        # one directed 3-cycle d->e->f->d
+        edges = [
+            ("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"),
+            ("d", "e"), ("e", "f"), ("f", "d"),
+        ]
+        df = spark.createDataFrame(edges, "subj string, obj string")
+        got = {r.motif: r.n for r in triad_motifs(df).collect()}
+        assert got == {"reciprocal": 1, "feedforward": 2, "cycle": 1}
+
+    def test_self_loops_and_duplicates_ignored(self, spark):
+        from text_to_graph_spark.operators.graphalgo import triad_motifs
+
+        edges = [("a", "a"), ("a", "b"), ("a", "b"), ("b", "a")]
+        df = spark.createDataFrame(edges, "subj string, obj string")
+        got = {r.motif: r.n for r in triad_motifs(df).collect()}
+        assert got == {"reciprocal": 1, "feedforward": 0, "cycle": 0}

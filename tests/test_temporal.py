@@ -241,3 +241,40 @@ class TestFactHistory:
             ("a", "p", "x"): (base + 100, base + 200, 100, 2),
             ("b", "p", "y"): (base + 350, base + 350, 0, 1),
         }
+
+
+class TestFactValidityIntervals:
+    def test_gaps_and_islands(self, spark):
+        from text_to_graph_spark.operators.temporal import fact_validity_intervals
+
+        # fact (s,p,o) captured at epochs 100,110,150,155,300; max_gap=20
+        # -> islands [100,110], [150,155], [300,300]
+        epochs = [100, 110, 150, 155, 300]
+        pages = spark.createDataFrame(
+            [(f"u{i}", e) for i, e in enumerate(epochs)], "url string, sec long"
+        ).select("url", F.timestamp_seconds("sec").alias("warc_ts"))
+        triples = spark.createDataFrame(
+            [(f"u{i}", "s", "p", "o") for i in range(len(epochs))],
+            "url string, subj string, pred string, obj string",
+        )
+        got = sorted(
+            fact_validity_intervals(triples, pages, max_gap_s=20).collect(),
+            key=lambda r: r.interval_id,
+        )
+        assert [
+            (r.interval_id, r.first_seen, r.last_seen, r.n_captures) for r in got
+        ] == [(1, 100, 110, 2), (2, 150, 155, 2), (3, 300, 300, 1)]
+
+    def test_duplicate_captures_collapse(self, spark):
+        from text_to_graph_spark.operators.temporal import fact_validity_intervals
+
+        # two urls at the SAME epoch are one observation (distinct epochs)
+        pages = spark.createDataFrame(
+            [("u0", 100), ("u1", 100)], "url string, sec long"
+        ).select("url", F.timestamp_seconds("sec").alias("warc_ts"))
+        triples = spark.createDataFrame(
+            [("u0", "s", "p", "o"), ("u1", "s", "p", "o")],
+            "url string, subj string, pred string, obj string",
+        )
+        rows = fact_validity_intervals(triples, pages, max_gap_s=20).collect()
+        assert len(rows) == 1 and rows[0].n_captures == 1

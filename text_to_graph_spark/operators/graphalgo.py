@@ -1388,3 +1388,118 @@ def bounded_closure(
     return closure.select(
         "src_node", "dst_node", F.col("hops").cast("bigint").alias("hops")
     )
+
+
+def sampled_neighborhood(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    fanout: tuple[int, int] = (4, 2),
+) -> DataFrame:
+    """GraphSAGE-style bounded neighborhood sampling: per root node, keep
+    at most ``fanout[0]`` hop-1 out-neighbors, then at most ``fanout[1]``
+    hop-2 out-neighbors PER sampled hop-1 node — the mini-batch frontier a
+    GNN dataloader materializes over the KG. The reference's viewer walks
+    full neighborhoods (data_renderer.js BFS); at 100-TB graph scale the
+    unbounded frontier of a hub node explodes (celebrity problem), and a
+    fan-out cap is the standard fix.
+
+    Sampling is DETERMINISTIC: neighbors rank by ``md5(parent|child)`` —
+    a uniform pseudo-random order that is reproducible across engines,
+    partitionings, and cluster sizes (no rand(), which reshuffles per
+    run). Each window partitions by the parent key, so rank state never
+    crosses nodes and the cap bounds every partition's output.
+
+    Scale shape: two equi-joins on the node key, two windows whose
+    partitions are the (already capped) per-node neighbor lists; output
+    size is at most n_roots * f1 * (1 + f2) regardless of hub degree.
+
+    Returns distinct (root, hop, node) rows.
+    """
+    f1, f2 = fanout
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+    )
+    w1 = Window.partitionBy("s").orderBy(F.md5(F.concat_ws("|", "s", "d")))
+    hop1 = (
+        e.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= f1)
+        .select(F.col("s").alias("root"), F.col("d").alias("n1"))
+    )
+    e2 = e.select(F.col("s").alias("n1"), F.col("d").alias("n2"))
+    w2 = Window.partitionBy("root", "n1").orderBy(
+        F.md5(F.concat_ws("|", "n1", "n2"))
+    )
+    hop2 = (
+        hop1.join(e2, "n1")
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= f2)
+        .select("root", F.col("n2").alias("node"))
+    )
+    return (
+        hop1.select("root", F.lit(1).alias("hop"), F.col("n1").alias("node"))
+        .unionByName(hop2.select("root", F.lit(2).alias("hop"), "node"))
+        .distinct()
+    )
+
+
+def triad_motifs(
+    edges: DataFrame, src: str = "subj", dst: str = "obj"
+) -> DataFrame:
+    """Directed 3-node motif census over the distinct edge list: counts of
+    reciprocal pairs, feed-forward loops (a->b->c with shortcut a->c), and
+    directed 3-cycles (a->b->c->a). The motif profile is the classic
+    graph-structure fingerprint (Milo et al. 2002) — for a KG it separates
+    hierarchy-like predicates (feed-forward heavy) from mutual-reference
+    structure (cycle/reciprocal heavy).
+
+    Counting conventions (mirrored exactly by the SQL oracle):
+    - ``reciprocal``: unordered pairs {a,b} with both a->b and b->a.
+    - ``feedforward``: ordered (a,b,c) paths a->b->c, nodes distinct,
+      with a->c present — one count per (a,b,c), so a triangle with two
+      shortcut middles counts twice (instance census, not triangle set).
+    - ``cycle``: directed triangles a->b->c->a counted once (the 3
+      rotations are collapsed by dividing the path-join count by 3).
+
+    Scale shape: the same two-equi-join enumeration as triangle_count —
+    path join on the shared middle node, closure probe join on the
+    (first, last) pair; every join is an equi-join (no cartesian), and
+    counts partial-aggregate. Degree-ordered orientation would bound the
+    middle join's fan-out under extreme hub skew; the KG edge list is
+    entity-keyed and orders of magnitude smaller than the corpus.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    recip = (
+        e.join(rev, ["a", "b"])
+        .where(F.col("a") < F.col("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("reciprocal").alias("motif"), "n")
+    )
+    paths = e.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    ).where(F.col("a") != F.col("c"))
+    ffl = (
+        paths.join(
+            e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("feedforward").alias("motif"), "n")
+    )
+    cyc = (
+        paths.join(
+            e.select(F.col("a").alias("c"), F.col("b").alias("a")),
+            ["c", "a"],
+            "left_semi",
+        )
+        .agg((F.count(F.lit(1)) / 3).cast("long").alias("n"))
+        .select(F.lit("cycle").alias("motif"), "n")
+    )
+    return recip.unionByName(ffl).unionByName(cyc)

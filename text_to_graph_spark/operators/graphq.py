@@ -631,3 +631,44 @@ def entity_cards(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             F.coalesce("top_neighbor", F.lit("")).alias("top_neighbor"),
         )
     )
+
+
+def property_table(
+    edges: DataFrame,
+    predicates: tuple[str, ...],
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Pivot the edge list into a wide per-entity property table — the
+    serving/feature layout downstream of KG construction (one row per
+    subject, one column per schema predicate, the entity's value for it).
+    The reference serves triples row-wise from SQLite; at warehouse scale
+    the property-table (a.k.a. vertical-to-horizontal) layout is what
+    feature stores and entity-resolution models consume.
+
+    A predicate column holds the MINIMUM object among that subject's
+    values — a deterministic single-value policy (functional-property
+    semantics; multi-valued predicates keep their full rows in the edge
+    table, this is the flattened view). Missing predicates are empty
+    strings so the row is dense. ``predicates`` is the static schema list
+    (extraction vocabulary / induced schema), fixed at plan time — NO
+    driver-side collect and no Spark `pivot()` value inference, which
+    would trigger an extra distinct-scan job at 100 TB.
+
+    Scale shape: one partial-agg'd groupBy on the subject key; each
+    property is a conditional `min` folded into the same aggregation —
+    one shuffle total, independent of schema width.
+    """
+    aggs = [
+        F.min(F.when(F.col(pred) == p, F.col(obj))).alias(f"p_{p}")
+        for p in predicates
+    ]
+    out = edges.groupBy(F.col(subj).alias("entity")).agg(
+        *aggs, F.count(F.lit(1)).cast("long").alias("n_facts")
+    )
+    return out.select(
+        "entity",
+        *[F.coalesce(f"p_{p}", F.lit("")).alias(f"p_{p}") for p in predicates],
+        "n_facts",
+    )

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "fact_history"]
+__all__ = ["asof_join", "range_join", "fact_history", "fact_validity_intervals"]
 
 
 def asof_join(
@@ -237,4 +237,51 @@ def fact_history(triples: DataFrame, pages: DataFrame) -> DataFrame:
             (F.max("epoch") - F.min("epoch")).cast("long").alias("span_s"),
             F.count_distinct("url").cast("long").alias("n_docs"),
         )
+    )
+
+
+def fact_validity_intervals(
+    triples: DataFrame, pages: DataFrame, max_gap_s: int = 60
+) -> DataFrame:
+    """Coalesce a fact's capture timestamps into validity intervals —
+    the gaps-and-islands primitive of temporal-KG construction: a fact
+    re-asserted by captures at most ``max_gap_s`` apart is ONE continuous
+    validity interval; a longer silence closes the interval and the next
+    capture opens a new one ("was true, stopped being asserted, became
+    true again"). ``fact_history`` collapses all captures to one
+    (first, last) span; this keeps the island structure.
+
+    Scale shape: dedup (url, fact) first, equi-join the narrow
+    (url, epoch) pages projection, then ONE window pass partitioned by the
+    fact key — `lag` marks interval starts, a running sum numbers the
+    islands, and a partial-agg'd rollup closes them. Per-fact capture
+    lists are bounded by corpus crawl counts (dozens), so the window
+    partitions are tiny and uniformly keyed; no skew, no cross-fact state.
+
+    Returns (subj, pred, obj, interval_id, first_seen, last_seen,
+    n_captures) with `interval_id` numbering a fact's islands from 1 in
+    time order.
+    """
+    t = triples.select("url", "subj", "pred", "obj").distinct()
+    p = pages.select("url", F.col("warc_ts").cast("long").alias("epoch"))
+    obs = t.join(p, "url").select("subj", "pred", "obj", "epoch").distinct()
+    w = Window.partitionBy("subj", "pred", "obj").orderBy("epoch")
+    starts = obs.withColumn(
+        "is_start",
+        F.when(
+            F.lag("epoch").over(w).isNull()
+            | (F.col("epoch") - F.lag("epoch").over(w) > max_gap_s),
+            1,
+        ).otherwise(0),
+    )
+    numbered = starts.withColumn(
+        "interval_id",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return numbered.groupBy("subj", "pred", "obj", "interval_id").agg(
+        F.min("epoch").cast("long").alias("first_seen"),
+        F.max("epoch").cast("long").alias("last_seen"),
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
     )
