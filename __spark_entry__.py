@@ -1882,6 +1882,16 @@ def _linked_pages(spark, sf_dir):
     return synthesize_linked_pages(spark, sf_dir)
 
 
+def _q_web_redirect_resolve(spark, sf_dir):
+    # 301-map resolution by pointer doubling: log2(max_hops) self-joins
+    # resolve every chain to its terminal URL; oracle walks the same
+    # one-step table with a recursive CTE (independent derivation)
+    from text_to_graph_spark.operators.weblinks import resolve_redirects
+    from text_to_graph_spark.sources.weblinks import synthesize_redirects
+
+    return resolve_redirects(synthesize_redirects(spark, sf_dir))
+
+
 def _q_web_links(spark, sf_dir):
     # anchor extraction from raw HTML (operators/weblinks.py): two
     # regexp_extract_all passes zipped + posexplode — pure projection, no
@@ -2531,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cooccur": _q_text_cooccur,
         "text_lm_score": _q_text_lm_score,
         "web_site_stats": _q_web_site_stats,
+        "web_redirect_resolve": _q_web_redirect_resolve,
         "web_links": _q_web_links,
         "web_links_norm": _q_web_links_norm,
         "web_url_dedup": _q_web_url_dedup,
@@ -5995,6 +6006,28 @@ FROM pages GROUP BY 1
         # anchor extraction: the oracle derives links from the synthesis
         # closed form (sources/weblinks.py), independent of the Spark-side
         # html regex path
+        # 301-map terminal resolution: recursive walk of the one-step
+        # redirect table (page d%4!=0 -> page d-1), deepest prefix per src
+        "web_redirect_resolve": """
+WITH RECURSIVE
+docs AS (SELECT doc_id, source FROM documents),
+r1 AS (
+  SELECT 'https://' || d.source || '.example.test/page/' || d.doc_id AS src_url,
+         'https://' || t.source || '.example.test/page/' || t.doc_id AS dst_url
+  FROM docs d JOIN docs t ON t.doc_id = d.doc_id - 1
+  WHERE d.doc_id % 4 <> 0
+),
+walk AS (
+  SELECT src_url, dst_url AS final_url, CAST(1 AS bigint) AS hops FROM r1
+  UNION ALL
+  SELECT w.src_url, r.dst_url, w.hops + 1
+  FROM walk w JOIN r1 r ON r.src_url = w.final_url
+)
+SELECT src_url, final_url, hops,
+       final_url NOT IN (SELECT src_url FROM r1) AS resolved
+FROM walk
+QUALIFY row_number() OVER (PARTITION BY src_url ORDER BY hops DESC) = 1
+""",
         "web_links": f"""
 WITH {LINKED_PAGES_LINKS_CTE.strip()}
 SELECT src_url, CAST(pos AS int) AS pos, href, anchor FROM links

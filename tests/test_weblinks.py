@@ -241,3 +241,35 @@ def test_normalize_url_idempotent_on_fuzz_corpus(spark):
     )
     bad = [(r.n1, r.n2) for r in rows if r.n1 != r.n2]
     assert not bad, bad[:5]
+
+
+class TestResolveRedirects:
+    def test_chains_and_cycle(self, spark):
+        from text_to_graph_spark.operators.weblinks import resolve_redirects
+
+        # chain a->b->c->d (terminal), singleton e->d, cycle x->y->x
+        red = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("e", "d"),
+             ("x", "y"), ("y", "x")],
+            "src_url string, dst_url string",
+        )
+        got = {r.src_url: r for r in resolve_redirects(red).collect()}
+        assert (got["a"].final_url, got["a"].hops, got["a"].resolved) == ("d", 3, True)
+        assert (got["b"].final_url, got["b"].hops) == ("d", 2)
+        assert (got["e"].final_url, got["e"].hops, got["e"].resolved) == ("d", 1, True)
+        # cycle members never terminate: flagged unresolved, not dropped
+        assert got["x"].resolved is False and got["y"].resolved is False
+
+    def test_log_rounds_cover_max_hops(self, spark):
+        from text_to_graph_spark.operators.weblinks import resolve_redirects
+
+        # a 10-deep chain resolves fully with the default max_hops=16
+        # (4 doubling rounds cover depth 16)
+        red = spark.createDataFrame(
+            [(f"u{i}", f"u{i+1}") for i in range(10)],
+            "src_url string, dst_url string",
+        )
+        got = {r.src_url: r for r in resolve_redirects(red).collect()}
+        assert (got["u0"].final_url, got["u0"].hops, got["u0"].resolved) == (
+            "u10", 10, True,
+        )

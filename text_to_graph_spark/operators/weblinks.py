@@ -276,3 +276,59 @@ def robots_filter(
         n.join(matched, "norm_href", "left_anti")
         .select("norm_href", "dst_host")
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src: str = "src_url",
+    dst: str = "dst_url",
+    max_hops: int = 16,
+) -> DataFrame:
+    """Resolve redirect chains to their terminal URL by POINTER DOUBLING:
+    each round substitutes every row's current endpoint with that
+    endpoint's own resolution, so chain depth covered doubles per round —
+    ceil(log2(max_hops)) self-equi-joins instead of max_hops sequential
+    probes. The reference's crawler follows redirects per-fetch
+    (crawler.py); a 100-TB crawl resolves its 301 map as this batch join,
+    and the log-round shape is what keeps a billion-row chain table to a
+    handful of shuffles.
+
+    Returns (src_url, final_url, hops, resolved); ``resolved`` is false
+    only when the endpoint is still itself a redirect source after the
+    round budget — i.e. a redirect cycle or a chain longer than
+    ``max_hops`` — flagged rather than silently half-resolved.
+    """
+    import math
+
+    cur = redirects.select(
+        F.col(src).alias("src_url"),
+        F.col(dst).alias("final_url"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    for _ in range(max(1, math.ceil(math.log2(max_hops)))):
+        cur = cur.localCheckpoint(eager=False)
+        nxt = cur.select(
+            F.col("src_url").alias("_m"),
+            F.col("final_url").alias("_f"),
+            F.col("hops").alias("_h"),
+        )
+        cur = (
+            cur.join(nxt, cur["final_url"] == nxt["_m"], "left")
+            .select(
+                "src_url",
+                F.coalesce("_f", "final_url").alias("final_url"),
+                (F.col("hops") + F.coalesce("_h", F.lit(0)))
+                .cast("long")
+                .alias("hops"),
+            )
+        )
+    srcs = redirects.select(F.col(src).alias("final_url")).distinct()
+    return (
+        cur.join(srcs.withColumn("_is_src", F.lit(1)), "final_url", "left")
+        .select(
+            "src_url",
+            "final_url",
+            "hops",
+            F.col("_is_src").isNull().alias("resolved"),
+        )
+    )

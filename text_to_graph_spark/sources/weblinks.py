@@ -147,3 +147,35 @@ links AS (
   FROM rawlinks
 )
 """
+
+
+def synthesize_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-step redirect table ``(src_url, dst_url)`` over the linked
+    corpus: page ``d`` with ``d % 4 != 0`` permanently redirects to page
+    ``d - 1`` — the deterministic stand-in for a crawl's 301 map. Chains
+    run up to length 3 and terminate at multiples of 4, so the resolver
+    has real multi-hop work. Pure projection + one narrow self-equi-join
+    (the target page's host prefix comes from its own ``source``); the
+    closed form doubles as the oracle's derivation.
+    """
+    from text_to_graph_spark.sources.pages import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def _url(idc: Column, srcc: Column) -> Column:
+        return F.concat(
+            F.lit("https://"), srcc, F.lit(".example.test/page/"),
+            idc.cast("string"),
+        )
+
+    tgt = docs.select(
+        F.col("doc_id").alias("tgt_id"), F.col("source").alias("tgt_source")
+    )
+    return (
+        docs.where(F.col("doc_id") % 4 != 0)
+        .join(tgt, F.col("doc_id") - 1 == F.col("tgt_id"))
+        .select(
+            _url(F.col("doc_id"), F.col("source")).alias("src_url"),
+            _url(F.col("tgt_id"), F.col("tgt_source")).alias("dst_url"),
+        )
+    )
