@@ -818,6 +818,14 @@ def _q_kg_neighbor_sample(spark, sf_dir):
     return sampled_neighborhood(_edges(spark, sf_dir), fanout=(4, 2))
 
 
+def _q_kg_mis(spark, sf_dir):
+    # Luby-style maximal independent set, md5 priorities, fixed 4 rounds
+    # (oracle unrolls the identical recurrence)
+    from text_to_graph_spark.operators.graphalgo import maximal_independent_set
+
+    return maximal_independent_set(_edges(spark, sf_dir), max_rounds=4)
+
+
 def _q_kg_motifs(spark, sf_dir):
     # directed triad census: reciprocal pairs, feed-forward loops,
     # directed 3-cycles — equi-join path enumeration + closure semi-join
@@ -2444,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_property_table": _q_kg_property_table,
         "kg_neighbor_sample": _q_kg_neighbor_sample,
         "kg_motifs": _q_kg_motifs,
+        "kg_mis": _q_kg_mis,
         "kg_functionality": _q_kg_functionality,
         "kg_conflicts": _q_kg_conflicts,
         "kg_rules": _q_kg_rules,
@@ -3287,6 +3296,51 @@ _BPE_STATE_SQL = (
 )
 
 
+def _mis_oracle(rounds: int) -> str:
+    """Unrolled Luby-MIS recurrence (graphalgo.maximal_independent_set):
+    round k's MIS = undecided nodes beating every undecided neighbor's
+    md5 priority; covered = their undecided neighbors. Appends to
+    _KG_PREFIX (which defines sym)."""
+    # AS MATERIALIZED: every n{k}/m{k} is referenced several times by the
+    # next round; without the hint DuckDB may inline each reference and
+    # re-evaluate the whole prefix exponentially in the round count
+    parts = [
+        "s0 AS MATERIALIZED (SELECT u, v FROM sym WHERE u <> v)",
+        "n0 AS MATERIALIZED (SELECT DISTINCT u AS node, md5(u) AS pri FROM s0)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT a.node FROM n{p} a WHERE NOT EXISTS (
+    SELECT 1 FROM s0 e JOIN n{p} b ON b.node = e.v
+    WHERE e.u = a.node AND b.pri < a.pri))"""
+        )
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT DISTINCT e.v AS node FROM s0 e
+  JOIN m{k} m ON m.node = e.u
+  JOIN n{p} b ON b.node = e.v)"""
+        )
+        parts.append(
+            f"""n{k} AS MATERIALIZED (
+  SELECT * FROM n{p}
+  WHERE node NOT IN (SELECT node FROM m{k})
+    AND node NOT IN (SELECT node FROM c{k}))"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT node, 'mis' AS status, CAST({k} AS bigint) AS round FROM m{k}\n"
+        f"UNION ALL\n"
+        f"SELECT node, 'covered', CAST({k} AS bigint) FROM c{k}"
+        for k in range(1, rounds + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"\n{unions}\nUNION ALL\n"
+        + f"SELECT node, 'undecided', CAST(0 AS bigint) FROM n{rounds}\n"
+    )
+
+
 def _bpe_cte(n_rounds: int) -> str:
     """Unrolled BPE-training rounds (same unroll convention as the
     kg_harmonic / closure oracles): per round, a pair-count rollup over
@@ -4096,6 +4150,11 @@ FROM paths p WHERE EXISTS (SELECT 1 FROM e z WHERE z.a = p.a AND z.b = p.c)
 UNION ALL
 SELECT 'cycle', CAST(count(*) // 3 AS bigint)
 FROM paths p WHERE EXISTS (SELECT 1 FROM e z WHERE z.a = p.c AND z.b = p.a)
+""",
+        # Luby MIS: md5-priority symmetry breaking, 4 unrolled rounds
+        "kg_mis": f"""
+{_KG_PREFIX},
+{_mis_oracle(4)}
 """,
         # constraint mining: per-predicate functionality ppm
         "kg_functionality": f"""

@@ -197,6 +197,24 @@ def main() -> int:
         rel = source_reliability(claims, vote_facts(claims))
         _force(fused_facts(claims, rel))
 
+    def q_kg_neighbor_sample():
+        # GNN dataloader frontier over the extracted triples (md5-ranked
+        # fan-out caps: the bounded-neighborhood hot path)
+        from text_to_graph_spark.operators.graphalgo import sampled_neighborhood
+
+        _force(
+            sampled_neighborhood(
+                _triples_fixture().select("subj", "obj"), fanout=(4, 2)
+            )
+        )
+
+    def q_web_redirect_resolve():
+        # 301-map terminal resolution (log-round pointer doubling)
+        from text_to_graph_spark.operators.weblinks import resolve_redirects
+        from text_to_graph_spark.sources.weblinks import synthesize_redirects
+
+        _force(resolve_redirects(synthesize_redirects(spark, SF_DIR)))
+
     def q_kg_rules():
         from text_to_graph_spark.operators.rules import mine_path_rules
 
@@ -270,6 +288,8 @@ def main() -> int:
                 spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
             )
         ),
+        "kg_neighbor_sample": lambda: q_kg_neighbor_sample(),
+        "web_redirect_resolve": lambda: q_web_redirect_resolve(),
     }
 
     results: dict[str, float] = {}

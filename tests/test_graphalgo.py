@@ -1230,3 +1230,48 @@ class TestTriadMotifs:
         df = spark.createDataFrame(edges, "subj string, obj string")
         got = {r.motif: r.n for r in triad_motifs(df).collect()}
         assert got == {"reciprocal": 1, "feedforward": 0, "cycle": 0}
+
+
+class TestMaximalIndependentSet:
+    def _check_mis(self, edges, rows):
+        adj = set()
+        for s, d in edges:
+            if s != d:
+                adj.add((s, d)); adj.add((d, s))
+        mis = {r.node for r in rows if r.status == "mis"}
+        covered = {r.node for r in rows if r.status == "covered"}
+        nodes = {x for e in adj for x in e}
+        # partition of the node set
+        assert mis | covered == nodes and not (mis & covered)
+        # independence: no two MIS nodes adjacent
+        assert not any((a, b) in adj for a in mis for b in mis if a != b)
+        # maximality: every covered node has an MIS neighbor
+        for c in covered:
+            assert any((c, m) in adj for m in mis)
+
+    def test_path_graph_properties(self, spark):
+        from text_to_graph_spark.operators.graphalgo import (
+            maximal_independent_set,
+        )
+
+        edges = [(f"v{i}", f"v{i+1}") for i in range(9)]
+        df = spark.createDataFrame(edges, "subj string, obj string")
+        rows = maximal_independent_set(df, max_rounds=6).collect()
+        assert not [r for r in rows if r.status == "undecided"]
+        self._check_mis(edges, rows)
+        # deterministic across runs
+        again = maximal_independent_set(df, max_rounds=6).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_star_graph_single_round(self, spark):
+        from text_to_graph_spark.operators.graphalgo import (
+            maximal_independent_set,
+        )
+
+        edges = [("hub", f"leaf{i}") for i in range(5)]
+        df = spark.createDataFrame(edges, "subj string, obj string")
+        rows = maximal_independent_set(df, max_rounds=3).collect()
+        self._check_mis(edges, rows)
+        mis = {r.node for r in rows if r.status == "mis"}
+        # a star's MIS is the hub alone or all five leaves
+        assert mis == {"hub"} or mis == {f"leaf{i}" for i in range(5)}

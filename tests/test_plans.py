@@ -710,3 +710,101 @@ def test_bounded_closure_hops_are_equi_joins(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert python_eval_count(out) == 0
+
+
+def test_fact_intervals_single_window_partitioned_by_fact(spark):
+    """Gaps-and-islands = ONE window pass partitioned by the fact key
+    (lag + running sum share the partitioning), no Python, no cartesian."""
+    from pyspark.sql import functions as F
+
+    from text_to_graph_spark.operators.temporal import fact_validity_intervals
+
+    pages = spark.createDataFrame(
+        [("u", 1)], "url string, sec long"
+    ).select("url", F.timestamp_seconds("sec").alias("warc_ts"))
+    triples = spark.createDataFrame(
+        [("u", "s", "p", "o")], "url string, subj string, pred string, obj string"
+    )
+    out = fact_validity_intervals(triples, pages)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert python_eval_count(out) == 0
+    # lag + running sum keep separate Window nodes (different frames) but
+    # share ONE fact-key partitioning: no Exchange may sit between them
+    assert s.count("Window") == 2
+    between = s.split("Window")[1]
+    assert "Exchange" not in between
+
+
+def test_property_table_is_one_groupby_no_pivot_job(spark):
+    """Static-schema pivot: every property folds into ONE partial-agg'd
+    groupBy — exactly one exchange, no pivot value-inference, no Python."""
+    from text_to_graph_spark.operators.graphq import property_table
+
+    df = spark.createDataFrame(
+        [("a", "join", "x")], "subj string, pred string, obj string"
+    )
+    out = property_table(df, ("join", "scan", "merge"))
+    s = plan_str(out, "simple")
+    assert python_eval_count(out) == 0
+    assert count_exchanges(out) == 1
+    assert "partial_" in plan_str(out, "formatted")
+
+
+def test_neighbor_sample_windows_partition_by_parent(spark):
+    """Fan-out caps = row_number windows partitioned by the parent key;
+    joins are node-key equi-joins — no cartesian, no Python."""
+    from text_to_graph_spark.operators.graphalgo import sampled_neighborhood
+
+    df = spark.createDataFrame([("a", "b")], "subj string, obj string")
+    out = sampled_neighborhood(df)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0
+
+
+def test_triad_motifs_equi_joins_only(spark):
+    """Census = wedge equi-join + closure left_semi probes; counts
+    partial-aggregate; no all-pairs product, no Python."""
+    from text_to_graph_spark.operators.graphalgo import triad_motifs
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "subj string, obj string"
+    )
+    out = triad_motifs(df)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0
+
+
+def test_resolve_redirects_doubling_rounds_are_equi_joins(spark):
+    """Pointer doubling: every round is a left hash equi-join on the
+    endpoint key — no cartesian, no Python, no window."""
+    from text_to_graph_spark.operators.weblinks import resolve_redirects
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src_url string, dst_url string"
+    )
+    out = resolve_redirects(df, lineage_cuts=False)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0
+    assert "Window" not in s
+
+
+def test_mis_rounds_are_equi_joins_no_cartesian(spark):
+    """Every MIS round = two node-key equi-joins + a partial-agg'd min +
+    anti-join removal; no all-pairs product, no Python."""
+    from text_to_graph_spark.operators.graphalgo import maximal_independent_set
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "subj string, obj string"
+    )
+    out = maximal_independent_set(df, max_rounds=2)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0

@@ -1503,3 +1503,85 @@ def triad_motifs(
         .select(F.lit("cycle").alias("motif"), "n")
     )
     return recip.unionByName(ffl).unionByName(cyc)
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Deterministic Luby-style maximal independent set over the
+    undirected graph: per round, every undecided node whose
+    ``md5(node)`` priority beats ALL its undecided neighbors' joins the
+    MIS; its neighbors become covered; repeat. MIS is the classic
+    symmetry-breaking primitive (Luby 1986) behind conflict-free parallel
+    scheduling — e.g. picking a set of canonicalization merges or crawl
+    targets no two of which interfere. md5 priorities replace Luby's
+    coin flips: the same uniform tie-free order on every engine,
+    partitioning, and retry.
+
+    Runs EXACTLY ``max_rounds`` rounds (fixed plan, no data-dependent
+    control flow — the oracle unrolls the same recurrence); nodes still
+    undecided after the budget are emitted as ``status='undecided'``
+    rather than silently dropped. Greedy-by-hash decides a dense corpus
+    graph in a handful of rounds; each round is two node-key equi-joins +
+    one partial-agg'd min shuffle + two anti-joins, with a
+    ``localCheckpoint`` lineage cut per round.
+
+    Returns (node, status, round): status in {'mis','covered','undecided'},
+    round = decision round (0 for undecided).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+    )
+    sym = (
+        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("pri", F.md5("node"))
+    )
+    decided = None
+    for rnd in range(1, max_rounds + 1):
+        und = und.localCheckpoint(eager=True)
+        nbr = (
+            sym.join(und.select(F.col("node").alias("u")), "u")
+            .join(
+                und.select(F.col("node").alias("v"), F.col("pri").alias("pv")),
+                "v",
+            )
+        )
+        nbr_min = nbr.groupBy("u").agg(F.min("pv").alias("min_nbr"))
+        mis = (
+            und.join(nbr_min, und["node"] == nbr_min["u"], "left")
+            .where(F.col("min_nbr").isNull() | (F.col("pri") < F.col("min_nbr")))
+            .select("node")
+        )
+        covered = (
+            nbr.join(mis.select(F.col("node").alias("u")), "u", "left_semi")
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        out_r = mis.select(
+            "node", F.lit("mis").alias("status"), F.lit(rnd).cast("long").alias("round")
+        ).unionByName(
+            covered.select(
+                "node",
+                F.lit("covered").alias("status"),
+                F.lit(rnd).cast("long").alias("round"),
+            )
+        )
+        decided = out_r if decided is None else decided.unionByName(out_r)
+        und = und.join(
+            mis.unionByName(covered.select("node")), "node", "left_anti"
+        )
+    leftover = und.select(
+        "node", F.lit("undecided").alias("status"), F.lit(0).cast("long").alias("round")
+    )
+    return decided.unionByName(leftover)

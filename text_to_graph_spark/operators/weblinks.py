@@ -283,6 +283,7 @@ def resolve_redirects(
     src: str = "src_url",
     dst: str = "dst_url",
     max_hops: int = 16,
+    lineage_cuts: bool = True,
 ) -> DataFrame:
     """Resolve redirect chains to their terminal URL by POINTER DOUBLING:
     each round substitutes every row's current endpoint with that
@@ -306,7 +307,12 @@ def resolve_redirects(
         F.lit(1).cast("long").alias("hops"),
     )
     for _ in range(max(1, math.ceil(math.log2(max_hops)))):
-        cur = cur.localCheckpoint(eager=False)
+        # each round references `cur` twice (probe + build); the lazy
+        # checkpoint stops the 2^rounds subtree re-computation. Explain-only
+        # callers (plan dumps) pass lineage_cuts=False: Spark's explain
+        # forces lazy checkpoints and can deadlock on the twin reference.
+        if lineage_cuts:
+            cur = cur.localCheckpoint(eager=False)
         nxt = cur.select(
             F.col("src_url").alias("_m"),
             F.col("final_url").alias("_f"),

@@ -169,6 +169,9 @@ def main() -> int:
     )
     from text_to_graph_spark.operators.chunking import chunk_pages
     from text_to_graph_spark.operators.extraction import extract_triples_from_pages
+    from text_to_graph_spark.operators.graphq import property_table
+    from text_to_graph_spark.operators.temporal import fact_validity_intervals
+    from text_to_graph_spark.operators.weblinks import resolve_redirects
     from text_to_graph_spark.plans.introspect import plan_str
     from text_to_graph_spark.session import get_spark
     from text_to_graph_spark.sources.pages import synthesize_pages
@@ -378,6 +381,30 @@ def main() -> int:
         ),
         "BPE training round (vocab-sized pair-count partial agg)": (
             _bpe_round_plan(spark, pages)
+        ),
+        "fact validity intervals (one fact-key window exchange, two frames)": (
+            fact_validity_intervals(
+                triples.select("url", "subj", "pred", "obj"), pages
+            )
+        ),
+        "property table (static-schema pivot, one partial-agg'd groupBy)": (
+            property_table(
+                triples.select("subj", "pred", "obj"), ("join", "scan")
+            )
+        ),
+        "neighbor sampling (parent-partitioned rank windows, equi-joins)": (
+            GA.sampled_neighborhood(triples.select("subj", "obj"))
+        ),
+        "triad motif census (wedge equi-join + closure semi-probes)": (
+            GA.triad_motifs(triples.select("subj", "obj"))
+        ),
+        "redirect resolution (log-round pointer-doubling equi-joins)": (
+            resolve_redirects(
+                triples.select(
+                    F.col("subj").alias("src_url"), F.col("obj").alias("dst_url")
+                ),
+                lineage_cuts=False,  # explain deadlocks on lazy checkpoints
+            )
         ),
     }
 
