@@ -1890,6 +1890,42 @@ def _linked_pages(spark, sf_dir):
     return synthesize_linked_pages(spark, sf_dir)
 
 
+def _footered_docs(spark, sf_dir):
+    # deterministic per-host boilerplate injection: every page of a host
+    # carries the same footer sentence (the nav/footer pattern a real crawl
+    # has; the natural fixture text shares <10% of shingles, below any
+    # boilerplate threshold)
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("source").alias("host"),
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" subscribe to "),
+            F.col("source"),
+            F.lit(" newsletter for daily updates"),
+        ).alias("text"),
+    )
+
+
+def _q_web_boilerplate(spark, sf_dir):
+    # host-level boilerplate mining: 5-grams on >=50% of a host's pages
+    from text_to_graph_spark.operators.curation import host_boilerplate_shingles
+
+    return host_boilerplate_shingles(_footered_docs(spark, sf_dir))
+
+
+def _q_web_boilerplate_coverage(spark, sf_dir):
+    # per-page boilerplate position load vs the mined host set
+    from text_to_graph_spark.operators.curation import (
+        boilerplate_coverage,
+        host_boilerplate_shingles,
+    )
+
+    d = _footered_docs(spark, sf_dir)
+    return boilerplate_coverage(d, host_boilerplate_shingles(d))
+
+
 def _q_web_redirect_resolve(spark, sf_dir):
     # 301-map resolution by pointer doubling: log2(max_hops) self-joins
     # resolve every chain to its terminal URL; oracle walks the same
@@ -2551,6 +2587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": _q_text_lm_score,
         "web_site_stats": _q_web_site_stats,
         "web_redirect_resolve": _q_web_redirect_resolve,
+        "web_boilerplate": _q_web_boilerplate,
+        "web_boilerplate_coverage": _q_web_boilerplate_coverage,
         "web_links": _q_web_links,
         "web_links_norm": _q_web_links_norm,
         "web_url_dedup": _q_web_url_dedup,
@@ -6065,6 +6103,56 @@ FROM pages GROUP BY 1
         # anchor extraction: the oracle derives links from the synthesis
         # closed form (sources/weblinks.py), independent of the Spark-side
         # html regex path
+        # host boilerplate mining: footer-injected corpus, per-page-distinct
+        # 5-gram presence rolled up per host, integer-ppm threshold
+        "web_boilerplate": """
+WITH d AS (
+  SELECT source AS host, doc_id,
+         text || ' subscribe to ' || source || ' newsletter for daily updates' AS text
+  FROM documents),
+t AS (SELECT host, doc_id, string_split(text, ' ') AS w FROM d),
+sh AS (
+  SELECT DISTINCT host, doc_id,
+         w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+  FROM t, unnest(generate_series(1, len(w)-4)) g(i)),
+tot AS (SELECT host, count(DISTINCT doc_id) AS total FROM d GROUP BY 1),
+agg AS (SELECT host, shingle, count(*) AS n_pages FROM sh GROUP BY 1,2)
+SELECT a.host, a.shingle, CAST(a.n_pages AS bigint) AS n_pages,
+       CAST(a.n_pages * 1000000 // t.total AS bigint) AS frac_ppm
+FROM agg a JOIN tot t USING (host)
+WHERE a.n_pages * 1000000 // t.total >= 500000 AND a.n_pages >= 2
+""",
+        # per-page boilerplate position load (doc spine kept, zero rows ok)
+        "web_boilerplate_coverage": """
+WITH d AS (
+  SELECT source AS host, doc_id,
+         text || ' subscribe to ' || source || ' newsletter for daily updates' AS text
+  FROM documents),
+t AS (SELECT host, doc_id, string_split(text, ' ') AS w FROM d),
+pos AS (
+  SELECT host, doc_id,
+         w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+  FROM t, unnest(generate_series(1, len(w)-4)) g(i)),
+sh AS (SELECT DISTINCT host, doc_id, shingle FROM pos),
+tot AS (SELECT host, count(DISTINCT doc_id) AS total FROM d GROUP BY 1),
+bp AS (
+  SELECT a.host, a.shingle
+  FROM (SELECT host, shingle, count(*) AS n_pages FROM sh GROUP BY 1,2) a
+  JOIN tot t USING (host)
+  WHERE a.n_pages * 1000000 // t.total >= 500000 AND a.n_pages >= 2),
+per AS (
+  SELECT p.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+  FROM pos p LEFT JOIN bp b ON b.host = p.host AND b.shingle = p.shingle
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_shingles, 0) AS bigint) AS n_shingles,
+       CAST(coalesce(per.n_boiler, 0) AS bigint) AS n_boiler,
+       CAST(CASE WHEN coalesce(per.n_shingles, 0) > 0
+                 THEN per.n_boiler * 1000000 // per.n_shingles
+                 ELSE 0 END AS bigint) AS boiler_ppm
+FROM (SELECT DISTINCT doc_id FROM d) d LEFT JOIN per USING (doc_id)
+""",
         # 301-map terminal resolution: recursive walk of the one-step
         # redirect table (page d%4!=0 -> page d-1), deepest prefix per src
         "web_redirect_resolve": """

@@ -471,3 +471,49 @@ class TestQualityPercentileGate:
         )
         out = quality_percentile_gate(df, keep_pct=100).collect()
         assert all(r["kept"] for r in out)
+
+
+class TestBoilerplate:
+    def _docs(self, spark):
+        # host A: both pages share the 5-word footer "x y z w q"; page text
+        # otherwise unique. host B: single page (min_pages=2 excludes it).
+        rows = [
+            ("A", 1, "alpha beta gamma delta eps x y z w q"),
+            ("A", 2, "one two three four five x y z w q"),
+            ("B", 3, "lone page body text here x y z w q"),
+        ]
+        return spark.createDataFrame(rows, "host string, doc_id long, text string")
+
+    def test_mined_shingles_and_threshold(self, spark):
+        from text_to_graph_spark.operators.curation import host_boilerplate_shingles
+
+        out = host_boilerplate_shingles(
+            self._docs(spark), n=5, min_frac_ppm=500_000, min_pages=2
+        ).collect()
+        # only host A qualifies; only the pure-footer 5-gram is on BOTH pages
+        assert {(r.host, r.shingle) for r in out} == {("A", "x y z w q")}
+        r = out[0]
+        assert (r.n_pages, r.frac_ppm) == (2, 1_000_000)
+
+    def test_coverage_counts_positions_and_keeps_spine(self, spark):
+        from text_to_graph_spark.operators.curation import (
+            boilerplate_coverage,
+            host_boilerplate_shingles,
+        )
+        from pyspark.sql import functions as F
+
+        docs = self._docs(spark).unionByName(
+            # a too-short page: keeps a zero row (spine preserved)
+            spark.createDataFrame(
+                [("A", 4, "tiny page")], "host string, doc_id long, text string"
+            )
+        )
+        bp = host_boilerplate_shingles(docs, n=5, min_frac_ppm=500_000, min_pages=2)
+        got = {r.doc_id: r for r in boilerplate_coverage(docs, bp, n=5).collect()}
+        # doc 1 has 10 words -> 6 shingle positions, 1 boilerplate hit
+        assert (got[1].n_shingles, got[1].n_boiler, got[1].boiler_ppm) == (
+            6, 1, 166_666,
+        )
+        # host B's page probes host A's set never: zero hits
+        assert got[3].n_boiler == 0 and got[3].n_shingles == 6
+        assert (got[4].n_shingles, got[4].n_boiler, got[4].boiler_ppm) == (0, 0, 0)

@@ -440,3 +440,122 @@ def quality_percentile_gate(
     return ranked.withColumn(
         "kept", (F.col("src_rank") * 100) <= (F.lit(keep_pct) * F.col("src_docs"))
     )
+
+
+def _word_ngrams(n: int):
+    """Positional word n-grams of the token array column ``_w`` (empty
+    when the document is shorter than n — guarded because Spark's
+    sequence(1, 0) counts DOWN instead of returning empty)."""
+    return F.when(
+        F.size(F.col("_w")) >= n,
+        F.expr(
+            f"transform(sequence(1, size(_w) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(_w, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def host_boilerplate_shingles(
+    docs: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_frac_ppm: int = 500_000,
+    min_pages: int = 2,
+) -> DataFrame:
+    """Host-level boilerplate detection: word ``n``-grams present on at
+    least ``min_frac_ppm`` of a host's pages (and ``min_pages`` absolute)
+    — nav bars, footers, cookie banners. The standard Common-Crawl
+    curation step BEFORE quality scoring and dedup: boilerplate inflates
+    both page quality and cross-page similarity, so a corpus pipeline
+    mines it per host and strips or discounts it.
+
+    Scale shape: shingles are DEDUPED PER PAGE before the host rollup
+    (presence, not frequency — one distinct-shuffle keyed by page), the
+    (host, shingle) count partial-aggregates, and the per-host page
+    totals are a tiny broadcast join. ppm math is integer floor division
+    — bit-identical across engines.
+
+    Returns (host, shingle, n_pages, frac_ppm).
+    """
+    base = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    )
+    sh = (
+        base.select("host", "_id", F.explode(_word_ngrams(n)).alias("shingle"))
+        .distinct()
+    )
+    totals = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count_distinct(F.col(id_col)).alias("_total")
+    )
+    return (
+        sh.groupBy("host", "shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+        .join(F.broadcast(totals), "host")
+        .withColumn(
+            "frac_ppm",
+            F.expr(f"(n_pages * {PPM}) DIV _total").cast("long"),
+        )
+        .where(
+            (F.col("frac_ppm") >= min_frac_ppm) & (F.col("n_pages") >= min_pages)
+        )
+        .select("host", "shingle", "n_pages", "frac_ppm")
+    )
+
+
+def boilerplate_coverage(
+    docs: DataFrame,
+    boilerplate: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-page boilerplate load: the fraction of a page's shingle
+    POSITIONS (not distinct shingles) covered by its host's mined
+    boilerplate set — the score the "drop page vs trim footer" decision
+    reads. Pages shorter than ``n`` words keep a row with zero counts
+    (doc spine preserved).
+
+    Scale shape: positions explode once; the probe is a (host, shingle)
+    equi-join against the mined set, which is hosts x a handful of
+    shingles — broadcast, so the corpus side never shuffles for it.
+
+    Returns (doc_id, n_shingles, n_boiler, boiler_ppm).
+    """
+    base = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    )
+    pos = base.select(
+        "host", "doc_id", F.explode(_word_ngrams(n)).alias("shingle")
+    )
+    bp = boilerplate.select("host", "shingle", F.lit(1).alias("_hit"))
+    per_doc = (
+        pos.join(F.broadcast(bp), ["host", "shingle"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_boiler"),
+        )
+    )
+    spine = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return (
+        spine.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.expr(f"(n_boiler * {PPM}) DIV n_shingles"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("boiler_ppm"),
+        )
+    )
