@@ -2379,6 +2379,21 @@ def _q_olap_pricing_summary(spark, sf_dir):
     return OL.pricing_summary(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
 
+def _q_olap_forecast_revenue(spark, sf_dir):
+    # Q6 shape: whole predicate pushed to the scan, 4 of 11 columns read,
+    # no groupBy shuffle at all
+    return OL.forecast_revenue(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_olap_promo_revenue(spark, sf_dir):
+    # Q14 shape: broadcast part dim into the filtered fact scan; integer-ppm
+    # promo share inside one aggregate
+    return OL.promo_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
 def _q_olap_ship_priority(spark, sf_dir):
     return OL.ship_priority(
         spark.read.parquet(f"{sf_dir}/customer.parquet"),
@@ -2623,6 +2638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frames": _q_mm_frames,
         "mm_features": _q_mm_features,
         "olap_pricing_summary": _q_olap_pricing_summary,
+        "olap_forecast_revenue": _q_olap_forecast_revenue,
+        "olap_promo_revenue": _q_olap_promo_revenue,
         "olap_ship_priority": _q_olap_ship_priority,
         "olap_regional_volume": _q_olap_regional_volume,
         "olap_returned_revenue": _q_olap_returned_revenue,
@@ -6802,6 +6819,35 @@ FROM documents
 """,
         # TPC-H Q1 shape; money as per-row half-up integer cents so the sum
         # is shuffle-order-stable and engine-exact
+        # Q6: filter-and-aggregate forecast revenue, half-up integer cents
+        "olap_forecast_revenue": """
+SELECT CAST(sum(floor(l_extendedprice * l_discount * 100 + 0.5)) AS bigint)
+         AS revenue_cents,
+       CAST(count(*) AS bigint) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.04
+  AND l_quantity < 24
+""",
+        # Q14: promo share of discounted revenue, integer-ppm ratio
+        "olap_promo_revenue": """
+WITH agg AS (
+  SELECT
+    CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                  ELSE 0 END) AS bigint) AS promo_cents,
+    CAST(sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5))
+         AS bigint) AS total_cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1996-04-01')
+SELECT promo_cents, total_cents,
+       CAST(CASE WHEN total_cents > 0
+                 THEN promo_cents * 1000000 // total_cents
+                 ELSE 0 END AS bigint) AS promo_ppm
+FROM agg
+""",
         "olap_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,

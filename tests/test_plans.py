@@ -808,3 +808,30 @@ def test_mis_rounds_are_equi_joins_no_cartesian(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert python_eval_count(out) == 0
+
+
+def test_forecast_revenue_pushes_whole_predicate_no_groupby(spark):
+    """Q6: date/discount/quantity predicate reaches the parquet scan;
+    4 of 11 columns read; global agg only (no hash-partitioning for keys)."""
+    from text_to_graph_spark.operators import olap as OL
+
+    q = OL.forecast_revenue(spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet"))
+    pf = pushed_filters(q)
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+    rs = read_schema(q)
+    assert "l_extendedprice" in rs and "l_partkey" not in rs and "l_tax" not in rs
+
+
+def test_promo_revenue_broadcasts_part_dim(spark):
+    """Q14: the part dim probes as a broadcast hash join — the filtered
+    fact side never shuffles for it."""
+    from text_to_graph_spark.operators import olap as OL
+
+    q = OL.promo_revenue(
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet"),
+        spark.read.parquet(f"{SF_SMOKE}/part.parquet"),
+    )
+    assert has_broadcast_join(q)
+    s = plan_str(q, "simple")
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+    assert "l_shipdate" in pushed_filters(q)

@@ -174,3 +174,71 @@ def returned_revenue(
         .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
         .limit(k)
     )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.02,
+    disc_hi: float = 0.04,
+    max_qty: int = 24,
+) -> DataFrame:
+    """Q6 shape: the what-if discount-elimination revenue — a pure
+    filter-and-aggregate whose entire predicate (date window, discount
+    band, quantity cap) must reach the parquet scan as pushed filters;
+    the scan reads 4 columns of 11. The single-row result comes off a
+    partial-agg'd global aggregate (no groupBy shuffle at all).
+    """
+    f = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        & (F.col("l_discount") >= disc_lo)
+        & (F.col("l_discount") <= disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    )
+    return f.agg(
+        F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+        .alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """Q14 shape: share of revenue from promotional parts in a date
+    window. The part dim is BROADCAST (parts ≪ lineitem) into the
+    filtered fact scan — one hash probe, zero fact-side shuffle; the
+    promo share is a conditional sum inside the same single aggregate,
+    in integer ppm (DIV) so the ratio is bit-stable.
+    """
+    f = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    )
+    dim = part.select("p_partkey", "p_type")
+    disc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = (
+        f.join(F.broadcast(dim), f["l_partkey"] == dim["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("promo_cents"),
+            F.sum(disc).cast("bigint").alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        F.when(
+            F.col("total_cents") > 0,
+            F.expr("(promo_cents * 1000000) DIV total_cents"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("promo_ppm"),
+    )
