@@ -1587,6 +1587,23 @@ def _q_events_hll(spark, sf_dir):
     return EV.hll_distinct(_events(spark, sf_dir))
 
 
+def _q_events_countmin(spark, sf_dir):
+    # count-min point-frequency sketch (4x64 registers, sum-mergeable)
+    # probed for every distinct user next to the exact count — CMS
+    # guarantees est >= exact; both engines derive both sides
+    ev = _events(spark, sf_dir)
+    regs = EV.countmin_registers(ev, key="user_id")
+    est = EV.countmin_estimate(regs, ev.select("user_id").distinct(), key="user_id")
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    return est.join(
+        exact, est["key"] == exact["user_id"]
+    ).select("user_id", "est", "exact")
+
+
 def _q_kg_predicate_synonyms(spark, sf_dir):
     # synonym-relation discovery: same-(subj,obj) predicate overlap, exact
     # ppm Jaccard — the same-direction sibling of kg_inverse_predicates
@@ -2565,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": _q_kg_ppr,
         "text_vocab_coverage": _q_text_vocab_coverage,
         "events_hll": _q_events_hll,
+        "events_countmin": _q_events_countmin,
         "kg_inverse_predicates": _q_kg_inverse_predicates,
         "kg_predicate_synonyms": _q_kg_predicate_synonyms,
         "kg_pred_closure": _q_kg_pred_closure,
@@ -5198,6 +5216,33 @@ FROM en GROUP BY node
 SELECT node, CAST(dist AS bigint) AS min_hops FROM d3
 """,
         # 64-register HLL, exact-integer estimator (alpha as 7093/10000)
+        # count-min sketch: 4 md5-salted hash rows x 64 buckets, sum
+        # registers, min-over-rows estimate vs the exact count
+        "events_countmin": """
+WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(row)),
+pairs AS (
+  SELECT r.row,
+         CAST(CAST(('0x' || substr(md5(CAST(r.row AS varchar) || '|' ||
+              CAST(e.user_id AS varchar)), 1, 12)) AS bigint) % 64 AS int)
+           AS bucket
+  FROM e CROSS JOIN r),
+regs AS (SELECT row, bucket, count(*) AS c FROM pairs GROUP BY 1, 2),
+keys AS (SELECT DISTINCT user_id FROM e),
+probes AS (
+  SELECT k.user_id, r.row,
+         CAST(CAST(('0x' || substr(md5(CAST(r.row AS varchar) || '|' ||
+              CAST(k.user_id AS varchar)), 1, 12)) AS bigint) % 64 AS int)
+           AS bucket
+  FROM keys k CROSS JOIN r),
+est AS (
+  SELECT p.user_id, min(coalesce(g.c, 0)) AS est
+  FROM probes p LEFT JOIN regs g USING (row, bucket) GROUP BY 1),
+exact AS (SELECT user_id, count(*) AS exact FROM e GROUP BY 1)
+SELECT k.user_id, CAST(est.est AS bigint) AS est,
+       CAST(exact.exact AS bigint) AS exact
+FROM keys k JOIN est USING (user_id) JOIN exact USING (user_id)
+""",
         "events_hll": f"""
 WITH x AS (
   SELECT event_type AS grp,

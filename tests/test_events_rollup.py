@@ -518,3 +518,55 @@ class TestFirstTouchAttribution:
         )
         got = first_touch_attribution(ev).collect()
         assert len(got) == 1 and got[0].first_touch_type == "purchase"
+
+
+class TestCountMin:
+    def test_never_underestimates_and_merges(self, spark):
+        from pyspark.sql import functions as F
+
+        from text_to_graph_spark.operators.events import (
+            countmin_estimate,
+            countmin_registers,
+        )
+
+        rows = [(i, f"u{i % 7}") for i in range(200)]
+        ev = spark.createDataFrame(rows, "event_id long, user_id string")
+        regs = countmin_registers(ev, key="user_id", depth=4, width=16)
+        keys = ev.select("user_id").distinct()
+        est = {
+            r.key: r.est
+            for r in countmin_estimate(regs, keys, key="user_id", width=16).collect()
+        }
+        exact = {
+            r.user_id: r.n
+            for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(est) == set(exact)
+        # CMS guarantee: estimate is never below the true count
+        for k in exact:
+            assert est[k] >= exact[k]
+        # registers are sum-mergeable: sketching two halves then summing
+        # registers equals sketching the whole
+        a = countmin_registers(ev.where("event_id < 100"), "user_id", 4, 16)
+        b = countmin_registers(ev.where("event_id >= 100"), "user_id", 4, 16)
+        merged = (
+            a.unionByName(b)
+            .groupBy("row", "bucket")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        whole = {(r.row, r.bucket): r.c for r in regs.collect()}
+        got = {(r.row, r.bucket): r.c for r in merged.collect()}
+        assert got == whole
+
+    def test_null_keys_excluded(self, spark):
+        from text_to_graph_spark.operators.events import countmin_registers
+
+        ev = spark.createDataFrame(
+            [(1, "u"), (2, None)], "event_id long, user_id string"
+        )
+        total = sum(
+            r.c
+            for r in countmin_registers(ev, "user_id", 2, 8).collect()
+            if r.row == 0
+        )
+        assert total == 1

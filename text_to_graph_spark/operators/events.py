@@ -775,3 +775,90 @@ def first_touch_attribution(
             F.sum("value_cents").alias("sum_value_cents"),
         )
     )
+
+
+def _cm_hash(row: int, col) -> "F.Column":
+    """Portable per-row count-min hash: 48-bit md5 prefix of 'r|key',
+    identical in Spark (conv) and DuckDB ('0x' || hex cast)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(row)), F.lit("|"), col.cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def countmin_registers(
+    events: DataFrame,
+    key: str = "user_id",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min sketch registers (Cormode & Muthukrishnan 2005): ``depth``
+    independent hash rows x ``width`` buckets, each register the SUM of
+    events landing in it — the mergeable point-frequency sibling of the
+    HLL (distinct) and KMV sketches: registers ADD across partitions,
+    days, and waves, so a year of per-day sketches folds into one by
+    summing d*w integers, never re-reading events.
+
+    Scale shape: each event expands to ``depth`` (row, bucket) pairs via
+    an in-plan array explode (no UDF), then ONE partial-agg'd sum keyed
+    by (row, bucket) — the shuffle carries at most d*w rows per map
+    partition regardless of event volume.
+
+    Returns (row, bucket, c).
+    """
+    k = F.col(key)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                (_cm_hash(r, k) % width).cast("int").alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        events.where(k.isNotNull())
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def countmin_estimate(
+    registers: DataFrame,
+    keys: DataFrame,
+    key: str = "user_id",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-frequency estimates off a count-min register table: for each
+    queried key, min over the ``depth`` rows of its register — the CMS
+    guarantee is est >= true count (never under), with overestimate bounded
+    by collisions. The register table is d*w rows — broadcast, so the
+    probe never shuffles the key side.
+
+    Returns (key, est).
+    """
+    k = F.col(key)
+    probes = keys.select(
+        k.alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        (_cm_hash(r, k) % width).cast("int").alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("key", "p.row", "p.bucket")
+    return (
+        probes.join(F.broadcast(registers), ["row", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est"))
+    )
