@@ -800,6 +800,18 @@ def _q_kg_fact_intervals(spark, sf_dir):
     )
 
 
+def _q_kg_active_facts(spark, sf_dir):
+    # temporal serving view: a fact is active iff its latest validity
+    # interval is still open at the corpus frontier (within max_gap)
+    from text_to_graph_spark.operators.temporal import active_facts
+
+    return active_facts(
+        _stages(spark, sf_dir)["triples"],
+        synthesize_pages(spark, sf_dir),
+        max_gap_s=20,
+    )
+
+
 def _q_kg_property_table(spark, sf_dir):
     # vertical-to-horizontal pivot: one row per subject, one column per
     # schema predicate (min-object policy), plan-time static schema —
@@ -2018,6 +2030,17 @@ def _q_web_anchor_text(spark, sf_dir):
     ).withColumn("anchor_texts", F.concat_ws("|", "anchor_texts"))
 
 
+def _q_web_politeness(spark, sf_dir):
+    # whole-backlog rate-limit plan: md5-ordered rank window per host,
+    # wave = rank DIV cap — no wave exceeds 2 fetches per host
+    from text_to_graph_spark.operators import weblinks as WL
+
+    pages = _linked_pages(spark, sf_dir)
+    return WL.politeness_schedule(
+        WL.dead_links(WL.extract_links(pages), pages), per_host_per_wave=2
+    )
+
+
 def _q_web_crawl_frontier(spark, sf_dir):
     # next-wave crawl scheduler: bloom-fast-path dead links, per-host top-k
     # window over the (tiny) dead-link aggregate, broadcast host-rank join
@@ -2517,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_harmonic": _q_kg_harmonic,
         "kg_fact_history": _q_kg_fact_history,
         "kg_fact_intervals": _q_kg_fact_intervals,
+        "kg_active_facts": _q_kg_active_facts,
         "kg_property_table": _q_kg_property_table,
         "kg_neighbor_sample": _q_kg_neighbor_sample,
         "kg_motifs": _q_kg_motifs,
@@ -2633,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_resolved_links": _q_web_resolved_links,
         "web_anchor_text": _q_web_anchor_text,
         "web_crawl_frontier": _q_web_crawl_frontier,
+        "web_politeness": _q_web_politeness,
         "corpus_rollup": _q_corpus_rollup,
         "events_hourly": _q_events_hourly,
         "events_retention": _q_events_retention,
@@ -3367,6 +3392,28 @@ _BPE_FOLD_CASE = """CASE WHEN m.a IS NULL THEN p.state
 _BPE_STATE_SQL = (
     "rtrim(regexp_replace(lower(hex(encode(piece))), '(..)', '\\1,', 'g'), ',')"
 )
+
+
+# shared gaps-and-islands CTE chain (appends to _KG_PREFIX): fact capture
+# epochs -> lag start-flags -> running-sum interval ids (max_gap 20s)
+_IV_CTES = """
+pe AS (SELECT url, CAST(epoch(warc_ts) AS bigint) AS epoch FROM pages),
+t AS (SELECT DISTINCT url, subj, pred, obj FROM triples),
+obs AS (SELECT DISTINCT subj, pred, obj, epoch FROM t JOIN pe ON pe.url = t.url),
+flagged AS (
+  SELECT subj, pred, obj, epoch,
+         CASE WHEN lag(epoch) OVER w IS NULL
+                   OR epoch - lag(epoch) OVER w > 20 THEN 1 ELSE 0 END AS is_start
+  FROM obs WINDOW w AS (PARTITION BY subj, pred, obj ORDER BY epoch)
+),
+numbered AS (
+  SELECT subj, pred, obj, epoch,
+         CAST(sum(is_start) OVER (PARTITION BY subj, pred, obj ORDER BY epoch
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+           AS interval_id
+  FROM flagged
+)
+""".strip()
 
 
 def _mis_oracle(rounds: int) -> str:
@@ -4149,27 +4196,31 @@ GROUP BY 1, 2, 3
         # closes an interval; lag flag + running sum numbers the islands)
         "kg_fact_intervals": f"""
 {_KG_PREFIX},
-pe AS (SELECT url, CAST(epoch(warc_ts) AS bigint) AS epoch FROM pages),
-t AS (SELECT DISTINCT url, subj, pred, obj FROM triples),
-obs AS (SELECT DISTINCT subj, pred, obj, epoch FROM t JOIN pe ON pe.url = t.url),
-flagged AS (
-  SELECT subj, pred, obj, epoch,
-         CASE WHEN lag(epoch) OVER w IS NULL
-                   OR epoch - lag(epoch) OVER w > 20 THEN 1 ELSE 0 END AS is_start
-  FROM obs WINDOW w AS (PARTITION BY subj, pred, obj ORDER BY epoch)
-),
-numbered AS (
-  SELECT subj, pred, obj, epoch,
-         CAST(sum(is_start) OVER (PARTITION BY subj, pred, obj ORDER BY epoch
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
-           AS interval_id
-  FROM flagged
-)
+{_IV_CTES}
 SELECT subj, pred, obj, interval_id,
        CAST(min(epoch) AS bigint) AS first_seen,
        CAST(max(epoch) AS bigint) AS last_seen,
        CAST(count(*) AS bigint) AS n_captures
 FROM numbered GROUP BY 1, 2, 3, 4
+""",
+        # temporal serving view: latest interval per fact vs corpus frontier
+        "kg_active_facts": f"""
+{_KG_PREFIX},
+{_IV_CTES},
+iv AS (
+  SELECT subj, pred, obj, interval_id, CAST(max(epoch) AS bigint) AS last_seen
+  FROM numbered GROUP BY 1, 2, 3, 4),
+latest AS (
+  SELECT subj, pred, obj, last_seen,
+         max(interval_id) OVER (PARTITION BY subj, pred, obj) AS n_intervals,
+         row_number() OVER (PARTITION BY subj, pred, obj
+                            ORDER BY interval_id DESC) AS rn
+  FROM iv),
+f AS (SELECT max(epoch) AS frontier FROM pe)
+SELECT subj, pred, obj, last_seen,
+       CAST(n_intervals AS bigint) AS n_intervals,
+       last_seen >= f.frontier - 20 AS active
+FROM latest, f WHERE rn = 1
 """,
         # serving layout: per-subject wide property row, min-object policy,
         # static schema (extraction predicate vocabulary)
@@ -6369,6 +6420,29 @@ FROM links GROUP BY 1
 """,
         # crawl scheduler: per-host top-k over the dead-link aggregate,
         # host PageRank attached via the same unrolled exact recurrence
+        # whole-backlog politeness waves over the dead-link frontier
+        "web_politeness": f"""
+{weblinks_normed},
+crawled AS (
+  SELECT DISTINCT 'https://' || source || '.example.test/page/' || doc_id
+         AS page_url
+  FROM documents
+),
+dead AS (
+  SELECT norm_href,
+         regexp_extract(norm_href, '^[^/]+//([^/:]+)', 1) AS dst_host
+  FROM normed
+  WHERE norm_href NOT IN (SELECT page_url FROM crawled)
+  GROUP BY 1, 2
+)
+SELECT dst_host AS host, norm_href AS url,
+       CAST((rn - 1) // 2 AS bigint) AS wave,
+       CAST((rn - 1) % 2 AS bigint) AS slot
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY dst_host
+                               ORDER BY md5(norm_href)) AS rn
+  FROM dead)
+""",
         "web_crawl_frontier": f"""
 {weblinks_normed},
 crawled AS (

@@ -278,3 +278,24 @@ class TestFactValidityIntervals:
         )
         rows = fact_validity_intervals(triples, pages, max_gap_s=20).collect()
         assert len(rows) == 1 and rows[0].n_captures == 1
+
+
+class TestActiveFacts:
+    def test_staleness_gate(self, spark):
+        from text_to_graph_spark.operators.temporal import active_facts
+
+        # fact A last asserted at the frontier (active); fact B went silent
+        # at 100 while the corpus frontier is 300 (stale); A has 2 islands
+        epochs = {"u0": 100, "u1": 290, "u2": 300, "u3": 100}
+        pages = spark.createDataFrame(
+            list(epochs.items()), "url string, sec long"
+        ).select("url", F.timestamp_seconds("sec").alias("warc_ts"))
+        triples = spark.createDataFrame(
+            [("u0", "a", "p", "o"), ("u1", "a", "p", "o"), ("u2", "a", "p", "o"),
+             ("u3", "b", "p", "o")],
+            "url string, subj string, pred string, obj string",
+        )
+        got = {r.subj: r for r in active_facts(triples, pages, max_gap_s=20).collect()}
+        assert got["a"].active is True
+        assert (got["a"].last_seen, got["a"].n_intervals) == (300, 2)
+        assert got["b"].active is False and got["b"].n_intervals == 1

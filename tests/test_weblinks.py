@@ -273,3 +273,25 @@ class TestResolveRedirects:
         assert (got["u0"].final_url, got["u0"].hops, got["u0"].resolved) == (
             "u10", 10, True,
         )
+
+
+class TestPolitenessSchedule:
+    def test_wave_cap_and_determinism(self, spark):
+        from text_to_graph_spark.operators.weblinks import politeness_schedule
+
+        rows = [(f"https://h{i % 3}.test/p{i}", f"h{i % 3}.test") for i in range(20)]
+        df = spark.createDataFrame(rows, "norm_href string, dst_host string")
+        out = politeness_schedule(df, per_host_per_wave=2).collect()
+        assert len(out) == 20
+        # no (host, wave) bucket exceeds the cap; slots enumerate within it
+        from collections import Counter
+
+        c = Counter((r.host, r.wave) for r in out)
+        assert max(c.values()) <= 2
+        assert all(r.slot in (0, 1) for r in out)
+        # waves are contiguous from 0 per host
+        for h in {r.host for r in out}:
+            waves = sorted({r.wave for r in out if r.host == h})
+            assert waves == list(range(len(waves)))
+        again = politeness_schedule(df, per_host_per_wave=2).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))

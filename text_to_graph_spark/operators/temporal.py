@@ -34,7 +34,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "fact_history", "fact_validity_intervals"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "fact_history",
+    "fact_validity_intervals",
+    "active_facts",
+]
 
 
 def asof_join(
@@ -284,4 +290,46 @@ def fact_validity_intervals(
         F.min("epoch").cast("long").alias("first_seen"),
         F.max("epoch").cast("long").alias("last_seen"),
         F.count(F.lit(1)).cast("long").alias("n_captures"),
+    )
+
+
+def active_facts(
+    triples: DataFrame, pages: DataFrame, max_gap_s: int = 60
+) -> DataFrame:
+    """Currently-valid serving view over the validity intervals: a fact is
+    ACTIVE when its latest interval is still open at the corpus frontier —
+    last re-assertion within ``max_gap_s`` of the newest capture anywhere.
+    This is the staleness gate a temporal KG applies before serving
+    ("drop facts that stopped being asserted"), derived entirely from
+    :func:`fact_validity_intervals`.
+
+    Scale shape: one argmax window per fact over its (tiny) interval list,
+    one 1-row corpus-frontier aggregate broadcast via crossJoin — the same
+    single-broadcast-row pattern as curation's waterline. Returns
+    (subj, pred, obj, last_seen, n_intervals, active).
+    """
+    iv = fact_validity_intervals(triples, pages, max_gap_s)
+    w = Window.partitionBy("subj", "pred", "obj").orderBy(
+        F.desc("interval_id")
+    )
+    latest = (
+        iv.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_intervals",
+            F.max("interval_id").over(
+                Window.partitionBy("subj", "pred", "obj")
+            ),
+        )
+        .where(F.col("_rn") == 1)
+    )
+    frontier = pages.agg(
+        F.max(F.col("warc_ts").cast("long")).alias("_frontier")
+    )
+    return latest.crossJoin(F.broadcast(frontier)).select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("last_seen").cast("long").alias("last_seen"),
+        F.col("n_intervals").cast("long").alias("n_intervals"),
+        (F.col("last_seen") >= F.col("_frontier") - max_gap_s).alias("active"),
     )

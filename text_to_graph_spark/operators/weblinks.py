@@ -338,3 +338,38 @@ def resolve_redirects(
             F.col("_is_src").isNull().alias("resolved"),
         )
     )
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    url_col: str = "norm_href",
+    host_col: str = "dst_host",
+    per_host_per_wave: int = 2,
+) -> DataFrame:
+    """Full-frontier politeness scheduler: partition ALL pending fetches
+    into numbered waves so no wave asks any host for more than
+    ``per_host_per_wave`` URLs — the rate-limit plan a distributed crawler
+    executes wave-by-wave (``crawl_frontier`` picks only the next top-k;
+    this schedules the whole backlog). The reference's crawler rate-limits
+    in-process per fetch (crawler.py); at fleet scale the limit has to be
+    planned, not reacted to.
+
+    Deterministic: within a host, URLs order by ``md5(url)`` (uniform,
+    engine-portable, no rand()); wave = (rank-1) DIV cap. One rank window
+    partitioned by host — the host key is the natural partition and the
+    cap bounds nothing (ranking is linear per host); a pathologically hot
+    host makes a big partition, which is exactly the host whose schedule
+    MUST be long.
+
+    Returns (host, url, wave, slot): slot in [0, per_host_per_wave).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(F.md5(F.col(url_col)))
+    rank = F.row_number().over(w) - 1
+    return frontier.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.floor(rank / per_host_per_wave).cast("long").alias("wave"),
+        (rank % per_host_per_wave).cast("long").alias("slot"),
+    )

@@ -169,6 +169,8 @@ def main() -> int:
     )
     from text_to_graph_spark.operators.chunking import chunk_pages
     from text_to_graph_spark.operators.extraction import extract_triples_from_pages
+    from text_to_graph_spark.operators import olap as OL6
+    from text_to_graph_spark.operators.events import countmin_registers
     from text_to_graph_spark.operators.graphq import property_table
     from text_to_graph_spark.operators.temporal import fact_validity_intervals
     from text_to_graph_spark.operators.weblinks import resolve_redirects
@@ -397,6 +399,22 @@ def main() -> int:
         ),
         "triad motif census (wedge equi-join + closure semi-probes)": (
             GA.triad_motifs(triples.select("subj", "obj"))
+        ),
+        "count-min registers (bounded d*w partial-agg shuffle)": (
+            countmin_registers(
+                docs.select(F.col("doc_id").alias("user_id")), key="user_id"
+            )
+        ),
+        "Q6 forecast revenue (whole predicate pushed, no groupBy)": (
+            OL6.forecast_revenue(
+                spark.read.parquet(f"{sf}/lineitem.parquet")
+            )
+        ),
+        "Q14 promo revenue (broadcast part dim, one conditional agg)": (
+            OL6.promo_revenue(
+                spark.read.parquet(f"{sf}/lineitem.parquet"),
+                spark.read.parquet(f"{sf}/part.parquet"),
+            )
         ),
         "redirect resolution (log-round pointer-doubling equi-joins)": (
             resolve_redirects(
