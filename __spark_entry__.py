@@ -69,6 +69,51 @@ _CATEGORY_CASE = "CASE " + " ".join(
     f"WHEN label = '{k}' THEN '{v}'" for k, v in sorted(ENTITY_CATEGORIES.items())
 ) + " ELSE 'entity' END"
 
+# RAKE candidate/scoring CTE chain (shared by text_keyphrases and the
+# corpus rollup)
+_RAKE_CTE = """
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i, w[i] AS term
+  FROM toks, unnest(generate_series(1, len(w))) AS g(i)
+),
+grp AS (
+  SELECT doc_id, i, term,
+         term IN ('the','a','fast','slow','small','big') AS is_stop,
+         sum(CASE WHEN term IN ('the','a','fast','slow','small','big')
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM pos
+),
+phr AS (
+  SELECT doc_id, grp, string_agg(term, ' ' ORDER BY i) AS phrase,
+         count(*) AS n_words
+  FROM grp WHERE NOT is_stop GROUP BY doc_id, grp
+),
+ws AS (
+  SELECT doc_id, term, (sum(n_words) * 1000000) // count(*) AS wscore_e6
+  FROM (SELECT doc_id, n_words, unnest(string_split(phrase, ' ')) AS term
+        FROM phr)
+  GROUP BY doc_id, term
+),
+dphr AS (
+  SELECT doc_id, phrase, n_words, count(*) AS n_occurrences
+  FROM phr GROUP BY doc_id, phrase, n_words
+),
+scored AS (
+  SELECT p.doc_id, p.phrase, p.n_words, p.n_occurrences,
+         sum(ws.wscore_e6) AS score_e6
+  FROM (SELECT doc_id, phrase, n_words, n_occurrences,
+               unnest(string_split(phrase, ' ')) AS term
+        FROM dphr) p
+  JOIN ws ON ws.doc_id = p.doc_id AND ws.term = p.term
+  GROUP BY 1, 2, 3, 4
+)
+"""
+
 # common-neighbor candidate CTEs (wedge centers degree-capped at 32),
 # shared by kg_link_prediction and kg_eval_ranking
 _CN_CTE = """
@@ -407,6 +452,36 @@ def _q_kg_match_2hop(spark, sf_dir):
     return G.match_2hop(
         _edges(spark, sf_dir), "join", "scan", src="subj", dst="obj",
         label="pred",
+    )
+
+
+def _q_kg_match_star(spark, sf_dir):
+    # SPARQL star BGP: one center, three predicate branches — every branch
+    # equi-joins on the SAME key, so the exchanges co-partition and no
+    # key-switch reshuffle happens (operators/graphq.py match_star)
+    return G.match_star(
+        _edges(spark, sf_dir), ("join", "scan", "sort"),
+        src="subj", dst="obj", label="pred",
+    )
+
+
+def _q_kg_assortativity(spark, sf_dir):
+    # one-row degree-assortativity health metric: exact int64/decimal(38,0)
+    # moments, r in integer micro-units (graphq.degree_assortativity)
+    return G.degree_assortativity(_edges(spark, sf_dir), src="subj", dst="obj")
+
+
+def _q_text_keyphrases_corpus(spark, sf_dir):
+    # corpus RAKE salience rollup over the FULL candidate set (no per-doc
+    # top-k cut), occurrence-weighted score sum, df floor 2, top-20
+    return TS.rake_corpus_keyphrases(_docs(spark, sf_dir), top_k=20, min_docs=2)
+
+
+def _q_kg_reciprocity(spark, sf_dir):
+    # per-predicate reciprocity: reversed-triple left-semi probe, integer
+    # ppm share, self-loops in the denominator only (graphq)
+    return G.predicate_reciprocity(
+        _edges(spark, sf_dir), src="subj", dst="obj", label="pred"
     )
 
 
@@ -1889,6 +1964,13 @@ def _q_text_ngrams(spark, sf_dir):
     return TS.ngram_counts(_docs(spark, sf_dir), n=2, min_count=3)
 
 
+def _q_text_keyphrases(spark, sf_dir):
+    # RAKE keyphrases: stopword-free candidate runs, per-doc deg/freq word
+    # scores in exact integer micro-units, top-3 per doc with lexicographic
+    # tiebreak (operators/textstats.py rake_keyphrases)
+    return TS.rake_keyphrases(_docs(spark, sf_dir), top_k=3)
+
+
 def _q_text_cooccur(spark, sf_dir):
     # co-occurring term pairs with integer-linearized PMI ("lift"); pair
     # expansion is a codegen'd nested transform, never a per-doc self-join
@@ -2512,6 +2594,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes_incremental": _q_kg_nodes_incremental,
         "kg_top_predicates": _q_kg_top_predicates,
         "kg_match_2hop": _q_kg_match_2hop,
+        "kg_match_star": _q_kg_match_star,
+        "kg_reciprocity": _q_kg_reciprocity,
+        "kg_assortativity": _q_kg_assortativity,
+        "text_keyphrases_corpus": _q_text_keyphrases_corpus,
         "kg_pred_cooccurrence": _q_kg_pred_cooccurrence,
         "kg_type_violations": _q_kg_type_violations,
         "kg_schema_induction": _q_kg_schema_induction,
@@ -2640,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "text_inverted_index": _q_text_inverted_index,
         "text_ngrams": _q_text_ngrams,
+        "text_keyphrases": _q_text_keyphrases,
         "text_cooccur": _q_text_cooccur,
         "text_lm_score": _q_text_lm_score,
         "web_site_stats": _q_web_site_stats,
@@ -3740,6 +3827,71 @@ SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
 SELECT h1.subj AS a, h1.obj AS b, h2.obj AS c
 FROM edges h1 JOIN edges h2 ON h1.obj = h2.subj
 WHERE h1.pred = 'join' AND h2.pred = 'scan'
+""",
+        # per-predicate reciprocity: reversed-triple EXISTS probe, ppm
+        "kg_reciprocity": f"""
+{_KG_PREFIX},
+r_base AS (SELECT pred, subj AS s, obj AS o FROM edges),
+r_recip AS (
+  SELECT b.pred, count(*) AS n_reciprocated
+  FROM r_base b
+  WHERE b.s <> b.o AND EXISTS (
+    SELECT 1 FROM r_base r WHERE r.pred = b.pred AND r.s = b.o AND r.o = b.s)
+  GROUP BY b.pred
+)
+SELECT t.pred, CAST(t.n_edges AS bigint) AS n_edges,
+       CAST(coalesce(rc.n_reciprocated, 0) AS bigint) AS n_reciprocated,
+       CAST(coalesce(rc.n_reciprocated, 0) * 1000000 // t.n_edges AS bigint)
+         AS reciprocity_ppm
+FROM (SELECT pred, count(*) AS n_edges FROM r_base GROUP BY pred) t
+LEFT JOIN r_recip rc ON rc.pred = t.pred
+""",
+        # star BGP: three predicate branches equi-joined on the center
+        "kg_match_star": f"""
+{_KG_PREFIX}
+SELECT b1.subj AS a, b1.obj AS o1, b2.obj AS o2, b3.obj AS o3
+FROM edges b1
+JOIN edges b2 ON b2.subj = b1.subj
+JOIN edges b3 ON b3.subj = b1.subj
+WHERE b1.pred = 'join' AND b2.pred = 'scan' AND b3.pred = 'sort'
+""",
+        # degree assortativity: exact hugeint moments, micro-unit r with
+        # truncate-toward-zero division (matches Spark decimal DIV)
+        "kg_assortativity": f"""
+{_KG_PREFIX},
+a_loopfree AS (SELECT subj, obj FROM edges WHERE subj <> obj),
+a_sym AS (
+  -- explicit DISTINCT: under WITH RECURSIVE, DuckDB treats a top-level
+  -- UNION CTE as recursive and skips the cross-branch dedup
+  SELECT DISTINCT u, v FROM (
+    SELECT subj AS u, obj AS v FROM a_loopfree
+    UNION ALL
+    SELECT obj AS u, subj AS v FROM a_loopfree
+  )
+),
+a_deg AS (SELECT u, CAST(count(*) AS bigint) AS d FROM a_sym GROUP BY u),
+a_pairs AS (
+  SELECT du.d AS du, dv.d AS dv
+  FROM a_sym JOIN a_deg du ON du.u = a_sym.u JOIN a_deg dv ON dv.u = a_sym.v
+),
+a_st AS (
+  SELECT CAST(count(*) AS bigint) AS m,
+         CAST(sum(du) AS bigint) AS sum_deg,
+         sum(CAST(du AS hugeint) * du) AS sxx,
+         sum(CAST(du AS hugeint) * dv) AS sxy
+  FROM a_pairs
+)
+SELECT m, sum_deg,
+       CAST(sxx AS bigint) AS sum_deg_sq,
+       CAST(sxy AS bigint) AS sum_deg_prod,
+       CASE WHEN CAST(m AS hugeint) * sxx
+                 - CAST(sum_deg AS hugeint) * sum_deg = 0 THEN NULL
+            ELSE CAST((CAST(m AS hugeint) * sxy
+                       - CAST(sum_deg AS hugeint) * sum_deg) * 1000000
+                      // (CAST(m AS hugeint) * sxx
+                          - CAST(sum_deg AS hugeint) * sum_deg) AS bigint)
+       END AS r_e6
+FROM a_st
 """,
         # deterministic DeepWalk corpus: unrolled hash-seeded walk steps
         "kg_random_walks": f"""
@@ -6146,6 +6298,42 @@ grams AS (
 SELECT ngram, CAST(count(*) AS bigint) AS n_occurrences,
        CAST(count(DISTINCT doc_id) AS bigint) AS n_docs
 FROM grams GROUP BY ngram HAVING count(*) >= 3
+""",
+        # RAKE keyphrases: stopword-split phrase runs, per-doc deg/freq
+        # word scores in integer micro-units, top-3 per doc
+        "text_keyphrases": f"""
+WITH {_RAKE_CTE.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_e6 DESC, phrase
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS int) AS rank, phrase,
+       CAST(n_words AS bigint) AS n_words,
+       CAST(n_occurrences AS bigint) AS n_occurrences,
+       CAST(score_e6 AS bigint) AS score_e6
+FROM ranked WHERE rank <= 3
+""",
+        # corpus RAKE salience: full candidate set, occurrence-weighted sum
+        # of per-doc scores, df floor 2, top-20 with lexicographic tiebreak
+        "text_keyphrases_corpus": f"""
+WITH {_RAKE_CTE.strip()},
+agg AS (
+  SELECT phrase, max(n_words) AS n_words,
+         count(DISTINCT doc_id) AS n_docs,
+         sum(score_e6 * n_occurrences) AS corpus_score_e6
+  FROM scored GROUP BY phrase HAVING count(DISTINCT doc_id) >= 2
+),
+topk AS (
+  SELECT * FROM agg ORDER BY corpus_score_e6 DESC, phrase LIMIT 20
+)
+SELECT CAST(row_number() OVER (ORDER BY corpus_score_e6 DESC, phrase) AS int)
+         AS rank,
+       phrase, CAST(n_words AS bigint) AS n_words,
+       CAST(n_docs AS bigint) AS n_docs,
+       CAST(corpus_score_e6 AS bigint) AS corpus_score_e6
+FROM topk
 """,
         # co-occurring term pairs over sorted-distinct capped term sets;
         # lift_e6 = integer-linearized PMI ratio

@@ -517,3 +517,62 @@ class TestBoilerplate:
         # host B's page probes host A's set never: zero hits
         assert got[3].n_boiler == 0 and got[3].n_shingles == 6
         assert (got[4].n_shingles, got[4].n_boiler, got[4].boiler_ppm) == (0, 0, 0)
+
+
+class TestRakeKeyphrases:
+    def test_scores_match_hand_rake(self, spark):
+        from text_to_graph_spark.operators.textstats import rake_keyphrases
+
+        docs = spark.createDataFrame(
+            [
+                # phrases: [key scan] x2, [join]
+                (1, "key scan the key scan a join"),
+                # phrases: [merge], [merge sort]
+                (2, "merge fast merge sort"),
+                (3, "the a big"),  # all stopwords -> no candidates
+            ],
+            "doc_id long, text string",
+        )
+        rows = rake_keyphrases(docs, top_k=3).collect()
+        got = {(r.doc_id, r.rank): (r.phrase, r.n_words, r.n_occurrences, r.score_e6) for r in rows}
+        assert got == {
+            # key: deg 4 freq 2 -> 2e6; scan same; phrase = 4e6
+            (1, 1): ("key scan", 2, 2, 4_000_000),
+            (1, 2): ("join", 1, 1, 1_000_000),
+            # merge: deg 3 freq 2 -> 1.5e6; sort: deg 2 freq 1 -> 2e6
+            (2, 1): ("merge sort", 2, 1, 3_500_000),
+            (2, 2): ("merge", 1, 1, 1_500_000),
+        }
+        assert not [r for r in rows if r.doc_id == 3]
+
+    def test_top_k_and_tiebreak(self, spark):
+        from text_to_graph_spark.operators.textstats import rake_keyphrases
+
+        # two single-word phrases with identical scores -> lexicographic
+        docs = spark.createDataFrame(
+            [(1, "zeta the alpha the beta")], "doc_id long, text string"
+        )
+        rows = rake_keyphrases(docs, top_k=2).collect()
+        assert [(r.rank, r.phrase) for r in sorted(rows, key=lambda r: r.rank)] == [
+            (1, "alpha"),
+            (2, "beta"),
+        ]
+
+
+class TestRakeCorpus:
+    def test_occurrence_weighted_rollup(self, spark):
+        from text_to_graph_spark.operators.textstats import rake_corpus_keyphrases
+
+        docs = spark.createDataFrame(
+            [
+                (1, "key scan the key scan a join"),  # key scan: 4e6 x2 occ
+                (2, "key scan the join"),             # key scan: 4e6 x1 occ
+            ],
+            "doc_id long, text string",
+        )
+        rows = rake_corpus_keyphrases(docs, top_k=5, min_docs=2).collect()
+        got = [(r.rank, r.phrase, r.n_docs, r.corpus_score_e6) for r in rows]
+        assert got == [
+            (1, "key scan", 2, 12_000_000),
+            (2, "join", 2, 2_000_000),
+        ]

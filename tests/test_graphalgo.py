@@ -1275,3 +1275,67 @@ class TestMaximalIndependentSet:
         mis = {r.node for r in rows if r.status == "mis"}
         # a star's MIS is the hub alone or all five leaves
         assert mis == {"hub"} or mis == {f"leaf{i}" for i in range(5)}
+
+
+def test_match_star_cross_product_of_fanouts(spark):
+    from text_to_graph_spark.operators import graphq as G
+
+    edges = spark.createDataFrame(
+        [
+            ("s", "p", "x1"), ("s", "p", "x2"),
+            ("s", "q", "y1"),
+            ("t", "p", "x3"),  # t has no q branch -> excluded
+        ],
+        "subj_key string, pred_key string, obj_key string",
+    )
+    rows = G.match_star(edges, ("p", "q")).collect()
+    assert sorted((r.a, r.o1, r.o2) for r in rows) == [
+        ("s", "x1", "y1"),
+        ("s", "x2", "y1"),
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        G.match_star(edges, ())
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    from text_to_graph_spark.operators import graphq as G
+
+    edges = spark.createDataFrame(
+        [("s", "p", "a"), ("s", "p", "b"), ("s", "q", "c"), ("s", "p", "s")],
+        "subj_key string, pred_key string, obj_key string",
+    )  # self-loop dropped; star graph -> r = -1 exactly
+    row = G.degree_assortativity(edges).collect()[0]
+    assert (row.m, row.sum_deg, row.sum_deg_sq, row.sum_deg_prod) == (6, 12, 30, 18)
+    assert row.r_e6 == -1_000_000
+
+
+def test_degree_assortativity_regular_graph_null_r(spark):
+    from text_to_graph_spark.operators import graphq as G
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a")],
+        "subj_key string, pred_key string, obj_key string",
+    )  # 3-cycle: every degree 2 -> zero variance -> NULL
+    row = G.degree_assortativity(edges).collect()[0]
+    assert row.r_e6 is None and row.m == 6
+
+
+def test_predicate_reciprocity_ppm_and_self_loops(spark):
+    from text_to_graph_spark.operators import graphq as G
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "p", "b"), ("b", "p", "a"),  # reciprocated pair
+            ("a", "p", "c"),                    # one-way
+            ("x", "p", "x"),                    # self-loop: denominator only
+            ("a", "q", "b"),                    # q never reciprocated
+        ],
+        "subj_key string, pred_key string, obj_key string",
+    )
+    got = {
+        r.pred: (r.n_edges, r.n_reciprocated, r.reciprocity_ppm)
+        for r in G.predicate_reciprocity(edges).collect()
+    }
+    assert got == {"p": (4, 2, 500_000), "q": (1, 0, 0)}

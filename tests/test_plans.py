@@ -835,3 +835,60 @@ def test_promo_revenue_broadcasts_part_dim(spark):
     s = plan_str(q, "simple")
     assert "SortMergeJoin" not in s and "CartesianProduct" not in s
     assert "l_shipdate" in pushed_filters(q)
+
+
+def test_rake_keyphrases_udf_free_equi_joined(spark):
+    """RAKE: phrase build is one doc_id-partitioned window shuffle; the
+    word-score join is an equi-join on (doc_id, term) — no UDF, no
+    cartesian, and the top-k is a per-doc window (never a global sort)."""
+    from text_to_graph_spark.operators.textstats import rake_keyphrases
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = rake_keyphrases(docs)
+    s = plan_str(out, "simple")
+    assert python_eval_count(out) == 0
+    assert "CartesianProduct" not in s
+    assert "SortMergeJoin" in s or "BroadcastHashJoin" in s or "ShuffledHashJoin" in s
+
+
+def test_match_star_single_key_equi_joins_no_cartesian(spark):
+    """Star BGP: every branch filters its predicate before the join and all
+    branches join on the SAME center key — equi-joins only."""
+    from text_to_graph_spark.operators import graphq as G
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b")], "subj_key string, pred_key string, obj_key string"
+    )
+    out = G.match_star(edges, ("p", "q", "r"))
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert python_eval_count(out) == 0
+
+
+def test_degree_assortativity_scalar_agg_no_cartesian(spark):
+    """Assortativity: two node-keyed equi-joins + one scalar aggregate —
+    no UDF, no cartesian, exact decimal arithmetic."""
+    from text_to_graph_spark.operators import graphq as G
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b")], "subj_key string, pred_key string, obj_key string"
+    )
+    out = G.degree_assortativity(edges)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert python_eval_count(out) == 0
+
+
+def test_predicate_reciprocity_semi_join_no_cartesian(spark):
+    """Reciprocity: the reversed-triple probe must be a LeftSemi equi-join
+    (output never widens) — no UDF, no cartesian."""
+    from text_to_graph_spark.operators import graphq as G
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b")], "subj_key string, pred_key string, obj_key string"
+    )
+    out = G.predicate_reciprocity(edges)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "LeftSemi" in s
+    assert python_eval_count(out) == 0

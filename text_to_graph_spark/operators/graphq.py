@@ -672,3 +672,127 @@ def property_table(
         *[F.coalesce(f"p_{p}", F.lit("")).alias(f"p_{p}") for p in predicates],
         "n_facts",
     )
+
+
+def match_star(
+    edges: DataFrame,
+    preds: tuple[str, ...],
+    src: str = "subj_key",
+    dst: str = "obj_key",
+    label: str = "pred_key",
+) -> DataFrame:
+    """Star BGP match ``(a)-[p1]->(o1), (a)-[p2]->(o2), ...`` — the other
+    fundamental SPARQL join shape next to the path (``match_2hop``).
+
+    Every branch filters its predicate BEFORE the join and all branches
+    share the SAME join key (the star center ``a``), so each branch
+    shuffles on one key and the exchanges co-partition — a star never pays
+    the key-switch reshuffle a path does. Canonical edges are unique per
+    (subj, pred, obj), so the output is the exact cross product of the
+    center's per-predicate fan-outs — the true BGP result size, capped
+    upstream with a degree filter when hubs should be excluded.
+    """
+    if not preds:
+        raise ValueError("match_star needs at least one predicate")
+    out = None
+    for i, p in enumerate(preds):
+        branch = edges.where(F.col(label) == p).select(
+            F.col(src).alias("a"), F.col(dst).alias(f"o{i + 1}")
+        )
+        out = branch if out is None else out.join(branch, "a")
+    return out
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "subj_key", dst: str = "obj_key"
+) -> DataFrame:
+    """Degree assortativity of the undirected canonical graph — the
+    one-row graph-health metric (hub-to-hub vs hub-to-leaf wiring) that
+    flags extraction drift between crawl waves.
+
+    The symmetric edge view contributes each unordered edge in both
+    directions, so Σdeg(u) over pairs equals Σdeg(v) and Pearson's r
+    needs only three moments — all kept EXACT: int64 degree sums,
+    decimal(38,0) products (int64 would overflow once m·Σxy passes ~9.2e18,
+    i.e. a few hundred million edges), and the final ratio as integer
+    micro-units ``(m·Σxy − Σx²)·1e6 DIV (m·Σxx − Σx²)`` — no float seam.
+    Two equi-joins tag the pair list with endpoint degrees (keyed u then v,
+    node-table sized), one scalar aggregate; nothing corpus-global shuffles
+    twice. Degenerate regular graphs (zero variance) yield NULL r.
+    """
+    loop_free = edges.where(F.col(src) != F.col(dst))
+    sym = (
+        loop_free.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(loop_free.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    pairs = (
+        sym.join(deg, "u")
+        .withColumnRenamed("d", "du")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("du").cast("bigint").alias("sum_deg"),
+        F.sum(F.col("du").cast("decimal(38,0)") * F.col("du")).alias("sxx"),
+        F.sum(F.col("du").cast("decimal(38,0)") * F.col("dv")).alias("sxy"),
+    )
+    return stats.select(
+        "m",
+        "sum_deg",
+        F.col("sxx").cast("bigint").alias("sum_deg_sq"),
+        F.col("sxy").cast("bigint").alias("sum_deg_prod"),
+        F.expr(
+            "CASE WHEN CAST(m AS decimal(38,0)) * sxx - "
+            "CAST(sum_deg AS decimal(38,0)) * sum_deg = 0 THEN NULL ELSE "
+            "CAST((CAST(m AS decimal(38,0)) * sxy - "
+            "CAST(sum_deg AS decimal(38,0)) * sum_deg) * 1000000 DIV "
+            "(CAST(m AS decimal(38,0)) * sxx - "
+            "CAST(sum_deg AS decimal(38,0)) * sum_deg) AS bigint) END"
+        ).alias("r_e6"),
+    )
+
+
+def predicate_reciprocity(
+    edges: DataFrame,
+    src: str = "subj_key",
+    dst: str = "obj_key",
+    label: str = "pred_key",
+) -> DataFrame:
+    """Per-predicate reciprocity — how often (s)-[p]->(o) coexists with
+    (o)-[p]->(s). High reciprocity flags symmetric relations the schema
+    should model undirected; near-zero flags functional/hierarchical ones
+    (the same directionality signal ``inverse_predicates`` mines ACROSS
+    predicates, measured here WITHIN one).
+
+    One left-semi self-join on the reversed key triple — the probe side
+    shuffles on (pred, subj, obj) exactly once and semi output never
+    widens; self-loops are excluded from the reciprocated set (they are
+    trivially symmetric) but stay in the denominator. Integer-ppm share.
+    """
+    base = edges.select(
+        F.col(label).alias("pred"), F.col(src).alias("s"), F.col(dst).alias("o")
+    )
+    rev = base.select("pred", F.col("o").alias("s"), F.col("s").alias("o"))
+    recip = (
+        base.where(F.col("s") != F.col("o"))
+        .join(rev, ["pred", "s", "o"], "left_semi")
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_reciprocated"))
+    )
+    totals = base.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+    return (
+        totals.join(recip, "pred", "left")
+        .select(
+            "pred",
+            "n_edges",
+            F.coalesce("n_reciprocated", F.lit(0)).cast("bigint").alias("n_reciprocated"),
+            F.expr(
+                "coalesce(n_reciprocated, 0) * 1000000 DIV n_edges"
+            ).cast("bigint").alias("reciprocity_ppm"),
+        )
+    )
+

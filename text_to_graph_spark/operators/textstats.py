@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 from text_to_graph_spark.functions.portable import round_half_up
 
 STOPWORDS_EN = ("the", "a")
+# phrase-boundary set for RAKE: the full corpus stopword vocabulary
+# (kit/extract.py STOPWORDS — determiners + degree adjectives)
+RAKE_STOPWORDS = ("the", "a", "fast", "slow", "small", "big")
 # lowercase word / number runs / single non-alnum — a BPE-ish pre-tokenizer
 TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
@@ -441,4 +444,131 @@ def vocab_coverage(
             f"term ROWS UNBOUNDED PRECEDING) AS decimal(38,0)) * 1000000 "
             f"DIV {total}"
         ).cast("bigint").alias("cum_frac_e6"),
+    )
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the classic
+    unsupervised "what is this page about" signal a KG pipeline attaches to
+    entity cards and crawl prioritization.
+
+    Candidate phrases are maximal stopword-free token runs; each content
+    word scores deg(w)/freq(w) where deg counts co-occurring phrase slots
+    (phrase length, self included) and freq counts occurrences, both
+    per-document; a phrase scores the sum of its member-word scores. The
+    score is kept in exact integer micro-units (``deg*1e6 DIV freq``,
+    summed) so both engines hash identically — no float seam.
+
+    Distribution: one posexplode + a doc-partitioned running-sum window
+    assigns phrase group ids (single shuffle on doc_id); word stats and the
+    phrase-score join are equi-keyed on (doc_id, term) — co-partitioned
+    with the phrase build, never corpus-global; top-k is a per-doc
+    row_number window. No UDF anywhere; every doc is independent, so the
+    job scales with the corpus like the extraction pipeline itself.
+    """
+    w = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.posexplode(w).alias("pos", "term"))
+    is_stop = F.col("term").isin(*stopwords)
+    run = Window.partitionBy("doc_id").orderBy("pos")
+    grouped = toks.withColumn(
+        "grp", F.sum(F.when(is_stop, 1).otherwise(0)).over(run)
+    ).where(~is_stop)
+    phrases = grouped.groupBy("doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda x: x.term,
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+    word_scores = (
+        phrases.select(
+            "doc_id", "n_words", F.explode(F.split("phrase", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(
+            F.sum("n_words").alias("deg"),
+            F.count(F.lit(1)).alias("freq"),
+        )
+        .select(
+            "doc_id",
+            "term",
+            F.expr("(deg * 1000000) DIV freq").alias("wscore_e6"),
+        )
+    )
+    distinct_phrases = phrases.groupBy("doc_id", "phrase", "n_words").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    scored = (
+        distinct_phrases.select(
+            "doc_id",
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("term"),
+        )
+        .join(word_scores, ["doc_id", "term"])
+        .groupBy("doc_id", "phrase", "n_words", "n_occurrences")
+        .agg(F.sum("wscore_e6").cast("bigint").alias("score_e6"))
+    )
+    top = Window.partitionBy("doc_id").orderBy(F.desc("score_e6"), F.asc("phrase"))
+    return (
+        scored.withColumn("rank", F.row_number().over(top))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                "phrase", "n_words", "n_occurrences", "score_e6")
+    )
+
+
+def rake_corpus_keyphrases(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 20,
+    min_docs: int = 2,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+) -> DataFrame:
+    """Corpus-level RAKE salience — the "what is this crawl about" rollup
+    that feeds topic routing and crawl-seed selection.
+
+    Every candidate phrase keeps its per-document RAKE score (exact integer
+    micro-units; no per-doc top-k cut, so the rollup sees the full candidate
+    set); the corpus score is the SUM of per-doc scores with document
+    frequency alongside, floored at ``min_docs`` to drop one-off tails.
+    One extra partial-agg'd shuffle on the phrase string over the per-doc
+    scored table; top-k is a TakeOrdered, never a global sort.
+    """
+    scored = rake_keyphrases(
+        docs, id_col, text_col, top_k=2**31 - 1, stopwords=stopwords
+    )
+    agg = (
+        scored.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum(F.col("score_e6") * F.col("n_occurrences"))
+            .cast("bigint")
+            .alias("corpus_score_e6"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+    rank = Window.orderBy(F.desc("corpus_score_e6"), F.asc("phrase"))
+    return (
+        agg.orderBy(F.desc("corpus_score_e6"), F.asc("phrase"))
+        .limit(top_k)
+        .select(
+            F.row_number().over(rank).alias("rank"),
+            "phrase",
+            "n_words",
+            "n_docs",
+            "corpus_score_e6",
+        )
     )

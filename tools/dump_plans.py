@@ -416,6 +416,18 @@ def main() -> int:
                 spark.read.parquet(f"{sf}/part.parquet"),
             )
         ),
+        "RAKE keyphrases (doc-partitioned window + (doc_id, term) equi-join)": (
+            TS.rake_keyphrases(docs)
+        ),
+        "predicate reciprocity (reversed-triple LeftSemi probe)": (
+            GQ.predicate_reciprocity(triples_to_canonical_edges(triples))
+        ),
+        "star BGP match (single-key co-partitioned branch equi-joins)": (
+            GQ.match_star(triples_to_canonical_edges(triples), ("join", "scan", "sort"))
+        ),
+        "degree assortativity (two node-keyed joins, exact decimal scalar agg)": (
+            GQ.degree_assortativity(triples_to_canonical_edges(triples))
+        ),
         "redirect resolution (log-round pointer-doubling equi-joins)": (
             resolve_redirects(
                 triples.select(
