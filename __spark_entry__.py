@@ -905,6 +905,14 @@ def _q_kg_neighbor_sample(spark, sf_dir):
     return sampled_neighborhood(_edges(spark, sf_dir), fanout=(4, 2))
 
 
+def _q_kg_wl_colors(spark, sf_dir):
+    # 1-WL color refinement, 2 rounds: md5(degree) seed, sorted neighbor
+    # multiset rehash per round (oracle unrolls the same recurrence)
+    from text_to_graph_spark.operators.graphalgo import wl_refinement
+
+    return wl_refinement(_edges(spark, sf_dir), rounds=2)
+
+
 def _q_kg_mis(spark, sf_dir):
     # Luby-style maximal independent set, md5 priorities, fixed 4 rounds
     # (oracle unrolls the identical recurrence)
@@ -2631,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighbor_sample": _q_kg_neighbor_sample,
         "kg_motifs": _q_kg_motifs,
         "kg_mis": _q_kg_mis,
+        "kg_wl_colors": _q_kg_wl_colors,
         "kg_functionality": _q_kg_functionality,
         "kg_conflicts": _q_kg_conflicts,
         "kg_rules": _q_kg_rules,
@@ -3501,6 +3510,40 @@ numbered AS (
   FROM flagged
 )
 """.strip()
+
+
+def _wl_oracle(rounds: int) -> str:
+    """Unrolled 1-WL refinement (graphalgo.wl_refinement): color_0 =
+    md5(degree); each round rehashes md5(color || '|' || '>'-joined sorted
+    neighbor colors). Appends to _KG_PREFIX. The symmetric pair list is
+    explicitly DISTINCT (the prefix's ``sym`` CTE is NOT deduped under
+    WITH RECURSIVE — DuckDB treats top-level-UNION CTEs as recursive and
+    skips the cross-branch dedup), because WL is multiset-sensitive."""
+    parts = [
+        "wl_s0 AS MATERIALIZED (SELECT DISTINCT u, v FROM sym WHERE u <> v)",
+        "wl_c0 AS MATERIALIZED (SELECT u AS node, md5(CAST(count(*) AS varchar))"
+        " AS color FROM wl_s0 GROUP BY u)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"""wl_n{k} AS MATERIALIZED (
+  SELECT e.u, string_agg(c.color, '>' ORDER BY c.color) AS nbrs
+  FROM wl_s0 e JOIN wl_c{p} c ON c.node = e.v GROUP BY e.u)"""
+        )
+        parts.append(
+            f"""wl_c{k} AS MATERIALIZED (
+  SELECT c.node, md5(c.color || '|' || n.nbrs) AS color
+  FROM wl_c{p} c JOIN wl_n{k} n ON n.u = c.node)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT node, color AS wl_color,
+       CAST(count(*) OVER (PARTITION BY color) AS bigint) AS n_class
+FROM wl_c{rounds}
+"""
+    )
 
 
 def _mis_oracle(rounds: int) -> str:
@@ -4431,6 +4474,11 @@ FROM paths p WHERE EXISTS (SELECT 1 FROM e z WHERE z.a = p.c AND z.b = p.a)
         "kg_mis": f"""
 {_KG_PREFIX},
 {_mis_oracle(4)}
+""",
+        # 1-WL color refinement, 2 unrolled rounds
+        "kg_wl_colors": f"""
+{_KG_PREFIX},
+{_wl_oracle(2)}
 """,
         # constraint mining: per-predicate functionality ppm
         "kg_functionality": f"""

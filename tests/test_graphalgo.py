@@ -1339,3 +1339,27 @@ def test_predicate_reciprocity_ppm_and_self_loops(spark):
         for r in G.predicate_reciprocity(edges).collect()
     }
     assert got == {"p": (4, 2, 500_000), "q": (1, 0, 0)}
+
+
+def test_wl_refinement_distinguishes_path_ends_from_center(spark):
+    from text_to_graph_spark.operators.graphalgo import wl_refinement
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")], "subj string, pred string, obj string"
+    )  # path a-b-c: ends are 1-WL-equivalent, the center is not
+    rows = {r.node: (r.wl_color, r.n_class) for r in wl_refinement(edges, rounds=2).collect()}
+    assert rows["a"] == rows["c"]
+    assert rows["a"][0] != rows["b"][0]
+    assert rows["a"][1] == 2 and rows["b"][1] == 1
+
+
+def test_wl_refinement_regular_graph_single_class(spark):
+    from text_to_graph_spark.operators.graphalgo import wl_refinement
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a")],
+        "subj string, pred string, obj string",
+    )  # triangle: vertex-transitive -> one color class of 3
+    rows = wl_refinement(edges, rounds=3).collect()
+    assert len({r.wl_color for r in rows}) == 1
+    assert all(r.n_class == 3 for r in rows)

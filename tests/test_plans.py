@@ -892,3 +892,18 @@ def test_predicate_reciprocity_semi_join_no_cartesian(spark):
     assert "CartesianProduct" not in s
     assert "LeftSemi" in s
     assert python_eval_count(out) == 0
+
+
+def test_wl_refinement_round_no_cartesian_udf_free(spark):
+    """Each WL round = one neighbor-key equi-join + one partial-agg'd
+    sort-collect shuffle; no all-pairs product, no Python."""
+    from text_to_graph_spark.operators.graphalgo import wl_refinement
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "subj string, obj string"
+    )
+    out = wl_refinement(df, rounds=2)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0

@@ -1585,3 +1585,69 @@ def maximal_independent_set(
         "node", F.lit("undecided").alias("status"), F.lit(0).cast("long").alias("round")
     )
     return decided.unionByName(leftover)
+
+
+def wl_refinement(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """1-dimensional Weisfeiler-Lehman color refinement — the structural
+    node signature behind graph-isomorphism screening and GNN
+    expressiveness (1-WL): color_0(v) = md5(degree), then each round
+    rehashes a node's color with the SORTED multiset of its neighbors'
+    colors. Nodes sharing a final color are 1-WL-indistinguishable —
+    the per-wave structural fingerprint that spots template/boilerplate
+    subgraphs and drift in extraction shape between crawls.
+
+    Deterministic and engine-portable: md5 colors, '>'-joined sorted
+    neighbor lists, '|' separator before the rehash — no RNG, no floats.
+    Fixed ``rounds`` (no data-dependent control flow; the oracle unrolls
+    the identical recurrence with AS MATERIALIZED CTEs). Each round is
+    one neighbor-key equi-join + one partial-agg'd sort-collect shuffle
+    on the node key, with an eager ``localCheckpoint`` lineage cut (the
+    colors table is referenced twice per round). Isolated nodes never
+    enter (the symmetric pair list comes from edges).
+
+    Returns (node, wl_color, n_class): the final color and its
+    equivalence-class size.
+    """
+    loop_free = edges.where(F.col(src) != F.col(dst))
+    sym = (
+        loop_free.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            loop_free.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    colors = deg.select(
+        F.col("u").alias("node"), F.md5(F.col("d").cast("string")).alias("color")
+    )
+    for _ in range(rounds):
+        colors = colors.localCheckpoint(eager=True)
+        nbrs = (
+            sym.join(
+                colors.select(
+                    F.col("node").alias("v"), F.col("color").alias("ncolor")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(
+                F.concat_ws(">", F.array_sort(F.collect_list("ncolor"))).alias(
+                    "nbrs"
+                )
+            )
+        )
+        colors = colors.join(
+            nbrs.select(F.col("u").alias("node"), "nbrs"), "node"
+        ).select("node", F.md5(F.concat_ws("|", "color", "nbrs")).alias("color"))
+    cls = Window.partitionBy("color")
+    return colors.select(
+        "node",
+        F.col("color").alias("wl_color"),
+        F.count(F.lit(1)).over(cls).cast("bigint").alias("n_class"),
+    )

@@ -419,6 +419,14 @@ def main() -> int:
         "RAKE keyphrases (doc-partitioned window + (doc_id, term) equi-join)": (
             TS.rake_keyphrases(docs)
         ),
+        "1-WL refinement round (neighbor-key join + sort-collect agg)": (
+            GA.wl_refinement(
+                triples_to_canonical_edges(triples).selectExpr(
+                    "subj_key AS subj", "obj_key AS obj"
+                ),
+                rounds=1,
+            )
+        ),
         "predicate reciprocity (reversed-triple LeftSemi probe)": (
             GQ.predicate_reciprocity(triples_to_canonical_edges(triples))
         ),
