@@ -3514,11 +3514,13 @@ numbered AS (
 
 def _wl_oracle(rounds: int) -> str:
     """Unrolled 1-WL refinement (graphalgo.wl_refinement): color_0 =
-    md5(degree); each round rehashes md5(color || '|' || '>'-joined sorted
-    neighbor colors). Appends to _KG_PREFIX. The symmetric pair list is
-    explicitly DISTINCT (the prefix's ``sym`` CTE is NOT deduped under
-    WITH RECURSIVE — DuckDB treats top-level-UNION CTEs as recursive and
-    skips the cross-branch dedup), because WL is multiset-sensitive."""
+    md5(degree); each round rehashes md5(color || '|' || exact hugeint sum
+    of neighbor colors' 60-bit md5-prefix ints) — the order-free multiset
+    fingerprint the Spark side sums as decimal(38,0). Appends to
+    _KG_PREFIX. The symmetric pair list is explicitly DISTINCT (the
+    prefix's ``sym`` CTE is NOT deduped under WITH RECURSIVE — DuckDB
+    treats top-level-UNION CTEs as recursive and skips the cross-branch
+    dedup), because WL is multiset-sensitive."""
     parts = [
         "wl_s0 AS MATERIALIZED (SELECT DISTINCT u, v FROM sym WHERE u <> v)",
         "wl_c0 AS MATERIALIZED (SELECT u AS node, md5(CAST(count(*) AS varchar))"
@@ -3528,12 +3530,14 @@ def _wl_oracle(rounds: int) -> str:
         p = k - 1
         parts.append(
             f"""wl_n{k} AS MATERIALIZED (
-  SELECT e.u, string_agg(c.color, '>' ORDER BY c.color) AS nbrs
+  SELECT e.u,
+         sum(CAST(CAST(('0x' || substr(c.color, 1, 15)) AS bigint)
+                  AS hugeint)) AS nsum
   FROM wl_s0 e JOIN wl_c{p} c ON c.node = e.v GROUP BY e.u)"""
         )
         parts.append(
             f"""wl_c{k} AS MATERIALIZED (
-  SELECT c.node, md5(c.color || '|' || n.nbrs) AS color
+  SELECT c.node, md5(c.color || '|' || CAST(n.nsum AS varchar)) AS color
   FROM wl_c{p} c JOIN wl_n{k} n ON n.u = c.node)"""
         )
     return (

@@ -1596,19 +1596,25 @@ def wl_refinement(
     """1-dimensional Weisfeiler-Lehman color refinement — the structural
     node signature behind graph-isomorphism screening and GNN
     expressiveness (1-WL): color_0(v) = md5(degree), then each round
-    rehashes a node's color with the SORTED multiset of its neighbors'
-    colors. Nodes sharing a final color are 1-WL-indistinguishable —
+    rehashes a node's color with a fingerprint of its neighbors' color
+    MULTISET. Nodes sharing a final color are 1-WL-indistinguishable —
     the per-wave structural fingerprint that spots template/boilerplate
     subgraphs and drift in extraction shape between crawls.
 
-    Deterministic and engine-portable: md5 colors, '>'-joined sorted
-    neighbor lists, '|' separator before the rehash — no RNG, no floats.
-    Fixed ``rounds`` (no data-dependent control flow; the oracle unrolls
-    the identical recurrence with AS MATERIALIZED CTEs). Each round is
-    one neighbor-key equi-join + one partial-agg'd sort-collect shuffle
-    on the node key, with an eager ``localCheckpoint`` lineage cut (the
-    colors table is referenced twice per round). Isolated nodes never
-    enter (the symmetric pair list comes from edges).
+    The multiset fingerprint is the EXACT decimal(38,0) SUM of each
+    neighbor color's 60-bit md5-prefix integer — order-free, so it
+    partial-aggregates map-side and a 10^8-in-degree hub costs the same
+    shuffle bytes as a leaf (the textbook sorted-concat encoding would
+    materialize a giant per-hub string — the skew OOM a web graph
+    guarantees). Deterministic and engine-portable: md5 colors, exact
+    integer sums (hugeint on the DuckDB side), '|' separator before the
+    rehash — no RNG, no floats. Fixed ``rounds`` (no data-dependent
+    control flow; the oracle unrolls the identical recurrence with
+    AS MATERIALIZED CTEs). Each round is one neighbor-key equi-join +
+    one partial-agg'd sum shuffle on the node key, with an eager
+    ``localCheckpoint`` lineage cut (the colors table is referenced
+    twice per round). Isolated nodes never enter (the symmetric pair
+    list comes from edges).
 
     Returns (node, wl_color, n_class): the final color and its
     equivalence-class size.
@@ -1628,6 +1634,9 @@ def wl_refinement(
     )
     for _ in range(rounds):
         colors = colors.localCheckpoint(eager=True)
+        # 60-bit md5-prefix of the neighbor color, summed exactly: an
+        # order-free multiset fingerprint with map-side partial agg
+        nint = F.conv(F.substring("ncolor", 1, 15), 16, 10).cast("decimal(38,0)")
         nbrs = (
             sym.join(
                 colors.select(
@@ -1636,15 +1645,16 @@ def wl_refinement(
                 "v",
             )
             .groupBy("u")
-            .agg(
-                F.concat_ws(">", F.array_sort(F.collect_list("ncolor"))).alias(
-                    "nbrs"
-                )
-            )
+            .agg(F.sum(nint).alias("nsum"))
         )
         colors = colors.join(
-            nbrs.select(F.col("u").alias("node"), "nbrs"), "node"
-        ).select("node", F.md5(F.concat_ws("|", "color", "nbrs")).alias("color"))
+            nbrs.select(F.col("u").alias("node"), "nsum"), "node"
+        ).select(
+            "node",
+            F.md5(
+                F.concat_ws("|", "color", F.col("nsum").cast("string"))
+            ).alias("color"),
+        )
     cls = Window.partitionBy("color")
     return colors.select(
         "node",
