@@ -913,6 +913,14 @@ def _q_kg_wl_colors(spark, sf_dir):
     return wl_refinement(_edges(spark, sf_dir), rounds=2)
 
 
+def _q_kg_bipartite(spark, sf_dir):
+    # odd-cycle detection per component via the bipartite double cover:
+    # 2-colorability reduced to plain CC (components.bipartite_components)
+    from text_to_graph_spark.operators.components import bipartite_components
+
+    return bipartite_components(_edges(spark, sf_dir), src="subj", dst="obj")
+
+
 def _q_kg_mis(spark, sf_dir):
     # Luby-style maximal independent set, md5 priorities, fixed 4 rounds
     # (oracle unrolls the identical recurrence)
@@ -2640,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_motifs": _q_kg_motifs,
         "kg_mis": _q_kg_mis,
         "kg_wl_colors": _q_kg_wl_colors,
+        "kg_bipartite": _q_kg_bipartite,
         "kg_functionality": _q_kg_functionality,
         "kg_conflicts": _q_kg_conflicts,
         "kg_rules": _q_kg_rules,
@@ -4478,6 +4487,41 @@ FROM paths p WHERE EXISTS (SELECT 1 FROM e z WHERE z.a = p.c AND z.b = p.a)
         "kg_mis": f"""
 {_KG_PREFIX},
 {_mis_oracle(4)}
+""",
+        # bipartiteness per component via the double cover (recursive
+        # reachability CC on both graphs; nc=2 <=> copies never connect)
+        "kg_bipartite": f"""
+{_KG_PREFIX},
+bp_e AS (SELECT DISTINCT u, v FROM sym WHERE u <> v),
+bp_dc AS (
+  SELECT u || '#0' AS a, v || '#1' AS b FROM bp_e
+  UNION ALL
+  SELECT u || '#1' AS a, v || '#0' AS b FROM bp_e
+),
+bp_dsym AS (SELECT a, b FROM bp_dc UNION ALL SELECT b AS a, a AS b FROM bp_dc),
+bp_dverts AS (SELECT DISTINCT a AS node FROM bp_dsym),
+bp_reach AS (
+  SELECT node, node AS r FROM bp_dverts
+  UNION
+  SELECT s.a, bp_reach.r FROM bp_dsym s JOIN bp_reach ON s.b = bp_reach.node
+),
+bp_comp AS (SELECT node, min(r) AS comp FROM bp_reach GROUP BY node),
+bp_flags AS (
+  SELECT substr(node, 1, len(node) - 2) AS n,
+         count(DISTINCT comp) AS nc
+  FROM bp_comp GROUP BY 1
+),
+bp_overts AS (SELECT DISTINCT u AS node FROM bp_e),
+bp_oreach AS (
+  SELECT node, node AS r FROM bp_overts
+  UNION
+  SELECT s.u, bp_oreach.r FROM bp_e s JOIN bp_oreach ON s.v = bp_oreach.node
+),
+bp_ocomp AS (SELECT node, min(r) AS component FROM bp_oreach GROUP BY node)
+SELECT c.component, CAST(count(*) AS bigint) AS n_nodes,
+       bool_and(f.nc = 2) AS is_bipartite
+FROM bp_ocomp c JOIN bp_flags f ON f.n = c.node
+GROUP BY c.component
 """,
         # 1-WL color refinement, 2 unrolled rounds
         "kg_wl_colors": f"""

@@ -380,3 +380,38 @@ class TestBowtieRegions:
             "e": "out", "f": "out", "k": "out",
             "g": "other", "h": "other", "i": "other", "j": "other",
         }
+
+
+class TestBipartiteComponents:
+    def test_even_cycle_and_odd_cycle(self, spark):
+        from text_to_graph_spark.operators.components import bipartite_components
+
+        edges = spark.createDataFrame(
+            [
+                # 4-cycle a-b-c-d-a: bipartite
+                ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+                # triangle x-y-z: odd cycle
+                ("x", "y"), ("y", "z"), ("z", "x"),
+                # lone edge p-q (+ self-loop dropped): bipartite
+                ("p", "q"), ("p", "p"),
+            ],
+            "src string, dst string",
+        )
+        got = {
+            r.component: (r.n_nodes, r.is_bipartite)
+            for r in bipartite_components(edges).collect()
+        }
+        assert got == {
+            "a": (4, True),
+            "x": (3, False),
+            "p": (2, True),
+        }
+
+    def test_path_is_bipartite(self, spark):
+        from text_to_graph_spark.operators.components import bipartite_components
+
+        edges = spark.createDataFrame(
+            [("1", "2"), ("2", "3"), ("3", "4")], "src string, dst string"
+        )
+        rows = bipartite_components(edges).collect()
+        assert len(rows) == 1 and rows[0].is_bipartite and rows[0].n_nodes == 4

@@ -907,3 +907,16 @@ def test_wl_refinement_round_no_cartesian_udf_free(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert python_eval_count(out) == 0
+
+
+def test_bipartite_double_cover_no_cartesian_udf_free(spark):
+    """Bipartiteness rides the CC fixpoint on the double cover: node-key
+    equi-joins only, no Python, no all-pairs product."""
+    from text_to_graph_spark.operators.components import bipartite_components
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    out = bipartite_components(df)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0

@@ -570,3 +570,66 @@ def bowtie_regions(
             .alias("region"),
         )
     )
+
+
+def bipartite_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Odd-cycle detection per connected component via the bipartite
+    DOUBLE COVER — the classic reduction that turns "is this component
+    2-colorable?" into plain connected components, so the whole check
+    rides the same scale-proven min-label CC fixpoint (no BFS parity
+    bookkeeping, no new iteration primitive): lift every node v to two
+    cover copies ``v#0`` / ``v#1`` and every edge (u, v) to
+    (u#0, v#1), (u#1, v#0); a component is bipartite iff no node's two
+    copies become connected (an odd cycle is exactly a cover path from
+    v#0 to v#1). KG use: bipartite predicate subgraphs (user-product,
+    doc-entity) support 2-mode projections; odd cycles flag extraction
+    noise in supposedly-bipartite relations.
+
+    Cost: two CC fixpoints (cover graph has 2|V| nodes / 2|E| edges) +
+    one per-node parity pivot + one component rollup — all node-key
+    equi-joins. The cover suffix is exactly two characters and the
+    parity split strips exactly two characters, so keys containing
+    '#' round-trip unharmed.
+
+    Returns (component, n_nodes, is_bipartite) with component = the CC
+    operator's min-node-id label.
+    """
+    e = edges.where(F.col(src) != F.col(dst)).select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    )
+    cover = e.select(
+        F.concat("u", F.lit("#0")).alias("a"), F.concat("v", F.lit("#1")).alias("b")
+    ).unionByName(
+        e.select(
+            F.concat("u", F.lit("#1")).alias("a"),
+            F.concat("v", F.lit("#0")).alias("b"),
+        )
+    )
+    cover_cc = connected_components(cover, "a", "b", max_iterations)
+    parity = cover_cc.select(
+        F.expr("substring(node, 1, length(node) - 2)").alias("n"),
+        F.substring("node", -1, 1).alias("p"),
+        "component",
+    )
+    node_ok = (
+        parity.groupBy("n")
+        .agg(
+            F.max(F.when(F.col("p") == "0", F.col("component"))).alias("c0"),
+            F.max(F.when(F.col("p") == "1", F.col("component"))).alias("c1"),
+        )
+        .select("n", (F.col("c0") != F.col("c1")).alias("two_sided"))
+    )
+    base_cc = connected_components(e, "u", "v", max_iterations)
+    return (
+        base_cc.join(node_ok, base_cc.node == node_ok.n)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.expr("bool_and(two_sided)").alias("is_bipartite"),
+        )
+    )

@@ -167,6 +167,7 @@ def main() -> int:
         join_skew_profile,
         triples_to_canonical_edges,
     )
+    from text_to_graph_spark.operators.components import bipartite_components
     from text_to_graph_spark.operators.chunking import chunk_pages
     from text_to_graph_spark.operators.extraction import extract_triples_from_pages
     from text_to_graph_spark.operators import olap as OL6
@@ -426,6 +427,9 @@ def main() -> int:
                 ),
                 rounds=1,
             )
+        ),
+        "bipartite double cover (CC fixpoint on lifted edges)": (
+            bipartite_components(triples.selectExpr("subj AS src", "obj AS dst"))
         ),
         "predicate reciprocity (reversed-triple LeftSemi probe)": (
             GQ.predicate_reciprocity(triples_to_canonical_edges(triples))
