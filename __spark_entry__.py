@@ -853,6 +853,33 @@ def _q_kg_harmonic(spark, sf_dir):
     return harmonic_closeness(d)
 
 
+def _q_kg_distance_hist(spark, sf_dir):
+    # landmark distance distribution + cumulative ppm (effective-diameter
+    # readout) over the same top-4-degree landmark BFS as kg_harmonic
+    from text_to_graph_spark.operators.components import (
+        distance_histogram,
+        landmark_distances,
+    )
+
+    e = _edges(spark, sf_dir)
+    adj = (
+        e.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+        .unionByName(e.select(F.col("obj").alias("u"), F.col("subj").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lm = (
+        adj.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), "u")
+        .limit(4)
+        .select(F.col("u").alias("node"))
+    )
+    return distance_histogram(
+        landmark_distances(e, lm, src="subj", dst="obj", max_hops=4)
+    )
+
+
 def _q_kg_fact_history(spark, sf_dir):
     # temporal KG: fact validity window (first/last WARC capture epoch,
     # span, doc support) off crawl provenance
@@ -2640,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_source_reliability": _q_kg_source_reliability,
         "kg_fused_facts": _q_kg_fused_facts,
         "kg_harmonic": _q_kg_harmonic,
+        "kg_distance_hist": _q_kg_distance_hist,
         "kg_fact_history": _q_kg_fact_history,
         "kg_fact_intervals": _q_kg_fact_intervals,
         "kg_active_facts": _q_kg_active_facts,
@@ -4386,6 +4414,19 @@ SELECT node,
        CAST(sum(1000000 // distance) AS bigint) AS harmonic_e6
 FROM v4 WHERE distance > 0
 GROUP BY 1
+""",
+        # landmark distance histogram + cumulative ppm
+        "kg_distance_hist": f"""
+{_KG_PREFIX},
+{_landmark_cte(hops=4, k=4)},
+dh AS (SELECT distance, count(*) AS n_pairs FROM v4 WHERE distance > 0
+       GROUP BY 1)
+SELECT CAST(distance AS bigint) AS distance,
+       CAST(n_pairs AS bigint) AS n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY distance ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) * 1000000
+            // (SELECT sum(n_pairs) FROM dh) AS bigint) AS cum_ppm
+FROM dh
 """,
         # temporal KG: fact validity window off WARC capture epochs
         "kg_fact_history": f"""

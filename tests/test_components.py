@@ -415,3 +415,26 @@ class TestBipartiteComponents:
         )
         rows = bipartite_components(edges).collect()
         assert len(rows) == 1 and rows[0].is_bipartite and rows[0].n_nodes == 4
+
+
+class TestDistanceHistogram:
+    def test_path_graph_cumulative_ppm(self, spark):
+        from text_to_graph_spark.operators.components import (
+            distance_histogram,
+            landmark_distances,
+        )
+
+        edges = spark.createDataFrame(
+            [("1", "2"), ("2", "3"), ("3", "4")], "src string, dst string"
+        )
+        roots = spark.createDataFrame([("1",)], "node string")
+        d = landmark_distances(edges, roots, max_hops=4)
+        got = {
+            r.distance: (r.n_pairs, r.cum_ppm)
+            for r in distance_histogram(d).collect()
+        }
+        assert got == {
+            1: (1, 333_333),
+            2: (1, 666_666),
+            3: (1, 1_000_000),
+        }

@@ -633,3 +633,30 @@ def bipartite_components(
             F.expr("bool_and(two_sided)").alias("is_bipartite"),
         )
     )
+
+
+def distance_histogram(dists: DataFrame) -> DataFrame:
+    """Landmark distance distribution with cumulative ppm — the
+    effective-diameter readout (the smallest d whose cum_ppm ≥ 900000 is
+    the 90% effective diameter, Eppstein-Wang estimated): per distance,
+    the (root, node) pair count over the landmark BFS table and the
+    running corpus share in exact integer ppm.
+
+    Input is :func:`landmark_distances` output; self rows (distance 0)
+    are excluded. The histogram has ≤ max_hops rows, so the cumulative
+    window and the share denominator run over a driver-scale aggregate —
+    the only corpus-sized work is the BFS that produced ``dists``.
+    """
+    hist = (
+        dists.where(F.col("distance") > 0)
+        .groupBy("distance")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    return hist.select(
+        F.col("distance").cast("bigint").alias("distance"),
+        "n_pairs",
+        F.expr(
+            "sum(n_pairs) OVER (ORDER BY distance ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) * 1000000 DIV sum(n_pairs) OVER ()"
+        ).cast("bigint").alias("cum_ppm"),
+    )
