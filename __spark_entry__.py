@@ -2854,19 +2854,48 @@ shingles AS (
 )
 """
 
+# b=8 bands x r=4 concatenated min-hashes: P(candidate) = 1-(1-j^4)^8 — the
+# S-curve that bounds hot-bucket candidate mass at corpus scale (a single
+# globally-small-hash stopword shingle can no longer capture the whole
+# corpus in one bucket, which r=1 banding allowed). Mirrors
+# operators/dedup.py minhash_signatures exactly.
+_MH_BANDS, _MH_ROWS = 8, 4
 _MINHASH_CTE = (
     _SHINGLES_CTE
     + """,
+mins AS (
+  SELECT doc_id,
+"""
+    + ",\n".join(
+        f"         min(md5('{i}#' || shingle)) AS mh{i}"
+        for i in range(_MH_BANDS * _MH_ROWS)
+    )
+    + """
+  FROM shingles GROUP BY doc_id
+),
 sig AS (
   SELECT doc_id,
-         min(md5('0#' || shingle)) AS mh0,
-         min(md5('1#' || shingle)) AS mh1,
-         min(md5('2#' || shingle)) AS mh2,
-         min(md5('3#' || shingle)) AS mh3
-  FROM shingles GROUP BY doc_id
+"""
+    + ",\n".join(
+        "         md5("
+        + " || '|' || ".join(f"mh{b * _MH_ROWS + j}" for j in range(_MH_ROWS))
+        + f") AS bk{b}"
+        for b in range(_MH_BANDS)
+    )
+    + """
+  FROM mins
 )
 """
 )
+
+# band-key union branches (reused by every MinHash/LSH oracle below)
+_MH_BAND_UNION = "\n  UNION ALL ".join(
+    f"SELECT doc_id, bk{b} AS h, {b} AS band FROM sig" for b in range(_MH_BANDS)
+)
+_MH_BK_COLS = ", ".join(f"bk{b}" for b in range(_MH_BANDS))
+_MH_BUCKET_EXPR = "md5(" + " || '|' || ".join(
+    f"bk{b}" for b in range(_MH_BANDS)
+) + ")"
 
 
 # linking fragments — VALUES/CASE literals generated from the single source
@@ -5104,17 +5133,14 @@ SELECT DISTINCT md5(text) AS content_hash FROM documents
 """,
         "dedup_minhash": f"""
 WITH {_MINHASH_CTE}
-SELECT doc_id, mh0, mh1, mh2, mh3,
-       md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bucket
+SELECT doc_id, {_MH_BK_COLS},
+       {_MH_BUCKET_EXPR} AS bucket
 FROM sig
 """,
         "dedup_minhash_pairs": f"""
 WITH {_MINHASH_CTE},
 bands AS (
-  SELECT doc_id, mh0 AS h, 0 AS band FROM sig
-  UNION ALL SELECT doc_id, mh1, 1 FROM sig
-  UNION ALL SELECT doc_id, mh2, 2 FROM sig
-  UNION ALL SELECT doc_id, mh3, 3 FROM sig
+  {_MH_BAND_UNION}
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        count(DISTINCT a.band) AS n_bands_shared
@@ -5126,10 +5152,7 @@ GROUP BY 1, 2
         "dedup_band_load": f"""
 WITH {_MINHASH_CTE},
 bands AS (
-  SELECT mh0 AS h, 0 AS band FROM sig
-  UNION ALL SELECT mh1, 1 FROM sig
-  UNION ALL SELECT mh2, 2 FROM sig
-  UNION ALL SELECT mh3, 3 FROM sig
+  {_MH_BAND_UNION}
 ),
 buckets AS (
   SELECT band, h, count(*) AS sz FROM bands GROUP BY 1, 2
@@ -5251,10 +5274,7 @@ WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.05
         "dedup_keep_best": f"""
 WITH RECURSIVE {_MINHASH_CTE},
 bands2 AS (
-  SELECT doc_id, mh0 AS h, 0 AS band FROM sig
-  UNION ALL SELECT doc_id, mh1, 1 FROM sig
-  UNION ALL SELECT doc_id, mh2, 2 FROM sig
-  UNION ALL SELECT doc_id, mh3, 3 FROM sig
+  {_MH_BAND_UNION}
 ),
 pairs2 AS (
   SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
@@ -5915,10 +5935,7 @@ FROM fullc f LEFT JOIN asofc a
         "dedup_incremental": f"""
 WITH {_MINHASH_CTE},
 bx AS (
-  SELECT doc_id, mh0 AS h, 0 AS band FROM sig
-  UNION ALL SELECT doc_id, mh1, 1 FROM sig
-  UNION ALL SELECT doc_id, mh2, 2 FROM sig
-  UNION ALL SELECT doc_id, mh3, 3 FROM sig
+  {_MH_BAND_UNION}
 ),
 cand AS (
   SELECT n.doc_id AS new_id, o.doc_id AS old_id,
@@ -5967,10 +5984,7 @@ JOIN marg mb ON mb.source = p.source_b
         "docs_split": f"""
 WITH RECURSIVE {_MINHASH_CTE},
 bands2 AS (
-  SELECT doc_id, mh0 AS h, 0 AS band FROM sig
-  UNION ALL SELECT doc_id, mh1, 1 FROM sig
-  UNION ALL SELECT doc_id, mh2, 2 FROM sig
-  UNION ALL SELECT doc_id, mh3, 3 FROM sig
+  {_MH_BAND_UNION}
 ),
 pairs2 AS (
   SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
@@ -6027,10 +6041,7 @@ FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
         "dedup_clusters": f"""
 WITH RECURSIVE {_MINHASH_CTE},
 bands2 AS (
-  SELECT doc_id, mh0 AS h, 0 AS band FROM sig
-  UNION ALL SELECT doc_id, mh1, 1 FROM sig
-  UNION ALL SELECT doc_id, mh2, 2 FROM sig
-  UNION ALL SELECT doc_id, mh3, 3 FROM sig
+  {_MH_BAND_UNION}
 ),
 pairs2 AS (
   SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib

@@ -55,24 +55,74 @@ def test_exact_duplicates(docs):
 def test_minhash_signature_is_min_banded_md5(docs):
     sig = {r["id"]: r for r in minhash_signatures(docs).collect()}
     sh1 = _shingle_set(DOCS[0][2])
-    for b in range(4):
-        exp = min(hashlib.md5(f"{b}#{s}".encode()).hexdigest() for s in sh1)
-        assert sig[1][f"mh{b}"] == exp
+
+    def band_key(shingles, b, rows=4):
+        mins = [
+            min(hashlib.md5(f"{b * rows + j}#{s}".encode()).hexdigest()
+                for s in shingles)
+            for j in range(rows)
+        ]
+        return hashlib.md5("|".join(mins).encode()).hexdigest()
+
+    for b in range(8):
+        assert sig[1][f"bk{b}"] == band_key(sh1, b)
     # doc 5 has no shingles -> no signature row
     assert 5 not in sig
-    # exact dups share every band and the bucket
+    # exact dups share every band key and the bucket
     assert sig[1]["bucket"] == sig[2]["bucket"]
+    for b in range(8):
+        assert sig[1][f"bk{b}"] == sig[2][f"bk{b}"]
 
 
 def test_minhash_pairs_find_exact_and_near(docs):
     pairs = {(r["id_a"], r["id_b"]): r["n_bands_shared"]
              for r in minhash_candidate_pairs(docs).collect()}
-    assert pairs[(1, 2)] == 4           # identical docs share all 4 bands
-    # near-dup (1,3) shares the bands whose min-shingle survives the edit
+    assert pairs[(1, 2)] == 8           # identical docs share all 8 bands
+    # near-dup (1,3) pairs iff all 4 mins of some band survive the edit
     if (1, 3) in pairs:
-        assert 1 <= pairs[(1, 3)] <= 4
+        assert 1 <= pairs[(1, 3)] <= 8
     # unrelated docs share nothing
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_rxb_bounds_hot_bucket_vs_r1(spark):
+    """Adversarial stopword-heavy corpus: every doc shares one common
+    trigram ("the of and ..."-style boilerplate) but documents are
+    otherwise unrelated. With r=1 single-hash bands, whenever the shared
+    shingle's hash is the global band min the whole corpus lands in ONE
+    bucket (C(N,2) candidate blowup); with r=4 concatenated mins a
+    candidate needs all 4 band mins equal, which unrelated docs don't
+    satisfy — candidate mass collapses to ~0.
+    """
+    from text_to_graph_spark.operators.dedup import band_load_stats
+
+    # 13 shared stopword shingles + 40 unique tokens per doc: pairwise
+    # jaccard 0.14 (unrelated), but all docs share the SAME 13-shingle set,
+    # so any doc whose band min falls in the shared set lands in the one
+    # global hot bucket for that band. Calibrated offline against md5:
+    # r=1 -> mass 1261, max bucket 31/40 docs; r=4 -> mass 0, max bucket 1.
+    n_docs = 40
+    shared = "the of and is to in for on at by it as be or an"
+    rows = [
+        (i, "g", shared + " " + " ".join(f"u{i}x{k}" for k in range(40)))
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def stats(r):
+        st = band_load_stats(docs, bands=8, rows=r).collect()
+        return (sum(x.n_candidate_pairs for x in st),
+                max(x.max_bucket_size for x in st))
+
+    mass_r1, maxb_r1 = stats(1)
+    mass_r4, maxb_r4 = stats(4)
+    # r=1: hot buckets capture most of the corpus -> quadratic mass
+    assert mass_r1 >= (n_docs * (n_docs - 1)) // 2 and maxb_r1 >= n_docs // 2
+    # r=4: no unrelated pair agrees on 4 concatenated mins
+    assert mass_r4 == 0 and maxb_r4 == 1
+    # and the real pair join pays exactly the predicted mass
+    pairs_r4 = minhash_candidate_pairs(docs, bands=8, rows=4).collect()
+    assert sum(r.n_bands_shared for r in pairs_r4) == mass_r4
 
 
 def test_band_load_mass_equals_pair_join_cost(docs):
@@ -511,8 +561,8 @@ class TestIncrementalNeardupProbe:
             r.new_id: (r.is_dup, r.dup_of, r.n_bands_shared)
             for r in incremental_neardup_probe(new, old).collect()
         }
-        assert got[1] == (True, 2, 4)
-        assert got[3] == (True, 2, 4)
+        assert got[1] == (True, 2, 8)
+        assert got[3] == (True, 2, 8)
         assert got[5] == (False, None, 0)
         # in-wave duplicates (1 vs 3) are NOT paired by the probe
         assert len(got) == 3
@@ -526,7 +576,7 @@ class TestIncrementalNeardupProbe:
         )
         new = spark.createDataFrame([(1, t)], "doc_id long, text string")
         r = incremental_neardup_probe(new, old).collect()[0]
-        assert (r.dup_of, r.n_bands_shared) == (8, 4)  # tie -> smaller id
+        assert (r.dup_of, r.n_bands_shared) == (8, 8)  # tie -> smaller id
 
 
 class TestSimhashNeardupPairs:
@@ -657,7 +707,9 @@ def test_neardup_keep_best_prefers_quality_not_min_id(spark):
     # which plain near_dup_clusters representatives (min id) would not
     from text_to_graph_spark.operators.dedup import near_dup_clusters, neardup_keep_best
 
-    dup_a = "alpha beta gamma delta epsilon zeta eta theta alpha alpha alpha alpha"
+    # shingle jaccard 0.82 (9 of 11 trigrams shared) — calibrated offline
+    # to land 3 of 8 r=4 band-key agreements, so the pair survives LSH
+    dup_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda lambda"
     dup_b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     df = spark.createDataFrame(
         [(1, dup_a), (2, dup_b), (9, "totally different content words here")],

@@ -63,19 +63,45 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    bands: int = 4,
+    bands: int = 8,
+    rows: int = 4,
 ) -> DataFrame:
-    """Per-doc MinHash signature: band b's hash = min over shingles of
-    md5(b || '#' || shingle) (hex-lexicographic min — portable). Plus the
-    LSH bucket = md5 of the full signature."""
+    """Per-doc banded MinHash signature — ``bands`` bands of ``rows``
+    CONCATENATED min-hashes each (the industry b×r S-curve family).
+
+    Min-hash i (i in [0, bands*rows)) = min over shingles of
+    md5(i || '#' || shingle) (hex-lexicographic min — portable across
+    engines). Band b's key bk{b} = md5(mh_{b*r} || '|' || ... ||
+    mh_{b*r+r-1}).
+
+    Why r>1 matters at 100 TB: with single-hash bands (r=1),
+    P(band collision) ≈ j for LOW-jaccard pairs, so a globally-small-hash
+    common shingle (a stopword trigram on a web corpus) becomes the band
+    min for a huge doc population → one bucket of size ~N → C(N,2)
+    candidate blowup. Concatenating r hashes makes P(band) = j^r — the
+    S-curve P(candidate) = 1-(1-j^r)^b stays ~0 below the similarity knee
+    and ~1 above it, so hot-bucket candidate mass is bounded by
+    construction, not just measured after the fact.
+
+    Output: (id, bk0..bk{bands-1}, bucket) where bucket = md5 of the full
+    banded signature (exact-signature grouping key)."""
+    if bands < 1 or rows < 1:
+        raise ValueError(f"bands and rows must be >= 1; got bands={bands}, rows={rows}")
     sh = shingle_rows(docs, id_col, text_col, n)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{b}#"), F.col("shingle")))).alias(f"mh{b}")
-        for b in range(bands)
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(bands * rows)
     ]
     sig = sh.groupBy("id").agg(*aggs)
-    return sig.withColumn(
-        "bucket", F.md5(F.concat_ws("|", *[f"mh{b}" for b in range(bands)]))
+    for b in range(bands):
+        sig = sig.withColumn(
+            f"bk{b}",
+            F.md5(F.concat_ws("|", *[f"mh{b * rows + j}" for j in range(rows)])),
+        )
+    return sig.select(
+        "id",
+        *[f"bk{b}" for b in range(bands)],
+        F.md5(F.concat_ws("|", *[f"bk{b}" for b in range(bands)])).alias("bucket"),
     )
 
 
@@ -84,19 +110,21 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    bands: int = 4,
+    bands: int = 8,
+    rows: int = 4,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any single band hash (each band
-    is its own LSH bucket join). Output (id_a, id_b, n_bands_shared)."""
+    """Candidate near-dup pairs: docs agreeing on ALL ``rows`` min-hashes of
+    at least one band (each band key is its own LSH bucket equi-join).
+    P(candidate) = 1-(1-j^rows)^bands. Output (id_a, id_b, n_bands_shared)."""
     # materialize the signatures ONCE: they feed `bands` union branches and
     # both sides of the self-join — without this the full shingle explosion
     # + aggregation re-executes up to 2*bands times (measured 7x wall time)
-    sig = minhash_signatures(docs, id_col, text_col, n, bands).localCheckpoint(
+    sig = minhash_signatures(docs, id_col, text_col, n, bands, rows).localCheckpoint(
         eager=True
     )
     per_band = None
     for b in range(bands):
-        part = sig.select("id", F.col(f"mh{b}").alias("h"), F.lit(b).alias("band"))
+        part = sig.select("id", F.col(f"bk{b}").alias("h"), F.lit(b).alias("band"))
         per_band = part if per_band is None else per_band.unionByName(part)
     a = per_band.select(F.col("id").alias("id_a"), "h", "band")
     bdf = per_band.select(F.col("id").alias("id_b"), "h", "band")
@@ -113,7 +141,8 @@ def band_load_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    bands: int = 4,
+    bands: int = 8,
+    rows: int = 4,
 ) -> DataFrame:
     """LSH bucket-load diagnostics — the pre-flight that predicts whether
     the band join will blow up BEFORE paying for it.
@@ -125,17 +154,20 @@ def band_load_stats(
     and the EXACT candidate-pair mass those buckets contribute — all
     integer (size*(size-1) DIV 2), bit-equal across engines. Reading the
     top size_bucket rows tells you whether to shard hot buckets or raise
-    the shingle length before launching the join. One signature pass + a
-    (band, hash)-keyed partial-agg count; the histogram itself is ~64 rows
-    per band. Returns
+    the shingle length before launching the join. With r×b signatures
+    (``rows`` > 1) this histogram PROVES the bound — a bucket key is r
+    concatenated mins, so a single hot shingle can no longer capture the
+    whole corpus — where with r=1 it could only measure the blowup. One
+    signature pass + a (band, key)-keyed partial-agg count; the histogram
+    itself is ~64 rows per band. Returns
     (band, size_bucket, n_buckets, max_bucket_size, n_candidate_pairs).
     """
-    sig = minhash_signatures(docs, id_col, text_col, n, bands).localCheckpoint(
+    sig = minhash_signatures(docs, id_col, text_col, n, bands, rows).localCheckpoint(
         eager=True
     )
     per_band = None
     for b in range(bands):
-        part = sig.select(F.col(f"mh{b}").alias("h"), F.lit(b).alias("band"))
+        part = sig.select(F.col(f"bk{b}").alias("h"), F.lit(b).alias("band"))
         per_band = part if per_band is None else per_band.unionByName(part)
     buckets = per_band.groupBy("band", "h").agg(
         F.count(F.lit(1)).alias("sz")
@@ -369,7 +401,8 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    bands: int = 4,
+    bands: int = 8,
+    rows: int = 4,
 ) -> DataFrame:
     """End-to-end near-duplicate clustering — the composition a corpus-dedup
     job actually runs: MinHash/LSH candidate pairs -> connected components
@@ -382,7 +415,7 @@ def near_dup_clusters(
     """
     from text_to_graph_spark.operators.components import connected_components
 
-    pairs = minhash_candidate_pairs(docs, id_col, text_col, n, bands)
+    pairs = minhash_candidate_pairs(docs, id_col, text_col, n, bands, rows)
     comp = connected_components(pairs, src="id_a", dst="id_b")
     ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
     out = (
@@ -398,7 +431,8 @@ def neardup_keep_best(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    bands: int = 4,
+    bands: int = 8,
+    rows: int = 4,
 ) -> DataFrame:
     """Fuzzy dedup with quality-argmax representatives — keep the BEST copy
     of each near-duplicate family, not the arbitrary min-id one.
@@ -419,7 +453,7 @@ def neardup_keep_best(
     """
     from text_to_graph_spark.operators.textstats import quality_stats
 
-    cl = near_dup_clusters(docs, id_col, text_col, n, bands)
+    cl = near_dup_clusters(docs, id_col, text_col, n, bands, rows)
     q = quality_stats(docs, id_col, text_col).select("doc_id", "quality_score")
     j = cl.select("doc_id", "cluster").join(q, "doc_id")
     w = Window.partitionBy("cluster").orderBy(
@@ -582,7 +616,8 @@ def incremental_neardup_probe(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    bands: int = 4,
+    bands: int = 8,
+    rows: int = 4,
 ) -> DataFrame:
     """Incremental ingest dedup: probe NEW documents against the EXISTING
     corpus's MinHash signatures — the per-crawl-wave shape (the batch
@@ -605,10 +640,10 @@ def incremental_neardup_probe(
     # branches in bandify — without the lineage cut the shingle explode +
     # min aggregation re-executes once per branch (the measured 7x
     # regression documented in minhash_candidate_pairs).
-    new_sig = minhash_signatures(new_docs, id_col, text_col, n, bands).localCheckpoint(
+    new_sig = minhash_signatures(new_docs, id_col, text_col, n, bands, rows).localCheckpoint(
         eager=True
     )
-    old_sig = minhash_signatures(old_docs, id_col, text_col, n, bands).localCheckpoint(
+    old_sig = minhash_signatures(old_docs, id_col, text_col, n, bands, rows).localCheckpoint(
         eager=True
     )
 
@@ -617,7 +652,7 @@ def incremental_neardup_probe(
         for b in range(bands):
             part = sig.select(
                 F.col("id").alias(out),
-                F.col(f"mh{b}").alias("h"),
+                F.col(f"bk{b}").alias("h"),
                 F.lit(b).alias("band"),
             )
             per = part if per is None else per.unionByName(part)
