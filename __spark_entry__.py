@@ -2914,6 +2914,40 @@ _NORM = (
     "(x, y) -> x + y))"
 )
 
+def _hyperplane_values(dim: int = 64, n_bits: int = 8, n_tables: int = 8) -> str:
+    """The md5-seeded hyperplane family as a DuckDB VALUES list — the SAME
+    model parameters the Spark side inlines as plan literals (Python float
+    repr round-trips exactly, so both engines parse the identical double)."""
+    from text_to_graph_spark.operators.similarity import hyperplanes
+
+    rows = []
+    for t, tbl in enumerate(hyperplanes(dim, n_bits, n_tables)):
+        for h, plane in enumerate(tbl):
+            lst = ", ".join(repr(v) for v in plane)
+            rows.append(f"({t}, {h}, [{lst}]::DOUBLE[])")
+    return ",\n    ".join(rows)
+
+
+# multi-table random-hyperplane LSH codes: bucket in table t = sign pattern
+# of the 8 left-fold dot products with that table's planes — mirrors
+# operators/similarity.py hyperplane_codes exactly (same fold order, same
+# md5 family, so the sign of every dot product is bit-identical).
+_HP_CODES_CTE = (
+    """planes(tbl, h, plane) AS (VALUES
+    """
+    + _hyperplane_values()
+    + """),
+codes AS (
+  SELECT e.vec_id, p.tbl,
+         CAST(sum(CASE WHEN """
+    + _DOT.format(a="e.embedding", b="p.plane")
+    + """ > 0
+                  THEN (1 << p.h) ELSE 0 END) AS int) AS bucket
+  FROM embeddings e, planes p
+  GROUP BY 1, 2
+)"""
+)
+
 _SHINGLES_CTE = """
 shingles AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -5375,20 +5409,24 @@ SELECT cluster, doc_id AS kept_id, quality_score,
        CAST(n_members - 1 AS bigint) AS n_dropped
 FROM r WHERE rn = 1
 """,
-        # sign-bucket LSH candidates (first-3-component sign pattern) +
-        # exact cosine verify — mirrors embedding_neardup_pairs_lsh
+        # multi-table hyperplane-LSH candidates (any-table bucket collision)
+        # + exact cosine verify — mirrors embedding_neardup_pairs_lsh
         "dedup_embedding": f"""
-WITH e AS (
-  SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm,
-         CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS int) AS bucket
+WITH {_HP_CODES_CTE},
+e AS (
+  SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm
   FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT ca.vec_id AS id_a, cb.vec_id AS id_b
+  FROM codes ca JOIN codes cb
+    ON cb.tbl = ca.tbl AND cb.bucket = ca.bucket AND ca.vec_id < cb.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+SELECT cand.id_a, cand.id_b,
        (floor(({_DOT.format(a='a.embedding', b='b.embedding')}
              / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cos
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM cand JOIN e a ON a.vec_id = cand.id_a
+          JOIN e b ON b.vec_id = cand.id_b
 WHERE (floor(({_DOT.format(a='a.embedding', b='b.embedding')}
             / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= 0.3
 """,
@@ -6246,37 +6284,39 @@ SELECT query_id, neighbor_id, rank, qdot FROM (
 ) WHERE rank <= 5
 """,
         "ann_topk_bucketed": f"""
-WITH e AS (
-  SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm,
-         CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS int) AS bucket
+WITH {_HP_CODES_CTE},
+e AS (
+  SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm
   FROM embeddings
 ),
-q AS (SELECT * FROM e WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS neighbor_id
+  FROM codes qc JOIN codes cc
+    ON cc.tbl = qc.tbl AND cc.bucket = qc.bucket AND cc.vec_id <> qc.vec_id
+  WHERE qc.vec_id < 10
+),
 scored AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         {_DOT.format(a='q.embedding', b='e.embedding')} / (q.nrm * e.nrm) AS c
-  FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+  SELECT cand.query_id, cand.neighbor_id,
+         {_DOT.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm) AS cs
+  FROM cand JOIN e q ON q.vec_id = cand.query_id
+            JOIN e c ON c.vec_id = cand.neighbor_id
 ),
 ranked AS (
-  SELECT query_id, neighbor_id, c,
+  SELECT query_id, neighbor_id, cs,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY c DESC, neighbor_id) AS rnk
+                            ORDER BY cs DESC, neighbor_id) AS rnk
   FROM scored
 )
-SELECT query_id, neighbor_id, CAST(rnk AS int) AS rank, (floor((c) * 1000000.0 + 0.5) / 1000000.0) AS cos
+SELECT query_id, neighbor_id, CAST(rnk AS int) AS rank, (floor((cs) * 1000000.0 + 0.5) / 1000000.0) AS cos
 FROM ranked WHERE rnk <= 5
 """,
         # recall@5 of the LSH path vs brute force: both top-k twins above,
         # joined; recall depends only on the neighbor-id sets (tie-breaks
         # are pinned by the same (c DESC, neighbor_id) order in both)
         "ann_recall": f"""
-WITH e AS (
-  SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm,
-         CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS int) AS bucket
+WITH {_HP_CODES_CTE},
+e AS (
+  SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm
   FROM embeddings
 ),
 q AS (SELECT * FROM e WHERE vec_id < 10),
@@ -6290,14 +6330,21 @@ brute AS (
     FROM q JOIN e ON e.vec_id <> q.vec_id
   ) WHERE rnk <= 5
 ),
+cand AS (
+  SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS neighbor_id
+  FROM codes qc JOIN codes cc
+    ON cc.tbl = qc.tbl AND cc.bucket = qc.bucket AND cc.vec_id <> qc.vec_id
+  WHERE qc.vec_id < 10
+),
 lshr AS (
   SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    SELECT cand.query_id, cand.neighbor_id,
            row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY {_DOT.format(a='q.embedding', b='e.embedding')}
-                      / (q.nrm * e.nrm) DESC, e.vec_id) AS rnk
-    FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+             PARTITION BY cand.query_id
+             ORDER BY {_DOT.format(a='q.embedding', b='c.embedding')}
+                      / (q.nrm * c.nrm) DESC, cand.neighbor_id) AS rnk
+    FROM cand JOIN e q ON q.vec_id = cand.query_id
+              JOIN e c ON c.vec_id = cand.neighbor_id
   ) WHERE rnk <= 5
 )
 SELECT b.query_id,

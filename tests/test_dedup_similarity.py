@@ -194,12 +194,56 @@ def test_topk_bruteforce_matches_python(emb):
     assert got == exp
 
 
-def test_topk_bucketed_subset_of_bucket(emb):
-    got = topk_bucketed(emb, emb.where("vec_id = 1"), k=5, sign_bits=3).collect()
-    # query [1,0,0] bucket = sign bits (1,0,0) -> only candidates with x>0,
-    # y<=0, z<=0 share it: vec 2? (0.9,0.1,0) has y>0 -> different bucket.
+def test_topk_bucketed_exact_scores_and_near_recall(emb):
+    got = {
+        r["neighbor_id"]: r["cos"]
+        for r in topk_bucketed(emb, emb.where("vec_id = 1"), k=5).collect()
+    }
+    # near-identical neighbor (cos ~0.9939, angle ~6.3 deg) collides in at
+    # least one of the 8 tables with overwhelming probability — and the
+    # family is deterministic, so this is a fixed fact of the fixture
+    assert 2 in got
+    # every returned cosine is the exact brute-force fold value
+    brute = {
+        r["neighbor_id"]: r["cos"]
+        for r in topk_bruteforce(emb, emb.where("vec_id = 1"), k=5).collect()
+    }
+    for nid, cos in got.items():
+        assert brute[nid] == cos
+
+
+def test_topk_bucketed_planted_recall_and_multiprobe(spark):
+    """ANN honesty gate: recall >= 0.9 for PLANTED near-duplicate queries on
+    the real 64-dim fixture (what hyperplane LSH actually promises — the
+    fixture's organic 'neighbors' sit at ~65 deg where any sublinear index
+    must lose recall), and Hamming-1 multiprobe never worsens the best hit."""
+    from text_to_graph_spark.operators.similarity import topk_bucketed as tb
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.where("vec_id < 20").collect()
+    planted = [
+        # deterministic perturbation: flip-scale each component slightly
+        (10000 + r["vec_id"], [v * (1.02 if i % 2 else 0.98) + 0.003 * ((-1) ** i)
+                               for i, v in enumerate(r["embedding"])])
+        for r in base
+    ]
+    queries = spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    got = tb(emb, queries, k=5).collect()
+    top = {}
     for r in got:
-        assert r["neighbor_id"] not in (3, 4)  # different sign pattern
+        top.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        top.setdefault(("best", r["query_id"]), set())
+    hits = sum(1 for q, _ in [(r["vec_id"], 0) for r in base]
+               if (10000 + q) in top and q in top[10000 + q])
+    assert hits >= 0.9 * len(base), f"planted recall {hits}/{len(base)}"
+
+    best0 = {
+        r["query_id"]: r["cos"] for r in got if r["rank"] == 1
+    }
+    got1 = tb(emb, queries, k=5, probe_hamming=1).collect()
+    best1 = {r["query_id"]: r["cos"] for r in got1 if r["rank"] == 1}
+    for q, c in best0.items():
+        assert best1[q] >= c  # superset candidates => best never worse
 
 
 def test_embedding_neardup_threshold(emb):
@@ -228,8 +272,9 @@ def test_embedding_neardup_lsh_subset_with_exact_scores(spark):
     assert lsh, "LSH path found no pairs at fixture scale"
     for pair, cos in lsh.items():
         assert brute[pair] == cos  # exact verify: identical fold, bitwise
-    # recall on the highest-similarity stratum: pairs this close share the
-    # sign bucket unless a component sits exactly at a hyperplane
+    # recall on the highest-similarity stratum: pairs this close collide in
+    # at least one of the 8 hyperplane tables (miss prob ~1e-8, and the
+    # md5-seeded family is deterministic so this is a fixed fixture fact)
     near_identical = {p for p, c in brute.items() if c >= 0.999}
     assert near_identical <= set(lsh) or not near_identical
 

@@ -361,32 +361,48 @@ def embedding_neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.5,
-    sign_bits: int = 3,
+    n_bits: int = 8,
+    n_tables: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed — the 100 TB path.
 
-    Candidate generation is a sign-bucket EQUI-join (the sign pattern of the
-    first ``sign_bits`` components; a fixed random-hyperplane family in
-    production): near-identical vectors land in the same bucket, so the join
-    is hash-partitioned by bucket instead of an n² cartesian product. The
-    exact cosine then verifies only the candidates. Trades recall (pairs
-    straddling a hyperplane are missed) for ~2^bits fan-in reduction —
-    the standard SimHash/LSH dedup contract. Output (id_a, id_b, cos)."""
+    Candidate generation is a SELF equi-join of multi-table random-hyperplane
+    codes (:func:`~text_to_graph_spark.operators.similarity.hyperplane_codes`:
+    ``n_tables`` independent tables of ``n_bits`` md5-seeded hyperplanes; a
+    pair is a candidate if it collides in ANY table). The code join shuffles
+    only (id, tbl, bucket) triples — never the vectors; exact cosine then
+    verifies only the distinct candidate pairs after two id-equi-joins fetch
+    the vectors back. Recall for a pair at angle θ is
+    1-(1-(1-θ/π)^n_bits)^n_tables: near-duplicates (θ→0) are found with
+    probability ~1, uncorrelated pairs collide in ~n_tables/2^n_bits of
+    cases — the standard SimHash-for-angles dedup contract.
+    Output (id_a, id_b, cos)."""
     from text_to_graph_spark.operators.similarity import (
         cosine_expr,
-        sign_bucket_expr,
+        hyperplane_codes,
+        hyperplanes,
         with_norm,
     )
 
-    a = with_norm(emb, id_col, vec_col, "a").withColumn(
-        "bucket", sign_bucket_expr("vec_a", sign_bits)
-    )
-    b = with_norm(emb, id_col, vec_col, "b").withColumn(
-        "bucket", sign_bucket_expr("vec_b", sign_bits)
-    )
-    return (
-        a.join(b, "bucket")
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("embedding_neardup_pairs_lsh: empty input")
+    planes = hyperplanes(first["d"], n_bits, n_tables)
+
+    codes = hyperplane_codes(emb, planes, id_col, vec_col, "vid")
+    codes = codes.localCheckpoint(eager=True)  # reused on both join sides
+    cand = (
+        codes.withColumnRenamed("vid", "id_a")
+        .join(codes.withColumnRenamed("vid", "id_b"), ["tbl", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = with_norm(emb, id_col, vec_col, "a")
+    b = with_norm(emb, id_col, vec_col, "b")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
             "cos",
             round_half_up(cosine_expr("vec_a", "vec_b", "norm_a", "norm_b"), 6),

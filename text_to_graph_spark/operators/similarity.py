@@ -4,16 +4,22 @@
   dot product is a *fixed-order left fold* (``F.aggregate`` over
   ``zip_with``) in double precision: bit-identical across engines and across
   shuffle orders (a shuffled explode-sum would not be).
-- ``topk_bucketed``: the scale path — a deterministic sign-bit LSH (bucket =
-  sign pattern of the first ``sign_bits`` components; a fixed random-
-  hyperplane family in production), search within the query's bucket only.
-  Trades recall for a ~2^bits fan-in reduction; at 100 TB the bucket id is
-  the shuffle/partition key so each query touches one partition.
+- ``topk_bucketed``: the scale path — multi-table random-hyperplane LSH
+  (SimHash for angles): ``n_tables`` independent tables of ``n_bits``
+  md5-seeded hyperplanes each; a vector's bucket in table t is the sign
+  pattern of its dot products with that table's planes. Candidates = union
+  over tables of same-bucket vectors, then exact cosine verifies. Recall of
+  a neighbor at angle θ is 1-(1-(1-θ/π)^bits)^tables — ≥0.9 for genuinely
+  near vectors at the defaults; ``ann_recall`` measures it on real data.
+  At 100 TB the (table, bucket) pair is the shuffle/partition key so each
+  query touches n_tables partitions instead of the whole corpus.
 
 Ties are broken deterministically by (score desc, candidate id asc).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -185,15 +191,67 @@ def topk_ivf(
     )
 
 
-def sign_bucket_expr(vec_col: str, sign_bits: int = 3):
-    """Deterministic LSH bucket: integer from the sign bits of the first
-    ``sign_bits`` components (1-indexed element_at — portable)."""
+HYPERPLANE_SEED = "t2g-hyperplane"
+
+
+def hyperplanes(
+    dim: int, n_bits: int = 8, n_tables: int = 8, seed: str = HYPERPLANE_SEED
+) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplane family, md5-seeded — the model
+    parameter of the LSH index (like k-means centroids, it lives on the
+    driver and is inlined as plan literals; never a data-side rand()).
+
+    Component d of plane h in table t = md5("{seed}#{t}#{h}#{d}")'s first
+    8 hex digits as an integer, mapped to [-1, 1) by x/2^31 - 1. Every
+    value is an exact dyadic rational, so any engine that parses the
+    literal (or recomputes the md5) lands on the bit-identical double —
+    the oracle recomputes the same family inside DuckDB.
+    """
+    out = []
+    for t in range(n_tables):
+        tbl = []
+        for h in range(n_bits):
+            row = []
+            for d in range(dim):
+                x = int(
+                    hashlib.md5(f"{seed}#{t}#{h}#{d}".encode()).hexdigest()[:8], 16
+                )
+                row.append(x / 2147483648.0 - 1.0)
+            tbl.append(row)
+        out.append(tbl)
+    return out
+
+
+def hyperplane_bucket_expr(vec_col: str, table_planes: list[list[float]]):
+    """Bucket id for ONE table: bit h = sign of the fixed-order left-fold
+    dot product with plane h (inlined literal array). Pure projection —
+    fuses into the scan stage, zero shuffle."""
     b = F.lit(0)
-    for i in range(sign_bits):
-        b = b + F.when(F.element_at(F.col(vec_col), i + 1) > 0, F.lit(2**i)).otherwise(
-            F.lit(0)
+    for h, plane in enumerate(table_planes):
+        lit = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
+        b = b + F.when(dot > 0, F.lit(1 << h)).otherwise(F.lit(0))
     return b.cast("int")
+
+
+def hyperplane_codes(
+    df: DataFrame,
+    planes: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+) -> DataFrame:
+    """(out_id, tbl, bucket) — one row per (vector, table). All table
+    buckets are computed in ONE projection (an array + posexplode), so the
+    corpus is scanned once regardless of n_tables."""
+    exprs = F.array(*[hyperplane_bucket_expr(vec_col, tp) for tp in planes])
+    return df.select(
+        F.col(id_col).alias(out_id), F.posexplode(exprs).alias("tbl", "bucket")
+    )
 
 
 MICRO = 1_000_000
@@ -400,21 +458,72 @@ def topk_bucketed(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sign_bits: int = 3,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    probe_hamming: int = 0,
+    seed: str = HYPERPLANE_SEED,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign bucket.
-    The bucket id is the join key — an equi-join Catalyst can hash/broadcast,
-    instead of the brute-force cross join."""
-    q = with_norm(queries, id_col, vec_col, "q").withColumn(
-        "bucket", sign_bucket_expr("vec_q", sign_bits)
+    """Approximate top-k via multi-table random-hyperplane LSH (SimHash for
+    angles): a candidate is any corpus vector sharing the query's bucket in
+    at least one of ``n_tables`` independent tables; exact cosine then ranks
+    the candidates.
+
+    Scale shape (the whole point):
+
+    - The corpus is scanned ONCE. The exploded (tbl, bucket) code rows carry
+      the vector along, but that expansion is pipeline-local — it feeds a
+      broadcast hash join against the (tiny) query code table, so no corpus
+      row ever shuffles at fan-out width.
+    - The only shuffles are the candidate-pair dedup (distinct over the
+      *matched* pairs — the small set) and the final per-query top-k window.
+    - ``probe_hamming=1`` turns on multiprobe: each query also probes the
+      ``n_bits`` buckets at Hamming distance 1 in every table — the standard
+      recall knob that buys ~(1+bits)x candidates without more tables (i.e.
+      without re-coding the corpus). Query-side only; corpus codes are
+      unchanged.
+
+    Recall of a neighbor at angle θ is 1-(1-(1-θ/π)^n_bits)^n_tables —
+    near-duplicates (θ→0) are found with probability ~1 at the defaults,
+    while uncorrelated vectors (θ≈π/2) collide in ~(1/2^n_bits) of buckets.
+    ``ann_recall`` MEASURES recall on real data; tests additionally plant
+    near-duplicate queries and assert ≥0.9 planted recall.
+    """
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("topk_bucketed: empty input")
+    planes = hyperplanes(first["d"], n_bits, n_tables, seed)
+
+    c = with_norm(emb, id_col, vec_col, "c")
+    c_codes = c.select(
+        "id_c",
+        "vec_c",
+        "norm_c",
+        F.posexplode(
+            F.array(*[hyperplane_bucket_expr("vec_c", tp) for tp in planes])
+        ).alias("tbl", "bucket"),
     )
-    c = with_norm(emb, id_col, vec_col, "c").withColumn(
-        "bucket", sign_bucket_expr("vec_c", sign_bits)
+    q_codes = queries.select(
+        F.col(id_col).alias("id_q"),
+        F.posexplode(
+            F.array(*[hyperplane_bucket_expr(vec_col, tp) for tp in planes])
+        ).alias("tbl", "bucket"),
     )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    if probe_hamming:
+        flips = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)],
+        )
+        q_codes = q_codes.select("id_q", "tbl", F.explode(flips).alias("bucket"))
+
+    cand = (
+        c_codes.join(F.broadcast(q_codes), ["tbl", "bucket"])
         .where(F.col("id_q") != F.col("id_c"))
-        .withColumn("cos", cosine_expr("vec_q", "vec_c", "norm_q", "norm_c"))
+        .select("id_q", "id_c", "vec_c", "norm_c")
+        .dropDuplicates(["id_q", "id_c"])  # same pair from several tables
+    )
+    q = with_norm(queries, id_col, vec_col, "q")
+    scored = cand.join(F.broadcast(q), "id_q").withColumn(
+        "cos", cosine_expr("vec_q", "vec_c", "norm_q", "norm_c")
     )
     w = Window.partitionBy("id_q").orderBy(F.desc("cos"), F.asc("id_c"))
     return (
@@ -442,7 +551,7 @@ def ann_recall(
     a first-class table: the approximate index's quality is computed by the
     engine itself (left join of the exact top-k against the bucketed top-k,
     count of survivors, exact integer ppm). Run it on a fixture-scale sample
-    whenever ``sign_bits``/``k`` change; at production scale the exact side
+    whenever ``n_bits``/``n_tables``/``k`` change; at production scale the exact side
     is only ever computed over such a sample (brute force is the O(n·q)
     baseline), so the recall job stays cheap while the index serves the
     full corpus.
