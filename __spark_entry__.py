@@ -2498,7 +2498,11 @@ def _q_events_enrich_streamed(spark, sf_dir):
 
 
 def _q_mm_meta(spark, sf_dir):
-    return MM.decode_metadata(MM.attach_payload(_docs(spark, sf_dir)))
+    # REAL image path: synthesize a genuine grayscale PNG per document and
+    # fully decode it (CRC verify + inflate + unfilter); the oracle
+    # recomputes the generation rule arithmetically, so only a real decoder
+    # matches
+    return MM.decode_png_metadata(MM.attach_png_payload(_docs(spark, sf_dir)))
 
 
 def _q_mm_frames(spark, sf_dir):
@@ -7379,13 +7383,26 @@ SELECT doc_id, CAST(i AS int) AS frame_index,
        CAST((n * (i + 1)) // 3 - (n * i) // 3 AS bigint) AS n_bytes
 FROM t, unnest(generate_series(0, 2)) AS g(i)
 """,
+        # real-PNG metadata: the Spark side DECODES synthesized PNG bytes
+        # (CRC + inflate + unfilter); the oracle recomputes the encoder's
+        # generation rule — width/height from text length and doc_id,
+        # pixel_sum = sum of (doc_id*31 + r*7 + c*13) % 256 over the image
         "mm_meta": """
-SELECT doc_id, 'image/fake' AS media_type,
-       CAST(octet_length(encode(text)) AS bigint) AS n_bytes,
-       sha256(text) AS sha256,
-       CAST(octet_length(encode(text)) % 640 AS int) AS width,
-       CAST(octet_length(encode(text)) % 480 AS int) AS height
-FROM documents
+WITH dims AS (
+  SELECT doc_id,
+         CAST(8 + octet_length(encode(text)) % 24 AS int) AS width,
+         CAST(8 + doc_id % 16 AS int) AS height
+  FROM documents
+)
+SELECT d.doc_id, 'image/png' AS media_type, d.width, d.height,
+       CAST(8 AS int) AS bit_depth, CAST(0 AS int) AS color_type,
+       CAST(d.height * (d.width + 1) AS bigint) AS n_raw,
+       CAST(sum((d.doc_id * 31 + r.r * 7 + c.c * 13) % 256) AS bigint)
+         AS pixel_sum
+FROM dims d,
+     unnest(generate_series(0, d.height - 1)) AS r(r),
+     unnest(generate_series(0, d.width - 1)) AS c(c)
+GROUP BY d.doc_id, d.width, d.height
 """,
         # TPC-H Q1 shape; money as per-row half-up integer cents so the sum
         # is shuffle-order-stable and engine-exact

@@ -1,0 +1,144 @@
+"""Multimodal plumbing + the real PNG codec (kit/png.py).
+
+The codec tests run driver-side (pure Python); the Spark tests prove the
+mapInPandas decode path recovers exactly what the encoder embedded.
+"""
+
+import hashlib
+import struct
+import zlib
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from text_to_graph_spark.kit.png import SIGNATURE, decode_gray8, encode_gray8
+
+
+def _pixels(doc_id: int, w: int, h: int) -> bytes:
+    return bytes(
+        (doc_id * 31 + r * 7 + c * 13) % 256 for r in range(h) for c in range(w)
+    )
+
+
+def test_png_roundtrip_all_encoder_filters():
+    # height 9 exercises filter types 0, 1, 2 (r % 3) three times each
+    px = _pixels(42, 13, 9)
+    blob = encode_gray8(13, 9, px)
+    assert blob[:8] == SIGNATURE
+    w, h, depth, ctype, got = decode_gray8(blob)
+    assert (w, h, depth, ctype) == (13, 9, 8, 0)
+    assert got == px
+
+
+def test_png_decoder_handles_average_and_paeth():
+    # hand-build a 3x2 image with filter types 3 (Average) and 4 (Paeth),
+    # which the encoder never emits — the decoder must still unfilter them
+    rows = [bytes([10, 20, 30]), bytes([15, 25, 35])]
+    raw = bytearray()
+    # row 0: Average with prev=0: filt[i] = x - (left + 0)//2
+    prev = bytes(3)
+    filt0 = bytearray([3])
+    for i in range(3):
+        a = rows[0][i - 1] if i else 0
+        filt0.append((rows[0][i] - (a + prev[i]) // 2) & 0xFF)
+    raw += filt0
+    # row 1: Paeth
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    filt1 = bytearray([4])
+    for i in range(3):
+        a = rows[1][i - 1] if i else 0
+        c = rows[0][i - 1] if i else 0
+        filt1.append((rows[1][i] - paeth(a, rows[0][i], c)) & 0xFF)
+    raw += filt1
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, _, _, got = decode_gray8(blob)
+    assert (w, h) == (3, 2)
+    assert got == rows[0] + rows[1]
+
+
+def test_png_crc_corruption_raises():
+    blob = bytearray(encode_gray8(4, 4, bytes(16)))
+    # flip a byte inside the IDAT body (after sig+IHDR chunk: 8 + 25 = 33,
+    # IDAT starts there; body begins at +8)
+    blob[33 + 10] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_gray8(bytes(blob))
+
+
+def test_png_bad_signature_and_unsupported_color():
+    with pytest.raises(ValueError, match="signature"):
+        decode_gray8(b"not a png at all")
+    # RGB color type must be rejected, not silently misparsed
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    rgb = SIGNATURE + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_gray8(rgb)
+
+
+def test_attach_and_decode_png_roundtrip_spark(spark):
+    from text_to_graph_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_png_metadata,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(40)
+    meta = {
+        r["doc_id"]: r
+        for r in decode_png_metadata(attach_png_payload(docs)).collect()
+    }
+    for d in docs.collect():
+        r = meta[d["doc_id"]]
+        w = 8 + len(d["text"].encode("utf-8")) % 24
+        h = 8 + d["doc_id"] % 16
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["bit_depth"], r["color_type"]) == (8, 0)
+        assert r["n_raw"] == h * (w + 1)
+        assert r["pixel_sum"] == sum(_pixels(d["doc_id"], w, h))
+
+
+def test_frame_sample_and_features_shapes(spark):
+    from text_to_graph_spark.operators.multimodal import (
+        attach_payload,
+        byte_histogram_features,
+        frame_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(10)
+    media = attach_payload(docs)
+    frames = frame_sample(media, k=3).collect()
+    assert len(frames) == 30
+    for r in frames:
+        assert 0 <= r["frame_index"] < 3
+        assert len(r["frame_sha256"]) == 64
+    feats = byte_histogram_features(media).collect()
+    per_doc = {}
+    for r in feats:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n"]
+    texts = {d["doc_id"]: d["text"] for d in docs.collect()}
+    for doc_id, total in per_doc.items():
+        assert total == len(texts[doc_id].encode("utf-8"))

@@ -1,20 +1,28 @@
 """Multimodal column plumbing — binary payloads with typed metadata.
 
 Images/audio/video ride through the engine as opaque ``binary`` columns plus
-a typed metadata struct. The real decode/feature-extract step needs native
-libs not present in this container, so the decoder is a clearly-marked
-deterministic STUB — but the Spark-side plumbing (schema, Arrow batch shape,
-``mapInPandas`` signature, partition behavior) is real and tested:
+a typed metadata struct, decoded inside Arrow-batched ``mapInPandas``.
 
-- ``attach_payload``: synthesize a binary payload column (utf-8 bytes of the
-  text — stand-in for e.g. a JPEG) + media_type.
-- ``decode_metadata``: ``mapInPandas`` over (id, payload) -> typed metadata
-  rows (n_bytes, sha256, fake width/height derived from the byte length).
-  Swap ``_decode_stub`` for a real decoder (PIL/ffmpeg) in production; the
-  batch iteration and schema stay identical.
+The IMAGE path is REAL: ``attach_png_payload`` synthesizes a genuine
+grayscale PNG per document (stdlib zlib/struct, see ``kit/png.py``) and
+``decode_png_metadata`` fully decodes it — signature, per-chunk CRC32
+verification, IHDR parse, zlib inflate, scanline unfiltering — before
+emitting typed metadata including a checksum over the DECODED pixels. The
+oracle recomputes width/height/pixel_sum from the generation rule, so a
+decoder that skipped CRC, inflate, or unfiltering would mismatch.
+
+Audio/video decoding needs native libs (ffmpeg) not present in this
+container, so those paths keep the clearly-marked deterministic stand-ins
+with real Spark plumbing:
+
+- ``attach_payload``: binary payload column (utf-8 bytes of the text) +
+  media_type.
+- ``decode_metadata``: the generic-stub twin of ``decode_png_metadata`` —
+  swap ``_decode_stub`` for ffmpeg in production; batch iteration and
+  schema stay identical.
 - ``frame_sample``: UDTF-shaped expansion — k deterministic "frames" per
-  payload (offset slices), showing the 1->N mapInPandas expansion pattern a
-  video pipeline needs.
+  payload (offset slices), the 1->N mapInPandas expansion pattern a video
+  pipeline needs.
 """
 
 from __future__ import annotations
@@ -25,6 +33,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from text_to_graph_spark.kit.png import decode_gray8, encode_gray8
 
 META_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, sha256 string, "
@@ -38,6 +48,97 @@ def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.lit("image/fake").alias("media_type"),
     )
+
+
+def attach_png_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Synthesize a REAL grayscale PNG per document (deterministic, stdlib).
+
+    width = 8 + (utf-8 byte length of text) % 24, height = 8 + doc_id % 16,
+    pixel(r, c) = (doc_id*31 + r*7 + c*13) % 256 — a rule the DuckDB oracle
+    can recompute arithmetically, while the Spark side must actually DECODE
+    the bytes to recover it. Scanlines alternate PNG filter types 0/1/2
+    (``kit/png.py``), so a header-sniffing fake decoder cannot pass.
+    """
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                w = 8 + len(str(text).encode("utf-8")) % 24
+                h = 8 + int(doc_id) % 16
+                px = (
+                    int(doc_id) * 31
+                    + 7 * np.arange(h, dtype=np.int64)[:, None]
+                    + 13 * np.arange(w, dtype=np.int64)[None, :]
+                ) % 256
+                payloads.append(encode_gray8(w, h, px.astype(np.uint8).tobytes()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/png",
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _batches, schema="doc_id long, payload binary, media_type string"
+    )
+
+
+PNG_META_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, bit_depth int, "
+    "color_type int, n_raw bigint, pixel_sum bigint"
+)
+
+
+def decode_png_metadata(media: DataFrame) -> DataFrame:
+    """(doc_id, payload, media_type) -> REAL decoded PNG metadata.
+
+    Every output value is recovered from the bytes: width/height/bit_depth/
+    color_type from IHDR (CRC-verified), n_raw = inflated scanline-stream
+    length, pixel_sum = sum over the decoded (unfiltered) pixels. Production
+    swaps :func:`~text_to_graph_spark.kit.png.decode_gray8` for PIL behind
+    the same batch contract.
+    """
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                w, h, depth, ctype, px = decode_gray8(bytes(payload))
+                rows.append(
+                    (
+                        doc_id,
+                        mt,
+                        w,
+                        h,
+                        depth,
+                        ctype,
+                        h * (w + 1),
+                        int(np.frombuffer(px, dtype=np.uint8).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "width",
+                    "height",
+                    "bit_depth",
+                    "color_type",
+                    "n_raw",
+                    "pixel_sum",
+                ],
+            )
+
+    return media.mapInPandas(_batches, schema=PNG_META_SCHEMA)
 
 
 def _decode_stub(payload: bytes) -> tuple[int, str, int, int]:
