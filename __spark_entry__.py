@@ -1605,6 +1605,44 @@ def _q_layout_compaction(spark, sf_dir):
     return compaction_plan(files, target_bytes=65536)
 
 
+def _q_layout_snapshot_expiry(spark, sf_dir):
+    # snapshot retention plan: one "snapshot" per event hour (720 at sf0.01),
+    # keep the 24 most recent + the first snapshot of each day; exact
+    # survives/reason verdict per snapshot
+    from text_to_graph_spark.operators.layout import snapshot_expiry_plan
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    snaps = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("committed_at"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.expr(
+                "timestampdiff(HOUR, timestamp_ntz'1970-01-01 00:00:00', "
+                "committed_at)"
+            )
+            .cast("bigint")
+            .alias("snapshot_id"),
+            "committed_at",
+            "n_rows",
+        )
+    )
+    return snapshot_expiry_plan(snaps, keep_last=24)
+
+
+def _q_layout_manifest_compaction(spark, sf_dir):
+    # per-partition-spec manifest bin-packing: manifests synthesized from
+    # pages (spec = first hex digit of md5(url), entries ~ html size / 64)
+    from text_to_graph_spark.operators.layout import manifest_compaction_plan
+
+    pages = synthesize_pages(spark, sf_dir)
+    manifests = pages.select(
+        F.substring(F.md5("url"), 1, 1).alias("spec"),
+        F.col("url").alias("manifest"),
+        F.expr("length(html) DIV 64 + 1").cast("bigint").alias("n_entries"),
+    )
+    return manifest_compaction_plan(manifests, target_entries=256)
+
+
 def _q_web_equivalence(spark, sf_dir):
     # structural-equivalence classes over the page-level link graph:
     # template pages linking identical nav sets collapse into supernodes
@@ -2823,6 +2861,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_profile": _q_docs_profile,
         "layout_zorder": _q_layout_zorder,
         "layout_compaction": _q_layout_compaction,
+        "layout_manifest_compaction": _q_layout_manifest_compaction,
+        "layout_snapshot_expiry": _q_layout_snapshot_expiry,
         "layout_pruning": _q_layout_pruning,
         "web_robots": _q_web_robots,
         "ann_topk": _q_ann_topk,
@@ -5606,6 +5646,54 @@ SELECT CAST(cum_before // 65536 AS bigint) AS bin_id,
        min(file_name) AS first_file,
        max(file_name) AS last_file
 FROM c GROUP BY 1
+""",
+        # snapshot retention: keep the 24 most recent hourly snapshots +
+        # the first snapshot of each day; mirrors snapshot_expiry_plan
+        "layout_snapshot_expiry": """
+WITH snaps AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS bigint) AS snapshot_id,
+         date_trunc('hour', ts) AS committed_at,
+         CAST(count(*) AS bigint) AS n_rows
+  FROM events GROUP BY 1, 2
+),
+flags AS (
+  SELECT *,
+         row_number() OVER (ORDER BY committed_at DESC, snapshot_id DESC)
+           AS tail_rn,
+         row_number() OVER (PARTITION BY date_trunc('day', committed_at)
+                            ORDER BY committed_at ASC, snapshot_id ASC)
+           AS day_rn
+  FROM snaps
+)
+SELECT snapshot_id, committed_at, n_rows,
+       (tail_rn <= 24 OR day_rn = 1) AS survives,
+       CASE WHEN tail_rn <= 24 THEN 'tail'
+            WHEN day_rn = 1 THEN 'day_head'
+            ELSE 'expired' END AS reason
+FROM flags
+""",
+        # per-partition-spec manifest bin-packing: prefix sum of entry
+        # counts within each spec, bin = cum_before // 256
+        "layout_manifest_compaction": f"""
+{_KG_PREFIX},
+m AS (
+  SELECT substr(md5(url), 1, 1) AS spec, url AS manifest,
+         CAST(octet_length(html) // 64 + 1 AS bigint) AS ent
+  FROM pages
+),
+c AS (
+  SELECT spec, manifest, ent,
+         coalesce(sum(ent) OVER (PARTITION BY spec ORDER BY manifest
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM m
+)
+SELECT spec, CAST(cum_before // 256 AS bigint) AS bin_id,
+       CAST(count(*) AS bigint) AS n_manifests,
+       CAST(sum(ent) AS bigint) AS total_entries,
+       min(manifest) AS first_manifest,
+       max(manifest) AS last_manifest
+FROM c GROUP BY 1, 2
 """,
         # structural equivalence over the page link graph: md5 of the
         # sorted undirected neighbor list; classes with >= 2 members

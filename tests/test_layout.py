@@ -169,3 +169,71 @@ class TestNtriplesExport:
         )
         # one distinct for the label map is the only exchange
         assert count_exchanges(render_ntriples(edges)) <= 1
+
+
+class TestSnapshotRetention:
+    def test_expiry_plan_policy(self, spark):
+        """24-tail + day-head retention: exact survivor set on a 3-day
+        hourly snapshot log."""
+        import datetime as dt
+
+        from text_to_graph_spark.operators.layout import snapshot_expiry_plan
+
+        t0 = dt.datetime(2024, 1, 1)
+        snaps = spark.createDataFrame(
+            [(i, t0 + dt.timedelta(hours=i)) for i in range(72)],
+            "snapshot_id long, committed_at timestamp_ntz",
+        )
+        got = {r["snapshot_id"]: r for r in snapshot_expiry_plan(snaps).collect()}
+        assert len(got) == 72
+        for i in range(72):
+            r = got[i]
+            if i >= 48:  # last 24 by time
+                assert (r["survives"], r["reason"]) == (True, "tail")
+            elif i in (0, 24):  # first snapshot of day 1 and day 2
+                assert (r["survives"], r["reason"]) == (True, "day_head")
+            else:
+                assert (r["survives"], r["reason"]) == (False, "expired")
+
+    def test_physical_expiry_and_expired_read_raises(self, spark, tmp_path):
+        import pytest
+
+        from text_to_graph_spark.streaming.ingest import (
+            expire_edge_snapshots,
+            list_edge_snapshots,
+            read_edge_snapshot,
+        )
+
+        base = str(tmp_path / "edges")
+        for i in range(5):
+            spark.createDataFrame([(i,)], "batch long").write.parquet(
+                f"{base}/v{i}"
+            )
+        assert list_edge_snapshots(base) == [0, 1, 2, 3, 4]
+        res = expire_edge_snapshots(base, keep_last=2)
+        assert res == {"kept": [3, 4], "removed": [0, 1, 2]}
+        assert list_edge_snapshots(base) == [3, 4]
+        # kept snapshots read fine; expired ids raise, never misread
+        assert read_edge_snapshot(spark, base, 3).first()["batch"] == 3
+        with pytest.raises(ValueError, match="no snapshot v1"):
+            read_edge_snapshot(spark, base, 1)
+        # idempotent
+        assert expire_edge_snapshots(base, keep_last=2)["removed"] == []
+
+    def test_manifest_compaction_per_spec_bins(self, spark):
+        from text_to_graph_spark.operators.layout import manifest_compaction_plan
+
+        rows = [("a", f"m{i:02d}", 100) for i in range(5)] + [
+            ("b", f"m{i:02d}", 100) for i in range(3)
+        ]
+        out = manifest_compaction_plan(
+            spark.createDataFrame(rows, "spec string, manifest string, n_entries long"),
+            target_entries=256,
+        ).collect()
+        by_key = {(r["spec"], r["bin_id"]): r for r in out}
+        # spec a: cum_before 0,100,200 -> bin 0; 300,400 -> bin 1
+        assert by_key[("a", 0)]["n_manifests"] == 3
+        assert by_key[("a", 1)]["n_manifests"] == 2
+        # spec b packs independently (specs never mix)
+        assert by_key[("b", 0)]["n_manifests"] == 3
+        assert ("b", 1) not in by_key

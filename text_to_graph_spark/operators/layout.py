@@ -24,6 +24,8 @@ __all__ = [
     "zorder_key_expr",
     "zorder_file_stats",
     "compaction_plan",
+    "manifest_compaction_plan",
+    "snapshot_expiry_plan",
     "zone_map_pruning",
 ]
 
@@ -130,6 +132,94 @@ def compaction_plan(
             F.sum("sz").alias("total_bytes"),
             F.min(name_col).alias("first_file"),
             F.max(name_col).alias("last_file"),
+        )
+    )
+
+
+def snapshot_expiry_plan(
+    snapshots: DataFrame,
+    id_col: str = "snapshot_id",
+    ts_col: str = "committed_at",
+    keep_last: int = 24,
+) -> DataFrame:
+    """Retention plan over a versioned table's snapshot log — which
+    snapshots an ``expire_snapshots`` maintenance pass keeps (Iceberg's
+    daily operational chore; a 100 TB crawl committing hourly accumulates
+    ~8.8k snapshots/year of metadata without it).
+
+    Policy (deterministic, engine-portable):
+
+    - ``tail``: the ``keep_last`` most recent snapshots by (ts desc, id
+      desc) — the operational undo window.
+    - ``day_head``: the FIRST snapshot of each calendar day — the long-
+      horizon time-travel checkpoints that survive the tail.
+    - everything else: ``expired``.
+
+    Metadata-plane by construction (one row per snapshot), so the global
+    ordered window is bounded by snapshot count, never data size. Returns
+    the input columns + (survives boolean, reason string); the physical
+    delete (``streaming.ingest.expire_edge_snapshots``) consumes the plan.
+    """
+    w_tail = Window.orderBy(F.desc(ts_col), F.desc(id_col))
+    w_day = Window.partitionBy(F.to_date(F.col(ts_col))).orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    flagged = snapshots.withColumn(
+        "tail_rn", F.row_number().over(w_tail)
+    ).withColumn("day_rn", F.row_number().over(w_day))
+    reason = (
+        F.when(F.col("tail_rn") <= keep_last, F.lit("tail"))
+        .when(F.col("day_rn") == 1, F.lit("day_head"))
+        .otherwise(F.lit("expired"))
+    )
+    return flagged.withColumn("reason", reason).select(
+        *snapshots.columns,
+        (F.col("reason") != "expired").alias("survives"),
+        "reason",
+    )
+
+
+def manifest_compaction_plan(
+    manifests: DataFrame,
+    spec_col: str = "spec",
+    name_col: str = "manifest",
+    entries_col: str = "n_entries",
+    target_entries: int = 256,
+) -> DataFrame:
+    """Bin-pack small manifests into rewrite groups, PER PARTITION SPEC —
+    the metadata-plane twin of :func:`compaction_plan` (Iceberg never mixes
+    manifests of different partition specs in one rewrite, so the prefix-sum
+    window is partitioned by spec instead of global).
+
+    Within a spec, manifests are taken in name order; a manifest joins the
+    bin of its cumulative-entries-before position: ``bin = cum_before DIV
+    target_entries``. One row per manifest in, one row per (spec, bin) out —
+    at 100 TB that's ~1e4 manifest rows, driver-scale.
+
+    Returns (spec, bin_id, n_manifests, total_entries, first_manifest,
+    last_manifest).
+    """
+    w = Window.partitionBy(spec_col).orderBy(name_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = manifests.select(
+        F.col(spec_col).alias("spec"),
+        F.col(name_col).alias("mname"),
+        F.col(entries_col).cast("bigint").alias("ent"),
+        F.coalesce(F.sum(entries_col).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    return (
+        cum.withColumn(
+            "bin_id", F.expr(f"cum_before DIV {target_entries}").cast("bigint")
+        )
+        .groupBy("spec", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_manifests"),
+            F.sum("ent").alias("total_entries"),
+            F.min("mname").alias("first_manifest"),
+            F.max("mname").alias("last_manifest"),
         )
     )
 

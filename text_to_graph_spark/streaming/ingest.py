@@ -313,6 +313,32 @@ def list_edge_snapshots(out_dir: str) -> list[int]:
     return sorted(out)
 
 
+def expire_edge_snapshots(out_dir: str, keep_last: int = 2) -> dict:
+    """Physically expire old edge-table snapshots — the retention half of
+    the time-travel story (Iceberg ``expire_snapshots`` over the versioned-
+    parquet twin; without it a daily 100 TB crawl's snapshot log grows
+    unboundedly).
+
+    Keeps the ``keep_last`` highest batch ids, removes every other ``v{id}``
+    directory. After expiry, :func:`read_edge_snapshot` on a removed id
+    raises (ValueError: not in the surviving set) — an expired version can
+    never be silently misread as a live one. Returns {"kept": [...],
+    "removed": [...]}; idempotent and safe to re-run.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    ids = list_edge_snapshots(out_dir)
+    keep = ids[-keep_last:]
+    removed = []
+    for i in ids:
+        if i not in keep:
+            shutil.rmtree(f"{out_dir}/v{i}")
+            removed.append(i)
+    return {"kept": keep, "removed": removed}
+
+
 def read_edge_snapshot(
     spark: SparkSession, out_dir: str, batch_id: int | None = None
 ) -> DataFrame:
