@@ -127,6 +127,28 @@ def main() -> int:
         e = triples_to_canonical_edges(t)
         _force(connected_components(e, "subj_key", "obj_key"))
 
+    def q_graph_stress():
+        # adversarial fixpoint stress: CC + PageRank + SCC on a synthesized
+        # Zipf-skewed multigraph (hub node holds ~5% of endpoints). Edge
+        # count via SPARK_GRAFT_GRAPH_EDGES (default 1M per-round; the 10M
+        # no-cliff evidence run is recorded in BASELINE.md). The generator
+        # is a zero-shuffle projection over spark.range, so the timing is
+        # the algorithms, not the fixture. No oracle by design: floor(exp)
+        # node draws are libm-dependent in the last ulp across engines.
+        from text_to_graph_spark.operators.components import (
+            strongly_connected_components,
+        )
+        from text_to_graph_spark.operators.graphalgo import pagerank
+        from text_to_graph_spark.sources.synthetic import (
+            synthesize_powerlaw_edges,
+        )
+
+        n_edges = int(os.environ.get("SPARK_GRAFT_GRAPH_EDGES", "1000000"))
+        e = synthesize_powerlaw_edges(spark, n_edges).localCheckpoint(eager=True)
+        _force(connected_components(e, "src", "dst"))
+        _force(pagerank(e, "src", "dst", iterations=5))
+        _force(strongly_connected_components(e, "src", "dst"))
+
     _skew_cache: dict = {}
 
     def _skew_inputs():
@@ -288,6 +310,7 @@ def main() -> int:
                 spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
             )
         ),
+        "graph_stress": q_graph_stress,
         "kg_neighbor_sample": lambda: q_kg_neighbor_sample(),
         "web_redirect_resolve": lambda: q_web_redirect_resolve(),
     }

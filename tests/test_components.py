@@ -438,3 +438,36 @@ class TestDistanceHistogram:
             2: (1, 666_666),
             3: (1, 1_000_000),
         }
+
+
+class TestPowerlawStressFixture:
+    def test_generator_deterministic_and_bounded(self, spark):
+        from text_to_graph_spark.sources.synthetic import (
+            synthesize_powerlaw_edges,
+        )
+
+        a = synthesize_powerlaw_edges(spark, 20000, n_nodes=2000)
+        b = synthesize_powerlaw_edges(spark, 20000, n_nodes=2000)
+        ra, rb = a.collect(), b.collect()
+        assert ra == rb  # md5-seeded: bit-identical across runs
+        assert all(1 <= r["src"] < 2000 and 1 <= r["dst"] < 2000 for r in ra)
+        assert all(r["src"] != r["dst"] for r in ra)
+        # Zipf skew: node 1 is the hub with ~ln(2)/ln(2000) ~ 9% of endpoints
+        hub = sum(1 for r in ra if r["src"] == 1)
+        assert 0.05 * len(ra) < hub < 0.2 * len(ra)
+
+    def test_cc_giant_component_on_powerlaw(self, spark):
+        from text_to_graph_spark.operators.components import (
+            connected_components,
+        )
+        from text_to_graph_spark.sources.synthetic import (
+            synthesize_powerlaw_edges,
+        )
+
+        e = synthesize_powerlaw_edges(spark, 20000, n_nodes=2000)
+        cc = connected_components(e, "src", "dst").collect()
+        sizes = {}
+        for r in cc:
+            sizes[r["component"]] = sizes.get(r["component"], 0) + 1
+        # the hub glues nearly everything into one giant component
+        assert max(sizes.values()) > 0.95 * len(cc)
