@@ -353,3 +353,36 @@ def test_pack_units_with_bpe_counter_matches_counter_arithmetic():
     assert len(chunks) >= 2  # counter actually drives the boundaries
     for c in chunks[:-1]:
         assert c["chunk_size"] == enc.count(c["text"])
+
+
+def test_gpt2_merges_txt_loader_wire_format(tmp_path):
+    """The GPT-2 merges.txt adapter: byte-unicode alphabet decode, header
+    skip, rank order, and end-to-end use through BPE.count."""
+    import pytest
+
+    from text_to_graph_spark.kit.bpe import (
+        BPE,
+        gpt2_bytes_to_unicode,
+        load_merges_txt,
+    )
+
+    table = gpt2_bytes_to_unicode()
+    assert len(set(table.values())) == 256  # reversible
+    # 'Ġt h' style lines: space byte rides inside the token, GPT-2 style
+    p = tmp_path / "merges.txt"
+    p.write_text("#version: 0.2\nĠ t\nh e\nĠt he\n", encoding="utf-8")
+    merges = load_merges_txt(str(p))
+    assert merges == [(b" ", b"t"), (b"h", b"e"), (b" t", b"he")]
+    bpe = BPE(merges)
+    # ' the' pre-tokenizes to one piece; merges chain to a single token
+    assert bpe.encode_piece(" the") == [b" the"]
+    assert bpe.count("of the") == 3  # 'of' -> o,f unmerged; ' the' -> 1
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text("Ġ t extra\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="expected"):
+        load_merges_txt(str(bad))
+    empty = tmp_path / "empty.txt"
+    empty.write_text("#version: 0.2\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="no merges"):
+        load_merges_txt(str(empty))

@@ -142,3 +142,60 @@ class BPE:
 
     def decode(self, tokens: list[bytes]) -> str:
         return b"".join(tokens).decode("utf-8")
+
+
+def gpt2_bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte -> printable-unicode mapping (the public
+    algorithm from the GPT-2 encoder: printable latin bytes map to
+    themselves, the rest shift into 256+). Needed to parse the wire format
+    of the public ``merges.txt`` artifact, whose tokens are written in this
+    alphabet (e.g. ``Ġ`` is the space byte)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+def load_merges_txt(path: str) -> list[tuple[bytes, bytes]]:
+    """Parse a GPT-2-format ``merges.txt`` into the ranked merge list
+    :class:`BPE` consumes — the adapter that makes the reference's primary
+    tokenizer path (tiktoken, ``gpt.py:27-34``) a file-drop away.
+
+    The pinned public artifact (50k merges) cannot be vendored from this
+    sandbox (no network; it is not reproducible from memory), so this ships
+    the exact WIRE-FORMAT decoder instead: optional ``#version`` header,
+    one ``left right`` pair per line in the byte-to-unicode alphabet,
+    rank = line order. Dropping in the public file yields the real GPT-2
+    merge table byte-for-byte; tests exercise the format with a synthetic
+    table.
+    """
+    inv = {c: b for b, c in gpt2_bytes_to_unicode().items()}
+
+    def tok(s: str) -> bytes:
+        try:
+            return bytes(inv[ch] for ch in s)
+        except KeyError as e:
+            raise ValueError(f"{path}: token {s!r} outside the GPT-2 alphabet") from e
+
+    merges: list[tuple[bytes, bytes]] = []
+    with open(path, encoding="utf-8") as f:
+        for ln, line in enumerate(f, 1):
+            line = line.rstrip("\n")
+            if not line or (ln == 1 and line.startswith("#")):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2:
+                raise ValueError(f"{path}:{ln}: expected 'left right', got {line!r}")
+            merges.append((tok(parts[0]), tok(parts[1])))
+    if not merges:
+        raise ValueError(f"{path}: no merges found")
+    return merges
