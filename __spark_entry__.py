@@ -2543,6 +2543,13 @@ def _q_mm_meta(spark, sf_dir):
     return MM.decode_png_metadata(MM.attach_png_payload(_docs(spark, sf_dir)))
 
 
+def _q_mm_audio_meta(spark, sf_dir):
+    # REAL audio path: synthesize a genuine mono PCM16 WAV per document and
+    # parse it (RIFF envelope validation + int16 decode); the oracle
+    # recomputes the sample-generation rule arithmetically
+    return MM.decode_wav_metadata(MM.attach_wav_payload(_docs(spark, sf_dir)))
+
+
 def _q_mm_frames(spark, sf_dir):
     return MM.frame_sample(MM.attach_payload(_docs(spark, sf_dir)), k=3)
 
@@ -2923,6 +2930,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_enrich_streamed": _q_events_enrich_streamed,
         "dedup_streamed": _q_dedup_streamed,
         "mm_meta": _q_mm_meta,
+        "mm_audio_meta": _q_mm_audio_meta,
         "mm_frames": _q_mm_frames,
         "mm_features": _q_mm_features,
         "olap_pricing_summary": _q_olap_pricing_summary,
@@ -7491,6 +7499,24 @@ FROM dims d,
      unnest(generate_series(0, d.height - 1)) AS r(r),
      unnest(generate_series(0, d.width - 1)) AS c(c)
 GROUP BY d.doc_id, d.width, d.height
+""",
+        # real-WAV metadata: the Spark side parses synthesized RIFF/PCM16
+        # bytes and decodes the int16 stream; the oracle recomputes the
+        # encoder's sample rule — abs_sum = sum |((doc_id*13 + i*7) % 2048)
+        # - 1024| over n = 64 + doc_id % 256 samples at 8 kHz
+        "mm_audio_meta": """
+WITH dims AS (
+  SELECT doc_id, CAST(64 + doc_id % 256 AS bigint) AS n_samples
+  FROM documents
+)
+SELECT d.doc_id, 'audio/wav' AS media_type,
+       CAST(8000 AS int) AS sample_rate, CAST(1 AS int) AS n_channels,
+       CAST(16 AS int) AS bits, d.n_samples,
+       CAST(d.n_samples * 1000000 // 8000 AS bigint) AS duration_us,
+       CAST(sum(abs(((d.doc_id * 13 + i.i * 7) % 2048) - 1024)) AS bigint)
+         AS abs_sum
+FROM dims d, unnest(generate_series(0, d.n_samples - 1)) AS i(i)
+GROUP BY d.doc_id, d.n_samples
 """,
         # TPC-H Q1 shape; money as per-row half-up integer cents so the sum
         # is shuffle-order-stable and engine-exact

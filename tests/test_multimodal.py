@@ -142,3 +142,51 @@ def test_frame_sample_and_features_shapes(spark):
     texts = {d["doc_id"]: d["text"] for d in docs.collect()}
     for doc_id, total in per_doc.items():
         assert total == len(texts[doc_id].encode("utf-8"))
+
+
+def test_wav_roundtrip_and_validation():
+    from text_to_graph_spark.kit.wav import decode_wav_pcm16, encode_wav_pcm16
+
+    samples = [((42 * 13 + i * 7) % 2048) - 1024 for i in range(100)]
+    blob = encode_wav_pcm16(8000, samples)
+    rate, ch, bits, n, raw = decode_wav_pcm16(blob)
+    assert (rate, ch, bits, n) == (8000, 1, 16, 100)
+    got = list(struct.unpack("<100h", raw))
+    assert got == samples
+    # corrupted envelope size must be rejected
+    with pytest.raises(ValueError, match="RIFF size"):
+        decode_wav_pcm16(blob + b"x")
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_pcm16(b"nope" + blob[4:])
+    # unknown chunks are skipped (real parsers must): splice a junk chunk
+    # between fmt and data
+    head, data_at = blob[:12], blob.index(b"data")
+    spliced = (
+        blob[:data_at]
+        + b"LIST" + struct.pack("<I", 4) + b"junk"
+        + blob[data_at:]
+    )
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav_pcm16(spliced)[3] == 100
+
+
+def test_attach_and_decode_wav_roundtrip_spark(spark):
+    from text_to_graph_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_wav_metadata,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(30)
+    meta = {
+        r["doc_id"]: r
+        for r in decode_wav_metadata(attach_wav_payload(docs)).collect()
+    }
+    for d in docs.collect():
+        r = meta[d["doc_id"]]
+        n = 64 + d["doc_id"] % 256
+        assert (r["sample_rate"], r["n_channels"], r["bits"]) == (8000, 1, 16)
+        assert r["n_samples"] == n
+        assert r["duration_us"] == n * 1_000_000 // 8000
+        assert r["abs_sum"] == sum(
+            abs(((d["doc_id"] * 13 + i * 7) % 2048) - 1024) for i in range(n)
+        )

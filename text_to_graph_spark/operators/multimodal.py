@@ -141,6 +141,93 @@ def decode_png_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_batches, schema=PNG_META_SCHEMA)
 
 
+def attach_wav_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Synthesize a REAL mono PCM16 WAV per document (deterministic,
+    stdlib). sample_rate = 8000, n_samples = 64 + doc_id % 256,
+    sample(i) = ((doc_id*13 + i*7) % 2048) - 1024 — a rule the oracle
+    recomputes arithmetically while the Spark side must parse the RIFF
+    envelope and decode the int16 stream to recover it."""
+    import numpy as np
+
+    from text_to_graph_spark.kit.wav import encode_wav_pcm16
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                n = 64 + int(doc_id) % 256
+                s = (
+                    (int(doc_id) * 13 + 7 * np.arange(n, dtype=np.int64)) % 2048
+                ) - 1024
+                payloads.append(encode_wav_pcm16(8000, s.tolist()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        _batches, schema="doc_id long, payload binary, media_type string"
+    )
+
+
+WAV_META_SCHEMA = (
+    "doc_id long, media_type string, sample_rate int, n_channels int, "
+    "bits int, n_samples bigint, duration_us bigint, abs_sum bigint"
+)
+
+
+def decode_wav_metadata(media: DataFrame) -> DataFrame:
+    """(doc_id, payload, media_type) -> REAL decoded WAV metadata: format
+    fields from the parsed fmt chunk, duration from the decoded sample
+    count, abs_sum over the decoded int16 samples (numpy over the Arrow
+    batch). Production swaps the stdlib parser for ffmpeg behind the same
+    contract."""
+    import numpy as np
+
+    from text_to_graph_spark.kit.wav import decode_wav_pcm16
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                rate, ch, bits, n, raw = decode_wav_pcm16(bytes(payload))
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        mt,
+                        rate,
+                        ch,
+                        bits,
+                        n,
+                        n * 1_000_000 // rate,
+                        int(np.abs(s).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "sample_rate",
+                    "n_channels",
+                    "bits",
+                    "n_samples",
+                    "duration_us",
+                    "abs_sum",
+                ],
+            )
+
+    return media.mapInPandas(_batches, schema=WAV_META_SCHEMA)
+
+
 def _decode_stub(payload: bytes) -> tuple[int, str, int, int]:
     """Deterministic fake decoder. A real implementation would be:
 
