@@ -2550,6 +2550,15 @@ def _q_mm_audio_meta(spark, sf_dir):
     return MM.decode_wav_metadata(MM.attach_wav_payload(_docs(spark, sf_dir)))
 
 
+def _q_mm_video_frames(spark, sf_dir):
+    # REAL video path: per-document T2GV container of 4 genuine PNG frames;
+    # every other frame demuxed (index-validated) and fully PNG-decoded;
+    # the oracle recomputes dimensions + per-frame pixel sums arithmetically
+    return MM.sample_video_frames(
+        MM.attach_video_payload(_docs(spark, sf_dir)), stride=2
+    )
+
+
 def _q_mm_frames(spark, sf_dir):
     return MM.frame_sample(MM.attach_payload(_docs(spark, sf_dir)), k=3)
 
@@ -2583,6 +2592,17 @@ def _q_text_repetition(spark, sf_dir):
 
 def _q_docs_sample_stratified(spark, sf_dir):
     return CUR.stratified_sample(_docs(spark, sf_dir), _SAMPLE_RATES_PPM)
+
+
+def _q_docs_sample_bottomk(spark, sf_dir):
+    # exact-size mergeable uniform sample: the 50 smallest md5(doc_id)
+    # priorities (TakeOrderedAndProject — per-task partial top-k)
+    return CUR.bottomk_sample(_docs(spark, sf_dir), k=50)
+
+
+def _q_docs_sample_bottomk_lang(spark, sf_dir):
+    # the same bottom-k taken independently per language stratum
+    return CUR.bottomk_sample(_docs(spark, sf_dir), k=20, stratum_col="lang")
 
 
 def _q_docs_balanced_mixture(spark, sf_dir):
@@ -2931,6 +2951,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_streamed": _q_dedup_streamed,
         "mm_meta": _q_mm_meta,
         "mm_audio_meta": _q_mm_audio_meta,
+        "mm_video_frames": _q_mm_video_frames,
         "mm_frames": _q_mm_frames,
         "mm_features": _q_mm_features,
         "olap_pricing_summary": _q_olap_pricing_summary,
@@ -2945,6 +2966,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": _q_text_contamination,
         "text_repetition": _q_text_repetition,
         "docs_sample_stratified": _q_docs_sample_stratified,
+        "docs_sample_bottomk": _q_docs_sample_bottomk,
+        "docs_sample_bottomk_lang": _q_docs_sample_bottomk_lang,
         "docs_balanced_mixture": _q_docs_balanced_mixture,
         "docs_curated": _q_docs_curated,
         "docs_pack_sequences": _q_docs_pack_sequences,
@@ -7518,6 +7541,25 @@ SELECT d.doc_id, 'audio/wav' AS media_type,
 FROM dims d, unnest(generate_series(0, d.n_samples - 1)) AS i(i)
 GROUP BY d.doc_id, d.n_samples
 """,
+        # real-video frame sampling: stride-2 over 4 PNG frames per doc
+        # (frames 0 and 2); pixel(f,r,c) = (doc_id*31 + f*17 + r*7 + c*13)
+        # % 256 over w = 8 + doc_id % 8, h = 8 + (doc_id // 3) % 8
+        "mm_video_frames": """
+WITH dims AS (
+  SELECT doc_id, CAST(8 + doc_id % 8 AS int) AS width,
+         CAST(8 + (doc_id // 3) % 8 AS int) AS height
+  FROM documents
+),
+fr AS (SELECT unnest([0, 2]) AS frame_index)
+SELECT d.doc_id, CAST(fr.frame_index AS int) AS frame_index,
+       d.width, d.height,
+       CAST(sum((d.doc_id * 31 + fr.frame_index * 17 + r.r * 7 + c.c * 13)
+                % 256) AS bigint) AS pixel_sum
+FROM dims d, fr,
+     unnest(generate_series(0, d.height - 1)) AS r(r),
+     unnest(generate_series(0, d.width - 1)) AS c(c)
+GROUP BY d.doc_id, fr.frame_index, d.width, d.height
+""",
         # TPC-H Q1 shape; money as per-row half-up integer cents so the sum
         # is shuffle-order-stable and engine-exact
         # Q6: filter-and-aggregate forecast revenue, half-up integer cents
@@ -7731,6 +7773,24 @@ d AS (
 SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, d.sample_bucket
 FROM d JOIN r ON d.lang = r.lang_k
 WHERE d.sample_bucket < r.rate_ppm
+""",
+        # bottom-k priority sampling: the k smallest md5(doc_id) — exact
+        # size, mergeable, rand()-free
+        "docs_sample_bottomk": """
+SELECT doc_id, priority, CAST(rnk AS int) AS sample_rank FROM (
+  SELECT doc_id, md5(CAST(doc_id AS varchar)) AS priority,
+         row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS varchar)), doc_id) AS rnk
+  FROM documents
+) WHERE rnk <= 50
+""",
+        "docs_sample_bottomk_lang": """
+SELECT doc_id, lang, priority, CAST(rnk AS int) AS sample_rank FROM (
+  SELECT doc_id, lang, md5(CAST(doc_id AS varchar)) AS priority,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS varchar)), doc_id) AS rnk
+  FROM documents
+) WHERE rnk <= 20
 """,
         # exact-integer waterline mixture: largest T with every language
         # able to supply T * w_ppm // 1e6 rows, taken in hash order

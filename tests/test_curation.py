@@ -576,3 +576,54 @@ class TestRakeCorpus:
             (1, "key scan", 2, 12_000_000),
             (2, "join", 2, 2_000_000),
         ]
+
+
+class TestBottomKSample:
+    def test_exact_size_deterministic_and_matches_python(self, spark):
+        import hashlib
+
+        from text_to_graph_spark.operators.curation import bottomk_sample
+
+        from tests.conftest import SF_SMOKE
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        got = bottomk_sample(docs, k=25).orderBy("sample_rank").collect()
+        assert len(got) == 25
+        ids = [d["doc_id"] for d in docs.select("doc_id").collect()]
+        exp = sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids
+        )[:25]
+        assert [(r["priority"], r["doc_id"]) for r in got] == exp
+        assert [r["sample_rank"] for r in got] == list(range(1, 26))
+
+    def test_mergeable_bottomk_of_shards(self, spark):
+        from text_to_graph_spark.operators.curation import bottomk_sample
+
+        from tests.conftest import SF_SMOKE
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        lo = bottomk_sample(docs.where("doc_id % 2 = 0"), k=10)
+        hi = bottomk_sample(docs.where("doc_id % 2 = 1"), k=10)
+        merged = bottomk_sample(
+            lo.unionByName(hi).select("doc_id"), k=10, id_col="doc_id"
+        )
+        direct = bottomk_sample(docs, k=10)
+        assert sorted(r["doc_id"] for r in merged.collect()) == sorted(
+            r["doc_id"] for r in direct.collect()
+        )
+
+    def test_per_stratum_k(self, spark):
+        from text_to_graph_spark.operators.curation import bottomk_sample
+
+        from tests.conftest import SF_SMOKE
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        got = bottomk_sample(docs, k=5, stratum_col="lang").collect()
+        per = {}
+        for r in got:
+            per.setdefault(r["lang"], []).append(r["sample_rank"])
+        n_langs = docs.select("lang").distinct().count()
+        assert len(per) == n_langs
+        for ranks in per.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 5

@@ -190,3 +190,49 @@ def test_attach_and_decode_wav_roundtrip_spark(spark):
         assert r["abs_sum"] == sum(
             abs(((d["doc_id"] * 13 + i * 7) % 2048) - 1024) for i in range(n)
         )
+
+
+def test_t2gv_container_roundtrip_and_validation():
+    from text_to_graph_spark.kit.video import (
+        decode_container,
+        encode_container,
+    )
+
+    frames = [b"frame-zero", b"", b"frame-two-longer"]
+    blob = encode_container(frames)
+    assert decode_container(blob) == frames
+    with pytest.raises(ValueError, match="magic"):
+        decode_container(b"XXXX" + blob[4:])
+    with pytest.raises(ValueError, match="trailing"):
+        decode_container(blob + b"junk")
+    # corrupt the first frame's offset in the index -> gap detected
+    bad = bytearray(blob)
+    bad[8 + 3] ^= 0x01
+    with pytest.raises(ValueError, match="gap|region|truncated"):
+        decode_container(bytes(bad))
+
+
+def test_attach_and_sample_video_frames_spark(spark):
+    from text_to_graph_spark.operators.multimodal import (
+        attach_video_payload,
+        sample_video_frames,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(20)
+    got = sample_video_frames(
+        attach_video_payload(docs, n_frames=4), stride=2
+    ).collect()
+    by_key = {(r["doc_id"], r["frame_index"]): r for r in got}
+    for d in docs.collect():
+        did = d["doc_id"]
+        w, h = 8 + did % 8, 8 + (did // 3) % 8
+        for f in (0, 2):  # stride 2 over 4 frames
+            r = by_key[(did, f)]
+            assert (r["width"], r["height"]) == (w, h)
+            exp = sum(
+                (did * 31 + f * 17 + rr * 7 + cc * 13) % 256
+                for rr in range(h)
+                for cc in range(w)
+            )
+            assert r["pixel_sum"] == exp
+        assert (did, 1) not in by_key and (did, 3) not in by_key

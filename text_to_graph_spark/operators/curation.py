@@ -113,6 +113,53 @@ def stratified_sample(
     )
 
 
+def bottomk_sample(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Deterministic EXACT-SIZE uniform sample: the ``k`` rows with the
+    smallest md5(id) — bottom-k priority sampling, the mergeable twin of
+    :func:`stratified_sample`'s rate filter (which yields a *binomial* size).
+
+    Why this shape at 100 TB: bottom-k is a mergeable summary — the bottom-k
+    of a union is the bottom-k of the per-shard bottom-k's — so Spark's
+    sort+limit compiles to TakeOrderedAndProject (each task keeps only its
+    local k rows; the driver merges K x #tasks candidates, never the data),
+    and daily crawl shards can be combined without resampling. No ``rand()``:
+    the sample is a pure function of the id SET, identical across engines,
+    retries, partitionings, and ingestion order.
+
+    With ``stratum_col``, the same bottom-k is taken independently inside
+    each stratum (a partitioned window — shuffle keyed by stratum, k rows
+    kept per group map-side via the window's partial top-k).
+
+    Output: (id, [stratum,] priority md5 hex, sample_rank 1..k).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pri = F.md5(F.col(id_col).cast("string"))
+    if stratum_col is None:
+        w = Window.orderBy("priority", id_col)
+        # orderBy + limit -> TakeOrderedAndProject: per-task partial top-k,
+        # no global sort materialization; the window then ranks only k rows
+        kept = (
+            docs.select(F.col(id_col), pri.alias("priority"))
+            .orderBy("priority", id_col)
+            .limit(k)
+        )
+        return kept.withColumn(
+            "sample_rank", F.row_number().over(w).cast("int")
+        )
+    w = Window.partitionBy(stratum_col).orderBy("priority", id_col)
+    return (
+        docs.select(F.col(id_col), F.col(stratum_col), pri.alias("priority"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
 def balanced_mixture(
     docs: DataFrame,
     weights_ppm: dict[str, int],

@@ -228,6 +228,89 @@ def decode_wav_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_batches, schema=WAV_META_SCHEMA)
 
 
+def attach_video_payload(
+    docs: DataFrame, id_col: str = "doc_id", n_frames: int = 4
+) -> DataFrame:
+    """Synthesize a REAL T2GV video container per document: ``n_frames``
+    genuine grayscale PNG frames (w = 8 + doc_id % 8, h = 8 +
+    (doc_id DIV 3) % 8, pixel(f, r, c) = (doc_id*31 + f*17 + r*7 + c*13)
+    % 256) behind an offset index the decoder must validate."""
+    import numpy as np
+
+    from text_to_graph_spark.kit.video import encode_container
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                did = int(doc_id)
+                w, h = 8 + did % 8, 8 + (did // 3) % 8
+                frames = []
+                for f in range(n_frames):
+                    px = (
+                        did * 31
+                        + f * 17
+                        + 7 * np.arange(h, dtype=np.int64)[:, None]
+                        + 13 * np.arange(w, dtype=np.int64)[None, :]
+                    ) % 256
+                    frames.append(encode_gray8(w, h, px.astype(np.uint8).tobytes()))
+                payloads.append(encode_container(frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "video/t2gv",
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        _batches, schema="doc_id long, payload binary, media_type string"
+    )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_index int, width int, height int, pixel_sum bigint"
+)
+
+
+def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Demux + stride-sample + decode: every ``stride``-th frame of each
+    container is extracted (index-validated) and FULLY PNG-decoded; output
+    rows carry per-frame dimensions and a checksum over the decoded pixels.
+    The real-video shape: 1->N expansion inside one Arrow batch pass, the
+    frame decode vectorized per payload — swap the T2GV demux + PNG decode
+    for ffmpeg in production, the Spark contract is unchanged."""
+    import numpy as np
+
+    from text_to_graph_spark.kit.video import decode_container
+
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_container(bytes(payload))
+                for f in range(0, len(frames), stride):
+                    w, h, _, _, px = decode_gray8(frames[f])
+                    rows.append(
+                        (
+                            doc_id,
+                            f,
+                            w,
+                            h,
+                            int(np.frombuffer(px, dtype=np.uint8).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_index", "width", "height", "pixel_sum"],
+            )
+
+    return media.mapInPandas(_batches, schema=VIDEO_FRAME_SCHEMA)
+
+
 def _decode_stub(payload: bytes) -> tuple[int, str, int, int]:
     """Deterministic fake decoder. A real implementation would be:
 
