@@ -222,20 +222,73 @@ def hyperplanes(
     return out
 
 
-def hyperplane_bucket_expr(vec_col: str, table_planes: list[list[float]]):
-    """Bucket id for ONE table: bit h = sign of the fixed-order left-fold
-    dot product with plane h (inlined literal array). Pure projection —
-    fuses into the scan stage, zero shuffle."""
-    b = F.lit(0)
-    for h, plane in enumerate(table_planes):
-        lit = F.array(*[F.lit(float(v)) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), lit, lambda x, y: x.cast("double") * y),
+def hyperplane_codes_expr(vec_col: str, planes: list[list[list[float]]]):
+    """array<int> of per-table bucket ids, as ONE nested higher-order
+    expression: the whole plane family is a single nested-array literal and
+    the tables/bits/dims are folded with transform/zip_with/aggregate —
+    constant expression-tree size regardless of (tables x bits x dim).
+
+    (The obvious alternative — one fold expression per bit with a
+    per-plane ``F.array(*[F.lit(v), ...])`` literal — creates
+    tables x bits x dim Column objects, and EACH ``F.lit`` is a py4j
+    round-trip: at 8x8x64 that's ~4k driver<->JVM calls, measured ~24 s of
+    DataFrame BUILD time before any execution. The literal matrix is
+    therefore rendered as one SQL string and parsed JVM-side in a single
+    ``F.expr`` call; Python float repr round-trips exactly, so the doubles
+    are bit-identical to the md5-derived family.)
+
+    bit h of table t = sign of the fixed-order left-fold dot product with
+    plane h; bucket = sum of (1 << h) over positive bits. Pure projection —
+    fuses into the scan stage, zero shuffle.
+    """
+    n_bits = len(planes[0])
+    weights = F.expr(
+        "array(" + ", ".join(str(1 << h) for h in range(n_bits)) + ")"
+    )
+    def dlit(v: float) -> str:
+        r = repr(v)
+        # exponent reprs (possible for other seeds/families) go through a
+        # string cast — same exact double, parser-proof
+        return f"CAST('{r}' AS DOUBLE)" if "e" in r or "E" in r else f"{r}D"
+
+    planes_lit = F.expr(  # array<array<array<double>>>: tbl x bit x dim
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(dlit(v) for v in plane) + ")"
+                for plane in tbl
+            )
+            + ")"
+            for tbl in planes
+        )
+        + ")"
+    )
+
+    def dot(p):
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        b = b + F.when(dot > 0, F.lit(1 << h)).otherwise(F.lit(0))
-    return b.cast("int")
+
+    return F.transform(
+        planes_lit,
+        lambda tbl: F.aggregate(
+            F.zip_with(
+                tbl,
+                weights,
+                lambda p, w: F.when(dot(p) > 0, w).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("int"),
+    )
+
+
+def hyperplane_bucket_expr(vec_col: str, table_planes: list[list[float]]):
+    """Bucket id for ONE table (see :func:`hyperplane_codes_expr`)."""
+    return F.element_at(hyperplane_codes_expr(vec_col, [table_planes]), 1)
 
 
 def hyperplane_codes(
@@ -248,9 +301,11 @@ def hyperplane_codes(
     """(out_id, tbl, bucket) — one row per (vector, table). All table
     buckets are computed in ONE projection (an array + posexplode), so the
     corpus is scanned once regardless of n_tables."""
-    exprs = F.array(*[hyperplane_bucket_expr(vec_col, tp) for tp in planes])
     return df.select(
-        F.col(id_col).alias(out_id), F.posexplode(exprs).alias("tbl", "bucket")
+        F.col(id_col).alias(out_id),
+        F.posexplode(hyperplane_codes_expr(vec_col, planes)).alias(
+            "tbl", "bucket"
+        ),
     )
 
 
@@ -498,15 +553,15 @@ def topk_bucketed(
         "id_c",
         "vec_c",
         "norm_c",
-        F.posexplode(
-            F.array(*[hyperplane_bucket_expr("vec_c", tp) for tp in planes])
-        ).alias("tbl", "bucket"),
+        F.posexplode(hyperplane_codes_expr("vec_c", planes)).alias(
+            "tbl", "bucket"
+        ),
     )
     q_codes = queries.select(
         F.col(id_col).alias("id_q"),
-        F.posexplode(
-            F.array(*[hyperplane_bucket_expr(vec_col, tp) for tp in planes])
-        ).alias("tbl", "bucket"),
+        F.posexplode(hyperplane_codes_expr(vec_col, planes)).alias(
+            "tbl", "bucket"
+        ),
     )
     if probe_hamming:
         flips = F.array(
