@@ -920,3 +920,41 @@ def test_bipartite_double_cover_no_cartesian_udf_free(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert python_eval_count(out) == 0
+
+
+def test_topk_bucketed_broadcasts_queries_no_cartesian(spark):
+    """The ANN scale path must stay a broadcast equi-join on (tbl, bucket):
+    corpus rows never shuffle at fan-out width, and no plan change may
+    reintroduce an all-pairs join."""
+    from text_to_graph_spark.operators.similarity import topk_bucketed
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = topk_bucketed(emb, emb.where("vec_id < 10"), k=5)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert has_broadcast_join(out)
+
+
+def test_bottomk_sample_compiles_to_partial_topk(spark):
+    """Global bottom-k must be TakeOrderedAndProject (per-task partial
+    top-k), never a full global sort materialization."""
+    from text_to_graph_spark.operators.curation import bottomk_sample
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    s = plan_str(bottomk_sample(docs, k=10), "simple")
+    assert "TakeOrderedAndProject" in s
+
+
+def test_manifest_compaction_single_spec_shuffle(spark):
+    """Metadata-plane bin packing: one exchange keyed by spec feeds both
+    the prefix-sum window and the rollup (partitioning reused)."""
+    from text_to_graph_spark.operators.layout import manifest_compaction_plan
+
+    m = spark.createDataFrame(
+        [("a", "m1", 10), ("b", "m2", 20)],
+        "spec string, manifest string, n_entries long",
+    )
+    out = manifest_compaction_plan(m)
+    assert count_exchanges(out) <= 2  # spec window + final agg (same key)
+    assert "CartesianProduct" not in plan_str(out, "simple")
