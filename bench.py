@@ -316,11 +316,16 @@ def main() -> int:
     }
 
     results: dict[str, float] = {}
+    # long-running stress entries run once — min-of-3 on a ~40 s fixpoint
+    # suite would triple the bench wall for noise reduction it doesn't need
+    # (its signal is the cross-volume ratio in BASELINE.md, not ±5%)
+    single_shot = {"graph_stress"}
+
     for name, fn in benches.items():
         if ONLY and name not in ONLY:
             continue
         best = None
-        for _ in range(max(REPEATS, 1)):
+        for _ in range(1 if name in single_shot else max(REPEATS, 1)):
             t0 = time.monotonic()
             fn()
             dt = time.monotonic() - t0
