@@ -1755,6 +1755,21 @@ def _q_events_hll(spark, sf_dir):
     return EV.hll_distinct(_events(spark, sf_dir))
 
 
+def _q_events_bloom(spark, sf_dir):
+    # blocked-Bloom membership registers per event type (64 buckets x 63
+    # usable bits, OR-mergeable) — the set-membership sibling of the HLL/
+    # KMV/count-min register family; bit-exact across engines
+    return EV.bloom_registers(_events(spark, sf_dir))
+
+
+def _q_events_bloom_probe(spark, sf_dir):
+    # membership semantics measured on the sketch itself: every distinct
+    # user probed against the Bloom of the user_id % 7 = 0 cohort —
+    # no false negatives ever, false positives exactly the
+    # (bucket, bit) collisions; both engines derive all four flags
+    return EV.bloom_membership(_events(spark, sf_dir))
+
+
 def _q_events_countmin(spark, sf_dir):
     # count-min point-frequency sketch (4x64 registers, sum-mergeable)
     # probed for every distinct user next to the exact count — CMS
@@ -2567,6 +2582,15 @@ def _q_mm_features(spark, sf_dir):
     return MM.byte_histogram_features(MM.attach_payload(_docs(spark, sf_dir)))
 
 
+def _q_mm_resize(spark, sf_dir):
+    # REAL resize path: decode the synthesized grayscale PNG, nearest-
+    # neighbor downsample to 8x8 on the actual pixel lattice, re-encode
+    # and roundtrip-verify; the oracle recomputes the resampled pixel sum
+    # arithmetically from the generation rule, so only a true
+    # decode->resample implementation matches
+    return MM.resize_gray8_thumbs(MM.attach_png_payload(_docs(spark, sf_dir)))
+
+
 # deterministic "benchmark" split for the decontamination contract query:
 # every 50th doc plays the held-out eval set, the rest are the corpus
 _BENCH_PRED = "doc_id % 50 = 0"
@@ -2875,6 +2899,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": _q_kg_ppr,
         "text_vocab_coverage": _q_text_vocab_coverage,
         "events_hll": _q_events_hll,
+        "events_bloom": _q_events_bloom,
+        "events_bloom_probe": _q_events_bloom_probe,
         "events_countmin": _q_events_countmin,
         "kg_inverse_predicates": _q_kg_inverse_predicates,
         "kg_predicate_synonyms": _q_kg_predicate_synonyms,
@@ -2954,6 +2980,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_frames": _q_mm_video_frames,
         "mm_frames": _q_mm_frames,
         "mm_features": _q_mm_features,
+        "mm_resize": _q_mm_resize,
         "olap_pricing_summary": _q_olap_pricing_summary,
         "olap_forecast_revenue": _q_olap_forecast_revenue,
         "olap_promo_revenue": _q_olap_promo_revenue,
@@ -5858,6 +5885,67 @@ SELECT grp AS event_type,
        CAST(64 - n_present AS bigint) AS n_empty_buckets
 FROM p
 """,
+        # blocked-Bloom membership registers per event type: 52-bit md5
+        # split into bucket (mod 64) and bit ((h // 64) mod 63 — never the
+        # sign bit: DuckDB's checked shift rejects 1 << 63), OR-merged
+        "events_bloom": """
+WITH x AS (
+  SELECT event_type AS grp,
+         CAST(('0x' || substr(md5(CAST(user_id AS varchar)), 1, 13))
+              AS bigint) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+b AS (
+  SELECT grp, CAST(h % 64 AS int) AS bucket,
+         CAST((h // 64) % 63 AS int) AS bit
+  FROM x
+),
+r AS (
+  SELECT grp, bucket, bit_or(1::BIGINT << bit) AS bits
+  FROM b GROUP BY 1, 2
+)
+SELECT grp AS event_type, bucket, bits,
+       CAST(bit_count(bits) AS int) AS n_bits
+FROM r
+""",
+        # Bloom membership semantics, measured: every distinct user probed
+        # against the sketch of the user_id % 7 = 0 cohort —
+        # maybe_member from the register AND, is_member exact,
+        # false_positive their conjunction with the negated truth
+        "events_bloom_probe": """
+WITH members AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0
+),
+regs AS (
+  SELECT CAST(h % 64 AS int) AS bucket,
+         bit_or(1::BIGINT << CAST((h // 64) % 63 AS int)) AS bits
+  FROM (
+    SELECT CAST(('0x' || substr(md5(CAST(user_id AS varchar)), 1, 13))
+                AS bigint) AS h
+    FROM members
+  ) GROUP BY 1
+),
+probes AS (
+  SELECT user_id,
+         CAST(h % 64 AS int) AS bucket,
+         CAST((h // 64) % 63 AS int) AS bit
+  FROM (
+    SELECT DISTINCT user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS varchar)), 1, 13))
+                AS bigint) AS h
+    FROM events WHERE user_id IS NOT NULL
+  )
+)
+SELECT p.user_id,
+       (r.bits IS NOT NULL AND (r.bits & (1::BIGINT << p.bit)) != 0)
+         AS maybe_member,
+       (m.user_id IS NOT NULL) AS is_member,
+       ((r.bits IS NOT NULL AND (r.bits & (1::BIGINT << p.bit)) != 0)
+        AND m.user_id IS NULL) AS false_positive
+FROM probes p
+LEFT JOIN regs r ON r.bucket = p.bucket
+LEFT JOIN members m ON m.user_id = p.user_id
+""",
         # synonym-relation discovery: same-(subj,obj) predicate overlap,
         # exact-ppm Jaccard
         "kg_predicate_synonyms": f"""
@@ -7521,6 +7609,28 @@ SELECT d.doc_id, 'image/png' AS media_type, d.width, d.height,
 FROM dims d,
      unnest(generate_series(0, d.height - 1)) AS r(r),
      unnest(generate_series(0, d.width - 1)) AS c(c)
+GROUP BY d.doc_id, d.width, d.height
+""",
+        # real-resize: the Spark side decodes the PNG and nearest-neighbor
+        # samples the actual pixel lattice at src = out_idx * dim // 8; the
+        # oracle recomputes the resampled generation rule arithmetically
+        "mm_resize": """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(8 + octet_length(encode(text)) % 24 AS int) AS width,
+         CAST(8 + doc_id % 16 AS int) AS height
+  FROM documents
+)
+SELECT d.doc_id, d.width, d.height,
+       CAST(8 AS int) AS thumb_w, CAST(8 AS int) AS thumb_h,
+       CAST(sum((d.doc_id * 31
+                 + ((r.r * d.height) // 8) * 7
+                 + ((c.c * d.width) // 8) * 13) % 256) AS bigint)
+         AS thumb_sum,
+       TRUE AS reencode_ok
+FROM dims d,
+     unnest(generate_series(0, 7)) AS r(r),
+     unnest(generate_series(0, 7)) AS c(c)
 GROUP BY d.doc_id, d.width, d.height
 """,
         # real-WAV metadata: the Spark side parses synthesized RIFF/PCM16

@@ -570,3 +570,81 @@ class TestCountMin:
             if r.row == 0
         )
         assert total == 1
+
+
+class TestBloom:
+    def test_registers_match_pure_python_and_or_merge(self, spark):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from text_to_graph_spark.operators.events import bloom_registers
+
+        rows = [(i, i * 37 % 211, "g%d" % (i % 3)) for i in range(300)]
+        ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+
+        # pure-python reference sketch (same md5 split)
+        expect: dict[tuple[str, int], int] = {}
+        for _, uid, grp in rows:
+            h = int(hashlib.md5(str(uid).encode()).hexdigest()[:13], 16)
+            bucket, bit = h % 64, (h // 64) % 63
+            k = (grp, bucket)
+            expect[k] = expect.get(k, 0) | (1 << bit)
+
+        got = {
+            (r.event_type, r.bucket): r.bits
+            for r in bloom_registers(ev).collect()
+        }
+        assert got == expect
+        # popcount column agrees with the register
+        for r in bloom_registers(ev).collect():
+            assert r.n_bits == bin(r.bits & ((1 << 63) - 1)).count("1")
+
+        # registers OR-merge: sketching two halves then bit_or-folding
+        # equals sketching the whole (the mergeability contract)
+        a = bloom_registers(ev.where("event_id < 150"))
+        b = bloom_registers(ev.where("event_id >= 150"))
+        merged = {
+            (r.event_type, r.bucket): r.bits
+            for r in a.unionByName(b)
+            .groupBy("event_type", "bucket")
+            .agg(F.bit_or("bits").alias("bits"))
+            .collect()
+        }
+        assert merged == got
+
+    def test_membership_no_false_negatives_and_fp_only_on_collisions(self, spark):
+        from text_to_graph_spark.operators.events import bloom_membership
+
+        rows = [(i, i * 37 % 211) for i in range(400)]
+        ev = spark.createDataFrame(rows, "event_id long, user_id long")
+        # tiny filter (2 buckets x 63 bits) so collisions actually occur
+        out = bloom_membership(
+            ev, key="user_id", member_pred="user_id % 5 = 0", n_buckets=2
+        ).collect()
+        assert len(out) == len({u for _, u in rows})
+        n_member = sum(1 for r in out if r.is_member)
+        n_non = len(out) - n_member
+        assert n_member > 0 and n_non > 0
+        for r in out:
+            # Bloom invariant: a member is NEVER reported absent
+            if r.is_member:
+                assert r.maybe_member
+            assert r.false_positive == (r.maybe_member and not r.is_member)
+        # at 126 bits vs ~40 members, non-member collisions must appear —
+        # the sketch is doing approximate (not exact) membership
+        assert any(r.false_positive for r in out)
+
+    def test_sign_bit_never_set(self, spark):
+        from pyspark.sql import functions as F
+
+        from text_to_graph_spark.operators.events import bloom_registers
+
+        rows = [(i, i) for i in range(5000)]
+        ev = spark.createDataFrame(rows, "event_id long, user_id long").withColumn(
+            "event_type", F.lit("g")
+        )
+        for r in bloom_registers(ev, n_buckets=4).collect():
+            # bit positions are 0..62 by construction: registers stay
+            # non-negative, so the DuckDB oracle's checked 1<<bit works
+            assert r.bits >= 0

@@ -236,3 +236,56 @@ def test_attach_and_sample_video_frames_spark(spark):
             )
             assert r["pixel_sum"] == exp
         assert (did, 1) not in by_key and (did, 3) not in by_key
+
+
+def test_resize_thumbs_match_numpy_reference(spark):
+    import numpy as np
+
+    from text_to_graph_spark.operators.multimodal import (
+        attach_png_payload,
+        resize_gray8_thumbs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (i * 3 % 40 + 1)) for i in range(24)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in resize_gray8_thumbs(attach_png_payload(docs), 8, 8).collect()
+    }
+    assert len(out) == 24
+    for i in range(24):
+        text = "x" * (i * 3 % 40 + 1)
+        w = 8 + len(text.encode()) % 24
+        h = 8 + i % 16
+        img = (
+            i * 31
+            + 7 * np.arange(h, dtype=np.int64)[:, None]
+            + 13 * np.arange(w, dtype=np.int64)[None, :]
+        ) % 256
+        rr = (np.arange(8, dtype=np.int64) * h) // 8
+        cc = (np.arange(8, dtype=np.int64) * w) // 8
+        thumb = img[rr][:, cc]
+        r = out[i]
+        assert (r.width, r.height, r.thumb_w, r.thumb_h) == (w, h, 8, 8)
+        # the sum is over genuinely decoded-and-resampled pixels
+        assert r.thumb_sum == int(thumb.sum())
+        # re-encoded thumbnail PNG decodes back byte-identically
+        assert r.reencode_ok
+
+
+def test_resize_identity_when_already_target_size(spark):
+    from text_to_graph_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_png_metadata,
+        resize_gray8_thumbs,
+    )
+
+    # width = 8 + len(text) % 24 = 8 and height = 8 + doc_id % 16 = 8:
+    # an 8x8 source resized to 8x8 must keep the exact pixel sum
+    docs = spark.createDataFrame([(0, "y" * 24)], "doc_id long, text string")
+    media = attach_png_payload(docs)
+    meta = decode_png_metadata(media).collect()[0]
+    thumb = resize_gray8_thumbs(media, 8, 8).collect()[0]
+    assert (meta.width, meta.height) == (8, 8)
+    assert thumb.thumb_sum == meta.pixel_sum

@@ -958,3 +958,48 @@ def test_manifest_compaction_single_spec_shuffle(spark):
     out = manifest_compaction_plan(m)
     assert count_exchanges(out) <= 2  # spec window + final agg (same key)
     assert "CartesianProduct" not in plan_str(out, "simple")
+
+
+def test_bloom_registers_single_partial_agg_exchange(spark):
+    from text_to_graph_spark.operators.events import bloom_registers
+
+    ev = spark.createDataFrame(
+        [(i, i * 7 % 50, "g%d" % (i % 3)) for i in range(100)],
+        "event_id long, user_id long, event_type string",
+    )
+    regs = bloom_registers(ev)
+    # one bit_or aggregation keyed (group, bucket): exactly one exchange,
+    # partial-agg'd map-side so the shuffle carries at most
+    # groups x n_buckets rows per map partition
+    assert count_exchanges(regs) == 1
+    p = plan_str(regs)
+    assert "partial_bit_or" in p or "partial_" in p.lower()
+    assert python_eval_count(regs) == 0
+
+
+def test_bloom_probe_broadcasts_registers_and_members(spark):
+    from text_to_graph_spark.operators.events import bloom_membership
+
+    ev = spark.createDataFrame(
+        [(i, i * 7 % 50) for i in range(100)], "event_id long, user_id long"
+    )
+    out = bloom_membership(ev, member_pred="user_id % 5 = 0")
+    # both the register table (<= n_buckets rows) and the member list are
+    # broadcast: the probe side never shuffles for the joins
+    assert has_broadcast_join(out)
+    assert "CartesianProduct" not in plan_str(out)
+    assert python_eval_count(out) == 0
+
+
+def test_resize_thumbs_is_single_python_stage_no_shuffle(spark):
+    from text_to_graph_spark.operators.multimodal import (
+        attach_png_payload,
+        resize_gray8_thumbs,
+    )
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    t = resize_gray8_thumbs(attach_png_payload(docs))
+    # encode + decode + resample + re-encode fuse into TWO chained
+    # mapInPandas stages (attach, resize) with zero shuffle between them
+    assert python_eval_count(t) == 2
+    assert count_exchanges(t) == 0

@@ -862,3 +862,125 @@ def countmin_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est"))
     )
+
+
+def bloom_registers(
+    events: DataFrame,
+    key: str = "user_id",
+    group: str = "event_type",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Blocked-Bloom membership registers per group — the mergeable
+    set-membership sibling of :func:`hll_distinct` (distinct count),
+    :func:`countmin_registers` (point frequency) and kmv (quantile-able
+    distinct): registers OR across partitions, days, and waves, so the
+    "which users has this wave seen" set for a year folds into
+    ``n_buckets`` longs per group, never re-reading events.
+
+    Hash split mirrors the HLL: the 52-bit md5 prefix gives
+    bucket = h mod n_buckets and bit = (h DIV n_buckets) mod 63 —
+    63 bit positions per register, never the sign bit, because a 1<<63
+    literal overflows DuckDB's checked shift (the JVM wraps); staying in
+    0..62 keeps register bytes bit-identical across engines. One
+    partial-agg'd ``bit_or`` per (group, bucket): the shuffle carries at
+    most groups x n_buckets rows per map partition regardless of volume.
+
+    This is the oracle-portable contract twin of the xxhash64 join-prune
+    filter in ``functions/bloom.py`` (which needs no cross-engine parity
+    because correctness there never depends on the filter).
+
+    Returns (``group``, bucket, bits, n_bits) — n_bits the register
+    popcount, so fill ratio (the false-positive-rate driver: fp ≈ fill
+    for k=1) is read directly off the sketch.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    x = (
+        events.where(F.col(key).isNotNull())
+        .select(F.col(group).alias("grp"), h.alias("h"))
+        .select(
+            "grp",
+            F.pmod(F.col("h"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            F.pmod(F.expr(f"h DIV {n_buckets}"), F.lit(63)).cast("int").alias("bit"),
+        )
+    )
+    regs = x.groupBy("grp", "bucket").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS bigint), bit)")).alias("bits")
+    )
+    return regs.select(
+        F.col("grp").alias(group),
+        "bucket",
+        "bits",
+        F.bit_count("bits").cast("int").alias("n_bits"),
+    )
+
+
+def bloom_membership(
+    events: DataFrame,
+    key: str = "user_id",
+    member_pred: str = "user_id % 7 = 0",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Probe every distinct key against a Bloom of the keys satisfying
+    ``member_pred`` — the measured-semantics contract for the sketch:
+    no false negatives ever (is_member implies maybe_member), false
+    positives exactly those non-members whose (bucket, bit) collides.
+
+    The register table is ``n_buckets`` rows — broadcast, so the probe
+    side never shuffles; is_member comes from a broadcast left join
+    against the (distinct, equally tiny by selectivity) member-key list.
+    At 100 TB this is the crawl-frontier "seen set" probe shape: the
+    sketch prunes the definite non-members before any exact anti-join.
+
+    Returns (``key``, maybe_member, is_member, false_positive).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    members = events.where(F.expr(member_pred)).select(F.col(key)).distinct()
+    regs = (
+        members.select(h.alias("h"))
+        .select(
+            F.pmod(F.col("h"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            F.pmod(F.expr(f"h DIV {n_buckets}"), F.lit(63)).cast("int").alias("bit"),
+        )
+        .groupBy("bucket")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS bigint), bit)")).alias("bits"))
+    )
+    probes = (
+        events.where(F.col(key).isNotNull())
+        .select(F.col(key))
+        .distinct()
+        .select(
+            F.col(key),
+            h.alias("h"),
+        )
+        .select(
+            key,
+            F.pmod(F.col("h"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            F.pmod(F.expr(f"h DIV {n_buckets}"), F.lit(63)).cast("int").alias("bit"),
+        )
+    )
+    maybe = (
+        F.col("bits").isNotNull()
+        & (
+            F.col("bits").bitwiseAND(F.expr("shiftleft(CAST(1 AS bigint), bit)"))
+            != 0
+        )
+    )
+    out = (
+        probes.join(F.broadcast(regs), ["bucket"], "left")
+        .join(
+            F.broadcast(members.withColumn("_m", F.lit(True))), [key], "left"
+        )
+        .select(
+            key,
+            maybe.alias("maybe_member"),
+            F.coalesce(F.col("_m"), F.lit(False)).alias("is_member"),
+            (maybe & ~F.coalesce(F.col("_m"), F.lit(False))).alias(
+                "false_positive"
+            ),
+        )
+    )
+    return out
