@@ -233,6 +233,21 @@ def _q_kg_pages_jsonl(spark, sf_dir):
     return extract_text(back)
 
 
+def _q_kg_pages_warc(spark, sf_dir):
+    # Common-Crawl wire-format round trip: pages -> .warc.gz segment blobs
+    # (gzip member per record, bin-packed by md5(url) bucket) -> member
+    # split + strict record parse -> identical table (same oracle as
+    # kg_pages); extraction downstream of the parsed html proves the
+    # binary column survives the gzip hop bit-exactly
+    from text_to_graph_spark.sources.warc import (
+        pages_to_warc_segments,
+        warc_segments_to_pages,
+    )
+
+    segs = pages_to_warc_segments(synthesize_pages(spark, sf_dir))
+    return extract_text(warc_segments_to_pages(segs))
+
+
 def _q_kg_extract_text(spark, sf_dir):
     # html binary -> text must be byte-identical to the source text per url
     return extract_text(synthesize_pages(spark, sf_dir))
@@ -2778,6 +2793,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_pages": _q_kg_pages,
         "kg_pages_jsonl": _q_kg_pages_jsonl,
+        "kg_pages_warc": _q_kg_pages_warc,
         "kg_extract_text": _q_kg_extract_text,
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_bpe": _q_kg_chunks_bpe,
@@ -3984,6 +4000,12 @@ SELECT url, text FROM pages
         # the JSONL hop is lossless, so extraction over the decoded html
         # must still be byte-identical to the source text per url
         "kg_pages_jsonl": f"""
+{_KG_PREFIX}
+SELECT url, text FROM pages
+""",
+        # same roundtrip-identity oracle as kg_pages_jsonl: the WARC hop
+        # must reproduce the pages table exactly
+        "kg_pages_warc": f"""
 {_KG_PREFIX}
 SELECT url, text FROM pages
 """,
