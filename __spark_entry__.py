@@ -248,6 +248,20 @@ def _q_kg_pages_warc(spark, sf_dir):
     return extract_text(warc_segments_to_pages(segs))
 
 
+def _q_kg_pages_charset(spark, sf_dir):
+    # charset-sniffing ingest: the same corpus synthesized as BOM'd
+    # utf-16 LE/BE, windows-1252, and utf-8 pages (with per-page
+    # non-ASCII decorations so encodings differ on the wire); the Spark
+    # side must actually sniff + transcode to recover the text, the
+    # oracle recomputes url/encoding/text from the synthesis rule
+    from text_to_graph_spark.sources.charset import (
+        synthesize_legacy_pages,
+        transcode_extract,
+    )
+
+    return transcode_extract(synthesize_legacy_pages(spark, sf_dir))
+
+
 def _q_kg_extract_text(spark, sf_dir):
     # html binary -> text must be byte-identical to the source text per url
     return extract_text(synthesize_pages(spark, sf_dir))
@@ -2794,6 +2808,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pages": _q_kg_pages,
         "kg_pages_jsonl": _q_kg_pages_jsonl,
         "kg_pages_warc": _q_kg_pages_warc,
+        "kg_pages_charset": _q_kg_pages_charset,
         "kg_extract_text": _q_kg_extract_text,
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_bpe": _q_kg_chunks_bpe,
@@ -4008,6 +4023,19 @@ SELECT url, text FROM pages
         "kg_pages_warc": f"""
 {_KG_PREFIX}
 SELECT url, text FROM pages
+""",
+        # charset ingest: expected url/encoding/text recomputed from the
+        # synthesis rule (doc_id % 4 selects decoration + wire encoding)
+        "kg_pages_charset": """
+SELECT 'https://legacy.test/' || source || '/page/' || CAST(doc_id AS varchar)
+         AS url,
+       CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16-le'
+            WHEN 2 THEN 'utf-16-be' ELSE 'windows-1252' END AS encoding,
+       text || CASE doc_id % 4 WHEN 0 THEN ' \u2602\u96e8'
+                    WHEN 1 THEN ' \u2603\u03bb'
+                    WHEN 2 THEN ' \u03a9\u2248'
+                    ELSE ' \u20ac\u00e9' END AS text
+FROM documents
 """,
         # each synthetic document is a single unit (no blank lines / sentence
         # punctuation), so the greedy packer emits exactly one chunk per url
