@@ -471,6 +471,35 @@ def _q_kg_nodes_incremental(spark, sf_dir):
     )
 
 
+def _q_kg_edges_counts(spark, sf_dir):
+    # web-scale provenance mode: no inline doc_ids array, exact
+    # countDistinct n_docs — must equal the default mode's counts, so the
+    # oracle is deliberately the SAME full-corpus SQL as kg_edges
+    e = triples_to_canonical_edges(
+        _stages(spark, sf_dir)["triples"], provenance="counts"
+    )
+    return e.select(
+        F.col("subj_key").alias("subj"),
+        F.col("pred_key").alias("pred"),
+        F.col("obj_key").alias("obj"),
+        "n_docs",
+        "n_occurrences",
+    )
+
+
+def _q_kg_nodes_counts(spark, sf_dir):
+    # node-table twin of kg_edges_counts (hub nodes are the worst inline
+    # provenance case); same full-corpus oracle SQL as kg_nodes
+    nodes = triples_to_canonical_nodes(
+        _stages(spark, sf_dir)["triples"],
+        category_of=vocab_category_table(spark),
+        provenance="counts",
+    )
+    return nodes.select(
+        "label", F.concat_ws("|", "types").alias("node_type"), "n_docs"
+    )
+
+
 def _q_kg_top_predicates(spark, sf_dir):
     return G.edge_label_counts(_edges(spark, sf_dir), label_col="pred")
 
@@ -2825,8 +2854,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_diff": _q_kg_edges_diff,
         "kg_ntriples": _q_kg_ntriples,
         "kg_edges_streamed_incremental": _q_kg_edges_streamed_incremental,
+        "kg_edges_counts": _q_kg_edges_counts,
         "kg_nodes": _q_kg_nodes,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
+        "kg_nodes_counts": _q_kg_nodes_counts,
         "kg_top_predicates": _q_kg_top_predicates,
         "kg_match_2hop": _q_kg_match_2hop,
         "kg_match_star": _q_kg_match_star,
@@ -4130,6 +4161,11 @@ SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
 {_KG_PREFIX}
 SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
 """,
+        # counts-only provenance mode must equal the default mode exactly
+        "kg_edges_counts": f"""
+{_KG_PREFIX}
+SELECT subj, pred, obj, n_docs, n_occurrences FROM edges
+""",
         # N-Triples export: md5-IRI edge lines + escaped label literals
         "kg_ntriples": f"""
 {_KG_PREFIX}
@@ -4392,6 +4428,16 @@ WHERE a.pred < b.pred
 GROUP BY 1, 2
 """,
         "kg_nodes": f"""
+{_KG_PREFIX}
+SELECT label, {cat} AS node_type, count(DISTINCT url) AS n_docs
+FROM (
+  SELECT url, subj AS label FROM triples
+  UNION ALL
+  SELECT url, obj FROM triples
+) GROUP BY label
+""",
+        # counts-only provenance node twin: same full-corpus SQL as kg_nodes
+        "kg_nodes_counts": f"""
 {_KG_PREFIX}
 SELECT label, {cat} AS node_type, count(DISTINCT url) AS n_docs
 FROM (

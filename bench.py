@@ -95,8 +95,18 @@ def main() -> int:
         triples = extract_triples_from_pages(pages)  # fused single-UDF path
         triples = triples.localCheckpoint(eager=True)  # reuse for edges+nodes
         n_triples = triples.count()
-        _force(triples_to_canonical_edges(triples))
-        _force(triples_to_canonical_nodes(triples, vocab_category_table(spark)))
+        # heavy tiles put every page behind every key: inline doc_ids
+        # arrays become the aggregation state itself and collect_set GC
+        # inverts core-scaling (measured: 4 cores beat 16 at 512x). The
+        # web-scale provenance mode keeps counts exact and state bounded;
+        # both modes are value-checked equal by contract queries + pytest.
+        prov = "counts" if REPLICATE >= 64 else "doc_ids"
+        _force(triples_to_canonical_edges(triples, provenance=prov))
+        _force(
+            triples_to_canonical_nodes(
+                triples, vocab_category_table(spark), provenance=prov
+            )
+        )
 
     def q_kg_pipeline_staged():
         # same computation through the three checkpointable stage operators

@@ -221,3 +221,44 @@ def test_merge_canonical_nodes_equals_batch(spark, pages_smoke):
         )
 
     assert _rows(merged) == _rows(full)
+
+
+def test_counts_provenance_equals_docids_minus_arrays(spark, pages_smoke):
+    """provenance="counts" is the web-scale mode: identical keys, labels,
+    n_docs, n_occurrences — only the inline doc_ids array is dropped
+    (empty-array placeholder keeps the schema union-compatible)."""
+    import pytest as _pytest
+
+    from text_to_graph_spark.operators.extraction import extract_triples_from_pages
+
+    t = extract_triples_from_pages(pages_smoke).localCheckpoint(eager=True)
+
+    full_e = triples_to_canonical_edges(t)
+    cnt_e = triples_to_canonical_edges(t, provenance="counts")
+    assert cnt_e.schema == full_e.schema
+
+    def _e(df):
+        return sorted(
+            (r.subj_key, r.pred_key, r.obj_key, r.subj_label, r.pred_label,
+             r.obj_label, r.n_docs, r.n_occurrences)
+            for r in df.collect()
+        )
+
+    assert _e(cnt_e) == _e(full_e)
+    assert all(r.doc_ids == [] for r in cnt_e.collect())
+
+    full_n = triples_to_canonical_nodes(t)
+    cnt_n = triples_to_canonical_nodes(t, provenance="counts")
+    assert cnt_n.schema == full_n.schema
+
+    def _n(df):
+        return sorted(
+            (r.key, r.label, tuple(r.types), r.n_docs) for r in df.collect()
+        )
+
+    assert _n(cnt_n) == _n(full_n)
+
+    with _pytest.raises(ValueError):
+        triples_to_canonical_edges(t, provenance="nope")
+    with _pytest.raises(ValueError):
+        triples_to_canonical_nodes(t, provenance="nope")

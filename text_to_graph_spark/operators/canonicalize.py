@@ -46,7 +46,7 @@ def _key(c):
 
 
 def triples_to_canonical_edges(
-    triples: DataFrame, salt_buckets: int = 0
+    triples: DataFrame, salt_buckets: int = 0, provenance: str = "doc_ids"
 ) -> DataFrame:
     """(url, chunk_index, pos, subj, pred, obj) -> canonical directed edges.
 
@@ -59,7 +59,22 @@ def triples_to_canonical_edges(
     reducer even after map-side combine): phase 1 groups by (key, salt)
     where salt derives from the url hash — deterministic under retries —
     phase 2 merges the partials. Results are identical either way (tested).
+
+    ``provenance="counts"`` drops the inline ``doc_ids`` array and computes
+    ``n_docs`` as an exact ``countDistinct(url)`` instead — the web-scale
+    mode. The reference inlines full doc lists per edge (desktop corpora,
+    `graph_utils.py:13-251` merges `docs` lists), and so does the default
+    here; but a boilerplate edge present in half a 10^12-page crawl makes
+    that array the aggregation state itself (measured: the duplicate-heavy
+    512x bench tile INVERTS core-scaling — 4 cores beat 16 — purely on
+    collect_set GC pressure). At that scale provenance lives in the
+    occurrence table, not inline; counts stay exact and every aggregate is
+    partial-aggregable with bounded per-task state.
     """
+    if provenance not in ("doc_ids", "counts"):
+        raise ValueError(f"provenance must be doc_ids|counts, got {provenance!r}")
+    if provenance == "counts":
+        return _canonical_edges_counts(triples)
     if salt_buckets > 0:
         return _canonical_edges_salted(triples, salt_buckets)
     ordv = F.struct("url", "chunk_index", "pos")
@@ -91,6 +106,55 @@ def triples_to_canonical_edges(
             "subj_key", "pred_key", "obj_key", "subj_label", "pred_label",
             "obj_label", "doc_ids", "n_docs", "n_occurrences",
         )
+    )
+
+
+def _canonical_edges_counts(triples: DataFrame) -> DataFrame:
+    """Counts-only canonical edges: same keys/labels/n_occurrences as the
+    default mode, ``n_docs`` exact via countDistinct, NO doc_ids array.
+
+    Two independent aggregations instead of one fused agg: a fused
+    (min_by x3 + countDistinct) plans a distinct-expand that DUPLICATES the
+    label/order struct columns through a double-width shuffle (measured:
+    that single stage ran slower on 16 cores than 4 at 512x tiling — the
+    one box's shuffle bandwidth was the limiter, and the expand doubled the
+    bytes). Splitting lets each shuffle carry only what its aggregate
+    needs: the label agg partial-aggregates to at most distinct-edge rows
+    per map task (a ~KB shuffle), the counts agg shuffles slim
+    (keys, url) rows only; the final join of two distinct-edge-sized
+    tables is broadcast/AQE territory. Schema keeps a ``doc_ids`` column
+    as an empty array so both modes are union-compatible.
+    """
+    ordv = F.struct("url", "chunk_index", "pos")
+    t = triples.select(
+        "url",
+        "chunk_index",
+        "pos",
+        _key("subj").alias("subj_key"),
+        _key("pred").alias("pred_key"),
+        _key("obj").alias("obj_key"),
+        sanitize_col("subj").alias("subj_s"),
+        sanitize_col("pred").alias("pred_s"),
+        sanitize_col("obj").alias("obj_s"),
+    ).where((F.col("subj_key") != "") & (F.col("obj_key") != ""))
+    keys = ["subj_key", "pred_key", "obj_key"]
+    labels = t.groupBy(*keys).agg(
+        F.min_by("subj_s", ordv).alias("subj_label"),
+        F.min_by("pred_s", ordv).alias("pred_label"),
+        F.min_by("obj_s", ordv).alias("obj_label"),
+    )
+    counts = (
+        t.select(*keys, "url")
+        .groupBy(*keys)
+        .agg(
+            F.countDistinct("url").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+    )
+    return labels.join(counts, keys).select(
+        "subj_key", "pred_key", "obj_key", "subj_label", "pred_label",
+        "obj_label", F.slice(F.array(F.lit("")), 1, 0).alias("doc_ids"),
+        "n_docs", "n_occurrences",
     )
 
 
@@ -147,7 +211,9 @@ def _canonical_edges_salted(triples: DataFrame, buckets: int) -> DataFrame:
 
 
 def triples_to_canonical_nodes(
-    triples: DataFrame, category_of: DataFrame | None = None
+    triples: DataFrame,
+    category_of: DataFrame | None = None,
+    provenance: str = "doc_ids",
 ) -> DataFrame:
     """Canonical node table straight from the triple stream, preserving the
     reference's first-occurrence-wins base label with an explicit total order
@@ -156,8 +222,14 @@ def triples_to_canonical_nodes(
 
     Only triple participants become nodes (orphan-prune semantics,
     ``response_parser.py:178-207``). Output: (key, label, types, doc_ids,
-    n_docs).
+    n_docs). ``provenance="counts"`` drops the inline doc_ids array (empty
+    array placeholder, exact countDistinct n_docs) — nodes are the worst
+    hub case for inline provenance: a vocab of tens of entities over a
+    10^12-page crawl puts MILLIONS of urls in every node's array (see
+    :func:`triples_to_canonical_edges`).
     """
+    if provenance not in ("doc_ids", "counts"):
+        raise ValueError(f"provenance must be doc_ids|counts, got {provenance!r}")
     subj = triples.select(
         "url",
         "chunk_index",
@@ -176,6 +248,22 @@ def triples_to_canonical_nodes(
         F.col("key") != ""
     )
     ordv = F.struct("url", "chunk_index", "pos", "role")
+    if provenance == "counts":
+        # Same split as _canonical_edges_counts: a fused
+        # (min_by + countDistinct) plans a distinct-expand that duplicates
+        # the label/order struct through a double-width shuffle; two slim
+        # aggregations then a distinct-node-sized join stay bounded.
+        labels = occ.groupBy("key").agg(
+            F.min_by("label_s", ordv).alias("label")
+        )
+        counts = occ.select("key", "url").groupBy("key").agg(
+            F.countDistinct("url").cast("int").alias("n_docs")
+        )
+        nodes = labels.join(counts, "key").select(
+            "key", "label", F.slice(F.array(F.lit("")), 1, 0).alias("doc_ids"),
+            "n_docs",
+        )
+        return _attach_types(nodes, category_of)
     nodes = occ.groupBy("key").agg(
         F.min_by("label_s", ordv).alias("label"),
         F.array_sort(F.collect_set("url")).alias("doc_ids"),
