@@ -1366,6 +1366,18 @@ def _q_dedup_containment(spark, sf_dir):
     )
 
 
+def _q_dedup_paragraphs(spark, sf_dir):
+    # corpus REWRITE: paragraphize the word-stream fixture deterministically
+    # (newline every 8th word, same regex both engines), then global
+    # first-occurrence paragraph dedup with per-doc reassembly — the
+    # C4-line-dedup / Dolma-paragraph-dedup training-data step
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+ ){7}\S+) ", "$1\n").alias("text"),
+    )
+    return D.paragraph_dedup(docs)
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     # fuzzy dedup with quality-argmax survivors: LSH/CC clusters joined to
     # quality_stats, per-cluster max quality_score (tiebreak min doc_id)
@@ -2940,6 +2952,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_band_load": _q_dedup_band_load,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "dedup_containment": _q_dedup_containment,
         "dedup_keep_best": _q_dedup_keep_best,
         "dedup_embedding": _q_dedup_embedding,
@@ -5540,6 +5553,43 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE (floor((inter / CAST(sa.sz + sb.sz - inter AS double)) * 10000.0 + 0.5) / 10000.0) >= 0.05
+""",
+        # corpus rewrite: paragraphize (newline every 8th word), then keep
+        # only each paragraph's globally-first (doc_id, pos) occurrence and
+        # reassemble documents; rank packs the total order into one bigint
+        "dedup_paragraphs": """
+WITH p AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g')
+           AS text
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, u.pos, u.para,
+         substr(md5(u.para), 1, 16) AS key,
+         doc_id * 1048576 + u.pos AS rank
+  FROM (
+    SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+                   (x, i) -> struct_pack(pos := i - 1, para := x))) AS u
+    FROM p
+  )
+  WHERE u.para <> ''
+),
+win AS (SELECT key, min(rank) AS w_rank FROM occ GROUP BY key),
+agg AS (
+  SELECT o.doc_id,
+         count(*) AS n_paras,
+         sum(CASE WHEN o.rank = w.w_rank THEN 1 ELSE 0 END) AS n_kept,
+         coalesce(string_agg(CASE WHEN o.rank = w.w_rank THEN o.para END,
+                             chr(10) ORDER BY o.pos), '') AS clean_text
+  FROM occ o JOIN win w USING (key)
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(a.n_paras, 0) AS bigint) AS n_paras,
+       CAST(coalesce(a.n_kept, 0) AS bigint) AS n_kept
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
         # asymmetric shingle containment within the source block: inter/|A|
         # and inter/|B| from exact integer counts, pair kept when either

@@ -768,3 +768,34 @@ def test_neardup_keep_best_prefers_quality_not_min_id(spark):
     reps = {r["cluster"]: r["doc_id"]
             for r in near_dup_clusters(df).where("is_representative").collect()}
     assert reps[1] == 1
+
+
+def test_paragraph_dedup_rewrites_corpus(spark):
+    """Global first occurrence (doc_id, pos) wins; later occurrences —
+    including repeats WITHIN the same doc — are removed; docs reassemble in
+    original order; fully-deduplicated and empty docs survive as rows."""
+    import pytest as _pytest
+
+    from text_to_graph_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared header\nunique one\nshared header"),  # self-repeat
+            (2, "unique two\nshared header\nunique three"),
+            (3, "shared header"),  # fully deduplicated away
+            (4, ""),  # empty doc: zero units
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert got[1]["clean_text"] == "shared header\nunique one"
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (3, 2)
+    assert got[2]["clean_text"] == "unique two\nunique three"
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (3, 2)
+    assert got[3]["clean_text"] == "" and got[3]["n_kept"] == 0
+    assert got[4]["clean_text"] == "" and got[4]["n_paras"] == 0
+    with _pytest.raises(ValueError):
+        paragraph_dedup(df, max_pos=0)
+    # in-plan overflow guard fires instead of silently corrupting the order
+    with _pytest.raises(Exception, match="max_pos"):
+        paragraph_dedup(df, max_pos=2).collect()

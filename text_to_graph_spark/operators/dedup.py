@@ -760,3 +760,93 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_pos: int = 1_048_576,
+) -> DataFrame:
+    """Global paragraph-level exact dedup WITH document reconstruction — the
+    corpus-rewrite step (C4-style line dedup / Dolma paragraph dedup; the
+    reference's content-hash skip, ``graph_generator.py:341-358``, works at
+    whole-document grain — this is its sub-document generalization): every
+    ``sep``-separated unit keeps only its globally-first occurrence ordered
+    by (doc id, position); later occurrences are removed and each document's
+    text is reassembled from its surviving units in original order. Empty
+    units are dropped.
+
+    Returns (doc_id, clean_text, n_paras, n_kept) — one row per input doc
+    (docs whose every unit was deduplicated away keep an empty clean_text).
+
+    Scale shape (100 TB): winner selection is a partial-aggregable
+    ``min(rank)`` groupBy on the 16-hex md5 prefix of the unit — the shuffle
+    carries 16 hex chars + one bigint, never the text, and a boilerplate
+    paragraph present in millions of docs is ONE group row after map-side
+    combine (deliberately NOT a row_number window, whose hot-key partition
+    would serialize on one task). Survivors come back via a hash equi-join
+    on the same key; reassembly is one groupBy(doc id) whose state is
+    bounded by the document itself. rank = doc_id * max_pos + pos packs the
+    total order into one bigint (portable to the SQL oracle); guarded
+    against positional overflow.
+    """
+    if max_pos <= 0:
+        raise ValueError(f"max_pos must be positive, got {max_pos}")
+    did = F.col(id_col).cast("bigint")
+    units = F.split(F.col(text_col), sep)
+    # positional overflow would silently corrupt the total order: fail loud
+    # in-plan (a codegen'd branch, no measurable cost) instead of wrapping.
+    rank = F.when(
+        F.col("pos") < max_pos, F.col("doc_id") * max_pos + F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "paragraph_dedup: position %%s >= max_pos=%d" % max_pos, F.col("pos")
+            )
+        ).cast("bigint")
+    )
+    occ = (
+        docs.select(
+            did.alias("doc_id"),
+            F.posexplode_outer(units).alias("pos", "para"),
+        )
+        .where(F.col("para").isNotNull() & (F.col("para") != ""))
+        .select(
+            "doc_id",
+            "pos",
+            "para",
+            F.substring(F.md5("para"), 1, 16).alias("key"),
+            rank.alias("rank"),
+        )
+    )
+    win = occ.groupBy("key").agg(F.min("rank").alias("w_rank"))
+    flagged = occ.join(win, "key").withColumn(
+        "keep", F.col("rank") == F.col("w_rank")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda x: x["para"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select(did.alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_paras", F.lit(0)).cast("bigint").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
