@@ -324,6 +324,43 @@ def _q_kg_subword_counts(spark, sf_dir):
     )
 
 
+def _q_kg_chunks_gpt2(spark, sf_dir):
+    # The reference's PRIMARY tokenizer is tiktoken's GPT-2-style encoder
+    # loaded from a pinned artifact (graph_extractor/src/gpt.py:27-34).
+    # The public 50k merge table cannot be vendored offline, so this
+    # contract proves the whole file-drop path instead: learn 8 merges
+    # distributed, serialize them in the public merges.txt WIRE FORMAT
+    # (kit/bpe.py dump_merges_txt), parse the file back through the exact
+    # decoder a real GPT-2 merges.txt goes through (load_merges_txt), and
+    # drive chunk packing (C4/C5) with the LOADED table — so swapping in
+    # the public artifact reproduces tiktoken chunk boundaries with zero
+    # code changes. Oracle: unrolled training fold (independent of the
+    # Spark trainer) composed with the kg_chunks one-chunk-per-url shape.
+    import os
+    import tempfile
+
+    from text_to_graph_spark.kit.bpe import dump_merges_txt, load_merges_txt
+    from text_to_graph_spark.operators.chunking import chunk_pages
+    from text_to_graph_spark.operators.extraction import extract_text
+    from text_to_graph_spark.operators.tokenizer import train_bpe_merges
+
+    text = extract_text(synthesize_pages(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    model = train_bpe_merges(text, n_merges=8).orderBy("rank").collect()
+    merges = [
+        (bytes.fromhex(r["left_hex"]), bytes.fromhex(r["right_hex"]))
+        for r in model
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "merges.txt")
+        dump_merges_txt(merges, path)
+        loaded = load_merges_txt(path)
+    if loaded != merges:  # the round-trip IS the contract
+        raise AssertionError("merges.txt wire-format round-trip mismatch")
+    return chunk_pages(text, token_counter="bpe", bpe_merges=loaded)
+
+
 def _q_kg_graphs_catalog(spark, sf_dir):
     # S10 / the legacy viewer's catalog scan (webpages/visualizer/1.0/
     # db_utils.js:23-28: Graphs JOIN Configurations ON config_id): per-run
@@ -2855,6 +2892,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chunks_bpe": _q_kg_chunks_bpe,
         "kg_bpe_train": _q_kg_bpe_train,
         "kg_subword_counts": _q_kg_subword_counts,
+        "kg_chunks_gpt2": _q_kg_chunks_gpt2,
         "kg_graphs_catalog": _q_kg_graphs_catalog,
         "kg_mentions": _q_kg_mentions,
         "kg_mention_counts": _q_kg_mention_counts,
@@ -4030,6 +4068,47 @@ LEFT JOIN (
     return "".join(sql)
 
 
+def _chunks_gpt2_oracle(n_rounds: int) -> str:
+    """The trained-merge fold (same CTE chain as kg_subword_counts, but
+    over trim(text) — the chunker counts unit text, which is trimmed)
+    composed with kg_chunks' one-chunk-per-url output shape."""
+    sql = [
+        f"""{_bpe_cte(n_rounds)},
+up0 AS (
+  SELECT url, {_BPE_STATE_SQL} AS state
+  FROM (SELECT url,
+               unnest(regexp_extract_all(trim(text), '{_PRETOKEN_SQL}'))
+                 AS piece
+        FROM pages)
+  WHERE len(piece) > 0
+)"""
+    ]
+    for r in range(n_rounds):
+        sql.append(
+            f""",
+up{r + 1} AS (
+  SELECT p.url, {_BPE_FOLD_CASE}
+  FROM up{r} p LEFT JOIN bb{r} m ON TRUE
+)"""
+        )
+    sql.append(
+        f"""
+SELECT p.url,
+       CAST(0 AS int) AS chunk_index,
+       CAST(coalesce(c.n_sub, 0) AS int) AS chunk_size,
+       CAST(0 AS int) AS token_start,
+       CAST(coalesce(c.n_sub, 0) AS int) AS token_end,
+       trim(p.text) AS text
+FROM pages p
+LEFT JOIN (
+  SELECT url, sum(len(string_split(state, ','))) AS n_sub
+  FROM up{n_rounds} GROUP BY 1
+) c USING (url)
+"""
+    )
+    return "".join(sql)
+
+
 def oracle_sql() -> dict[str, str]:
     ents, preds, cat = _ENTS_SQL, _PREDS_SQL, _CATEGORY_CASE
     linked_cte = _LINKED_CTE.format(ents=ents)
@@ -4114,6 +4193,10 @@ FROM pages
         "kg_bpe_train": _bpe_train_oracle(8),
         # tokenizer train -> sequential rank-order apply, per-url counts
         "kg_subword_counts": _subword_counts_oracle(8),
+        # trained merges round-tripped through the GPT-2 merges.txt wire
+        # format drive the chunker; fold chain is independent of the
+        # Spark trainer AND of the wire format (see _chunks_gpt2_oracle)
+        "kg_chunks_gpt2": _chunks_gpt2_oracle(8),
         # S10 legacy-viewer catalog (db_utils.js:23-28): per-graph chunk
         # stats x configuration dim; one chunk per url on the synthetic
         # corpus, counters whitespace vs pretoken-regex

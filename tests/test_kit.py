@@ -386,3 +386,27 @@ def test_gpt2_merges_txt_loader_wire_format(tmp_path):
     empty.write_text("#version: 0.2\n", encoding="utf-8")
     with pytest.raises(ValueError, match="no merges"):
         load_merges_txt(str(empty))
+
+
+def test_gpt2_merges_txt_dump_load_roundtrip(tmp_path):
+    """dump_merges_txt is the exact inverse of load_merges_txt — including
+    tokens carrying space, newline, and non-ASCII bytes, which the
+    byte-to-unicode alphabet keeps printable on one line."""
+    from text_to_graph_spark.kit.bpe import (
+        dump_merges_txt,
+        load_merges_txt,
+        train_bpe,
+    )
+
+    trained = train_bpe(
+        ["the quick the quick brown", "the the thé naïve \n tab\there"] * 3,
+        n_merges=12,
+    )
+    adversarial = [(b" \n", b"\xc3\xa9"), (b"\x00\xff", b" t")]
+    for merges in (trained, adversarial):
+        p = tmp_path / "m.txt"
+        dump_merges_txt(merges, str(p))
+        assert load_merges_txt(str(p)) == merges
+        # wire format stays line-oriented: one header + one line per merge
+        lines = p.read_text(encoding="utf-8").splitlines()
+        assert len(lines) == 1 + len(merges)

@@ -165,6 +165,24 @@ def gpt2_bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, (chr(c) for c in cs)))
 
 
+def dump_merges_txt(merges: list[tuple[bytes, bytes]], path: str) -> None:
+    """Write a ranked merge list in the public GPT-2 ``merges.txt`` wire
+    format — the exact inverse of :func:`load_merges_txt` (``#version``
+    header, one ``left right`` pair per line in the byte-to-unicode
+    alphabet, rank = line order). The alphabet maps every byte — including
+    space and newline — to a printable codepoint, so any byte sequence
+    round-trips losslessly through the line-oriented format."""
+    enc = gpt2_bytes_to_unicode()
+
+    def tok(b: bytes) -> str:
+        return "".join(enc[x] for x in b)
+
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{tok(a)} {tok(b)}\n")
+
+
 def load_merges_txt(path: str) -> list[tuple[bytes, bytes]]:
     """Parse a GPT-2-format ``merges.txt`` into the ranked merge list
     :class:`BPE` consumes — the adapter that makes the reference's primary
