@@ -24,9 +24,19 @@ def _triples(spark, rows):
     return spark.createDataFrame(rows, TRIPLE_SCHEMA)
 
 
+def _url_ord(url: str) -> int:
+    # the documented canonical order leads with the 60-bit md5 prefix of
+    # the url (canonicalize.first_occurrence_ord)
+    import hashlib
+
+    return int(hashlib.md5(url.encode()).hexdigest()[:15], 16)
+
+
 def test_first_occurrence_wins_label(spark):
-    # "ACME" appears first (url a, chunk 0, pos 0); "acme" later — the first
-    # occurrence's casing is the display label (graph_utils.py:34-45)
+    # the occurrence in the url that sorts first under the documented
+    # total order contributes the display label (graph_utils.py:34-45);
+    # md5("a") < md5("b") on the 60-bit prefix, so url "a" wins here
+    assert _url_ord("a") < _url_ord("b")
     t = _triples(
         spark,
         [
@@ -41,6 +51,33 @@ def test_first_occurrence_wins_label(spark):
     assert edges[0]["subj_label"] == "ACME"
     assert edges[0]["n_docs"] == 2
     assert edges[0]["n_occurrences"] == 2
+
+
+def test_label_order_is_url_hash_not_lexicographic(spark):
+    # urls "x" < "y" lexicographically but md5("y") < md5("x") — the hash
+    # order is the contract (it is what keeps the argmin in fixed-width
+    # HashAggregate state at corpus scale), so "y"'s casing must win; both
+    # provenance modes must agree on the same winner
+    assert _url_ord("y") < _url_ord("x") and "x" < "y"
+    t = _triples(
+        spark,
+        [
+            ("x", 0, 0, "Acme", "join", "Widget"),
+            ("y", 0, 0, "ACME", "join", "WIDGET"),
+        ],
+    )
+    for prov in ("doc_ids", "counts"):
+        nodes = {
+            r["key"]: r["label"]
+            for r in triples_to_canonical_nodes(t, provenance=prov).collect()
+        }
+        assert nodes == {"acme": "ACME", "widget": "WIDGET"}, prov
+        edges = triples_to_canonical_edges(t, provenance=prov).collect()
+        assert len(edges) == 1
+        assert (edges[0]["subj_label"], edges[0]["obj_label"]) == (
+            "ACME",
+            "WIDGET",
+        ), prov
 
 
 def test_pipe_sanitized_and_empty_keys_dropped(spark):

@@ -9,8 +9,17 @@ aggregations:
 - base label   = *first occurrence wins* (``graph_utils.py:34-45``). The
   reference's iteration order is document order then row order; distributed
   execution has no implicit order, so we make the order explicit and total:
-  ``min_by(label, struct(url, chunk_index, pos, role))`` — deterministic
-  under retries and shuffles (no ``first()`` without ordering anywhere).
+  the argmin row under ``(md5_60(url), chunk_index, pos, role)`` packed
+  into one ``decimal(38,0)`` (:func:`first_occurrence_ord`) — deterministic
+  under retries, shuffles, and partitionings (no ``first()`` without
+  ordering anywhere). The order leads with a *hash* of the url rather than
+  the url itself deliberately: any total order reproduces the reference's
+  semantics class (one stable display label per key — its own pick is
+  iteration-order luck), and a fixed-width ordinal is the only form Spark
+  can argmin inside HashAggregate. A string/struct ordering key forces
+  SortAggregate — the partial agg then SORTS every occurrence row per map
+  task, which measured 16.7 s vs 4.4 s on a 4.9M-row tile and erased
+  core-scaling entirely (25 s flat from 4 to 16 cores).
 - type set     = union of sanitized types per key (``graph_utils.py:36``),
   rendered as ``'|'``-joined sorted distinct only at export
   (``graph_utils.py:68``) — internally a genuine array column.
@@ -45,6 +54,31 @@ def _key(c):
     return F.lower(sanitize_col(c))
 
 
+def first_occurrence_ord(role: str | None = None):
+    """The canonical total order ``(md5_60(url), chunk_index, pos[, role])``
+    packed into a single ``decimal(38,0)`` ordinal (see module docstring for
+    why a fixed-width scalar and not a struct).
+
+    Layout (126-bit decimal budget): 60-bit md5 prefix of the url ``<< 65``,
+    chunk_index ``<< 33``, pos ``<< 1``, role bit — chunk_index and pos are
+    32-bit ints so the fields can never overlap; the packed value is unique
+    per occurrence row up to a 60-bit md5-prefix collision between two
+    different urls that also share (chunk, pos, role). Such a tie only
+    affects WHICH casing variant becomes the display label, never keys or
+    counts, and is broken deterministically by the label bytes themselves
+    at the argmin step."""
+    h = F.conv(F.substring(F.md5("url"), 1, 15), 16, 10).cast("decimal(38,0)")
+    o = (
+        h * F.lit(str(1 << 65)).cast("decimal(38,0)")
+        + F.col("chunk_index").cast("decimal(38,0)")
+        * F.lit(str(1 << 33)).cast("decimal(38,0)")
+        + F.col("pos").cast("decimal(38,0)") * F.lit(2).cast("decimal(38,0)")
+    )
+    if role is not None:
+        o = o + F.col(role).cast("decimal(38,0)")
+    return o
+
+
 def triples_to_canonical_edges(
     triples: DataFrame, salt_buckets: int = 0, provenance: str = "doc_ids"
 ) -> DataFrame:
@@ -77,7 +111,7 @@ def triples_to_canonical_edges(
         return _canonical_edges_counts(triples)
     if salt_buckets > 0:
         return _canonical_edges_salted(triples, salt_buckets)
-    ordv = F.struct("url", "chunk_index", "pos")
+    ordv = first_occurrence_ord()
     t = triples.select(
         "url",
         "chunk_index",
@@ -114,18 +148,30 @@ def _canonical_edges_counts(triples: DataFrame) -> DataFrame:
     default mode, ``n_docs`` exact via countDistinct, NO doc_ids array.
 
     Two independent aggregations instead of one fused agg: a fused
-    (min_by x3 + countDistinct) plans a distinct-expand that DUPLICATES the
-    label/order struct columns through a double-width shuffle (measured:
-    that single stage ran slower on 16 cores than 4 at 512x tiling — the
-    one box's shuffle bandwidth was the limiter, and the expand doubled the
+    (argmin x3 + countDistinct) plans a distinct-expand that DUPLICATES the
+    label/order columns through a double-width shuffle (measured: that
+    single stage ran slower on 16 cores than 4 at 512x tiling — the one
+    box's shuffle bandwidth was the limiter, and the expand doubled the
     bytes). Splitting lets each shuffle carry only what its aggregate
     needs: the label agg partial-aggregates to at most distinct-edge rows
     per map task (a ~KB shuffle), the counts agg shuffles slim
     (keys, url) rows only; the final join of two distinct-edge-sized
     tables is broadcast/AQE territory. Schema keeps a ``doc_ids`` column
     as an empty array so both modes are union-compatible.
+
+    The label argmin itself is TWO HashAggregates, never a min_by: pass 1
+    reduces occurrences to distinct (edge key, label variant) rows with
+    ``min(packed ordinal)`` — a fixed-width decimal buffer, so the partial
+    agg stays in codegen'd HashAggregate and map-side combine bounds the
+    shuffle by distinct variants, not occurrences; pass 2 picks the
+    winning variant with one ``min(struct(ord, labels...))`` over the
+    already-tiny variant table (the packed ordinal leads the struct and is
+    unique per occurrence row, so lexicographic struct-min == argmin; the
+    label bytes after it break the 2^-60 hash-tie deterministically).
+    ``min_by(label, ord)`` would put a var-length string in the aggregation
+    buffer and force SortAggregate over every occurrence row — measured
+    16.7 s vs 4.4 s on a 4.9M-row tile, flat from 4 to 16 cores.
     """
-    ordv = F.struct("url", "chunk_index", "pos")
     t = triples.select(
         "url",
         "chunk_index",
@@ -138,10 +184,24 @@ def _canonical_edges_counts(triples: DataFrame) -> DataFrame:
         sanitize_col("obj").alias("obj_s"),
     ).where((F.col("subj_key") != "") & (F.col("obj_key") != ""))
     keys = ["subj_key", "pred_key", "obj_key"]
-    labels = t.groupBy(*keys).agg(
-        F.min_by("subj_s", ordv).alias("subj_label"),
-        F.min_by("pred_s", ordv).alias("pred_label"),
-        F.min_by("obj_s", ordv).alias("obj_label"),
+    lbls = ["subj_s", "pred_s", "obj_s"]
+    variants = (
+        t.select(*keys, *lbls, first_occurrence_ord().alias("_ord"))
+        .groupBy(*keys, *lbls)
+        .agg(F.min("_ord").alias("_ord"))
+    )
+    win = F.min(
+        F.struct(F.col("_ord"), *(F.col(c) for c in lbls))
+    ).alias("_w")
+    labels = (
+        variants.groupBy(*keys)
+        .agg(win)
+        .select(
+            *keys,
+            F.col("_w.subj_s").alias("subj_label"),
+            F.col("_w.pred_s").alias("pred_label"),
+            F.col("_w.obj_s").alias("obj_label"),
+        )
     )
     counts = (
         t.select(*keys, "url")
@@ -176,7 +236,7 @@ def _canonical_edges_salted(triples: DataFrame, buckets: int) -> DataFrame:
         sanitize_col("pred").alias("pred_s"),
         sanitize_col("obj").alias("obj_s"),
     ).where((F.col("subj_key") != "") & (F.col("obj_key") != ""))
-    ordv = F.struct("url", "chunk_index", "pos")
+    ordv = first_occurrence_ord()
     salted = t.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(buckets)))
     partial = salted.groupBy("subj_key", "pred_key", "obj_key", "_salt").agg(
         F.min(F.struct(ordv.alias("o"), F.col("subj_s").alias("v"))).alias("_s"),
@@ -216,9 +276,10 @@ def triples_to_canonical_nodes(
     provenance: str = "doc_ids",
 ) -> DataFrame:
     """Canonical node table straight from the triple stream, preserving the
-    reference's first-occurrence-wins base label with an explicit total order
-    (url, chunk_index, pos, role) where role: subject=0 before object=1
-    within the same triple.
+    reference's first-occurrence-wins base label with the explicit total
+    order ``(md5_60(url), chunk_index, pos, role)`` — role: subject=0
+    before object=1 within the same triple; see
+    :func:`first_occurrence_ord` for why the order leads with a url hash.
 
     Only triple participants become nodes (orphan-prune semantics,
     ``response_parser.py:178-207``). Output: (key, label, types, doc_ids,
@@ -247,14 +308,24 @@ def triples_to_canonical_nodes(
     occ = subj.unionByName(obj).withColumn("key", F.lower("label_s")).where(
         F.col("key") != ""
     )
-    ordv = F.struct("url", "chunk_index", "pos", "role")
+    ordv = first_occurrence_ord(role="role")
     if provenance == "counts":
-        # Same split as _canonical_edges_counts: a fused
-        # (min_by + countDistinct) plans a distinct-expand that duplicates
-        # the label/order struct through a double-width shuffle; two slim
-        # aggregations then a distinct-node-sized join stay bounded.
-        labels = occ.groupBy("key").agg(
-            F.min_by("label_s", ordv).alias("label")
+        # Same split + two-pass HashAggregate argmin as
+        # _canonical_edges_counts: a fused (argmin + countDistinct) plans a
+        # distinct-expand double-width shuffle, and a min_by(label, ord)
+        # puts a string in the agg buffer and forces SortAggregate over
+        # every occurrence row. Pass 1 reduces to distinct (key, variant)
+        # with min(decimal ordinal) — codegen HashAggregate, shuffle
+        # bounded by variants; pass 2 struct-mins the tiny variant table.
+        variants = (
+            occ.select("key", "label_s", ordv.alias("_ord"))
+            .groupBy("key", "label_s")
+            .agg(F.min("_ord").alias("_ord"))
+        )
+        labels = (
+            variants.groupBy("key")
+            .agg(F.min(F.struct(F.col("_ord"), F.col("label_s"))).alias("_w"))
+            .select("key", F.col("_w.label_s").alias("label"))
         )
         counts = occ.select("key", "url").groupBy("key").agg(
             F.countDistinct("url").cast("int").alias("n_docs")
@@ -434,6 +505,21 @@ def salted_collect_set(
     )
 
 
+def _min_url_hash(doc_ids_col):
+    """Minimum 60-bit url-hash ordinal over a ``doc_ids`` array — the same
+    md5-prefix the canonical label order leads with, so incremental merges
+    can locate the slice holding the globally-first occurrence without
+    re-reading any occurrence rows."""
+    return F.array_min(
+        F.transform(
+            doc_ids_col,
+            lambda d: F.conv(F.substring(F.md5(d), 1, 15), 16, 10).cast(
+                "decimal(38,0)"
+            ),
+        )
+    )
+
+
 def merge_canonical_edges(a: DataFrame, b: DataFrame) -> DataFrame:
     """Incremental KG maintenance: merge two canonical edge tables built
     from url-disjoint corpus slices into exactly the table
@@ -445,18 +531,22 @@ def merge_canonical_edges(a: DataFrame, b: DataFrame) -> DataFrame:
     no re-shuffle of the historical corpus's occurrence rows.
 
     Exactness argument: counts add; doc-id sets union; and labels are
-    first-occurrence-wins under the total order (url, chunk_index, pos) —
-    since the slices partition BY URL, the slice holding the globally
-    first occurrence of an edge key is precisely the one whose minimum
-    occurrence url (``doc_ids[0]``, sets are sorted) is smaller, so taking
-    that side's labels reproduces the batch ``min_by``. Requires url-disjoint
-    inputs (a url split across slices would leave within-url order unknown).
+    first-occurrence-wins under the total order ``(md5_60(url),
+    chunk_index, pos)`` (:func:`first_occurrence_ord`) — since the slices
+    partition BY URL and the order leads with a per-url hash, the slice
+    holding the globally first occurrence of an edge key is precisely the
+    one whose minimum occurrence url-hash (over its ``doc_ids`` set) is
+    smaller, so taking that side's labels reproduces the batch argmin
+    exactly, up to a 60-bit md5-prefix collision across slices (in which
+    case the left slice wins — the only effect is which casing variant
+    displays). Requires url-disjoint inputs (a url split across slices
+    would leave within-url order unknown).
     """
     keys = ["subj_key", "pred_key", "obj_key"]
     j = a.alias("a").join(b.alias("b"), keys, "full_outer")
     a_first = F.col("b.doc_ids").isNull() | (
         F.col("a.doc_ids").isNotNull()
-        & (F.element_at(F.col("a.doc_ids"), 1) <= F.element_at(F.col("b.doc_ids"), 1))
+        & (_min_url_hash(F.col("a.doc_ids")) <= _min_url_hash(F.col("b.doc_ids")))
     )
 
     def _pick(c: str):
@@ -529,13 +619,14 @@ def merge_canonical_nodes(a: DataFrame, b: DataFrame) -> DataFrame:
     """Node-table twin of :func:`merge_canonical_edges`: merge canonical
     node tables from url-disjoint corpus slices into exactly the batch
     result. Labels resolve first-occurrence-wins via the side with the
-    smaller minimum occurrence url (the node total order also starts with
-    url — role only breaks ties *within* one triple, hence within one url);
-    ``types`` is a pure function of the key (identical on both sides)."""
+    smaller minimum occurrence url-HASH (the node total order also starts
+    with the 60-bit md5 url prefix — chunk/pos/role only break ties
+    *within* one url); ``types`` is a pure function of the key (identical
+    on both sides)."""
     j = a.alias("a").join(b.alias("b"), ["key"], "full_outer")
     a_first = F.col("b.doc_ids").isNull() | (
         F.col("a.doc_ids").isNotNull()
-        & (F.element_at(F.col("a.doc_ids"), 1) <= F.element_at(F.col("b.doc_ids"), 1))
+        & (_min_url_hash(F.col("a.doc_ids")) <= _min_url_hash(F.col("b.doc_ids")))
     )
     empty = F.array().cast("array<string>")
     doc_ids = F.array_sort(
