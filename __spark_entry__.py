@@ -2127,6 +2127,13 @@ def _q_text_quality(spark, sf_dir):
     return TS.quality_stats(_docs(spark, sf_dir))
 
 
+def _q_text_line_repetition(spark, sf_dir):
+    # Gopher-style dup-line signals (line complement of text_repetition's
+    # word-n-gram rule) — zero-shuffle projection over array higher-order
+    # functions (textstats.py)
+    return TS.line_repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_text_tokens(spark, sf_dir):
     return TS.token_counts(_docs(spark, sf_dir))
 
@@ -3039,6 +3046,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "emb_kmeans": _q_emb_kmeans,
         "text_quality": _q_text_quality,
+        "text_line_repetition": _q_text_line_repetition,
         "text_pii": _q_text_pii,
         "docs_classifier": _q_docs_classifier,
         "docs_quality_percentile": _q_docs_quality_percentile,
@@ -6807,6 +6815,33 @@ SELECT doc_id,
        (floor(((n_chars - (len(w) - 1)) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS avg_token_len,
        (floor(((floor((len(list_distinct(w)) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) * 0.5 + (1.0 - (floor((len(list_filter(w, x -> x IN ('the', 'a'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0)) * 0.3 + least(len(w) / 100.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0) AS quality_score
 FROM t
+""",
+        # Gopher-style line-repetition signals; same line tokenization rule
+        # as the Spark projection (trimmed non-empty lines), duplicate
+        # shares in exact integer ppm
+        "text_line_repetition": """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS l
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(l) AS n_lines,
+         len(list_distinct(l)) AS n_dl,
+         coalesce(list_sum(list_transform(l, x -> length(x))), 0) AS lc,
+         coalesce(list_sum(list_transform(list_distinct(l), x -> length(x))), 0) AS dlc
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_lines AS bigint) AS n_lines,
+       CAST(CASE WHEN n_lines > 0
+                 THEN (n_lines - n_dl) * 1000000 // n_lines ELSE 0 END
+            AS bigint) AS dup_line_frac_ppm,
+       CAST(CASE WHEN lc > 0 THEN (lc - dlc) * 1000000 // lc ELSE 0 END
+            AS bigint) AS dup_line_char_frac_ppm
+FROM feat
 """,
         # PII audit over the deterministically-injected corpus; patterns are
         # the Java-regex/RE2 common subset so replace output is byte-equal

@@ -100,6 +100,29 @@ def test_repetition_stats(docs):
     assert got[1]["dup_gram_ratio"] == 0.0
 
 
+def test_line_repetition_stats(spark):
+    from text_to_graph_spark.operators.textstats import line_repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-empty lines after trim, "spam spam" repeated twice:
+            # dup lines 1/4; chars: total 9+9+2+5=25, distinct 9+2+5=16
+            (1, "spam spam\n  spam spam  \nok\n\nlast!"),
+            (2, "a\nb\nc"),  # no repeats
+            (3, ""),  # no lines at all -> all zeros, no division error
+            (4, "x\nx\nx\nx"),  # 4 lines, 1 distinct -> 3/4 dup
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in line_repetition_stats(docs).collect()}
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_frac_ppm"] == 1_000_000 // 4
+    assert got[1]["dup_line_char_frac_ppm"] == (25 - 16) * 1_000_000 // 25
+    assert got[2]["dup_line_frac_ppm"] == 0
+    assert got[3]["n_lines"] == 0 and got[3]["dup_line_frac_ppm"] == 0
+    assert got[4]["dup_line_frac_ppm"] == 750_000
+
+
 def test_curated_corpus_gates(spark):
     long_good = " ".join(f"w{i}" for i in range(30))          # distinct, long, no stopwords
     other_long = " ".join(f"x{i}" for i in range(30))

@@ -756,9 +756,31 @@ def first_touch_attribution(
             F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
     )
-    firsts = x.groupBy("user_id", "session_id").agg(
-        F.min_by("event_type", F.struct("sec", "event_id")).alias(
-            "first_touch_type"
+    # argmin without min_by: min_by(string, struct) puts var-length state
+    # in the aggregation buffer, which forces SortAggregate — the partial
+    # agg would re-sort every event row per map task (see
+    # canonicalize.first_occurrence_ord for the measured cost of that plan
+    # shape). (sec, event_id) is all-numeric, so the total order packs
+    # order-isomorphically into one decimal(38,0) — bit-identical winners —
+    # and the reduction becomes two codegen'd HashAggregates: distinct
+    # (session, event_type) variants with min(ordinal), then a struct-min
+    # over the per-session handful of variants.
+    ordp = (
+        (F.col("sec") + F.lit(str(1 << 41)).cast("decimal(38,0)"))
+        * F.lit(str(1 << 64)).cast("decimal(38,0)")
+        + (F.col("event_id").cast("decimal(38,0)")
+           + F.lit(str(1 << 63)).cast("decimal(38,0)"))
+    )
+    firsts = (
+        x.select("user_id", "session_id", "event_type", ordp.alias("_ord"))
+        .groupBy("user_id", "session_id", "event_type")
+        .agg(F.min("_ord").alias("_ord"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min(F.struct(F.col("_ord"), F.col("event_type"))).alias("_w"))
+        .select(
+            "user_id",
+            "session_id",
+            F.col("_w.event_type").alias("first_touch_type"),
         )
     )
     conv = x.where(F.col("event_type") == conversion_type).select(

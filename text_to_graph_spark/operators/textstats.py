@@ -103,6 +103,64 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def line_repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style LINE-level repetition signals (Rae et al. 2021,
+    arXiv:2112.11446, table A1 rows "duplicate line fraction" /
+    "duplicate line character fraction") — the structural complement of
+    ``curation.repetition_stats`` (which measures word-n-gram repeats):
+    templated spam and boilerplate loops repeat whole lines, not just
+    n-grams, and the char-mass variant catches a page whose few repeated
+    lines are very long.
+
+    Per document (lines = newline-split, trimmed, non-empty):
+    - ``n_lines`` and ``dup_line_frac_ppm``: share of line occurrences
+      beyond each distinct line's first,
+    - ``dup_line_char_frac_ppm``: character mass of those repeats.
+
+    Scale shape: pure projection over array higher-order functions — no
+    shuffle, no UDF, no explode; at 100 TB this runs at parquet-scan speed
+    with the read pruned to (id, text). Ratios are exact integer ppm
+    (``x * 1e6 DIV total``), so results hash identically across engines.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+    def chars(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        )
+
+    def ppm(part: str, total: str):
+        return (
+            F.when(
+                F.col(total) > 0,
+                F.expr(f"CAST({part} AS bigint) * 1000000 DIV {total}"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), lines.alias("l")
+    ).select(
+        "doc_id",
+        F.size("l").alias("n_lines"),
+        F.size(F.array_distinct("l")).alias("n_dl"),
+        chars(F.col("l")).alias("lc"),
+        chars(F.array_distinct("l")).alias("dlc"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        ppm("n_lines - n_dl", "n_lines").alias("dup_line_frac_ppm"),
+        ppm("lc - dlc", "lc").alias("dup_line_char_frac_ppm"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     id_col: str = "doc_id",
