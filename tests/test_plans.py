@@ -601,9 +601,12 @@ def test_containment_pairs_is_blocked_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in s
 
 
-def test_keep_best_rank_window_partitions_by_cluster(spark):
-    """The survivor argmax is a window partitioned by cluster id — no
-    SinglePartition global sort; quality scoring stays in codegen."""
+def test_keep_best_argmax_is_hash_aggregate(spark):
+    """The survivor argmax is a packed decimal(38,0) min in a codegen'd
+    HashAggregate — map-side partial agg reduces each map task to one row
+    per cluster, so the shuffle carries ~|clusters| rows. No Window (the
+    old formulation shuffled and sorted every member row per cluster) and
+    no SortAggregate (fixed-width agg buffer keeps hash aggregation)."""
     from text_to_graph_spark.operators.dedup import neardup_keep_best
 
     docs = spark.createDataFrame(
@@ -611,10 +614,14 @@ def test_keep_best_rank_window_partitions_by_cluster(spark):
     )
     out = neardup_keep_best(docs)
     s = plan_str(out, "simple")
-    assert "Window" in s
-    assert "SinglePartition, Window" not in s.replace("\n", " ")
+    assert "Window" not in s
+    assert "HashAggregate" in s
     assert "CartesianProduct" not in s
     assert python_eval_count(out) == 0
+    # the argmax agg itself (min over _ord) must not fall back to sort-based
+    # aggregation; CC's iterative internals aside, the final stage is hash
+    final_stage = s.split("HashAggregate")[0]
+    assert "SortAggregate" not in final_stage
 
 
 def test_entity_cards_windows_partition_by_label_no_cartesian(spark):

@@ -16,7 +16,7 @@ is bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from text_to_graph_spark.functions.portable import round_half_up
@@ -462,30 +462,47 @@ def neardup_keep_best(
     Output one row per cluster: (cluster, kept_id, quality_score,
     n_members, n_dropped).
 
-    Scale: the rank is a window partitioned by cluster id (hash-partitioned,
-    no global sort); cluster cardinality ~= corpus size post-dedup, member
-    counts come from the same partial-agg'd shuffle. Quality scores are
-    per-row expressions fused into the scan stage.
+    Scale: the per-cluster argmax is a packed decimal(38,0) ordinal —
+    (desc quality, asc doc_id) is all-numeric (quality_score is exact at 4
+    decimals), so it packs order-isomorphically into one fixed-width value
+    and the reduction is a single codegen'd HashAggregate with map-side
+    partial aggregation: each map task emits ONE row per cluster it sees,
+    so the shuffle carries ~|clusters| rows, not ~|docs| rows. The window
+    formulation this replaces shuffled every member row to its cluster's
+    partition and sorted it there. Winners are bit-identical (same total
+    order). Quality scores are per-row expressions fused into the scan
+    stage.
     """
     from text_to_graph_spark.operators.textstats import quality_stats
 
     cl = near_dup_clusters(docs, id_col, text_col, n, bands, rows)
     q = quality_stats(docs, id_col, text_col).select("doc_id", "quality_score")
     j = cl.select("doc_id", "cluster").join(q, "doc_id")
-    w = Window.partitionBy("cluster").orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
+    # score is floor(x*1e4+0.5)/1e4, so round-half-up recovers the exact
+    # integer 0..10000; lower ordinal == (higher score, then lower doc_id)
+    two64 = F.lit(str(1 << 64)).cast("decimal(38,0)")
+    two63 = F.lit(str(1 << 63)).cast("decimal(38,0)")
+    # null score (null text) packs as -1: worse than every real score, the
+    # same placement desc-nulls-last gave it in the window formulation
+    score_e4 = F.coalesce(
+        F.floor(F.col("quality_score") * F.lit(10000.0) + F.lit(0.5)), F.lit(-1)
     )
-    ranked = j.select(
-        "cluster",
-        F.col("doc_id"),
-        "quality_score",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("cluster")).alias("n_members"),
+    ordinal = (
+        (F.lit(20000) - score_e4).cast("decimal(38,0)") * two64
+        + (F.col("doc_id").cast("decimal(38,0)") + two63)
     )
-    return ranked.where(F.col("rn") == 1).select(
+    agg = j.select("cluster", ordinal.alias("_ord")).groupBy("cluster").agg(
+        F.min("_ord").alias("_w"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    rem = F.col("_w") % two64
+    k = ((F.col("_w") - rem) / two64).cast("long")
+    return agg.select(
         "cluster",
-        F.col("doc_id").alias("kept_id"),
-        "quality_score",
+        (rem - two63).cast("long").alias("kept_id"),
+        F.when(k == 20001, F.lit(None).cast("double"))
+        .otherwise((F.lit(20000) - k) / F.lit(10000.0))
+        .alias("quality_score"),
         F.col("n_members").cast("long").alias("n_members"),
         (F.col("n_members") - 1).cast("long").alias("n_dropped"),
     )
