@@ -33,6 +33,10 @@ from text_to_graph_spark.operators.canonicalize import (
     triples_to_canonical_edges,
     triples_to_canonical_nodes,
 )
+from text_to_graph_spark.functions.portable import (
+    MINHASH_P as _MINHASH_P,
+    minhash_coeffs as _minhash_coeffs,
+)
 from text_to_graph_spark.functions.edge_mappings import (
     EDGE_MAPPINGS,
     apply_edge_mappings,
@@ -3182,21 +3186,31 @@ shingles AS (
 # b=8 bands x r=4 concatenated min-hashes: P(candidate) = 1-(1-j^4)^8 — the
 # S-curve that bounds hot-bucket candidate mass at corpus scale (a single
 # globally-small-hash stopword shingle can no longer capture the whole
-# corpus in one bucket, which r=1 banding allowed). Mirrors
-# operators/dedup.py minhash_signatures exactly.
+# corpus in one bucket, which r=1 banding allowed). Permutation i is the
+# affine family (a_i*(md5_60(shingle) mod p)+b_i) mod p over p=2^31-1 —
+# exact int64 math on both engines, one md5 per shingle row. Mirrors
+# operators/dedup.py minhash_signatures exactly (shared constants from
+# functions/portable.py).
 _MH_BANDS, _MH_ROWS = 8, 4
+_MH_COEFFS = _minhash_coeffs(_MH_BANDS * _MH_ROWS)
 _MINHASH_CTE = (
     _SHINGLES_CTE
-    + """,
+    + f""",
+sbase AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+           % {_MINHASH_P} AS h
+  FROM shingles
+),
 mins AS (
   SELECT doc_id,
 """
     + ",\n".join(
-        f"         min(md5('{i}#' || shingle)) AS mh{i}"
-        for i in range(_MH_BANDS * _MH_ROWS)
+        f"         min(({a} * h + {b}) % {_MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_MH_COEFFS)
     )
     + """
-  FROM shingles GROUP BY doc_id
+  FROM sbase GROUP BY doc_id
 ),
 sig AS (
   SELECT doc_id,

@@ -53,13 +53,20 @@ def test_exact_duplicates(docs):
 
 
 def test_minhash_signature_is_min_banded_md5(docs):
+    from text_to_graph_spark.functions.portable import MINHASH_P, minhash_coeffs
+
     sig = {r["id"]: r for r in minhash_signatures(docs).collect()}
     sh1 = _shingle_set(DOCS[0][2])
+    coeffs = minhash_coeffs(32)
 
     def band_key(shingles, b, rows=4):
+        def perm(i, s):
+            base = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+            a, c = coeffs[i]
+            return (a * base + c) % MINHASH_P
+
         mins = [
-            min(hashlib.md5(f"{b * rows + j}#{s}".encode()).hexdigest()
-                for s in shingles)
+            str(min(perm(b * rows + j, s) for s in shingles))
             for j in range(rows)
         ]
         return hashlib.md5("|".join(mins).encode()).hexdigest()

@@ -601,6 +601,23 @@ def test_containment_pairs_is_blocked_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in s
 
 
+def test_minhash_signature_agg_is_hash_aggregate(spark):
+    """The signature reduction (32 per-permutation mins over the exploded
+    shingle table — the dedup family's single biggest intermediate) must
+    aggregate fixed-width bigints in codegen'd HashAggregate. A min over
+    md5 hex STRINGS puts a var-length buffer in the agg and Spark falls
+    back to SortAggregate, sorting every shingle row per map task."""
+    from text_to_graph_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+    )
+    s = plan_str(minhash_signatures(docs), "simple")
+    assert "HashAggregate" in s
+    assert "SortAggregate" not in s
+    assert python_eval_count(minhash_signatures(docs)) == 0
+
+
 def test_keep_best_argmax_is_hash_aggregate(spark):
     """The survivor argmax is a packed decimal(38,0) min in a codegen'd
     HashAggregate — map-side partial agg reduces each map task to one row

@@ -69,10 +69,20 @@ def minhash_signatures(
     """Per-doc banded MinHash signature — ``bands`` bands of ``rows``
     CONCATENATED min-hashes each (the industry b×r S-curve family).
 
-    Min-hash i (i in [0, bands*rows)) = min over shingles of
-    md5(i || '#' || shingle) (hex-lexicographic min — portable across
-    engines). Band b's key bk{b} = md5(mh_{b*r} || '|' || ... ||
-    mh_{b*r+r-1}).
+    Min-hash i (i in [0, bands*rows)) = min over shingles of the affine
+    permutation h_i(s) = (a_i * (md5_60(s) mod p) + b_i) mod p with
+    p = 2^31-1 and md5-derived constants (``functions.portable``).
+    Band b's key bk{b} = md5(mh_{b*r} || '|' || ... || mh_{b*r+r-1}).
+
+    Why affine-over-one-md5 instead of bands*rows independent md5 strings:
+    ONE md5 per shingle row instead of 32, and — decisive for the plan
+    shape — the mins aggregate over fixed-width bigints, which keeps the
+    whole signature reduction in codegen'd HashAggregate with map-side
+    partial aggregation. min(md5-hex-string) puts a var-length buffer in
+    the agg, and Spark falls back to SortAggregate: every shingle row gets
+    SORTED by doc id per map task before reducing — measured ~2x the whole
+    dedup job at fixture scale, and at corpus scale the sort is an
+    O(rows log rows) tax on the engine's single biggest exploded table.
 
     Why r>1 matters at 100 TB: with single-hash bands (r=1),
     P(band collision) ≈ j for LOW-jaccard pairs, so a globally-small-hash
@@ -87,12 +97,18 @@ def minhash_signatures(
     banded signature (exact-signature grouping key)."""
     if bands < 1 or rows < 1:
         raise ValueError(f"bands and rows must be >= 1; got bands={bands}, rows={rows}")
+    from text_to_graph_spark.functions.portable import MINHASH_P, minhash_coeffs
+
     sh = shingle_rows(docs, id_col, text_col, n)
+    base = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P)
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(bands * rows)
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(bands * rows))
     ]
-    sig = sh.groupBy("id").agg(*aggs)
+    sig = sh.select("id", base.alias("_h")).groupBy("id").agg(*aggs)
     for b in range(bands):
         sig = sig.withColumn(
             f"bk{b}",
