@@ -80,9 +80,12 @@ def minhash_signatures(
     whole signature reduction in codegen'd HashAggregate with map-side
     partial aggregation. min(md5-hex-string) puts a var-length buffer in
     the agg, and Spark falls back to SortAggregate: every shingle row gets
-    SORTED by doc id per map task before reducing — measured ~2x the whole
-    dedup job at fixture scale, and at corpus scale the sort is an
-    O(rows log rows) tax on the engine's single biggest exploded table.
+    SORTED by doc id per map task before reducing. (A third formulation —
+    array_min(transform(...)) over per-doc shingle arrays, zero shuffle —
+    measured 2x SLOWER than this one despite the saved exchange:
+    higher-order-function lambdas evaluate interpreted, outside whole-stage
+    codegen, so 32 per-element lambda traversals lose to one codegen'd
+    hash aggregation. Measured: keep_best 3.6s here vs 7.1s as HOFs.)
 
     Why r>1 matters at 100 TB: with single-hash bands (r=1),
     P(band collision) ≈ j for LOW-jaccard pairs, so a globally-small-hash

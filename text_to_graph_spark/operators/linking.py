@@ -159,27 +159,16 @@ def label_minhash(labels: DataFrame, label_col: str = "label") -> DataFrame:
     One signature column per hash function: ``min(md5('<i>#' || gram))`` —
     the identical formula the DuckDB oracle uses, so signatures are
     cross-engine comparable hex strings.
-
-    Computed as ``array_min(transform(grams, ...))`` — a pure projection
-    (the gram set is already a per-row array), so the signature step adds
-    NO shuffle: the explode+groupBy formulation it replaces re-aggregated
-    the gram rows it had just exploded, and the min over md5 strings
-    planned SortAggregate. One output row per input row (callers pass
-    distinct labels).
     """
     g = labels.select(
         F.col(label_col).alias("label"), _char_ngrams(F.col(label_col)).alias("_grams")
     )
-    def mh(i: int):
-        # NB: the prefix must be bound OUTSIDE the lambda — a second lambda
-        # parameter (even a default) makes pyspark treat it as the
-        # (element, index) form and shadow the hash index
-        pref = F.lit(f"{i}#")
-        return F.array_min(
-            F.transform(F.col("_grams"), lambda x: F.md5(F.concat(pref, x)))
-        ).alias(f"mh{i}")
-
-    return g.select("label", *[mh(i) for i in range(N_HASHES)])
+    exploded = g.select("label", F.explode("_grams").alias("gram"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("gram")))).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    return exploded.groupBy("label").agg(*aggs)
 
 
 def coref_candidate_pairs(
