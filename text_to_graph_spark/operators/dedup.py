@@ -686,7 +686,8 @@ def incremental_neardup_probe(
 
     Scale shape: signature build for the wave only + one equi-join against
     the (persisted, in production) old signature table, partial-agg'd
-    candidate rollup, then a min_by per new id.
+    candidate rollup, then a packed-ordinal argmin per new id (codegen'd
+    HashAggregate, see inline note).
     """
     # localCheckpoint: each signature DataFrame feeds `bands` union
     # branches in bandify — without the lineage cut the shingle explode +
@@ -716,18 +717,31 @@ def incremental_neardup_probe(
         .groupBy("new_id", "old_id")
         .agg(F.count_distinct("band").alias("n_bands_shared"))
     )
-    best = cand.groupBy("new_id").agg(
-        F.min_by(
-            F.struct("old_id", "n_bands_shared"),
-            F.struct(F.negate(F.col("n_bands_shared")), F.col("old_id")),
-        ).alias("b")
+    # argmin by (desc n_bands_shared, asc old_id) — all-numeric, so it
+    # packs order-isomorphically into one decimal(38,0) and reduces in
+    # codegen'd HashAggregate with map-side partial aggregation
+    # (min_by(struct, struct) carries a var-length agg buffer and planned
+    # a per-map-task SortAggregate over every candidate pair)
+    two64 = F.lit(str(1 << 64)).cast("decimal(38,0)")
+    two63 = F.lit(str(1 << 63)).cast("decimal(38,0)")
+    ordinal = (
+        (F.lit(bands) - F.col("n_bands_shared")).cast("decimal(38,0)") * two64
+        + (F.col("old_id").cast("decimal(38,0)") + two63)
     )
+    best = (
+        cand.select("new_id", ordinal.alias("_ord"))
+        .groupBy("new_id")
+        .agg(F.min("_ord").alias("_w"))
+    )
+    rem = F.col("_w") % two64
     ids = new_docs.select(F.col(id_col).alias("new_id")).distinct()
     return ids.join(best, "new_id", "left").select(
         "new_id",
-        F.col("b").isNotNull().alias("is_dup"),
-        F.col("b.old_id").alias("dup_of"),
-        F.coalesce(F.col("b.n_bands_shared"), F.lit(0))
+        F.col("_w").isNotNull().alias("is_dup"),
+        (rem - two63).cast("long").alias("dup_of"),
+        F.coalesce(
+            F.lit(bands) - ((F.col("_w") - rem) / two64).cast("long"), F.lit(0)
+        )
         .cast("bigint")
         .alias("n_bands_shared"),
     )
