@@ -159,6 +159,24 @@ def main() -> int:
         _force(pagerank(e, "src", "dst", iterations=5))
         _force(strongly_connected_components(e, "src", "dst"))
 
+    def q_dedup_stress():
+        # near-dup family under volume: the corpus tiled x TILES with a
+        # copy-specific token appended, so copies are NEAR-duplicates (not
+        # exact) and the full LSH -> candidate join -> CC -> keep-best path
+        # runs at volume. docs/sec at two tile levels is the no-cliff
+        # evidence in BASELINE.md for the b x r banding + HashAggregate
+        # signature design (the r1-r3 rounds' flagged scale risk).
+        tiles = int(os.environ.get("SPARK_GRAFT_DEDUP_TILES", "8"))
+        t = docs.crossJoin(
+            spark.range(tiles).withColumnRenamed("id", "copy_id")
+        ).select(
+            (F.col("doc_id") * tiles + F.col("copy_id")).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" copytoken"), F.col("copy_id").cast("string")
+            ).alias("text"),
+        )
+        _force(D.neardup_keep_best(t))
+
     _skew_cache: dict = {}
 
     def _skew_inputs():
@@ -321,6 +339,7 @@ def main() -> int:
             )
         ),
         "graph_stress": q_graph_stress,
+        "dedup_stress": q_dedup_stress,
         "kg_neighbor_sample": lambda: q_kg_neighbor_sample(),
         "web_redirect_resolve": lambda: q_web_redirect_resolve(),
     }
@@ -329,7 +348,7 @@ def main() -> int:
     # long-running stress entries run once — min-of-3 on a ~40 s fixpoint
     # suite would triple the bench wall for noise reduction it doesn't need
     # (its signal is the cross-volume ratio in BASELINE.md, not ±5%)
-    single_shot = {"graph_stress"}
+    single_shot = {"graph_stress", "dedup_stress"}
 
     for name, fn in benches.items():
         if ONLY and name not in ONLY:
