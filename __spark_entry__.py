@@ -328,6 +328,49 @@ def _q_kg_subword_counts(spark, sf_dir):
     )
 
 
+def _q_kg_tokenizer_fertility(spark, sf_dir):
+    # tokenizer fertility per language (subwords per pre-token, exact ppm)
+    # — the sizing table a multilingual mixture design actually reads: a
+    # language whose fertility is high pays more sequence budget per word,
+    # so token-budget mixture weights must divide by it. Composition:
+    # train -> apply (kg_subword_counts' path) -> join pages.lang ->
+    # per-lang rollup; the oracle re-derives the merges and the fold
+    # independently and rolls up the same spine.
+    from text_to_graph_spark.operators.extraction import extract_text
+    from text_to_graph_spark.operators.tokenizer import (
+        subword_token_counts,
+        train_bpe_merges,
+    )
+
+    pages = synthesize_pages(spark, sf_dir)
+    text = extract_text(pages).localCheckpoint(eager=True)
+    model = train_bpe_merges(text, n_merges=8).orderBy("rank").collect()
+    counts = subword_token_counts(
+        text, [(r["left_hex"], r["right_hex"]) for r in model]
+    )
+    return (
+        counts.join(pages.select("url", "lang"), "url")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pretokens").cast("bigint").alias("n_pretokens"),
+            F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_pretokens",
+            "n_subwords",
+            F.expr(
+                "CASE WHEN n_pretokens > 0"
+                " THEN n_subwords * 1000000 DIV n_pretokens ELSE 0 END"
+            )
+            .cast("bigint")
+            .alias("fertility_ppm"),
+        )
+    )
+
+
 def _q_kg_chunks_gpt2(spark, sf_dir):
     # The reference's PRIMARY tokenizer is tiktoken's GPT-2-style encoder
     # loaded from a pinned artifact (graph_extractor/src/gpt.py:27-34).
@@ -2903,6 +2946,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chunks_bpe": _q_kg_chunks_bpe,
         "kg_bpe_train": _q_kg_bpe_train,
         "kg_subword_counts": _q_kg_subword_counts,
+        "kg_tokenizer_fertility": _q_kg_tokenizer_fertility,
         "kg_chunks_gpt2": _q_kg_chunks_gpt2,
         "kg_graphs_catalog": _q_kg_graphs_catalog,
         "kg_mentions": _q_kg_mentions,
@@ -4053,10 +4097,9 @@ def _bpe_train_oracle(n_rounds: int) -> str:
     return f"{_bpe_cte(n_rounds)}\n{union}\n"
 
 
-def _subword_counts_oracle(n_rounds: int) -> str:
-    """Training (shared CTE chain) composed with the sequential rank-order
-    apply over per-(url, piece) rows — the same fold, keyed by url, then a
-    per-url rollup on a distinct-url spine (0-count rows kept)."""
+def _subword_apply_chain(n_rounds: int) -> str:
+    """Training CTEs + the sequential rank-order apply over per-(url,
+    piece) rows — the same fold, keyed by url; final CTE is up{n_rounds}."""
     sql = [
         f"""{_bpe_cte(n_rounds)},
 up0 AS (
@@ -4074,8 +4117,15 @@ up{r + 1} AS (
   FROM up{r} p LEFT JOIN bb{r} m ON TRUE
 )"""
         )
-    sql.append(
-        f"""
+    return "".join(sql)
+
+
+def _subword_counts_oracle(n_rounds: int) -> str:
+    """Apply chain + a per-url rollup on a distinct-url spine (0-count
+    rows kept)."""
+    return (
+        _subword_apply_chain(n_rounds)
+        + f"""
 SELECT p.url,
        CAST(coalesce(c.n_pre, 0) AS bigint) AS n_pretokens,
        CAST(coalesce(c.n_sub, 0) AS bigint) AS n_subwords
@@ -4087,7 +4137,30 @@ LEFT JOIN (
 ) c USING (url)
 """
     )
-    return "".join(sql)
+
+
+def _tokenizer_fertility_oracle(n_rounds: int) -> str:
+    """Apply chain rolled up per LANGUAGE: the tokenizer-fertility table a
+    multilingual mixture design reads (subwords per pre-token, exact ppm)."""
+    return (
+        _subword_apply_chain(n_rounds)
+        + f"""
+SELECT p.lang,
+       CAST(count(*) AS bigint) AS n_docs,
+       CAST(coalesce(sum(c.n_pre), 0) AS bigint) AS n_pretokens,
+       CAST(coalesce(sum(c.n_sub), 0) AS bigint) AS n_subwords,
+       CAST(CASE WHEN coalesce(sum(c.n_pre), 0) > 0
+                 THEN coalesce(sum(c.n_sub), 0) * 1000000 // sum(c.n_pre)
+                 ELSE 0 END AS bigint) AS fertility_ppm
+FROM (SELECT DISTINCT url, lang FROM pages) p
+LEFT JOIN (
+  SELECT url, count(*) AS n_pre,
+         sum(len(string_split(state, ','))) AS n_sub
+  FROM up{n_rounds} GROUP BY 1
+) c USING (url)
+GROUP BY 1
+"""
+    )
 
 
 def _chunks_gpt2_oracle(n_rounds: int) -> str:
@@ -4215,6 +4288,7 @@ FROM pages
         "kg_bpe_train": _bpe_train_oracle(8),
         # tokenizer train -> sequential rank-order apply, per-url counts
         "kg_subword_counts": _subword_counts_oracle(8),
+        "kg_tokenizer_fertility": _tokenizer_fertility_oracle(8),
         # trained merges round-tripped through the GPT-2 merges.txt wire
         # format drive the chunker; fold chain is independent of the
         # Spark trainer AND of the wire format (see _chunks_gpt2_oracle)
