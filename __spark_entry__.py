@@ -2181,6 +2181,14 @@ def _q_text_line_repetition(spark, sf_dir):
     return TS.line_repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_text_line_dedup(spark, sf_dir):
+    # the removal transform behind text_line_repetition: cleaned text is
+    # compared BYTE-EXACTLY against the oracle's window recompute, so the
+    # contract pins the transform itself, not a proxy statistic
+    # (textstats.remove_repeated_lines — shuffle-free mapInPandas)
+    return TS.remove_repeated_lines(_docs(spark, sf_dir))
+
+
 def _q_text_tokens(spark, sf_dir):
     return TS.token_counts(_docs(spark, sf_dir))
 
@@ -3095,6 +3103,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": _q_emb_kmeans,
         "text_quality": _q_text_quality,
         "text_line_repetition": _q_text_line_repetition,
+        "text_line_dedup": _q_text_line_dedup,
         "text_pii": _q_text_pii,
         "docs_classifier": _q_docs_classifier,
         "docs_quality_percentile": _q_docs_quality_percentile,
@@ -6907,6 +6916,30 @@ FROM t
         # Gopher-style line-repetition signals; same line tokenization rule
         # as the Spark projection (trimmed non-empty lines), duplicate
         # shares in exact integer ppm
+        # line-dedup transform: the oracle recomputes keep/drop with a
+        # per-(doc, trimmed-line) first-occurrence window and re-joins the
+        # kept lines in position order — the cleaned text must match the
+        # Spark transform byte-for-byte
+        "text_line_dedup": """
+WITH lines AS (
+  SELECT doc_id, w[i] AS line, i AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS w FROM documents),
+       unnest(generate_series(1, len(w))) AS g(i)
+),
+marked AS (
+  SELECT doc_id, line, pos,
+         CASE WHEN trim(line) = '' THEN 1
+              WHEN row_number() OVER (PARTITION BY doc_id, trim(line)
+                                      ORDER BY pos) = 1 THEN 1
+              ELSE 0 END AS keep
+  FROM lines
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE keep = 1), '') AS text,
+       CAST(count(*) FILTER (WHERE keep = 0) AS bigint) AS n_dropped
+FROM marked GROUP BY doc_id
+""",
         "text_line_repetition": """
 WITH base AS (
   SELECT doc_id,

@@ -123,6 +123,37 @@ def test_line_repetition_stats(spark):
     assert got[4]["dup_line_frac_ppm"] == 750_000
 
 
+def test_remove_repeated_lines(spark):
+    from text_to_graph_spark.operators.textstats import remove_repeated_lines
+
+    docs = spark.createDataFrame(
+        [
+            # "nav" repeats (incl. a whitespace-padded variant — trimmed
+            # match), blanks kept, original bytes of kept lines preserved
+            (1, "nav\nbody text\n\n  nav  \nfooter\nnav"),
+            (2, "a\nb\nc"),
+            (3, ""),
+            (4, "x\n\n\nx"),  # duplicate after blanks; blanks all kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_repeated_lines(docs).collect()}
+    assert got[1]["text"] == "nav\nbody text\n\nfooter"
+    assert got[1]["n_dropped"] == 2
+    assert got[2]["text"] == "a\nb\nc" and got[2]["n_dropped"] == 0
+    assert got[3]["text"] == "" and got[3]["n_dropped"] == 0
+    assert got[4]["text"] == "x\n\n" and got[4]["n_dropped"] == 1
+
+
+def test_remove_repeated_lines_is_shuffle_free(spark):
+    from text_to_graph_spark.operators.textstats import remove_repeated_lines
+
+    docs = spark.createDataFrame([(1, "a\na")], "doc_id long, text string")
+    plan = remove_repeated_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
 def test_curated_corpus_gates(spark):
     long_good = " ".join(f"w{i}" for i in range(30))          # distinct, long, no stopwords
     other_long = " ".join(f"x{i}" for i in range(30))

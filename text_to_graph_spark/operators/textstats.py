@@ -161,6 +161,57 @@ def line_repetition_stats(
     )
 
 
+def remove_repeated_lines(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The removal TRANSFORM behind :func:`line_repetition_stats`: drop
+    every later occurrence of a previously-seen non-blank trimmed line
+    within a document (templated nav bars, repeated boilerplate footers,
+    spam loops), keeping first occurrences and all blank lines (paragraph
+    structure), preserving original line bytes and order.
+
+    Output: (doc_id, text, n_dropped) — ``text`` byte-exactly equal to the
+    newline-join of the kept lines, so the oracle compares the cleaned
+    document itself, not a proxy statistic.
+
+    Scale shape: one document per row and the rule is order-dependent only
+    WITHIN a document, so this is a shuffle-free Arrow-batched
+    ``mapInPandas`` projection (the chunker's shape) — at 100 TB it runs at
+    scan speed with no exchange. A windowed JVM formulation
+    (posexplode -> row_number per (doc, line) -> re-aggregate) would pay
+    two corpus-sized shuffles for the same answer.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, outs, drops = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                seen: set[str] = set()
+                kept: list[str] = []
+                dropped = 0
+                for ln in ("" if txt is None else txt).split("\n"):
+                    key = ln.strip()
+                    if key and key in seen:
+                        dropped += 1
+                        continue
+                    if key:
+                        seen.add(key)
+                    kept.append(ln)
+                ids.append(did)
+                outs.append("\n".join(kept))
+                drops.append(dropped)
+            yield pd.DataFrame(
+                {"doc_id": ids, "text": outs, "n_dropped": drops}
+            )
+
+    return docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(batches, "doc_id bigint, text string, n_dropped bigint")
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     id_col: str = "doc_id",
