@@ -2302,6 +2302,28 @@ def _q_web_boilerplate_coverage(spark, sf_dir):
     return boilerplate_coverage(d, host_boilerplate_shingles(d))
 
 
+def _q_web_boilerplate_strip(spark, sf_dir):
+    # cross-doc boilerplate-line REMOVAL: the injected per-host footer
+    # line is on 100% of each host's pages, so mining flags it and the
+    # strip must delete exactly those lines — cleaned text compared
+    # byte-for-byte against the oracle's window recompute
+    from text_to_graph_spark.operators.curation import (
+        strip_host_boilerplate_lines,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.col("source").alias("host"),
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to "),
+            F.col("source"),
+            F.lit(" newsletter for daily updates"),
+        ).alias("text"),
+    )
+    return strip_host_boilerplate_lines(d)
+
+
 def _q_web_redirect_resolve(spark, sf_dir):
     # 301-map resolution by pointer doubling: log2(max_hops) self-joins
     # resolve every chain to its terminal URL; oracle walks the same
@@ -3122,6 +3144,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_redirect_resolve": _q_web_redirect_resolve,
         "web_boilerplate": _q_web_boilerplate,
         "web_boilerplate_coverage": _q_web_boilerplate_coverage,
+        "web_boilerplate_strip": _q_web_boilerplate_strip,
         "web_links": _q_web_links,
         "web_links_norm": _q_web_links_norm,
         "web_url_dedup": _q_web_url_dedup,
@@ -7283,6 +7306,44 @@ FROM agg a JOIN tot t USING (host)
 WHERE a.n_pages * 1000000 // t.total >= 500000 AND a.n_pages >= 2
 """,
         # per-page boilerplate position load (doc spine kept, zero rows ok)
+        # cross-doc boilerplate-line strip: mine lines on >=50% of a
+        # host's pages (>=2 absolute), remove every occurrence, reassemble
+        # in position order — cleaned text must match byte-for-byte
+        "web_boilerplate_strip": """
+WITH ld AS (
+  SELECT source AS host, doc_id,
+         text || chr(10) || 'subscribe to ' || source ||
+           ' newsletter for daily updates' AS text
+  FROM documents
+),
+lines AS (
+  SELECT host, doc_id, w[i] AS line, trim(w[i]) AS key, i AS pos
+  FROM (SELECT host, doc_id, string_split(text, chr(10)) AS w FROM ld),
+       unnest(generate_series(1, len(w))) AS g(i)
+),
+totals AS (SELECT host, count(DISTINCT doc_id) AS total FROM ld GROUP BY 1),
+freq AS (
+  SELECT d.host, d.key
+  FROM (SELECT DISTINCT host, doc_id, key FROM lines WHERE key <> '') d
+  JOIN totals t USING (host)
+  GROUP BY d.host, d.key, t.total
+  HAVING count(*) >= 2 AND count(*) * 1000000 // t.total >= 500000
+),
+kept AS (
+  SELECT l.doc_id, l.line, l.pos
+  FROM lines l
+  ANTI JOIN freq f ON l.host = f.host AND l.key = f.key
+)
+SELECT d.doc_id,
+       coalesce(k.text, '') AS text,
+       CAST(d.n_lines - coalesce(k.n_kept, 0) AS bigint) AS n_removed
+FROM (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM ld) d
+LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+) k USING (doc_id)
+""",
         "web_boilerplate_coverage": """
 WITH d AS (
   SELECT source AS host, doc_id,

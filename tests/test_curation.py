@@ -154,6 +154,28 @@ def test_remove_repeated_lines_is_shuffle_free(spark):
     assert "MapInPandas" in plan
 
 
+def test_strip_host_boilerplate_lines(spark):
+    from text_to_graph_spark.operators.curation import strip_host_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            # host a: "nav" on 2/3 pages (>=50%, >=2) -> stripped; "rare"
+            # on 1/3 pages -> kept; blanks always kept
+            ("a", 1, "nav\nbody one\n\nrare"),
+            ("a", 2, "  nav \nbody two"),  # trimmed-match also stripped
+            ("a", 3, "body three"),
+            # host b: same "nav" text but only 1 page -> min_pages keeps it
+            ("b", 4, "nav\nother"),
+        ],
+        "host string, doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in strip_host_boilerplate_lines(docs).collect()}
+    assert got[1]["text"] == "body one\n\nrare" and got[1]["n_removed"] == 1
+    assert got[2]["text"] == "body two" and got[2]["n_removed"] == 1
+    assert got[3]["text"] == "body three" and got[3]["n_removed"] == 0
+    assert got[4]["text"] == "nav\nother" and got[4]["n_removed"] == 0
+
+
 def test_curated_corpus_gates(spark):
     long_good = " ".join(f"w{i}" for i in range(30))          # distinct, long, no stopwords
     other_long = " ".join(f"x{i}" for i in range(30))

@@ -606,3 +606,77 @@ def boilerplate_coverage(
             .alias("boiler_ppm"),
         )
     )
+
+
+def strip_host_boilerplate_lines(
+    docs: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_frac_ppm: int = 500_000,
+    min_pages: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate-line REMOVAL — the strip step behind
+    :func:`host_boilerplate_shingles`'s mining (CCNet/trafilatura-style):
+    a trimmed non-blank line present on at least ``min_frac_ppm`` of a
+    host's pages (and ``min_pages`` absolute) is navigation/footer
+    template, and every occurrence is removed from every page of that
+    host. Kept lines preserve original bytes and order; blank lines are
+    structural and always kept. Output: (doc_id, text, n_removed) with
+    ``text`` byte-exact (the contract query's oracle compares the cleaned
+    document itself).
+
+    Scale shape: mining is presence-deduped per page then a (host, line)
+    partial-agg count with the per-host page totals broadcast (the
+    host_boilerplate_shingles pattern); removal is a (host, line-key)
+    left_anti equi-join on the exploded lines — never a per-host
+    collect — and reassembly sorts each document's surviving (pos, line)
+    pairs inside one hash-partitioned aggregation. The exploded lines are
+    recomputed for the mining and removal branches rather than
+    localCheckpointed: re-running a split+posexplode projection twice is
+    scan-speed work, while materializing the exploded corpus would cost
+    its full footprint in executor storage.
+    """
+    lines = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("key", F.trim(F.col("line")))
+    totals = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count_distinct(F.col(id_col)).alias("_total")
+    )
+    freq = (
+        lines.where(F.col("key") != "")
+        .select("host", "doc_id", "key")
+        .distinct()
+        .groupBy("host", "key")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .join(F.broadcast(totals), "host")
+        .where(
+            (F.expr(f"n_pages * {PPM} DIV _total") >= F.lit(min_frac_ppm))
+            & (F.col("n_pages") >= F.lit(min_pages))
+        )
+        .select("host", "key")
+    )
+    kept = lines.join(freq, ["host", "key"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    spine = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("_n_lines"),
+    )
+    return spine.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        (F.col("_n_lines") - F.coalesce(F.col("_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
