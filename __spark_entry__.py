@@ -2181,6 +2181,23 @@ def _q_text_line_repetition(spark, sf_dir):
     return TS.line_repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_docs_classifier_train(spark, sf_dir):
+    # batch-perceptron training of the quality classifier in exact integer
+    # arithmetic (labels: docs with >= 30 whitespace tokens are positive);
+    # output is the full weight trajectory — the oracle re-derives every
+    # round with unrolled score/misclassified/update CTEs
+    from text_to_graph_spark.operators.curation import train_linear_classifier
+
+    d = _docs(spark, sf_dir)
+    labels = d.select(
+        "doc_id",
+        F.when(F.size(F.split(F.col("text"), " ")) >= 30, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    )
+    return train_linear_classifier(d, labels)
+
+
 def _q_text_line_dedup(spark, sf_dir):
     # the removal transform behind text_line_repetition: cleaned text is
     # compared BYTE-EXACTLY against the oracle's window recompute, so the
@@ -3128,6 +3145,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": _q_text_line_dedup,
         "text_pii": _q_text_pii,
         "docs_classifier": _q_docs_classifier,
+        "docs_classifier_train": _q_docs_classifier_train,
         "docs_quality_percentile": _q_docs_quality_percentile,
         "kg_lineage_rollup": _q_kg_lineage_rollup,
         "text_tokens": _q_text_tokens,
@@ -4127,6 +4145,63 @@ def _bpe_train_oracle(n_rounds: int) -> str:
         for r in range(n_rounds)
     )
     return f"{_bpe_cte(n_rounds)}\n{union}\n"
+
+
+def _classifier_train_oracle(n_dims: int, rounds: int) -> str:
+    """Unrolled batch-perceptron rounds (kmeans/BPE oracle convention):
+    per round a score join, the misclassified set, and the integer weight
+    update — fully independent of the Spark trainer at every stage."""
+    neg = f"CASE WHEN (hv % {2 * n_dims}) >= {n_dims} THEN -1 ELSE 1 END"
+    sql = [
+        f"""
+WITH feats AS (
+  SELECT doc_id, CAST(hv % {n_dims} AS int) AS dim,
+         CAST(sum({neg}) AS bigint) AS x
+  FROM (
+    SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 12)) AS bigint) AS hv
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+  ) GROUP BY 1, 2
+  HAVING sum({neg}) <> 0
+),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 30 THEN 1 ELSE -1 END AS y
+  FROM documents
+),
+w0 AS (
+  SELECT unnest(generate_series(0, {n_dims - 1})) AS dim, CAST(0 AS bigint) AS w
+)"""
+    ]
+    for r in range(rounds):
+        sql.append(
+            f""",
+s{r} AS (
+  SELECT f.doc_id, sum(f.x * w.w) AS s
+  FROM feats f JOIN w{r} w USING (dim) GROUP BY 1
+),
+m{r} AS (
+  SELECT l.doc_id, l.y
+  FROM lab l LEFT JOIN s{r} s USING (doc_id)
+  WHERE l.y * coalesce(s.s, 0) <= 0
+),
+w{r + 1} AS (
+  SELECT w.dim, w.w + coalesce(d.dd, 0) AS w
+  FROM w{r} w LEFT JOIN (
+    SELECT f.dim, sum(m.y * f.x) AS dd
+    FROM feats f JOIN m{r} m USING (doc_id) GROUP BY 1
+  ) d USING (dim)
+)"""
+        )
+    sql.append(
+        "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({r + 1} AS int) AS round, CAST(dim AS int) AS dim,"
+            f" CAST(w AS bigint) AS weight FROM w{r + 1}"
+            for r in range(rounds)
+        )
+    )
+    return "".join(sql)
 
 
 def _subword_apply_chain(n_rounds: int) -> str:
@@ -7099,6 +7174,7 @@ FROM r
 """,
         # frozen linear classifier over hashed features; md5-derived weight
         # per dim, exact-integer dot product, keep at score >= 0
+        "docs_classifier_train": _classifier_train_oracle(64, 3),
         "docs_classifier": """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

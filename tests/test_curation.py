@@ -176,6 +176,36 @@ def test_strip_host_boilerplate_lines(spark):
     assert got[4]["text"] == "nav\nother" and got[4]["n_removed"] == 0
 
 
+def test_train_linear_classifier_first_round_is_full_update(spark):
+    """With zero initial weights every doc scores 0 and (y*0 <= 0) makes
+    the whole corpus misclassified, so the round-1 weights must equal the
+    label-weighted feature mass summed over ALL docs — checked against
+    hashed_features directly. Later rounds must keep integer weights and
+    the full (round, dim) grid."""
+    from text_to_graph_spark.operators.curation import train_linear_classifier
+    from text_to_graph_spark.operators.textstats import hashed_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(35))),  # long -> y=+1
+            (2, "short doc"),                            # y=-1
+            (3, "tiny"),                                 # y=-1
+        ],
+        "doc_id long, text string",
+    )
+    labels = spark.createDataFrame([(1, 1), (2, -1), (3, -1)], "doc_id long, y int")
+    out = train_linear_classifier(docs, labels, rounds=2).collect()
+    assert len(out) == 2 * 64
+    got_r1 = {r["dim"]: r["weight"] for r in out if r["round"] == 1}
+    feats = hashed_features(docs).collect()
+    y = {1: 1, 2: -1, 3: -1}
+    expected: dict[int, int] = {d: 0 for d in range(64)}
+    for f in feats:
+        expected[f["dim"]] += y[f["doc_id"]] * f["weight"]
+    assert got_r1 == expected
+    assert any(r["weight"] != 0 for r in out)
+
+
 def test_curated_corpus_gates(spark):
     long_good = " ".join(f"w{i}" for i in range(30))          # distinct, long, no stopwords
     other_long = " ".join(f"x{i}" for i in range(30))
