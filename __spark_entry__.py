@@ -2198,6 +2198,25 @@ def _q_docs_classifier_train(spark, sf_dir):
     return train_linear_classifier(d, labels)
 
 
+def _q_docs_classifier_eval(spark, sf_dir):
+    # per-round train-set confusion of the perceptron trajectory — the
+    # checkpoint-selection table; decision rule matches training
+    from text_to_graph_spark.operators.curation import (
+        classifier_eval,
+        train_linear_classifier,
+    )
+
+    d = _docs(spark, sf_dir)
+    labels = d.select(
+        "doc_id",
+        F.when(F.size(F.split(F.col("text"), " ")) >= 30, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    )
+    traj = train_linear_classifier(d, labels)
+    return classifier_eval(d, labels, traj)
+
+
 def _q_text_line_dedup(spark, sf_dir):
     # the removal transform behind text_line_repetition: cleaned text is
     # compared BYTE-EXACTLY against the oracle's window recompute, so the
@@ -3146,6 +3165,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": _q_text_pii,
         "docs_classifier": _q_docs_classifier,
         "docs_classifier_train": _q_docs_classifier_train,
+        "docs_classifier_eval": _q_docs_classifier_eval,
         "docs_quality_percentile": _q_docs_quality_percentile,
         "kg_lineage_rollup": _q_kg_lineage_rollup,
         "text_tokens": _q_text_tokens,
@@ -4202,6 +4222,39 @@ w{r + 1} AS (
         )
     )
     return "".join(sql)
+
+
+def _classifier_eval_oracle(n_dims: int, rounds: int) -> str:
+    """The training chain + per-round confusion over the train labels
+    (predict +1 iff score > 0, matching the trainer's decision rule)."""
+    train = _classifier_train_oracle(n_dims, rounds)
+    chain = train[: train.rindex("\nSELECT CAST(1 AS int)")]
+    evals = []
+    for r in range(1, rounds + 1):
+        evals.append(
+            f""",
+es{r} AS (
+  SELECT f.doc_id, sum(f.x * w.w) AS s
+  FROM feats f JOIN w{r} w USING (dim) GROUP BY 1
+),
+ec{r} AS (
+  SELECT l.y,
+         CASE WHEN coalesce(s.s, 0) > 0 THEN 1 ELSE -1 END AS pred
+  FROM lab l LEFT JOIN es{r} s USING (doc_id)
+)"""
+        )
+    final = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS int) AS round,
+       CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS bigint) AS tp,
+       CAST(sum(CASE WHEN y = -1 AND pred = 1 THEN 1 ELSE 0 END) AS bigint) AS fp,
+       CAST(sum(CASE WHEN y = -1 AND pred = -1 THEN 1 ELSE 0 END) AS bigint) AS tn,
+       CAST(sum(CASE WHEN y = 1 AND pred = -1 THEN 1 ELSE 0 END) AS bigint) AS fn,
+       CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS bigint) AS accuracy_ppm
+FROM ec{r}"""
+        for r in range(1, rounds + 1)
+    )
+    return chain + "".join(evals) + "\n" + final
 
 
 def _subword_apply_chain(n_rounds: int) -> str:
@@ -7175,6 +7228,7 @@ FROM r
         # frozen linear classifier over hashed features; md5-derived weight
         # per dim, exact-integer dot product, keep at score >= 0
         "docs_classifier_train": _classifier_train_oracle(64, 3),
+        "docs_classifier_eval": _classifier_eval_oracle(64, 3),
         "docs_classifier": """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

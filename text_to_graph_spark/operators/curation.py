@@ -755,3 +755,70 @@ def train_linear_classifier(
     return docs.sparkSession.createDataFrame(
         rows, "round int, dim int, weight long"
     )
+
+
+def classifier_eval(
+    docs: DataFrame,
+    labels: DataFrame,
+    trajectory: DataFrame,
+    n_dims: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-round confusion matrix of a trained linear classifier over a
+    labeled corpus — the evaluation step between
+    :func:`train_linear_classifier` and serving the gate: a real pipeline
+    picks the round/checkpoint by held-out accuracy before filtering
+    100 TB with it.
+
+    ``trajectory`` is the (round, dim, weight) table the trainer emits.
+    Decision rule matches training: predict +1 iff score > 0. Output per
+    round: (round, tp, fp, tn, fn, accuracy_ppm) — exact integer ppm.
+
+    Scale shape: the trajectory is model-sized (rounds x n_dims) and
+    broadcast; scoring every round is ONE feature-join projection plus a
+    (doc, round)-keyed partial-agg sum — no per-round driver loop over the
+    corpus (the tiny round-list collect is a model parameter). Docs whose
+    features all cancel (or empty text) score 0 via the label spine.
+    """
+    from text_to_graph_spark.operators.textstats import hashed_features
+
+    feats = hashed_features(docs, n_dims, id_col, text_col)
+    traj = trajectory.select(
+        "round", "dim", F.col("weight").alias("_w")
+    )
+    scored = (
+        feats.join(F.broadcast(traj), "dim")
+        .select("doc_id", "round", (F.col("_w") * F.col("weight")).alias("_c"))
+        .groupBy("doc_id", "round")
+        .agg(F.sum("_c").alias("_s"))
+    )
+    rounds = sorted(
+        r["round"] for r in trajectory.select("round").distinct().collect()
+    )
+    spine = labels.select(F.col(id_col).alias("doc_id"), "y").withColumn(
+        "round", F.explode(F.array(*[F.lit(r) for r in rounds]))
+    )
+    ev = spine.join(scored, ["doc_id", "round"], "left").select(
+        "round",
+        "y",
+        F.when(F.coalesce(F.col("_s"), F.lit(0)) > 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("pred"),
+    )
+    c = ev.groupBy("round").agg(
+        F.sum(((F.col("y") == 1) & (F.col("pred") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("y") == -1) & (F.col("pred") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("y") == -1) & (F.col("pred") == -1)).cast("long")).alias("tn"),
+        F.sum(((F.col("y") == 1) & (F.col("pred") == -1)).cast("long")).alias("fn"),
+    )
+    return c.select(
+        "round",
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.expr("(tp + tn) * 1000000 DIV (tp + fp + tn + fn)")
+        .cast("bigint")
+        .alias("accuracy_ppm"),
+    )
