@@ -2217,6 +2217,43 @@ def _q_docs_classifier_eval(spark, sf_dir):
     return classifier_eval(d, labels, traj)
 
 
+def _q_docs_classifier_trained(spark, sf_dir):
+    # serve the TRAINED checkpoint: the final perceptron round's weights
+    # broadcast against the hashed features — exactly the "swap the
+    # stand-in weights for a real checkpoint" path classifier_scores
+    # documents; keep decision at score > 0 (the training rule)
+    from text_to_graph_spark.operators.curation import train_linear_classifier
+    from text_to_graph_spark.operators.textstats import hashed_features
+
+    d = _docs(spark, sf_dir)
+    labels = d.select(
+        "doc_id",
+        F.when(F.size(F.split(F.col("text"), " ")) >= 30, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    )
+    traj = train_linear_classifier(d, labels)
+    last = traj.where(F.col("round") == 3).select(
+        "dim", F.col("weight").alias("_w")
+    )
+    feats = hashed_features(d)
+    scored = (
+        feats.join(F.broadcast(last), "dim")
+        .select("doc_id", (F.col("_w") * F.col("weight")).alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.sum("_c").alias("score"))
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("score"), F.lit(0)).cast("bigint").alias("score"),
+            (F.coalesce(F.col("score"), F.lit(0)) > 0).alias("kept"),
+        )
+    )
+
+
 def _q_text_line_dedup(spark, sf_dir):
     # the removal transform behind text_line_repetition: cleaned text is
     # compared BYTE-EXACTLY against the oracle's window recompute, so the
@@ -3166,6 +3203,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_classifier": _q_docs_classifier,
         "docs_classifier_train": _q_docs_classifier_train,
         "docs_classifier_eval": _q_docs_classifier_eval,
+        "docs_classifier_trained": _q_docs_classifier_trained,
         "docs_quality_percentile": _q_docs_quality_percentile,
         "kg_lineage_rollup": _q_kg_lineage_rollup,
         "text_tokens": _q_text_tokens,
@@ -4222,6 +4260,26 @@ w{r + 1} AS (
         )
     )
     return "".join(sql)
+
+
+def _classifier_trained_oracle(n_dims: int, rounds: int) -> str:
+    """Training chain + scoring every doc with the FINAL round's weights."""
+    train = _classifier_train_oracle(n_dims, rounds)
+    chain = train[: train.rindex("\nSELECT CAST(1 AS int)")]
+    return (
+        chain
+        + f""",
+fs AS (
+  SELECT f.doc_id, sum(f.x * w.w) AS s
+  FROM feats f JOIN w{rounds} w USING (dim) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(fs.s, 0) AS bigint) AS score,
+       coalesce(fs.s, 0) > 0 AS kept
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN fs USING (doc_id)
+"""
+    )
 
 
 def _classifier_eval_oracle(n_dims: int, rounds: int) -> str:
@@ -7229,6 +7287,7 @@ FROM r
         # per dim, exact-integer dot product, keep at score >= 0
         "docs_classifier_train": _classifier_train_oracle(64, 3),
         "docs_classifier_eval": _classifier_eval_oracle(64, 3),
+        "docs_classifier_trained": _classifier_trained_oracle(64, 3),
         "docs_classifier": """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
