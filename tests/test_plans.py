@@ -1030,3 +1030,44 @@ def test_resize_thumbs_is_single_python_stage_no_shuffle(spark):
     # mapInPandas stages (attach, resize) with zero shuffle between them
     assert python_eval_count(t) == 2
     assert count_exchanges(t) == 0
+
+
+def test_boilerplate_strip_broadcast_totals_no_cartesian(spark):
+    """Host totals broadcast into the mining rollup; removal is a
+    left_anti equi-join on (host, line-key); no nested loop anywhere and
+    the whole transform stays JVM-side."""
+    from text_to_graph_spark.operators.curation import (
+        strip_host_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", 1, "nav\nx"), ("a", 2, "nav\ny")],
+        "host string, doc_id long, text string",
+    )
+    out = strip_host_boilerplate_lines(docs)
+    s = plan_str(out, "simple")
+    assert has_broadcast_join(out)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0
+
+
+def test_classifier_trainer_round_scoring_is_literal_map_projection(spark):
+    """One perceptron round's scoring plan: the weights are a driver
+    literal map, so the feature side never joins a weight table — the only
+    aggregations are the hashed-feature rollup and the per-doc sum, all
+    HashAggregate, no Python."""
+    from pyspark.sql import functions as F
+    from text_to_graph_spark.operators.curation import train_linear_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame([(1, 1), (2, -1)], "doc_id long, y int")
+    # the trainer collects per round; pin the TRAJECTORY result shape and
+    # that the training loop left no Python eval or cartesian in the final
+    # model table (driver-built literal)
+    traj = train_linear_classifier(docs, labels, rounds=1)
+    assert traj.count() == 64
+    s = plan_str(traj, "simple")
+    assert "CartesianProduct" not in s
