@@ -2181,6 +2181,16 @@ def _q_text_line_repetition(spark, sf_dir):
     return TS.line_repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_docs_token_budget(spark, sf_dir):
+    # token-budget mixture: per-lang hard token caps filled by quality
+    # rank — en/de budgeted, other langs excluded (both paths exercised)
+    from text_to_graph_spark.operators.curation import token_budget_mixture
+
+    return token_budget_mixture(
+        _docs(spark, sf_dir), {"en": 20000, "de": 8000}
+    )
+
+
 def _q_docs_classifier_train(spark, sf_dir):
     # batch-perceptron training of the quality classifier in exact integer
     # arithmetic (labels: docs with >= 30 whitespace tokens are positive);
@@ -3201,6 +3211,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": _q_text_line_dedup,
         "text_pii": _q_text_pii,
         "docs_classifier": _q_docs_classifier,
+        "docs_token_budget": _q_docs_token_budget,
         "docs_classifier_train": _q_docs_classifier_train,
         "docs_classifier_eval": _q_docs_classifier_eval,
         "docs_classifier_trained": _q_docs_classifier_trained,
@@ -7260,6 +7271,33 @@ HAVING sum(CASE WHEN (hv % 128) >= 64 THEN -1 ELSE 1 END) <> 0
 """,
         # per-source percentile quality gate: rank*100 <= pct*count over
         # the text_quality score, ties by doc_id asc
+        # token-budget mixture: cumulative token mass per lang in quality
+        # order; kept iff the cumsum including the doc stays within the
+        # lang's hard cap (unbudgeted langs keep nothing)
+        "docs_token_budget": """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+),
+q AS (
+  SELECT doc_id, lang, len(w) AS n_tokens,
+         (floor(((floor((len(list_distinct(w)) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) * 0.5 + (1.0 - (floor((len(list_filter(w, x -> x IN ('the', 'a'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0)) * 0.3 + least(len(w) / 100.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0) AS quality_score
+  FROM t
+),
+r AS (
+  SELECT doc_id, lang, n_tokens, quality_score,
+         sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY quality_score DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM q
+)
+SELECT doc_id, lang, CAST(n_tokens AS bigint) AS n_tokens, quality_score,
+       CAST(cum AS bigint) AS cum_tokens,
+       CASE lang WHEN 'en' THEN cum <= 20000
+                 WHEN 'de' THEN cum <= 8000
+                 ELSE FALSE END AS kept
+FROM r
+""",
         "docs_quality_percentile": """
 WITH t AS (
   SELECT doc_id, source, string_split(text, ' ') AS w, length(text) AS n_chars

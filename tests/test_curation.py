@@ -206,6 +206,29 @@ def test_train_linear_classifier_first_round_is_full_update(spark):
     assert any(r["weight"] != 0 for r in out)
 
 
+def test_token_budget_mixture(spark):
+    from text_to_graph_spark.operators.curation import token_budget_mixture
+
+    long = " ".join(f"w{i}" for i in range(40))   # 40 tokens, high quality
+    mid = " ".join(f"x{i}" for i in range(20))    # 20 tokens
+    docs = spark.createDataFrame(
+        [
+            ("en", 1, long),
+            ("en", 2, mid),
+            ("en", 3, "the the the the"),          # low quality, 4 tokens
+            ("fr", 4, long),                       # no budget -> dropped
+        ],
+        "lang string, doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           token_budget_mixture(docs, {"en": 60}).collect()}
+    # quality order: doc1 (distinct, long) > doc2 > doc3 (all stopwords)
+    assert got[1]["kept"] and got[1]["cum_tokens"] == 40
+    assert got[2]["kept"] and got[2]["cum_tokens"] == 60  # exactly at cap
+    assert not got[3]["kept"] and got[3]["cum_tokens"] == 64  # crosses cap
+    assert not got[4]["kept"]  # unbudgeted language
+
+
 def test_curated_corpus_gates(spark):
     long_good = " ".join(f"w{i}" for i in range(30))          # distinct, long, no stopwords
     other_long = " ".join(f"x{i}" for i in range(30))

@@ -822,3 +822,60 @@ def classifier_eval(
         .cast("bigint")
         .alias("accuracy_ppm"),
     )
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture selection: per language keep the
+    highest-quality documents until that language's TOKEN budget is
+    exhausted — mixtures are specified in tokens (what the training run
+    consumes), not documents, and dividing a doc-count target by mean doc
+    length gets the mix wrong whenever length and quality correlate.
+
+    Rank: (quality_score desc, doc_id asc) — the corpus-standard
+    deterministic order; a document is kept iff its cumulative token count
+    INCLUDING itself stays within the budget (the boundary-crossing doc is
+    dropped, so budgets are hard caps). Languages without a budget keep
+    nothing. Output: (doc_id, lang, n_tokens, quality_score, cum_tokens,
+    kept).
+
+    Scale shape: quality and token counts are per-row expressions fused
+    into the scan; the only shuffle is ONE window partitioned by language.
+    A pathologically hot language makes that window's partition big —
+    the same documented skew class as quality_percentile_gate (salt by
+    quality band and merge boundaries if a single language dominates the
+    corpus).
+    """
+    from text_to_graph_spark.operators.textstats import quality_stats
+
+    q = quality_stats(docs, id_col, text_col).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
+    j = base.join(q, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    budget = F.coalesce(
+        *(
+            [
+                F.when(F.col("lang") == k, F.lit(v))
+                for k, v in sorted(budgets.items())
+            ]
+            + [F.lit(-1)]
+        )
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "quality_score",
+        cum.cast("bigint").alias("cum_tokens"),
+        (cum <= budget).alias("kept"),
+    )
