@@ -2162,6 +2162,13 @@ def _q_ann_topk_ivf_trained(spark, sf_dir):
     )
 
 
+def _q_emb_semdedup(spark, sf_dir):
+    # SemDeDup (arXiv:2303.09540): k-means cells from the exact integer
+    # trainer block the pairwise pass — within-cell cosine >= 0.3 drops
+    # every smaller-id-dominated vector (cluster equi-join, no cartesian)
+    return SIM.semdedup(_emb(spark, sf_dir), threshold=0.3, k=4, n_iter=2)
+
+
 def _q_emb_kmeans(spark, sf_dir):
     # deterministic Lloyd's trainer for the IVF coarse quantizer
     # (operators/similarity.py): integer micro-unit arithmetic, k=4 seeds =
@@ -3206,6 +3213,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_trained": _q_ann_topk_ivf_trained,
         "ann_recall": _q_ann_recall,
         "emb_kmeans": _q_emb_kmeans,
+        "emb_semdedup": _q_emb_semdedup,
         "text_quality": _q_text_quality,
         "text_line_repetition": _q_text_line_repetition,
         "text_line_dedup": _q_text_line_dedup,
@@ -6934,6 +6942,25 @@ FROM reach3 GROUP BY node
         # integer micro-unit arithmetic end to end, so assignment and means
         # are bit-equal to the Spark trainer on any engine
         "emb_kmeans": _kmeans_oracle(),
+        # SemDeDup: the k-means CTE's final assignment (aF) blocks the
+        # pairwise cosine pass; a vector is dropped iff a smaller-id
+        # cluster-mate scores >= 0.3 after the shared half-up-6 rounding
+        "emb_semdedup": f"""
+WITH {_kmeans_cte()},
+e2 AS (
+  SELECT e.vec_id, e.embedding, {_NORM.format(v='e.embedding')} AS nrm, a.cid
+  FROM embeddings e JOIN aF a USING (vec_id)
+),
+drp AS (
+  SELECT DISTINCT b.vec_id
+  FROM e2 a JOIN e2 b ON b.cid = a.cid AND a.vec_id < b.vec_id
+  WHERE (floor(({_DOT.format(a='a.embedding', b='b.embedding')}
+              / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= 0.3
+)
+SELECT e2.vec_id, CAST(e2.cid AS int) AS cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS int) AS kept
+FROM e2 LEFT JOIN drp d USING (vec_id)
+""",
         # trained-IVF search: the k-means CTE chain's final assignment (aF)
         # is the inverted file; cosine top-k within the query's cluster
         "ann_topk_ivf_trained": f"""

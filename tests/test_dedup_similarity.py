@@ -388,6 +388,59 @@ class TestKMeansTrain:
         assert a == b
 
 
+class TestSemDedup:
+    def test_planted_within_cluster_duplicates_drop_larger_id(self, spark):
+        # two separated groups; each contains an exact duplicate pair and
+        # one distinct member — only the larger id of each dup pair drops
+        from text_to_graph_spark.operators.similarity import semdedup
+
+        pts = [
+            (0, [1.0, 0.1]),
+            (1, [-1.0, 0.05]),
+            (2, [1.0, 0.1]),     # duplicate of 0 (cos = 1)
+            (3, [-1.0, 0.05]),   # duplicate of 1 (cos = 1)
+            (4, [0.9, -0.4]),
+            (5, [-0.7, 0.6]),
+        ]
+        emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+        got = {
+            r.vec_id: (r.cluster, r.kept)
+            for r in semdedup(emb, threshold=0.999, k=2, n_iter=2).collect()
+        }
+        assert len(got) == 6
+        assert got[2][1] == 0 and got[3][1] == 0
+        assert all(got[i][1] == 1 for i in (0, 1, 4, 5))
+        # drops happened within a cluster: each dropped id shares a cell
+        # with its smaller-id duplicate
+        assert got[2][0] == got[0][0] and got[3][0] == got[1][0]
+
+    def test_keep_rule_matches_bruteforce_within_cluster(self, spark, emb):
+        # kept == 0 iff a smaller-id cluster-mate scores >= threshold
+        # under the same half-up-6 rounding (python mirror)
+        from text_to_graph_spark.operators.similarity import semdedup
+
+        rows = semdedup(emb, threshold=0.3, k=2, n_iter=2).collect()
+        cl = {r.vec_id: r.cluster for r in rows}
+        vec = {i: v for i, v in EMB}
+        for r in rows:
+            mates = [
+                j
+                for j in vec
+                if j < r.vec_id
+                and cl[j] == r.cluster
+                and math.floor(_cos(vec[j], vec[r.vec_id]) * 1e6 + 0.5) / 1e6
+                >= 0.3
+            ]
+            assert r.kept == (0 if mates else 1), (r, mates)
+
+    def test_deterministic_across_partitionings(self, spark, emb):
+        from text_to_graph_spark.operators.similarity import semdedup
+
+        a = sorted(map(tuple, semdedup(emb, k=2).collect()))
+        b = sorted(map(tuple, semdedup(emb.repartition(7), k=2).collect()))
+        assert a == b
+
+
 def test_topk_ivf_trained_within_trained_cluster(spark):
     """The trained index must score only candidates sharing the query's
     k-means cluster, and ranks must be contiguous from 1."""

@@ -357,6 +357,51 @@ def _div_half_away(s: int, n: int) -> int:
     return -q if s < 0 else q
 
 
+def _kmeans_fit(
+    mic: DataFrame, k: int, n_iter: int
+) -> list[tuple[int, list[int]]]:
+    """Lloyd's fit loop over a (id, mic) integer micro-unit frame; returns
+    the final centroid list ``[(cid, [micro ints])]``. Seeding is the k
+    smallest ids in id order; per round, one partial-agg'd groupBy shuffle
+    carrying K x (D+1) longs per upstream partition. Shared by
+    :func:`kmeans_train` (the relational model table) and :func:`semdedup`
+    (cluster-blocked semantic dedup)."""
+    seeds = (
+        mic.orderBy("id").limit(k).collect()
+    )  # K x D ints — model init, driver-side by design
+    if not seeds:
+        raise ValueError("kmeans_fit: empty input")
+    dims = len(seeds[0]["mic"])
+    cents: list[tuple[int, list[int]]] = [
+        (i, list(r["mic"])) for i, r in enumerate(seeds)
+    ]
+
+    sum_cols = [
+        F.sum(F.element_at("mic", d + 1)).alias(f"s{d}") for d in range(dims)
+    ]
+    for _ in range(n_iter):
+        stats = (
+            _assign_micro(mic, cents)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"), *sum_cols)
+            .collect()
+        )
+        by_cid = {r["cluster"]: r for r in stats}
+        cents = [
+            (
+                cid,
+                [
+                    _div_half_away(by_cid[cid][f"s{d}"], by_cid[cid]["n"])
+                    for d in range(dims)
+                ]
+                if cid in by_cid
+                else prev,  # empty cluster: carry the previous centroid
+            )
+            for cid, prev in cents
+        ]
+    return cents
+
+
 def kmeans_train(
     emb: DataFrame,
     k: int = 4,
@@ -393,39 +438,8 @@ def kmeans_train(
     mic = emb.select(
         F.col(id_col).alias("id"), micro_vec_expr(vec_col).alias("mic")
     )
-    seeds = (
-        mic.orderBy("id").limit(k).collect()
-    )  # K x D ints — model init, driver-side by design
-    if not seeds:
-        raise ValueError("kmeans_train: empty input")
-    dims = len(seeds[0]["mic"])
-    cents: list[tuple[int, list[int]]] = [
-        (i, list(r["mic"])) for i, r in enumerate(seeds)
-    ]
-
-    sum_cols = [
-        F.sum(F.element_at("mic", d + 1)).alias(f"s{d}") for d in range(dims)
-    ]
-    for _ in range(n_iter):
-        stats = (
-            _assign_micro(mic, cents)
-            .groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("n"), *sum_cols)
-            .collect()
-        )
-        by_cid = {r["cluster"]: r for r in stats}
-        cents = [
-            (
-                cid,
-                [
-                    _div_half_away(by_cid[cid][f"s{d}"], by_cid[cid]["n"])
-                    for d in range(dims)
-                ]
-                if cid in by_cid
-                else prev,  # empty cluster: carry the previous centroid
-            )
-            for cid, prev in cents
-        ]
+    cents = _kmeans_fit(mic, k, n_iter)
+    dims = len(cents[0][1])
 
     sizes = {
         r["cluster"]: r["n"]
@@ -441,6 +455,79 @@ def kmeans_train(
     ]
     return spark.createDataFrame(
         rows, "cluster int, n_members bigint, dim int, centroid double"
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — k-means coarse clustering, then
+    pairwise cosine WITHIN each cluster only, dropping every vector that
+    has a smaller-id cluster-mate at cosine >= threshold. The paper's
+    point: clustering first turns the O(N²) all-pairs problem into
+    sum-over-cells O(|cell|²), and semantic (not lexical) duplicates are
+    exactly what MinHash misses.
+
+    Scale shape: the fit is :func:`_kmeans_fit` (per-round K x (D+1)-long
+    shuffles); assignment is a zero-shuffle inlined-literal projection; the
+    within-cell pass is an equi-join on the cluster id — never a cartesian
+    product — so cell size, controlled by k, bounds the quadratic term
+    (production runs use k in the tens of thousands for 10^9 vectors, ~1e5
+    rows per cell). AQE skew-join splits any hot cell. Keep rule: the
+    drop decision needs only (exists smaller-id neighbor >= threshold), a
+    left_semi against the pair list — deterministic, no transitive-closure
+    fixpoint, matching the paper's keep-one-per-epsilon-ball intent with
+    id order as the tiebreak.
+
+    Cosine is the house fixed-order double fold rounded half-up to 6
+    (:func:`cosine_expr`), bit-identical across engines. Returns one row
+    per input vector: (vec_id, cluster, kept) with kept in {0, 1}.
+    """
+    mic = emb.select(
+        F.col(id_col).alias("id"), micro_vec_expr(vec_col).alias("mic")
+    )
+    cents = _kmeans_fit(mic, k, n_iter)
+    assigned = _assign_micro(mic, cents).select("id", "cluster")
+
+    a = with_norm(emb, id_col, vec_col, "a").join(
+        assigned.select(
+            F.col("id").alias("id_a"), F.col("cluster").alias("cl")
+        ),
+        "id_a",
+    )
+    b = with_norm(emb, id_col, vec_col, "b").join(
+        assigned.select(
+            F.col("id").alias("id_b"), F.col("cluster").alias("cl")
+        ),
+        "id_b",
+    )
+    dropped = (
+        a.join(b, "cl")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            round_half_up(
+                cosine_expr("vec_a", "vec_b", "norm_a", "norm_b"), 6
+            )
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("is_dup", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.when(F.col("is_dup").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
     )
 
 
