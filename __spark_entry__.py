@@ -2831,6 +2831,49 @@ def _q_events_enrich_streamed(spark, sf_dir):
     )
 
 
+def _q_events_stream_join(spark, sf_dir):
+    # stream-stream watermarked interval join (the last core Structured
+    # Streaming join shape): purchases join same-user views within the
+    # preceding hour, both sides watermarked at 1 day so state genuinely
+    # evicts across the chronologically sliced micro-batches; pair rows
+    # append to parquet, the per-user rollup runs as batch — must equal
+    # the all-batch interval self-join the oracle writes
+    import tempfile
+
+    from text_to_graph_spark.streaming.ingest import (
+        run_to_parquet,
+        stream_events,
+        streaming_view_purchase_join,
+    )
+    from text_to_graph_spark.streaming.stateful import (
+        write_time_sliced_landing,
+    )
+
+    base = tempfile.mkdtemp(prefix="t2g_ssjoin_")
+    landing, out, ckpt = f"{base}/landing", f"{base}/out", f"{base}/ckpt"
+    ev = _events(spark, sf_dir).withColumn(
+        "sec", EV.epoch_seconds_ntz("ts")
+    )
+    write_time_sliced_landing(ev, landing, n_slices=4)
+    q = run_to_parquet(
+        streaming_view_purchase_join(
+            stream_events(spark, landing), stream_events(spark, landing)
+        ),
+        out,
+        ckpt,
+    )
+    q.awaitTermination(600)
+    pairs = spark.read.parquet(out)
+    per_purchase = pairs.groupBy(
+        "user_id", "purchase_id", "value_cents"
+    ).agg(F.count(F.lit(1)).alias("n_views"))
+    return per_purchase.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("n_views").alias("n_pairs"),
+        F.sum("value_cents").alias("sum_value_cents"),
+    )
+
+
 def _q_mm_meta(spark, sf_dir):
     # REAL image path: synthesize a genuine grayscale PNG per document and
     # fully decode it (CRC verify + inflate + unfilter); the oracle
@@ -3270,6 +3313,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_stateful": _q_events_sessionize_stateful,
         "events_hourly_streamed": _q_events_hourly_streamed,
         "events_enrich_streamed": _q_events_enrich_streamed,
+        "events_stream_join": _q_events_stream_join,
         "dedup_streamed": _q_dedup_streamed,
         "mm_meta": _q_mm_meta,
         "mm_audio_meta": _q_mm_audio_meta,
@@ -8063,6 +8107,26 @@ SELECT c.c_mktsegment, count(*) AS n_events,
        CAST(sum(CAST(round(e.value * 100) AS bigint)) AS bigint) AS sum_value_cents
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1
+""",
+        # stream-stream interval join rollup: the streamed pair set equals
+        # the batch interval self-join because the landing is
+        # chronologically sliced and the watermark delay (1 day) exceeds
+        # the attribution window (1 hour)
+        "events_stream_join": """
+WITH pairs AS (
+  SELECT v.user_id, p.event_id AS purchase_id,
+         CAST(round(p.value * 100) AS bigint) AS value_cents,
+         count(*) AS n_views
+  FROM events v JOIN events p
+    ON p.user_id = v.user_id
+   AND v.event_type = 'view' AND p.event_type = 'purchase'
+   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, CAST(count(*) AS bigint) AS n_purchases,
+       CAST(sum(n_views) AS bigint) AS n_pairs,
+       CAST(sum(value_cents) AS bigint) AS sum_value_cents
+FROM pairs GROUP BY 1
 """,
         # closed sessions only: the stateful streaming operator never emits
         # each user's trailing (still-open) session

@@ -438,6 +438,133 @@ class TestStreamingKillAndRestart:
             read_edge_snapshot(spark, out, 10_000)
 
 
+class TestStreamStreamJoin:
+    def test_cross_micro_batch_pairs_join_and_window_is_enforced(
+        self, spark, tmp_path
+    ):
+        # planted corpus over a 2 h span sliced into 4 chronological files
+        # (2 micro-batches at maxFilesPerTrigger=2): the (view@20min,
+        # purchase@70min) pair spans the micro-batch boundary and must
+        # still join (view state survives the watermark); the purchase at
+        # 100min is 100min after its user's view — outside the 1 h window
+        from pyspark.sql import functions as F
+
+        from text_to_graph_spark.streaming.ingest import (
+            run_to_parquet,
+            stream_events,
+            streaming_view_purchase_join,
+        )
+        from text_to_graph_spark.streaming.stateful import (
+            write_time_sliced_landing,
+        )
+
+        base = 1_700_000_000
+        rows = [
+            # (event_id, sec offset min, user, type, value)
+            (1, 20, 1, "view", 0.0),
+            (2, 70, 1, "purchase", 5.0),   # 50 min after view 1 -> pair
+            (3, 0, 2, "view", 0.0),
+            (4, 100, 2, "purchase", 7.0),  # 100 min after view 3 -> no pair
+            (5, 95, 3, "purchase", 9.0),   # user 3 never viewed -> no pair
+        ]
+        ev = spark.createDataFrame(
+            [
+                (eid, base + m * 60, u, t, val, "{}")
+                for eid, m, u, t, val in rows
+            ],
+            "event_id long, sec long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.to_timestamp(F.from_unixtime("sec")).cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+            "sec",
+        )
+        landing = str(tmp_path / "landing")
+        assert write_time_sliced_landing(ev, landing, n_slices=4) == 4
+
+        q = run_to_parquet(
+            streaming_view_purchase_join(
+                stream_events(spark, landing), stream_events(spark, landing)
+            ),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(600)
+        import os
+
+        n_batches = len(
+            [
+                n
+                for n in os.listdir(str(tmp_path / "ckpt/offsets"))
+                if not n.startswith(".")
+            ]
+        )
+        assert n_batches >= 2, "expected the backlog to span micro-batches"
+        got = {
+            (r.view_id, r.purchase_id, r.value_cents)
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        assert got == {(1, 2, 500)}
+
+    def test_streamed_pairs_equal_batch_interval_join(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from text_to_graph_spark.operators.events import epoch_seconds_ntz
+        from text_to_graph_spark.streaming.ingest import (
+            run_to_parquet,
+            stream_events,
+            streaming_view_purchase_join,
+        )
+        from text_to_graph_spark.streaming.stateful import (
+            write_time_sliced_landing,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        events = spark.read.parquet(f"{sf}/events.parquet")
+        landing = str(tmp_path / "landing")
+        write_time_sliced_landing(
+            events.withColumn("sec", epoch_seconds_ntz("ts")),
+            landing,
+            n_slices=4,
+        )
+        q = run_to_parquet(
+            streaming_view_purchase_join(
+                stream_events(spark, landing), stream_events(spark, landing)
+            ),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(600)
+        got = {
+            (r.view_id, r.purchase_id)
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        v = events.where("event_type = 'view'").select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("v_ts"),
+        )
+        p = events.where("event_type = 'purchase'").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        want = {
+            (r.view_id, r.purchase_id)
+            for r in v.join(
+                p,
+                (F.col("user_id") == F.col("p_user"))
+                & (F.col("p_ts") >= F.col("v_ts"))
+                & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+            ).collect()
+        }
+        assert got == want and want, "streamed pairs must equal batch join"
+
+
 class TestStreamStaticEnrichment:
     def test_joined_stream_matches_batch_enrichment(self, spark, tmp_path):
         from text_to_graph_spark.operators.events import enrich_with_customer

@@ -293,6 +293,69 @@ def streaming_enriched_events(
     )
 
 
+def streaming_view_purchase_join(
+    views_stream: DataFrame,
+    purchases_stream: DataFrame,
+    attribution_window: str = "1 hour",
+    delay: str = "1 day",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the last core Structured
+    Streaming join shape (stream-static enrichment and the stateful
+    aggregations are :func:`streaming_enriched_events` and
+    ``stateful.py``). Each purchase joins every view by the SAME user in
+    the preceding ``attribution_window`` — the click/impression
+    attribution join, run continuously.
+
+    State mechanics (why both watermarks + the time-range condition are
+    mandatory): each side buffers rows in the state store; the watermark
+    plus ``p_ts BETWEEN v_ts AND v_ts + window`` bound lets Spark compute
+    a per-side eviction horizon, so a view is dropped from state once no
+    future purchase can legally reach it — state is O(rows inside the
+    watermark horizon), not O(corpus).
+
+    Exactness contract: with an event-time-ordered landing (files sliced
+    chronologically, ``write_time_sliced_landing``) and ``delay`` at least
+    the attribution window, the streamed result row-for-row equals the
+    batch interval join — eviction only ever removes views whose last
+    possible partner's event time is already below the watermark, and no
+    input row arrives late. Out-of-order landings trade exactness for the
+    same bounded state (late rows beyond ``delay`` drop) — the standard
+    regime split, as in :func:`streaming_exact_dedup`.
+
+    Output: one row per (view, purchase) pair —
+    (user_id, view_id, purchase_id, p_ts, value_cents).
+    """
+    v = (
+        views_stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("v_ts"),
+        )
+        .withWatermark("v_ts", delay)
+    )
+    p = (
+        purchases_stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+            F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+        .withWatermark("p_ts", delay)
+    )
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "inner",
+    ).select("user_id", "view_id", "purchase_id", "p_ts", "value_cents")
+
+
 def list_edge_snapshots(out_dir: str) -> list[int]:
     """Batch ids of the committed edge-table snapshots under ``out_dir``
     (ascending) — the time-travel axis of the versioned table
