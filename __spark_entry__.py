@@ -2124,6 +2124,14 @@ def _q_dedup_spans(spark, sf_dir):
     return D.duplicated_span_stats(_docs(spark, sf_dir))
 
 
+def _q_dedup_span_trim(spark, sf_dir):
+    # ExactSubstr-style removal transform (Lee et al. 2022, fixed 8-gram
+    # granularity): every word covered by a cross-document duplicated span
+    # is excised and the document reconstructed — oracle-checked byte for
+    # byte on the cleaned text itself
+    return D.span_trim(_docs(spark, sf_dir))
+
+
 def _q_ann_topk_ivf(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return SIM.topk_ivf(emb, emb.where("vec_id < 10"), k=5, n_centroids=8)
@@ -3214,6 +3222,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_spans": _q_dedup_spans,
+        "dedup_span_trim": _q_dedup_span_trim,
         "corpus_overlap": _q_corpus_overlap,
         "docs_split": _q_docs_split,
         "dedup_incremental": _q_dedup_incremental,
@@ -6960,6 +6969,43 @@ SELECT d.doc_id,
             // greatest(coalesce(per.n_spans, 0), 1) AS bigint)
          AS dup_frac_e6
 FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+""",
+        # ExactSubstr-style trim: a word is excised iff some duplicated
+        # span starts within the previous n-1 positions (sliding window
+        # max over span-start flags), text rebuilt as the space-join of
+        # survivors — byte-compared against the Spark reconstruction
+        "dedup_span_trim": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (
+  SELECT doc_id, i - 1 AS pos,
+         substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS key
+  FROM t, unnest(generate_series(1, len(w) - 7)) AS g(i)
+  WHERE len(w) >= 8
+),
+multi AS (SELECT key FROM pos GROUP BY key
+          HAVING count(DISTINCT doc_id) >= 2),
+starts AS (
+  SELECT DISTINCT p.doc_id, p.pos
+  FROM pos p JOIN multi m ON m.key = p.key
+),
+words AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS word
+  FROM t, unnest(generate_series(1, len(w))) AS g(i)
+),
+cov AS (
+  SELECT wd.doc_id, wd.pos, wd.word,
+         max(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY wd.doc_id ORDER BY wd.pos
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+  FROM words wd LEFT JOIN starts s
+    ON s.doc_id = wd.doc_id AND s.pos = wd.pos
+)
+SELECT doc_id,
+       coalesce(string_agg(word, ' ' ORDER BY pos)
+                FILTER (WHERE covered = 0), '') AS text,
+       CAST(count(*) AS bigint) AS n_words,
+       CAST(sum(covered) AS bigint) AS n_removed
+FROM cov GROUP BY doc_id
 """,
         "dedup_clusters": f"""
 WITH RECURSIVE {_MINHASH_CTE},

@@ -581,6 +581,54 @@ class TestDuplicatedSpanStats:
         assert got == {1: 0, 2: 0}
 
 
+class TestSpanTrim:
+    def test_shared_run_excised_whole_and_rest_kept(self, spark):
+        from text_to_graph_spark.operators.dedup import span_trim
+
+        shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"  # 10-word shared run
+        docs = spark.createDataFrame(
+            [
+                (1, f"a1 a2 a3 {shared} a4 a5 a6"),
+                (2, f"b1 b2 {shared} b3 b4 b5 b6 b7 b8 b9"),
+                (3, "c1 c2 c3 c4 c5"),  # shorter than n: untouched
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.text, r.n_words, r.n_removed)
+            for r in span_trim(docs, n=8).collect()
+        }
+        # the 10-word run hosts 3 duplicated 8-gram starts per doc; their
+        # union covers exactly the run — unique words all survive in order
+        assert got[1] == ("a1 a2 a3 a4 a5 a6", 16, 10)
+        assert got[2] == ("b1 b2 b3 b4 b5 b6 b7 b8 b9", 19, 10)
+        assert got[3] == ("c1 c2 c3 c4 c5", 5, 0)
+
+    def test_within_doc_repeat_not_trimmed(self, spark):
+        from text_to_graph_spark.operators.dedup import span_trim
+
+        rep = "r1 r2 r3 r4 r5 r6 r7 r8"
+        docs = spark.createDataFrame(
+            [(1, f"{rep} {rep}"), (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.n_removed for r in span_trim(docs, n=8).collect()}
+        assert got == {1: 0, 2: 0}
+
+    def test_fully_duplicated_doc_trims_to_empty(self, spark):
+        from text_to_graph_spark.operators.dedup import span_trim
+
+        same = "d1 d2 d3 d4 d5 d6 d7 d8"
+        docs = spark.createDataFrame(
+            [(1, same), (2, same)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.text, r.n_removed)
+            for r in span_trim(docs, n=8).collect()
+        }
+        assert got == {1: ("", 8), 2: ("", 8)}
+
+
 class TestSourceOverlap:
     def test_pairwise_shingle_jaccard(self, spark):
         from text_to_graph_spark.operators.dedup import source_overlap

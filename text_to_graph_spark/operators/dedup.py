@@ -594,6 +594,97 @@ def duplicated_span_stats(
     )
 
 
+def span_trim(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """The removal TRANSFORM behind :func:`duplicated_span_stats` — the
+    fixed-length distributed analogue of suffix-array ExactSubstr dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022): delete from each document every word covered by a
+    cross-document duplicated ``n``-gram, keep the rest, and return the
+    reconstructed text. A word at position j is covered iff SOME span
+    start i in [j-n+1, j] is a shingle that also occurs in another
+    document — i.e. maximal duplicated runs are excised whole, including
+    their overlapping tails, which is exactly the ExactSubstr cut rule at
+    fixed granularity.
+
+    Unlike :func:`~text_to_graph_spark.operators.textstats.remove_repeated_lines`
+    (within-doc, shuffle-free), this rule is inherently CROSS-document, so
+    it pays the real distributed cost, and only that: the shingle pass
+    reuses duplicated_span_stats' shape (one explode + one hash shuffle on
+    the 64-bit md5-prefix key — shuffle rows carry 16 hex chars, never the
+    shingle text); the word stream then equi-joins the DUPLICATED
+    span-start list only (sparse — dup starts, not all spans; broadcast
+    at fixture scale, AQE-planned at corpus scale), and coverage is a
+    per-document sliding ``max`` window over the joined flags whose
+    doc_id exchange the reconstruction rollup reuses (plan-verified: one
+    Exchange between the join and the final aggregate). Words normalize
+    to single-space joins (the split the stats operator already defines).
+
+    Output: (doc_id, text, n_words, n_removed) — ``text`` byte-exactly the
+    space-join of surviving words ('' if everything was duplicated), so
+    the oracle checks the cleaned document itself, not a proxy statistic.
+    """
+    from pyspark.sql import Window
+
+    w = F.split(F.col(text_col), " ")
+    spans = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    span_pos = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(spans).alias("pos", "span")
+    ).select("doc_id", "pos", F.substring(F.md5("span"), 1, 16).alias("key"))
+    multi = (
+        span_pos.groupBy("key")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("key")
+    )
+    dup_starts = span_pos.join(multi, "key", "left_semi").select(
+        "doc_id", "pos", F.lit(1).alias("f")
+    )
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(w).alias("pos", "word")
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    flagged = words.join(dup_starts, ["doc_id", "pos"], "left").select(
+        "doc_id",
+        "pos",
+        "word",
+        F.max(F.coalesce(F.col("f"), F.lit(0))).over(frame).alias("covered"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("covered") == 0, F.struct("pos", "word")
+                        )
+                    )
+                ),
+                lambda s: s["word"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("covered").cast("bigint").alias("n_removed"),
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     source_col: str = "source",
