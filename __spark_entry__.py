@@ -2170,6 +2170,19 @@ def _q_ann_topk_ivf_trained(spark, sf_dir):
     )
 
 
+def _q_emb_knn_classify(spark, sf_dir):
+    # leave-one-out k-NN label vote, IVF-blocked (nprobe=1): the label-
+    # noise / embedding-separability probe; every tie-break explicit
+    # (cos DESC, id ASC; count DESC, label ASC) so predictions are exact
+    return SIM.knn_classify(_emb(spark, sf_dir), k=5, n_centroids=4, n_iter=2)
+
+
+def _q_text_ccnet_buckets(spark, sf_dir):
+    # CCNet head/middle/tail terciles per language over the exact-ppm LM
+    # familiarity score — deterministic ntile(3) on (ppm DESC, doc_id)
+    return TS.ccnet_buckets(_docs(spark, sf_dir))
+
+
 def _q_emb_semdedup(spark, sf_dir):
     # SemDeDup (arXiv:2303.09540): k-means cells from the exact integer
     # trainer block the pairwise pass — within-cell cosine >= 0.3 drops
@@ -3266,6 +3279,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "emb_kmeans": _q_emb_kmeans,
         "emb_semdedup": _q_emb_semdedup,
+        "emb_knn_classify": _q_emb_knn_classify,
+        "text_ccnet_buckets": _q_text_ccnet_buckets,
         "text_quality": _q_text_quality,
         "text_line_repetition": _q_text_line_repetition,
         "text_line_dedup": _q_text_line_dedup,
@@ -7032,6 +7047,69 @@ FROM reach3 GROUP BY node
         # integer micro-unit arithmetic end to end, so assignment and means
         # are bit-equal to the Spark trainer on any engine
         "emb_kmeans": _kmeans_oracle(),
+        # leave-one-out k-NN vote within the k-means cell (nprobe=1); rank
+        # on the raw cosine fold (cos DESC, id ASC), vote (count DESC,
+        # label ASC); cell-singletons predict -1
+        "emb_knn_classify": f"""
+WITH {_kmeans_cte()},
+e2 AS (
+  SELECT e.vec_id, e.embedding, e.label,
+         {_NORM.format(v='e.embedding')} AS nrm, a.cid
+  FROM embeddings e JOIN aF a USING (vec_id)
+),
+sc AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, b.label AS nlabel,
+         {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) AS c
+  FROM e2 a JOIN e2 b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+),
+topk AS (
+  SELECT qid, nlabel FROM (
+    SELECT qid, nlabel,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rn
+    FROM sc) WHERE rn <= 5
+),
+votes AS (SELECT qid, nlabel, count(*) AS n FROM topk GROUP BY 1, 2),
+pred AS (
+  SELECT qid, nlabel AS pred_label FROM (
+    SELECT qid, nlabel,
+           row_number() OVER (PARTITION BY qid ORDER BY n DESC, nlabel) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT e.vec_id, e.label,
+       CAST(coalesce(p.pred_label, -1) AS int) AS pred_label,
+       CAST(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END AS int)
+         AS correct
+FROM embeddings e LEFT JOIN pred p ON p.qid = e.vec_id
+""",
+        # CCNet terciles: exact-ppm familiarity ranked (ppm DESC, doc_id)
+        # within each language, ntile(3) -> head/middle/tail
+        "text_ccnet_buckets": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS ngram
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS g(i)
+),
+corpus AS (SELECT ngram FROM grams GROUP BY ngram HAVING count(*) >= 3),
+per AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN c.ngram IS NULL THEN 0 ELSE 1 END) AS n_known
+  FROM grams g LEFT JOIN corpus c USING (ngram) GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         CAST(coalesce(p.n_known, 0) * 1000000
+              // greatest(coalesce(p.n_grams, 0), 1) AS bigint) AS known_ppm
+  FROM documents d LEFT JOIN per p USING (doc_id)
+)
+SELECT doc_id, lang, known_ppm,
+       (['head', 'middle', 'tail'])[
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY known_ppm DESC, doc_id)] AS bucket
+FROM scored
+""",
         # SemDeDup: the k-means CTE's final assignment (aF) blocks the
         # pairwise cosine pass; a vector is dropped iff a smaller-id
         # cluster-mate scores >= 0.3 after the shared half-up-6 rounding

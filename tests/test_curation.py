@@ -442,6 +442,42 @@ class TestLmFamiliarity:
         }
 
 
+class TestCcnetBuckets:
+    def test_terciles_follow_score_order_within_language(self, spark):
+        from text_to_graph_spark.operators.textstats import ccnet_buckets
+
+        common = "a b a b a b"  # "a b" x3 + "b a" x2: "a b" is corpus-known
+        docs = spark.createDataFrame(
+            [
+                (1, common, "en"),      # all grams known -> top score
+                (2, "a b zz qq", "en"),  # partially known
+                (3, "x y z w", "en"),    # nothing known -> 0
+                (4, "solo", "fr"),       # own language, single doc
+            ],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            r.doc_id: (r.lang, r.known_ppm, r.bucket)
+            for r in ccnet_buckets(docs).collect()
+        }
+        assert len(got) == 4
+        # en ranked 1 > 2 > 3 by ppm -> one doc per tercile in that order
+        assert got[1][2] == "head" and got[3][2] == "tail"
+        assert got[2][2] == "middle"
+        assert got[1][1] > got[2][1] > got[3][1]
+        # a single-doc language lands entirely in head
+        assert got[4] == ("fr", 0, "head")
+
+    def test_deterministic_and_total(self, spark):
+        from text_to_graph_spark.operators.textstats import ccnet_buckets
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, ccnet_buckets(docs).collect()))
+        b = sorted(map(tuple, ccnet_buckets(docs.repartition(9)).collect()))
+        assert a == b
+        assert len(a) == docs.count()
+
+
 class TestLangidConfusion:
     def test_rows_sum_to_one_and_diagonal(self, spark):
         from text_to_graph_spark.operators.textstats import langid_confusion

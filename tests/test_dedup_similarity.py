@@ -441,6 +441,50 @@ class TestSemDedup:
         assert a == b
 
 
+class TestKnnClassify:
+    def test_mislabeled_point_outvoted_and_singleton_abstains(self, spark):
+        # two separated groups; vec 4 carries the wrong label but its 3
+        # cluster-mates outvote it; vec 6 sits alone in a far cell after
+        # k=3 training and must abstain (-1)
+        from text_to_graph_spark.operators.similarity import knn_classify
+
+        pts = [
+            (0, [1.0, 0.0], 7),    # seed of the label-7 cell
+            (1, [-1.0, 0.0], 9),   # seed of the label-9 cell
+            (2, [0.0, 50.0], 3),   # seed of its own far cell (isolated)
+            (3, [0.95, 0.1], 7),
+            (4, [-0.95, 0.1], 9),
+            (5, [0.9, -0.1], 9),   # mislabeled: sits in the label-7 group
+            (6, [-0.9, -0.1], 9),
+        ]
+        emb = spark.createDataFrame(
+            pts, "vec_id long, embedding array<float>, label int"
+        )
+        got = {
+            r.vec_id: (r.pred_label, r.correct)
+            for r in knn_classify(emb, k=3, n_centroids=3, n_iter=2).collect()
+        }
+        assert len(got) == 7
+        assert got[5] == (7, 0)   # neighbors 0, 3 vote 7 over its own 9
+        # vec 0's electorate {3: 7, 5: 9} ties 1-1 -> smallest label wins
+        assert got[0] == (7, 1) and got[3] == (7, 1)
+        assert got[1] == (9, 1) and got[4] == (9, 1) and got[6] == (9, 1)
+        assert got[2] == (-1, 0)  # no cluster-mates: abstain
+
+    def test_deterministic_across_partitionings(self, spark, emb):
+        from text_to_graph_spark.operators.similarity import knn_classify
+
+        lab = emb.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+        a = sorted(map(tuple, knn_classify(lab, k=2, n_centroids=2).collect()))
+        b = sorted(
+            map(
+                tuple,
+                knn_classify(lab.repartition(7), k=2, n_centroids=2).collect(),
+            )
+        )
+        assert a == b
+
+
 def test_topk_ivf_trained_within_trained_cluster(spark):
     """The trained index must score only candidates sharing the query's
     k-means cluster, and ranks must be contiguous from 1."""

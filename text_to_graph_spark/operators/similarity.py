@@ -531,6 +531,89 @@ def semdedup(
     )
 
 
+def knn_classify(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out k-NN classification over a labeled embedding corpus —
+    the standard embedding-quality / label-noise probe for curation
+    pipelines (a vector whose neighbors vote a different label is a
+    mislabeled or out-of-place example; aggregate accuracy measures how
+    separable the label space is in this embedding).
+
+    IVF-blocked like :func:`semdedup`: k-means cells from
+    :func:`_kmeans_fit`, zero-shuffle literal assignment, and candidate
+    generation is the cluster equi-join — each vector is scored only
+    against its own cell (nprobe=1), never the corpus. Ranking is the raw
+    fixed-order cosine fold with (cos DESC, id ASC) total order; the vote
+    is (count DESC, label ASC) — every tie-break explicit, so the
+    prediction is bit-stable across engines and partitionings.
+
+    Output: one row per vector —
+    (vec_id, label, pred_label, correct) with pred_label = -1 and
+    correct = 0 for vectors alone in their cell (no electorate).
+    """
+    mic = emb.select(
+        F.col(id_col).alias("id"), micro_vec_expr(vec_col).alias("mic")
+    )
+    cents = _kmeans_fit(mic, n_centroids, n_iter)
+    assigned = _assign_micro(mic, cents).select("id", "cluster")
+
+    sides = {}
+    for s in ("a", "b"):
+        base = emb.select(
+            F.col(id_col).alias(f"id_{s}"),
+            F.col(vec_col).alias(f"vec_{s}"),
+            norm_expr(vec_col).alias(f"norm_{s}"),
+            *([F.col(label_col).alias("nlabel")] if s == "b" else []),
+        )
+        sides[s] = base.join(
+            assigned.select(
+                F.col("id").alias(f"id_{s}"), F.col("cluster").alias("cl")
+            ),
+            f"id_{s}",
+        )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    topk = (
+        sides["a"]
+        .join(sides["b"], "cl")
+        .where(F.col("id_a") != F.col("id_b"))
+        .withColumn("cos", cosine_expr("vec_a", "vec_b", "norm_a", "norm_b"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    pred = (
+        topk.groupBy("id_a", "nlabel")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("id_a")
+        .agg(
+            F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("nlabel")))[
+                "nlabel"
+            ].alias("pred_label")
+        )
+    )
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"), F.col(label_col).alias("label")
+        )
+        .join(pred.withColumnRenamed("id_a", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("pred_label", F.lit(-1)).cast("int").alias("pred_label"),
+            F.when(F.col("pred_label") == F.col("label"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+
+
 def topk_ivf_trained(
     emb: DataFrame,
     queries: DataFrame,

@@ -486,6 +486,59 @@ def lm_familiarity(
     )
 
 
+def ccnet_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_count: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): rank each language's documents by LM familiarity
+    (:func:`lm_familiarity`, the engine-portable KenLM-perplexity
+    stand-in) and split them into head / middle / tail terciles — the
+    exact partitioning CCNet publishes its corpora in, and the knob
+    training mixes use ("head+middle only" is the common recipe).
+
+    Determinism: the score is exact integer ppm and the tercile is
+    ``ntile(3)`` over the total order (ppm DESC, doc_id ASC) within each
+    language — no float rank, no rand(), identical on any engine.
+
+    Scale shape: familiarity's shuffles (gram count + doc rollup) plus ONE
+    per-language window sort; languages are the partition key, so skew is
+    bounded by the largest language — at corpus scale CCNet itself shards
+    by (lang, size-bucket), and the window slides to a two-pass
+    percentile-threshold split; the tercile CONTRACT is unchanged.
+
+    Output: (doc_id, lang, known_ppm, bucket) with bucket in
+    {'head', 'middle', 'tail'}.
+    """
+    from pyspark.sql import Window
+
+    fam = lm_familiarity(docs, id_col, text_col, min_count).select(
+        "doc_id",
+        F.expr("n_known * 1000000 DIV greatest(n_grams, 1)")
+        .cast("bigint")
+        .alias("known_ppm"),
+    )
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    ).join(fam, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("known_ppm"), F.asc("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "known_ppm",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.ntile(3).over(w),
+        ).alias("bucket"),
+    )
+
+
 def langid_confusion(docs: DataFrame) -> DataFrame:
     """Language-ID confusion matrix — declared label vs heuristic
     prediction (:func:`language_id`), the corpus-level diagnostic that
