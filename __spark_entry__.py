@@ -2895,6 +2895,52 @@ def _q_events_stream_join(spark, sf_dir):
     )
 
 
+def _q_events_stream_join_outer(spark, sf_dir):
+    # left-outer variant: unmatched views additionally emit (once, with
+    # NULLs) after their join window falls below the FINAL global
+    # watermark = min(per-side max event time) - delay; the oracle
+    # re-derives that horizon rule exactly, so the gate pins the
+    # outer-join eviction semantics, not just the matched pairs
+    import tempfile
+
+    from text_to_graph_spark.streaming.ingest import (
+        run_to_parquet,
+        stream_events,
+        streaming_view_purchase_join,
+    )
+    from text_to_graph_spark.streaming.stateful import (
+        write_time_sliced_landing,
+    )
+
+    base = tempfile.mkdtemp(prefix="t2g_ssjoin_outer_")
+    landing, out, ckpt = f"{base}/landing", f"{base}/out", f"{base}/ckpt"
+    ev = _events(spark, sf_dir).withColumn(
+        "sec", EV.epoch_seconds_ntz("ts")
+    )
+    write_time_sliced_landing(ev, landing, n_slices=4)
+    q = run_to_parquet(
+        streaming_view_purchase_join(
+            stream_events(spark, landing),
+            stream_events(spark, landing),
+            how="left_outer",
+        ),
+        out,
+        ckpt,
+    )
+    q.awaitTermination(600)
+    rows = spark.read.parquet(out)
+    return rows.groupBy("user_id").agg(
+        F.count("purchase_id").alias("n_matched"),
+        F.sum(
+            F.when(F.col("purchase_id").isNull(), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_unmatched"),
+    )
+
+
 def _q_mm_meta(spark, sf_dir):
     # REAL image path: synthesize a genuine grayscale PNG per document and
     # fully decode it (CRC verify + inflate + unfilter); the oracle
@@ -3338,6 +3384,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_streamed": _q_events_hourly_streamed,
         "events_enrich_streamed": _q_events_enrich_streamed,
         "events_stream_join": _q_events_stream_join,
+        "events_stream_join_outer": _q_events_stream_join_outer,
         "dedup_streamed": _q_dedup_streamed,
         "mm_meta": _q_mm_meta,
         "mm_audio_meta": _q_mm_audio_meta,
@@ -8251,6 +8298,39 @@ SELECT user_id, CAST(count(*) AS bigint) AS n_purchases,
        CAST(sum(n_views) AS bigint) AS n_pairs,
        CAST(sum(value_cents) AS bigint) AS sum_value_cents
 FROM pairs GROUP BY 1
+""",
+        # outer variant: matched pairs as above, plus one NULL row per
+        # unmatched view whose window end sits below the final global
+        # watermark = least(per-side max event time) - 1 day (Spark's
+        # multipleWatermarkPolicy=min), the measured availableNow flush
+        "events_stream_join_outer": """
+WITH wm AS (
+  SELECT least(
+    (SELECT max(ts) FROM events WHERE event_type = 'view'),
+    (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+  ) - INTERVAL 1 DAY AS w
+),
+v AS (SELECT event_id AS view_id, user_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+matched AS (
+  SELECT v.user_id, v.view_id, p.purchase_id
+  FROM v JOIN p ON p.user_id = v.user_id
+   AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+),
+unmatched AS (
+  SELECT v.user_id, v.view_id
+  FROM v, wm
+  WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.view_id = v.view_id)
+    AND v.v_ts + INTERVAL 1 HOUR < wm.w
+)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       CAST(coalesce(a.n, 0) AS bigint) AS n_matched,
+       CAST(coalesce(b.n, 0) AS bigint) AS n_unmatched
+FROM (SELECT user_id, count(*) AS n FROM matched GROUP BY 1) a
+FULL JOIN (SELECT user_id, count(*) AS n FROM unmatched GROUP BY 1) b
+  USING (user_id)
 """,
         # closed sessions only: the stateful streaming operator never emits
         # each user's trailing (still-open) session

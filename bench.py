@@ -321,6 +321,8 @@ def main() -> int:
         "docs_classifier": lambda: _force(CUR.classifier_scores(docs)),
         "dedup_keep_best": lambda: _force(D.neardup_keep_best(docs)),
         "dedup_spans": lambda: _force(D.duplicated_span_stats(docs)),
+        "dedup_span_trim": lambda: _force(D.span_trim(docs)),
+        "emb_knn_classify": lambda: _force(SIM.knn_classify(emb)),
         "events_sessionize": lambda: _force(EV.sessionize(events)),
         "events_covisitation": lambda: _force(EV.covisitation(events)),
         "olap_pricing_summary": lambda: _force(

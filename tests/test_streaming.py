@@ -510,6 +510,70 @@ class TestStreamStreamJoin:
         }
         assert got == {(1, 2, 500)}
 
+    def test_left_outer_emits_closed_unmatched_views_and_withholds_open(
+        self, spark, tmp_path
+    ):
+        # measured flush semantics: availableNow runs a final state-flush
+        # batch at watermark = min(per-side max event time) - delay, so an
+        # unmatched view emits a NULL row iff its window end is below that
+        # horizon. view 3 (window closes at 60 min < 90 min horizon)
+        # emits; view 5 (closes 260 min) is still open and is withheld
+        from pyspark.sql import functions as F
+
+        from text_to_graph_spark.streaming.ingest import (
+            run_to_parquet,
+            stream_events,
+            streaming_view_purchase_join,
+        )
+        from text_to_graph_spark.streaming.stateful import (
+            write_time_sliced_landing,
+        )
+
+        base = 1_700_000_000
+        rows = [
+            (1, 20, 1, "view", 0.0),
+            (2, 70, 1, "purchase", 5.0),   # matches view 1
+            (3, 0, 2, "view", 0.0),        # unmatched, closed -> NULL row
+            (4, 100, 2, "purchase", 7.0),  # outside view 3's window
+            (5, 200, 3, "view", 0.0),      # unmatched, still open -> withheld
+        ]
+        ev = spark.createDataFrame(
+            [
+                (eid, base + m * 60, u, t, val, "{}")
+                for eid, m, u, t, val in rows
+            ],
+            "event_id long, sec long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.to_timestamp(F.from_unixtime("sec"))
+            .cast("timestamp_ntz")
+            .alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+            "sec",
+        )
+        landing = str(tmp_path / "landing")
+        write_time_sliced_landing(ev, landing, n_slices=4)
+        q = run_to_parquet(
+            streaming_view_purchase_join(
+                stream_events(spark, landing),
+                stream_events(spark, landing),
+                delay="10 minutes",
+                how="left_outer",
+            ),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(600)
+        got = {
+            (r.view_id, r.purchase_id)
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        assert got == {(1, 2), (3, None)}
+
     def test_streamed_pairs_equal_batch_interval_join(self, spark, tmp_path):
         from pyspark.sql import functions as F
 

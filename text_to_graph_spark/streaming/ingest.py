@@ -298,6 +298,7 @@ def streaming_view_purchase_join(
     purchases_stream: DataFrame,
     attribution_window: str = "1 hour",
     delay: str = "1 day",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join — the last core Structured
     Streaming join shape (stream-static enrichment and the stateful
@@ -324,7 +325,20 @@ def streaming_view_purchase_join(
 
     Output: one row per (view, purchase) pair —
     (user_id, view_id, purchase_id, p_ts, value_cents).
+
+    ``how="left_outer"`` additionally emits every unmatched view ONCE, as
+    (user_id, view_id, NULL, NULL, NULL) — but only after its join window
+    can no longer be reached: an unmatched view row appears iff
+    ``v_ts + attribution_window`` is below the FINAL watermark
+    (``max event time - delay``); unmatched views newer than that horizon
+    are still open when the backlog drains and are withheld (measured:
+    Spark's availableNow runs a final state-flush batch at the advanced
+    watermark, so this horizon rule is exact and deterministic). This is
+    the outer-join eviction contract every streaming engine documents —
+    the price of never emitting a retraction.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type: {how}")
     v = (
         views_stream.where(F.col("event_type") == "view")
         .select(
@@ -352,7 +366,7 @@ def streaming_view_purchase_join(
             F.col("p_ts")
             <= F.col("v_ts") + F.expr(f"INTERVAL {attribution_window}")
         ),
-        "inner",
+        how,
     ).select("user_id", "view_id", "purchase_id", "p_ts", "value_cents")
 
 
