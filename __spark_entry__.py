@@ -2190,6 +2190,20 @@ def _q_emb_semdedup(spark, sf_dir):
     return SIM.semdedup(_emb(spark, sf_dir), threshold=0.3, k=4, n_iter=2)
 
 
+def _q_emb_semdedup_probe(spark, sf_dir):
+    # incremental SemDeDup: cells trained on the OLD corpus (vec_id >= 10),
+    # the new batch (vec_id < 10) admits iff no old cluster-mate >= 0.3 —
+    # corpus-wins rule, no dependence on id order within the batch
+    emb = _emb(spark, sf_dir)
+    return SIM.semdedup_probe(
+        emb.where("vec_id >= 10"),
+        emb.where("vec_id < 10"),
+        threshold=0.3,
+        k=4,
+        n_iter=2,
+    )
+
+
 def _q_emb_kmeans(spark, sf_dir):
     # deterministic Lloyd's trainer for the IVF coarse quantizer
     # (operators/similarity.py): integer micro-unit arithmetic, k=4 seeds =
@@ -3326,6 +3340,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": _q_emb_kmeans,
         "emb_semdedup": _q_emb_semdedup,
         "emb_knn_classify": _q_emb_knn_classify,
+        "emb_semdedup_probe": _q_emb_semdedup_probe,
         "text_ccnet_buckets": _q_text_ccnet_buckets,
         "text_quality": _q_text_quality,
         "text_line_repetition": _q_text_line_repetition,
@@ -3627,22 +3642,25 @@ def _sssp_cte(
     return ",\n".join(parts)
 
 
-def _kmeans_cte(k: int = 4, n_iter: int = 2) -> str:
+def _kmeans_cte(k: int = 4, n_iter: int = 2, src_where: str = "") -> str:
     """Unrolled Lloyd's k-means CTE chain over integer micro-units,
     mirroring operators/similarity.kmeans_train exactly: floor(x*1e6+0.5)
     quantization, exact integer squared-L2 argmin with cid tiebreak,
     half-away-from-zero integer means, empty-cluster carryover. Ends with
-    ``aF`` (final per-vector assignment) and ``sz`` (cluster sizes)."""
+    ``aF`` (final per-vector assignment) and ``sz`` (cluster sizes).
+    ``src_where`` restricts the TRAINING corpus (semdedup_probe trains on
+    the old corpus only)."""
+    w = f" WHERE {src_where}" if src_where else ""
     parts = [
-        """ev AS (
+        f"""ev AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
          CAST(floor(CAST(unnest(embedding) AS double) * 1000000 + 0.5)
               AS bigint) AS m
-  FROM embeddings
+  FROM embeddings{w}
 )""",
         f"""seeds AS (
   SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cid
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id FROM embeddings{w} ORDER BY vec_id LIMIT {k})
 )""",
         "c0 AS (SELECT s.cid, ev.dim, ev.m FROM ev JOIN seeds s USING (vec_id))",
     ]
@@ -7156,6 +7174,45 @@ SELECT doc_id, lang, known_ppm,
          ntile(3) OVER (PARTITION BY lang
                         ORDER BY known_ppm DESC, doc_id)] AS bucket
 FROM scored
+""",
+        # incremental SemDeDup: train on old only (src_where), assign the
+        # new batch against the FINAL centroids (c2), reject on any old
+        # cluster-mate >= 0.3 under the shared half-up-6 rounding
+        "emb_semdedup_probe": f"""
+WITH {_kmeans_cte(4, 2, "vec_id >= 10")},
+evn AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS double) * 1000000 + 0.5)
+              AS bigint) AS m
+  FROM embeddings WHERE vec_id < 10
+),
+distN AS (
+  SELECT ev.vec_id, c.cid, sum((ev.m - c.m) * (ev.m - c.m)) AS d2
+  FROM evn ev JOIN c2 c USING (dim) GROUP BY 1, 2
+),
+aN AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM distN) WHERE rn = 1
+),
+eo AS (
+  SELECT e.vec_id, e.embedding, {_NORM.format(v='e.embedding')} AS nrm, a.cid
+  FROM embeddings e JOIN aF a USING (vec_id)
+),
+en AS (
+  SELECT e.vec_id, e.embedding, {_NORM.format(v='e.embedding')} AS nrm, a.cid
+  FROM embeddings e JOIN aN a USING (vec_id)
+),
+rej AS (
+  SELECT DISTINCT n.vec_id
+  FROM en n JOIN eo o ON o.cid = n.cid
+  WHERE (floor(({_DOT.format(a='n.embedding', b='o.embedding')}
+              / (n.nrm * o.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= 0.3
+)
+SELECT en.vec_id, CAST(en.cid AS int) AS cluster,
+       CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS int) AS kept
+FROM en LEFT JOIN rej r USING (vec_id)
 """,
         # SemDeDup: the k-means CTE's final assignment (aF) blocks the
         # pairwise cosine pass; a vector is dropped iff a smaller-id

@@ -322,7 +322,9 @@ def main() -> int:
         "dedup_keep_best": lambda: _force(D.neardup_keep_best(docs)),
         "dedup_spans": lambda: _force(D.duplicated_span_stats(docs)),
         "dedup_span_trim": lambda: _force(D.span_trim(docs)),
-        "emb_knn_classify": lambda: _force(SIM.knn_classify(emb)),
+        # 16 cells at sf0.1 (5k vectors -> ~300/cell): the quadratic
+        # within-cell term is the knob, exactly as in production IVF sizing
+        "emb_knn_classify": lambda: _force(SIM.knn_classify(emb, n_centroids=16)),
         "events_sessionize": lambda: _force(EV.sessionize(events)),
         "events_covisitation": lambda: _force(EV.covisitation(events)),
         "olap_pricing_summary": lambda: _force(

@@ -441,6 +441,62 @@ class TestSemDedup:
         assert a == b
 
 
+class TestSemDedupProbe:
+    def test_corpus_wins_and_new_vs_new_not_judged(self, spark):
+        from text_to_graph_spark.operators.similarity import semdedup_probe
+
+        old = spark.createDataFrame(
+            [
+                (10, [1.0, 0.0]),
+                (11, [-1.0, 0.0]),
+                (12, [0.95, 0.05]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),   # duplicate of old 10 -> rejected
+                (2, [0.0, 1.0]),   # novel direction -> kept
+                (3, [0.0, 1.0]),   # duplicate of NEW 2 only -> still kept
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            r.vec_id: r.kept
+            for r in semdedup_probe(
+                old, new, threshold=0.999, k=2, n_iter=2
+            ).collect()
+        }
+        assert got == {1: 0, 2: 1, 3: 1}
+
+    def test_admission_independent_of_batch_id_order(self, spark):
+        # relabeling new-batch ids must not change any admission verdict
+        from text_to_graph_spark.operators.similarity import semdedup_probe
+
+        old = spark.createDataFrame(
+            [(100 + i, v) for i, v in enumerate([[1.0, 0.0], [-1.0, 0.0]])],
+            "vec_id long, embedding array<float>",
+        )
+        vecs = [[1.0, 0.01], [0.2, 0.9], [-1.0, -0.01]]
+        a = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        b = spark.createDataFrame(
+            [(9 - i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        ka = {
+            tuple(map(float, vecs[r.vec_id])): r.kept
+            for r in semdedup_probe(old, a, threshold=0.99, k=2).collect()
+        }
+        kb = {
+            tuple(map(float, vecs[9 - r.vec_id])): r.kept
+            for r in semdedup_probe(old, b, threshold=0.99, k=2).collect()
+        }
+        assert ka == kb
+
+
 class TestKnnClassify:
     def test_mislabeled_point_outvoted_and_singleton_abstains(self, spark):
         # two separated groups; vec 4 carries the wrong label but its 3

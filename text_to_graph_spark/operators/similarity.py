@@ -614,6 +614,70 @@ def knn_classify(
     )
 
 
+def semdedup_probe(
+    old_emb: DataFrame,
+    new_emb: DataFrame,
+    threshold: float = 0.3,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental :func:`semdedup`: admit a NEW embedding batch against an
+    already-ingested corpus — the daily-crawl shape (the MinHash twin is
+    ``dedup.incremental_neardup_probe``). Cells are trained on the OLD
+    corpus only (the index the corpus was ingested under; re-clustering
+    per batch would churn every cell assignment), both sides assign via
+    the zero-shuffle literal projection, and a new vector is rejected iff
+    ANY old cluster-mate scores >= threshold — the corpus always wins, so
+    admission never depends on id order or batch composition.
+
+    New-vs-new duplicates are NOT judged here (run :func:`semdedup` on the
+    admitted batch for that) — matching the probe contract of the MinHash
+    twin. Output: one row per NEW vector: (vec_id, cluster, kept).
+    """
+    mic_old = old_emb.select(
+        F.col(id_col).alias("id"), micro_vec_expr(vec_col).alias("mic")
+    )
+    cents = _kmeans_fit(mic_old, k, n_iter)
+
+    def _side(df: DataFrame, s: str) -> DataFrame:
+        m = df.select(
+            F.col(id_col).alias(f"id_{s}"),
+            F.col(vec_col).alias(f"vec_{s}"),
+            norm_expr(vec_col).alias(f"norm_{s}"),
+            micro_vec_expr(vec_col).alias("mic"),
+        )
+        return _assign_micro(m, cents).select(
+            f"id_{s}", f"vec_{s}", f"norm_{s}", F.col("cluster").alias("cl")
+        )
+
+    new_side = _side(new_emb, "a")
+    old_side = _side(old_emb, "b")
+    rejected = (
+        new_side.join(old_side, "cl")
+        .where(
+            round_half_up(
+                cosine_expr("vec_a", "vec_b", "norm_a", "norm_b"), 6
+            )
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+    )
+    return (
+        new_side.select(F.col("id_a").alias("id"), F.col("cl").alias("cluster"))
+        .join(rejected.withColumn("is_dup", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.when(F.col("is_dup").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
+    )
+
+
 def topk_ivf_trained(
     emb: DataFrame,
     queries: DataFrame,
