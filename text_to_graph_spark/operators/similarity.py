@@ -339,16 +339,29 @@ def _micro_d2(mic_col: str, cvec: list[int]):
 def _assign_micro(mic: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """Nearest-centroid assignment as a PURE PROJECTION (centroids inlined as
     literals, same zero-shuffle design as :func:`ivf_assign`); ties go to the
-    smallest centroid id via struct ordering."""
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(_micro_d2("mic", cvec).alias("d2"), F.lit(cid).alias("cid"))
-                for cid, cvec in cents
-            ]
-        )
+    smallest centroid id via struct ordering.
+
+    The K x D centroid matrix is inlined as ONE parsed SQL literal rather
+    than K nested Column trees: building/analyzing the per-centroid
+    expression forest dominated wall time once K x D reached 16 x 64
+    (~3x the whole query, the same plan-build pathology measured for the
+    hyperplane matrix — see hyperplane_bucket_expr), while a single
+    array-of-arrays literal parses in milliseconds and evaluates
+    identically (exact integer d2 fold, (d2, cid) lexicographic argmin)."""
+    arr = "array(" + ",".join(
+        "array(" + ",".join(str(int(x)) + "L" for x in cvec) + ")"
+        for _, cvec in cents
+    ) + ")"
+    cids = "array(" + ",".join(str(int(cid)) for cid, _ in cents) + ")"
+    best = F.expr(
+        f"""array_min(zip_with(
+          transform({arr}, c -> aggregate(
+            zip_with(mic, c, (x, y) -> (x - y) * (x - y)),
+            CAST(0 AS bigint), (acc, x) -> acc + x)),
+          {cids},
+          (d, i) -> struct(d AS d2, i AS cid))).cid"""
     )
-    return mic.withColumn("cluster", best["cid"])
+    return mic.withColumn("cluster", best)
 
 
 def _div_half_away(s: int, n: int) -> int:
