@@ -1071,3 +1071,82 @@ def test_classifier_trainer_round_scoring_is_literal_map_projection(spark):
     assert traj.count() == 64
     s = plan_str(traj, "simple")
     assert "CartesianProduct" not in s
+
+
+def test_semdedup_cluster_equijoin_no_cartesian_udf_free(spark):
+    """SemDeDup's pairwise pass must be an equi-join on the cluster id —
+    never a cartesian/nested-loop — and the whole operator stays JVM-side
+    (the cosine is a codegen'd/HOF fold, not a UDF)."""
+    from text_to_graph_spark.operators.similarity import semdedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    out = semdedup(emb, k=2)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0
+
+
+def test_knn_classify_blocked_join_and_single_vote_rollup(spark):
+    """kNN probe: cluster-blocked candidate join (no cartesian), the rank
+    window and both vote aggregations JVM-side, no Python eval."""
+    from text_to_graph_spark.operators.similarity import knn_classify
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)], i % 2) for i in range(12)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = knn_classify(emb, k=2, n_centroids=2)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0
+
+
+def test_span_trim_window_exchange_reused_by_rollup(spark):
+    """span_trim's doc_id exchange feeds both the coverage window and the
+    reconstruction rollup: the plan must not re-shuffle between Window and
+    the final aggregate (Sort/Window then ObjectHashAggregate on the same
+    partitioning), and the shingle side joins as an equi-join."""
+    from text_to_graph_spark.operators.dedup import span_trim
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(12))),
+         (2, " ".join(f"w{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    out = span_trim(docs)
+    s = plan_str(out, "formatted")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0
+    # no Exchange between the coverage Window and the final aggregate: the
+    # rollup reuses the window's doc_id partitioning. The plan prints
+    # top-down (sinks first), so everything ABOVE the Window in the text
+    # is downstream of it — and must contain no Exchange.
+    import re
+
+    downstream_of_window = s.split("Window", 1)[0]
+    assert not re.search(r"\bExchange\b", downstream_of_window), (
+        "rollup re-shuffled after the coverage window"
+    )
+
+
+def test_ccnet_buckets_single_language_window_no_python(spark):
+    """CCNet terciles: familiarity's aggregations plus ONE lang-partitioned
+    window sort; no cartesian, no Python eval."""
+    from text_to_graph_spark.operators.textstats import ccnet_buckets
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "a b d", "en"), (3, "x y", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = ccnet_buckets(docs)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0
+    assert "Window" in plan_str(out, "formatted")
