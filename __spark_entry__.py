@@ -3130,7 +3130,7 @@ _GATE_HEAD = [
     "kg_random_walks",
     "kg_curated_pipeline",
     "dedup_exact",
-    "dedup_minhash",
+    "dedup_span_trim",
     "dedup_minhash_pairs",
     "dedup_band_load",
     "dedup_clusters",
@@ -3139,11 +3139,11 @@ _GATE_HEAD = [
     "dedup_simhash_pairs",
     "ann_topk_bucketed",
     "ann_topk_ivf_trained",
-    "ann_recall",
+    "emb_semdedup",
     "emb_kmeans",
     "text_quality",
     "text_langid",
-    "text_tokens",
+    "text_ccnet_buckets",
     "text_tfidf",
     "text_contamination",
     "docs_split",
