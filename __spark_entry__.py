@@ -1428,6 +1428,12 @@ def _q_dedup_minhash_pairs(spark, sf_dir):
     return D.minhash_candidate_pairs(_docs(spark, sf_dir))
 
 
+def _q_dedup_minhash_recall(spark, sf_dir):
+    # measured recall of the b=8 x r=4 banding vs exact 3-gram Jaccard >=
+    # 0.5 — the dedup twin of ann_recall; one exact-ppm row
+    return D.minhash_recall(_docs(spark, sf_dir))
+
+
 def _q_dedup_band_load(spark, sf_dir):
     # LSH bucket-load pre-flight: exact candidate-pair mass per (band,
     # log2 bucket size) — predicts the band join's cost before running it
@@ -3287,6 +3293,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_band_load": _q_dedup_band_load,
+        "dedup_minhash_recall": _q_dedup_minhash_recall,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_paragraphs": _q_dedup_paragraphs,
@@ -6011,6 +6018,56 @@ WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 """,
         # LSH bucket-load histogram: C(size,2) mass per (band, log2 size)
+        # measured LSH recall: banded candidate set vs exact 3-gram
+        # Jaccard >= 0.5 truth (same shingle family), exact integer ppm
+        "dedup_minhash_recall": f"""
+WITH {{MINHASH}},
+bands AS (
+  SELECT doc_id, bk0 AS h, 0 AS band FROM sig
+  UNION ALL SELECT doc_id, bk1 AS h, 1 AS band FROM sig
+  UNION ALL SELECT doc_id, bk2 AS h, 2 AS band FROM sig
+  UNION ALL SELECT doc_id, bk3 AS h, 3 AS band FROM sig
+  UNION ALL SELECT doc_id, bk4 AS h, 4 AS band FROM sig
+  UNION ALL SELECT doc_id, bk5 AS h, 5 AS band FROM sig
+  UNION ALL SELECT doc_id, bk6 AS h, 6 AS band FROM sig
+  UNION ALL SELECT doc_id, bk7 AS h, 7 AS band FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.h = b.h AND a.band = b.band
+  WHERE a.doc_id < b.doc_id
+),
+shj AS (
+  SELECT DISTINCT d.doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+       unnest(generate_series(1, len(w) - 2)) AS g(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shj GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shj a JOIN shj b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE (floor((inter / CAST(sa.sz + sb.sz - inter AS double)) * 10000.0
+               + 0.5) / 10000.0) >= 0.5
+),
+stats AS (
+  SELECT CAST(count(*) AS bigint) AS n_true,
+         CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+              AS bigint) AS n_hit
+  FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+),
+nc AS (SELECT CAST(count(*) AS bigint) AS n_candidates FROM cand)
+SELECT n_true, n_candidates, n_hit,
+       CAST(n_hit * 1000000 // greatest(n_true, 1) AS bigint) AS recall_ppm
+FROM stats, nc
+""".replace("{MINHASH}", _MINHASH_CTE),
         "dedup_band_load": f"""
 WITH {_MINHASH_CTE},
 bands AS (

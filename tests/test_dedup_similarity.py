@@ -681,6 +681,34 @@ class TestDuplicatedSpanStats:
         assert got == {1: 0, 2: 0}
 
 
+class TestMinhashRecall:
+    def test_exact_duplicates_reach_full_recall(self, spark):
+        # identical docs have jaccard 1.0 and collide in every band ->
+        # recall must be exactly 1e6 ppm, with hits bounded by both sides
+        from text_to_graph_spark.operators.dedup import minhash_recall
+
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [(1, text), (2, text), (3, "a wholly different document body x y z")],
+            "doc_id long, text string",
+        )
+        row = minhash_recall(docs, threshold=0.5).collect()[0]
+        assert row.n_true == 1
+        assert row.n_hit == 1
+        assert row.recall_ppm == 1_000_000
+        assert row.n_hit <= min(row.n_true, row.n_candidates)
+
+    def test_disjoint_corpus_has_no_truth_and_no_hits(self, spark):
+        from text_to_graph_spark.operators.dedup import minhash_recall
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+            "doc_id long, text string",
+        )
+        row = minhash_recall(docs, threshold=0.5).collect()[0]
+        assert (row.n_true, row.n_hit, row.recall_ppm) == (0, 0, 0)
+
+
 class TestSpanTrim:
     def test_shared_run_excised_whole_and_rest_kept(self, spark):
         from text_to_graph_spark.operators.dedup import span_trim

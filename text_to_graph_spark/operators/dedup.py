@@ -211,6 +211,56 @@ def band_load_stats(
     )
 
 
+def minhash_recall(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 8,
+    rows: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Measured recall of the b x r MinHash LSH family against exact
+    shingle Jaccard — the dedup twin of ``similarity.ann_recall``
+    ("measure, don't guess" as a first-class table). Truth = all pairs
+    with exact n-gram Jaccard >= threshold (:func:`ngram_jaccard_pairs`
+    over the SAME shingle family the signatures hash, shared-shingle
+    blocked — never all-pairs); found = the banded candidate set
+    (:func:`minhash_candidate_pairs`). One output row:
+    (n_true, n_candidates, n_hit, recall_ppm) in exact integer ppm.
+
+    Run at fixture scale whenever (n, bands, rows, threshold) change: the
+    theoretical S-curve P(candidate) = 1-(1-j^r)^b says what recall
+    SHOULD be (j=0.5, r=4, b=8 -> ~0.40; j=0.8 -> ~0.98); this table says
+    what it IS on real text, which is how banding parameters are actually
+    chosen. The three 1-row aggregates cross-join as broadcast waterlines
+    (the documented 1-row crossJoin pattern), nothing corpus-sized moves.
+    """
+    grouped = docs.withColumn("_g", F.lit(1))
+    truth = ngram_jaccard_pairs(
+        grouped, "_g", id_col, text_col, n, threshold
+    ).select("id_a", "id_b")
+    cand = minhash_candidate_pairs(
+        docs, id_col, text_col, n, bands, rows
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    hits = truth.join(cand, ["id_a", "id_b"], "left")
+    agg = hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.count("hit").cast("bigint").alias("n_hit"),
+    )
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    return agg.crossJoin(n_cand).select(
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        F.expr("n_hit * 1000000 DIV greatest(n_true, 1)")
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     group_col: str,
