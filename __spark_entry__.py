@@ -1722,6 +1722,33 @@ def _q_docs_profile(spark, sf_dir):
     )
 
 
+def _q_layout_schema_evolution(spark, sf_dir):
+    # Iceberg add-column evolution over the versioned-parquet twin: the
+    # even-doc snapshot predates the lang column, the odd-doc snapshot has
+    # it; the merged scan surfaces pre-evolution rows as NULL and the
+    # reader applies the metadata default ('unknown') via coalesce — no
+    # existing data file rewritten
+    import tempfile
+
+    from text_to_graph_spark.operators.layout import evolved_scan
+
+    base = tempfile.mkdtemp(prefix="t2g_evolve_")
+    docs = _docs(spark, sf_dir)
+    docs.where("doc_id % 2 = 0").select("doc_id", "text", "source").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/v0")
+    docs.where("doc_id % 2 = 1").select(
+        "doc_id", "text", "source", "lang"
+    ).write.mode("overwrite").parquet(f"{base}/v1")
+    merged = evolved_scan(spark, [f"{base}/v0", f"{base}/v1"])
+    return merged.groupBy(
+        F.coalesce("lang", F.lit("unknown")).alias("lang")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+    )
+
+
 def _q_layout_pruning(spark, sf_dir):
     # zone-map pruning report: the same mid-third time predicate against a
     # url-hash layout (skips nothing) vs the Z-order layout (skips files)
@@ -3337,6 +3364,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_manifest_compaction": _q_layout_manifest_compaction,
         "layout_snapshot_expiry": _q_layout_snapshot_expiry,
         "layout_pruning": _q_layout_pruning,
+        "layout_schema_evolution": _q_layout_schema_evolution,
         "web_robots": _q_web_robots,
         "ann_topk": _q_ann_topk,
         "ann_topk_bucketed": _q_ann_topk_bucketed,
@@ -6386,6 +6414,14 @@ FROM zs GROUP BY 1
 """,
         # zone-map pruning: hash layout vs Z-order layout under the same
         # mid-third time predicate; bit-op Morton twin
+        # schema evolution: pre-evolution rows (even doc ids) carry no
+        # lang column and fold into the 'unknown' default bucket
+        "layout_schema_evolution": """
+SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'unknown' END AS lang,
+       CAST(count(*) AS bigint) AS n_docs,
+       CAST(count(DISTINCT source) AS bigint) AS n_sources
+FROM documents GROUP BY 1
+""",
         "layout_pruning": f"""
 {_KG_PREFIX},
 secs AS (

@@ -237,3 +237,27 @@ class TestSnapshotRetention:
         # spec b packs independently (specs never mix)
         assert by_key[("b", 0)]["n_manifests"] == 3
         assert ("b", 1) not in by_key
+
+
+class TestSchemaEvolution:
+    def test_pre_evolution_snapshot_reads_null_not_error(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from text_to_graph_spark.operators.layout import evolved_scan
+
+        v0 = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        v1 = spark.createDataFrame(
+            [(2, "b", "en")], "doc_id long, text string, lang string"
+        )
+        v0.write.parquet(str(tmp_path / "v0"))
+        v1.write.parquet(str(tmp_path / "v1"))
+        got = {
+            r.doc_id: r.lang
+            for r in evolved_scan(
+                spark, [str(tmp_path / "v0"), str(tmp_path / "v1")]
+            ).collect()
+        }
+        # the old snapshot's rows surface the new column as NULL, both
+        # snapshots' rows survive, and no file was rewritten
+        assert got == {1: None, 2: "en"}
+        assert len(list((tmp_path / "v0").glob("*.parquet"))) >= 1

@@ -301,3 +301,22 @@ def zone_map_pruning(
         ((F.col("max_sec") < F.lit(p_lo)) | (F.col("min_sec") > F.lit(p_hi)))
         .alias("is_skipped"),
     )
+
+
+def evolved_scan(spark, snapshot_dirs: list[str]) -> DataFrame:
+    """Read a versioned table across a SCHEMA EVOLUTION boundary — the
+    Iceberg add-column story over the versioned-parquet twin (same
+    convention as the snapshot/time-travel family above): snapshots
+    written before the column existed surface it as NULL, never as a
+    read error, and the scan unions all snapshots under the widest
+    schema (``mergeSchema`` — Iceberg does this by field-id resolution;
+    parquet-by-name is the sandbox twin, documented as such).
+
+    Readers then apply defaults explicitly (``coalesce``) — matching
+    Iceberg v2 semantics where the default lives in table metadata, not
+    in rewritten data files: a 100 TB table adds a column without
+    touching a single existing file, which is the entire point.
+    """
+    return (
+        spark.read.option("mergeSchema", "true").parquet(*snapshot_dirs)
+    )
