@@ -1749,6 +1749,34 @@ def _q_layout_schema_evolution(spark, sf_dir):
     )
 
 
+def _q_layout_partition_evolution(spark, sf_dir):
+    # Iceberg partition-spec evolution: the even-doc snapshot is laid out
+    # by source only, the odd-doc snapshot by (source, lang); one logical
+    # scan unions both, and the lang predicate prunes DIRECTORIES on the
+    # new spec while row-filtering the old files — no rewrite of old data
+    import tempfile
+
+    from text_to_graph_spark.operators.layout import evolved_partition_scan
+
+    base = tempfile.mkdtemp(prefix="t2g_pevolve_")
+    docs = _docs(spark, sf_dir)
+    docs.where("doc_id % 2 = 0").write.mode("overwrite").partitionBy(
+        "source"
+    ).parquet(f"{base}/v0")
+    docs.where("doc_id % 2 = 1").write.mode("overwrite").partitionBy(
+        "source", "lang"
+    ).parquet(f"{base}/v1")
+    u = evolved_partition_scan(spark, [f"{base}/v0", f"{base}/v1"])
+    return (
+        u.where(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
 def _q_layout_pruning(spark, sf_dir):
     # zone-map pruning report: the same mid-third time predicate against a
     # url-hash layout (skips nothing) vs the Z-order layout (skips files)
@@ -3365,6 +3393,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_snapshot_expiry": _q_layout_snapshot_expiry,
         "layout_pruning": _q_layout_pruning,
         "layout_schema_evolution": _q_layout_schema_evolution,
+        "layout_partition_evolution": _q_layout_partition_evolution,
         "web_robots": _q_web_robots,
         "ann_topk": _q_ann_topk,
         "ann_topk_bucketed": _q_ann_topk_bucketed,
@@ -6414,6 +6443,13 @@ FROM zs GROUP BY 1
 """,
         # zone-map pruning: hash layout vs Z-order layout under the same
         # mid-third time predicate; bit-op Morton twin
+        # partition evolution: layout changes never change results — the
+        # en rollup over both specs equals the plain batch rollup
+        "layout_partition_evolution": """
+SELECT source, CAST(count(*) AS bigint) AS n_docs,
+       CAST(sum(n_chars) AS bigint) AS sum_chars
+FROM documents WHERE lang = 'en' GROUP BY 1
+""",
         # schema evolution: pre-evolution rows (even doc ids) carry no
         # lang column and fold into the 'unknown' default bucket
         "layout_schema_evolution": """

@@ -261,3 +261,44 @@ class TestSchemaEvolution:
         # snapshots' rows survive, and no file was rewritten
         assert got == {1: None, 2: "en"}
         assert len(list((tmp_path / "v0").glob("*.parquet"))) >= 1
+
+
+class TestPartitionEvolution:
+    def test_new_spec_prunes_directories_old_spec_row_filters(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from text_to_graph_spark.operators.layout import (
+            evolved_partition_scan,
+        )
+
+        rows = [
+            (1, "s1", "en", "a"),
+            (2, "s1", "fr", "b"),
+            (3, "s2", "en", "c"),
+            (4, "s2", "fr", "d"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, lang string, text string"
+        )
+        df.where("doc_id <= 2").write.partitionBy("source").parquet(
+            str(tmp_path / "v0")
+        )
+        df.where("doc_id >= 3").write.partitionBy("source", "lang").parquet(
+            str(tmp_path / "v1")
+        )
+        u = evolved_partition_scan(
+            spark, [str(tmp_path / "v0"), str(tmp_path / "v1")]
+        )
+        q = u.where(F.col("lang") == "en")
+        got = sorted(r.doc_id for r in q.collect())
+        assert got == [1, 3]
+        # the new-spec scan prunes on lang as a PARTITION filter; the
+        # old-spec side can only row-filter (lang is a data column there)
+        import re
+
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PartitionFilters: \[[^\]]*lang", plan), (
+            "new-spec scan did not prune on lang as a partition filter"
+        )

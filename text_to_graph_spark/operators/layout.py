@@ -320,3 +320,23 @@ def evolved_scan(spark, snapshot_dirs: list[str]) -> DataFrame:
     return (
         spark.read.option("mergeSchema", "true").parquet(*snapshot_dirs)
     )
+
+
+def evolved_partition_scan(spark, snapshot_dirs: list[str]) -> DataFrame:
+    """Read across a PARTITION EVOLUTION boundary — the Iceberg
+    change-partition-spec story over the versioned-parquet twin: snapshots
+    written under the old spec keep their old directory layout forever
+    (changing the spec never rewrites data), new snapshots land under the
+    new spec, and ONE logical scan unions them with per-snapshot pruning —
+    a predicate on a column that is a partition key only in the new spec
+    prunes directories there and falls back to row filtering on the old
+    files. Iceberg resolves this per-manifest via spec ids; reading each
+    snapshot root under its own discovered layout and aligning by name
+    (``unionByName(allowMissingColumns=True)``) is the sandbox twin.
+    """
+    from functools import reduce
+
+    dfs = [spark.read.parquet(d) for d in snapshot_dirs]
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+    )
