@@ -2273,6 +2273,17 @@ def _q_emb_kmeans(spark, sf_dir):
     return SIM.kmeans_train(_emb(spark, sf_dir), k=4, n_iter=2)
 
 
+def _q_text_wordpiece(spark, sf_dir):
+    # WordPiece family (BERT): trainer + greedy longest-match tokenizer
+    # composed, fully JVM (no loop, no UDF — the greedy step is
+    # path-independent, so a per-word fold walks the precomputed step
+    # table); oracle re-derives vocab, steps, and the chain via a
+    # recursive CTE — two independent implementations of the recurrence
+    from text_to_graph_spark.operators.tokenizer import wordpiece_counts
+
+    return wordpiece_counts(_docs(spark, sf_dir))
+
+
 def _q_text_quality(spark, sf_dir):
     return TS.quality_stats(_docs(spark, sf_dir))
 
@@ -3407,6 +3418,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup_probe": _q_emb_semdedup_probe,
         "text_ccnet_buckets": _q_text_ccnet_buckets,
         "text_quality": _q_text_quality,
+        "text_wordpiece": _q_text_wordpiece,
         "text_line_repetition": _q_text_line_repetition,
         "text_line_dedup": _q_text_line_dedup,
         "text_pii": _q_text_pii,
@@ -6075,6 +6087,52 @@ WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 """,
         # LSH bucket-load histogram: C(size,2) mass per (band, log2 size)
+        # WordPiece: vocab = weighted substring freq >= 3 or single chars;
+        # steps = per-(word, pos) longest vocab match; the greedy chain is
+        # path-independent, so a recursive CTE follows the step table
+        "text_wordpiece": """
+WITH RECURSIVE words AS (
+  SELECT w AS word, CAST(count(*) AS bigint) AS cnt
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+          AS w FROM documents)
+  GROUP BY 1
+),
+cand AS (
+  SELECT word, cnt, i AS pos, l,
+         CASE WHEN i = 1 THEN substr(word, i, l)
+              ELSE '##' || substr(word, i, l) END AS piece
+  FROM words,
+       unnest(generate_series(1, len(word))) AS gi(i),
+       unnest(generate_series(1, 6)) AS gl(l)
+  WHERE i + l - 1 <= len(word)
+),
+freq AS (SELECT piece, sum(cnt) AS freq FROM cand GROUP BY 1),
+vocab AS (
+  SELECT piece FROM freq
+  WHERE freq >= 3
+     OR len(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END = 1
+),
+steps AS (
+  SELECT c.word, c.pos, max(c.l) AS l
+  FROM cand c JOIN vocab v ON v.piece = c.piece
+  GROUP BY 1, 2
+),
+rec AS (
+  SELECT word, cnt, CAST(1 AS bigint) AS pos FROM words
+  UNION ALL
+  SELECT r.word, r.cnt, r.pos + s.l
+  FROM rec r JOIN steps s ON s.word = r.word AND s.pos = r.pos
+  WHERE r.pos <= len(r.word)
+),
+emitted AS (
+  SELECT CASE WHEN r.pos = 1 THEN substr(r.word, 1, s.l)
+              ELSE '##' || substr(r.word, r.pos, s.l) END AS piece,
+         r.cnt
+  FROM rec r JOIN steps s ON s.word = r.word AND s.pos = r.pos
+  WHERE r.pos <= len(r.word)
+)
+SELECT piece, CAST(sum(cnt) AS bigint) AS n FROM emitted GROUP BY 1
+""",
         # measured LSH recall: banded candidate set vs exact 3-gram
         # Jaccard >= 0.5 truth (same shingle family), exact integer ppm
         "dedup_minhash_recall": f"""

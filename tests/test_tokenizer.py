@@ -103,3 +103,49 @@ def test_train_bpe_merges_early_stop(spark):
     df = spark.createDataFrame([("ab cd ef",)], "text string")
     assert train_bpe_merges(df, n_merges=5).collect() == []
     assert train_bpe(["ab cd ef"], 5) == []
+
+
+class TestWordPiece:
+    def test_greedy_longest_match_and_continuation_marking(self, spark):
+        from text_to_graph_spark.operators.tokenizer import (
+            wordpiece_counts,
+            wordpiece_vocab,
+        )
+
+        # 'customer' x3 and 'custom' x3 make 'custom' (and '##er' via the
+        # er continuation twice... ) — craft explicitly: corpus where
+        # 'abcd' appears 3x and 'ab' 3x: vocab gains 'ab','abcd',... greedy
+        # on 'abcd' must take the LONGEST initial piece 'abcd', not 'ab'
+        docs = spark.createDataFrame(
+            [(1, "abcd abcd abcd ab ab ab"), (2, "xy")],
+            "doc_id long, text string",
+        )
+        v = {r.piece for r in wordpiece_vocab(docs).collect()}
+        assert {"ab", "abcd", "a", "##b", "##cd"} <= v
+        got = {r.piece: r.n for r in wordpiece_counts(docs).collect()}
+        # 'abcd' segments as the whole-word piece (longest match), 'ab'
+        # as itself; 'xy' (freq 1) falls back to chars
+        assert got["abcd"] == 3
+        assert got["ab"] == 3
+        assert got["x"] == 1 and got["##y"] == 1
+        assert "##cd" not in got  # longest-match never splits abcd
+
+    def test_single_char_fallback_never_fails(self, spark):
+        from text_to_graph_spark.operators.tokenizer import wordpiece_counts
+
+        docs = spark.createDataFrame(
+            [(1, "zqjvw")], "doc_id long, text string"
+        )
+        got = {r.piece: r.n for r in wordpiece_counts(docs).collect()}
+        # every rare word still segments, via single-char pieces
+        assert got == {"z": 1, "##q": 1, "##j": 1, "##v": 1, "##w": 1}
+
+    def test_deterministic_across_partitionings(self, spark):
+        from text_to_graph_spark.operators.tokenizer import wordpiece_counts
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, wordpiece_counts(docs).collect()))
+        b = sorted(
+            map(tuple, wordpiece_counts(docs.repartition(7)).collect())
+        )
+        assert a == b and a

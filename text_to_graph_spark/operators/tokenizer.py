@@ -186,3 +186,143 @@ def subword_token_counts(
         F.coalesce("n_pretokens", F.lit(0)).cast("long").alias("n_pretokens"),
         F.coalesce("n_subwords", F.lit(0)).cast("long").alias("n_subwords"),
     )
+
+
+def _wordpiece_candidates(words: DataFrame, max_len: int) -> DataFrame:
+    """All WordPiece piece candidates per distinct word: word-initial
+    substrings verbatim, continuations '##'-prefixed (the BERT wire
+    convention; callers must guarantee '#' is not a corpus character —
+    the contract query's corpus has none). One row per (word, start,
+    length) with start/length 1-based; weighted by the word's corpus
+    occurrence count downstream."""
+    spans = F.expr(
+        f"flatten(transform(sequence(1, length(word)), i ->"
+        f" transform(sequence(i, least(i + {max_len - 1}, length(word))),"
+        f" j -> named_struct('i', i, 'l', j - i + 1))))"
+    )
+    return words.select(
+        "word",
+        "cnt",
+        F.explode(spans).alias("s"),
+    ).select(
+        "word",
+        "cnt",
+        F.col("s.i").alias("pos"),
+        F.col("s.l").alias("l"),
+        F.when(
+            F.col("s.i") == 1, F.expr("substring(word, s.i, s.l)")
+        )
+        .otherwise(F.concat(F.lit("##"), F.expr("substring(word, s.i, s.l)")))
+        .alias("piece"),
+    )
+
+
+def _distinct_words(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def wordpiece_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_len: int = 6,
+    min_count: int = 3,
+) -> DataFrame:
+    """WordPiece-style vocabulary trainer (the BERT tokenizer family —
+    the third mainstream subword algorithm next to the trained byte-BPE
+    and the GPT-2 merge-table path): every word-initial / '##'-marked
+    continuation substring up to ``max_len`` chars whose corpus-weighted
+    frequency reaches ``min_count``, plus ALL single-character pieces in
+    both forms unconditionally (the fallback that guarantees greedy
+    segmentation never fails — exactly why BERT's vocab always contains
+    the byte alphabet).
+
+    Scale shape: word rollup (one shuffle, distinct-words-sized output —
+    the corpus text never leaves the first aggregation), candidate
+    explode bounded by max_len x word length over DISTINCT words only,
+    one piece-keyed partial-agg shuffle. Output (piece, freq, is_char).
+    """
+    cand = _wordpiece_candidates(_distinct_words(docs, text_col), max_len)
+    return (
+        cand.groupBy("piece")
+        .agg(F.sum(F.col("cnt")).cast("bigint").alias("freq"))
+        .withColumn(
+            "is_char",
+            (
+                F.length("piece")
+                - F.when(F.col("piece").startswith("##"), F.lit(2)).otherwise(
+                    F.lit(0)
+                )
+                == 1
+            ).cast("int"),
+        )
+        .where((F.col("freq") >= min_count) | (F.col("is_char") == 1))
+    )
+
+
+def wordpiece_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_len: int = 6,
+    min_count: int = 3,
+) -> DataFrame:
+    """Corpus piece counts under greedy longest-match-first WordPiece
+    segmentation with the :func:`wordpiece_vocab` trained on the SAME
+    corpus — trainer and tokenizer composed end to end, fully JVM-side.
+
+    The greedy chain is followed WITHOUT iteration or Python: the greedy
+    step at (word, position) is path-independent, so the per-position
+    longest vocab match ("steps") is one max-aggregate over the
+    vocab-filtered candidate set, each word gathers its own steps into a
+    sorted array, and ONE fold over the word's characters
+    (``aggregate(sequence(1, len))``) walks the chain — consuming a piece
+    whenever the iteration index reaches the current position, skipping
+    otherwise. No per-word loop, no driver round-trips, no UDF; the only
+    shuffles are the word rollup, the piece-keyed vocab aggregation, and
+    the final piece-count aggregation (all partial-agg'd).
+
+    Output: (piece, n) — occurrences weighted by word frequency, exact.
+    """
+    words = _distinct_words(docs, text_col)
+    cand = _wordpiece_candidates(words, max_len)
+    vocab = wordpiece_vocab(docs, text_col, max_len, min_count).select("piece")
+    steps = (
+        cand.join(vocab, "piece", "left_semi")
+        .groupBy("word", "pos")
+        .agg(F.max("l").alias("l"))
+    )
+    nxt = steps.groupBy("word").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos").alias("pos"), F.col("l").alias("l")))
+        ).alias("nxt")
+    )
+    walk = F.expr(
+        """
+        aggregate(
+          sequence(1, length(word)),
+          named_struct('pos', 1, 'ps', CAST(array() AS array<string>)),
+          (acc, i) -> IF(i <> acc.pos, acc,
+            named_struct(
+              'pos', acc.pos + element_at(filter(nxt, x -> x.pos = acc.pos), 1).l,
+              'ps', array_append(acc.ps,
+                IF(acc.pos = 1,
+                   substring(word, 1,
+                     element_at(filter(nxt, x -> x.pos = acc.pos), 1).l),
+                   concat('##', substring(word, acc.pos,
+                     element_at(filter(nxt, x -> x.pos = acc.pos), 1).l)))))),
+          acc -> acc.ps)
+        """
+    )
+    seg = words.join(nxt, "word").select("cnt", walk.alias("pieces"))
+    return (
+        seg.select(F.explode("pieces").alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+    )
