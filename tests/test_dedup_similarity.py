@@ -1035,3 +1035,53 @@ def test_paragraph_dedup_rewrites_corpus(spark):
     # in-plan overflow guard fires instead of silently corrupting the order
     with _pytest.raises(Exception, match="max_pos"):
         paragraph_dedup(df, max_pos=2).collect()
+
+
+def test_span_trim_matches_python_mirror_on_randomized_corpus(spark):
+    """Seeded randomized corpus with planted shared phrases: the Spark
+    trim must equal an independent python mirror of the rule (dup span
+    starts -> sliding-window coverage -> excision) document for document,
+    byte for byte."""
+    import random
+
+    from text_to_graph_spark.operators.dedup import span_trim
+
+    rng = random.Random(42)
+    alphabet = [f"t{i}" for i in range(12)]
+    shared = ["s1 s2 s3 s4 s5 s6 s7 s8 s9", "p1 p2 p3 p4 p5 p6 p7 p8"]
+    docs = []
+    for d in range(24):
+        w = [rng.choice(alphabet) for _ in range(rng.randint(3, 25))]
+        if rng.random() < 0.6:
+            phrase = rng.choice(shared).split(" ")
+            at = rng.randint(0, len(w))
+            w = w[:at] + phrase + w[at:]
+        docs.append((d, " ".join(w)))
+
+    n = 8
+    words = {d: t.split(" ") for d, t in docs}
+    span_docs: dict = {}
+    for d, w in words.items():
+        for i in range(len(w) - n + 1):
+            span_docs.setdefault(" ".join(w[i : i + n]), set()).add(d)
+    want = {}
+    for d, w in words.items():
+        ln = len(w)
+        dup = {
+            i
+            for i in range(max(ln - n + 1, 0))
+            if len(span_docs[" ".join(w[i : i + n])]) >= 2
+        }
+        covered = [
+            any((j - k) in dup for k in range(n) if 0 <= j - k <= ln - n)
+            for j in range(ln)
+        ]
+        kept = [w[j] for j in range(ln) if not covered[j]]
+        want[d] = (" ".join(kept), ln, sum(covered))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_words, r.n_removed)
+        for r in span_trim(sdf, n=n).collect()
+    }
+    assert got == want

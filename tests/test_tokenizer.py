@@ -149,3 +149,56 @@ class TestWordPiece:
             map(tuple, wordpiece_counts(docs.repartition(7)).collect())
         )
         assert a == b and a
+
+
+def test_wordpiece_matches_python_mirror_on_randomized_corpus(spark):
+    """Seeded randomized corpus over a tiny alphabet (forces real
+    frequency collisions): trainer + greedy tokenizer must equal an
+    independent python mirror piece for piece, count for count."""
+    import random
+    from collections import Counter
+
+    from text_to_graph_spark.operators.tokenizer import wordpiece_counts
+
+    rng = random.Random(7)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 9)))
+            for _ in range(rng.randint(1, 12))
+        )
+        for _ in range(20)
+    ]
+    max_len, min_count = 6, 3
+
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    freq: Counter = Counter()
+    for w, c in words.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_len, len(w) - i) + 1):
+                piece = w[i : i + l] if i == 0 else "##" + w[i : i + l]
+                freq[piece] += c
+    vocab = {
+        p
+        for p, f in freq.items()
+        if f >= min_count
+        or len(p[2:] if p.startswith("##") else p) == 1
+    }
+    want: Counter = Counter()
+    for w, c in words.items():
+        pos = 0
+        while pos < len(w):
+            for l in range(min(max_len, len(w) - pos), 0, -1):
+                piece = w[pos : pos + l] if pos == 0 else "##" + w[pos : pos + l]
+                if piece in vocab:
+                    want[piece] += c
+                    pos += l
+                    break
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.piece: r.n
+        for r in wordpiece_counts(docs, max_len=max_len, min_count=min_count).collect()
+    }
+    assert got == dict(want)
