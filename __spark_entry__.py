@@ -219,6 +219,21 @@ def _q_kg_pages(spark, sf_dir):
     )
 
 
+def _q_web_sitemap(spark, sf_dir):
+    # sitemaps.org urlset round trip: per-host XML files (URL-capped parts,
+    # rank-deterministic membership) built then re-parsed with codegen'd
+    # regex + entity unescape; the oracle recomputes (host, part, loc,
+    # lastmod) directly from the pages synthesis rule
+    from text_to_graph_spark.sources.sitemap import (
+        build_sitemaps,
+        parse_sitemaps,
+    )
+
+    return parse_sitemaps(
+        build_sitemaps(synthesize_pages(spark, sf_dir), max_urls_per_file=200)
+    )
+
+
 def _q_kg_pages_jsonl(spark, sf_dir):
     # JSONL wire-format round trip: pages -> base64/epoch JSON lines ->
     # declared-schema read -> identical table (same oracle as kg_pages);
@@ -3406,6 +3421,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_schema_evolution": _q_layout_schema_evolution,
         "layout_partition_evolution": _q_layout_partition_evolution,
         "web_robots": _q_web_robots,
+        "web_sitemap": _q_web_sitemap,
         "ann_topk": _q_ann_topk,
         "ann_topk_bucketed": _q_ann_topk_bucketed,
         "ann_topk_quantized": _q_ann_topk_quantized,
@@ -6087,6 +6103,21 @@ WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 """,
         # LSH bucket-load histogram: C(size,2) mass per (band, log2 size)
+        # sitemap round trip: the parse must recover exactly the per-host
+        # URL list with protocol lastmod stamps and rank-derived parts
+        "web_sitemap": f"""
+WITH RECURSIVE {PAGES_ORACLE_CTE.strip()},
+ranked AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, url,
+         strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS lastmod,
+         row_number() OVER (
+           PARTITION BY regexp_extract(url, '^https?://([^/]+)/', 1)
+           ORDER BY url) AS rn
+  FROM pages
+)
+SELECT host, CAST((rn - 1) // 200 AS int) AS part, url AS loc, lastmod
+FROM ranked
+""",
         # WordPiece: vocab = weighted substring freq >= 3 or single chars;
         # steps = per-(word, pos) longest vocab match; the greedy chain is
         # path-independent, so a recursive CTE follows the step table

@@ -295,3 +295,57 @@ class TestPolitenessSchedule:
             assert waves == list(range(len(waves)))
         again = politeness_schedule(df, per_host_per_wave=2).collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+class TestSitemap:
+    def test_round_trip_with_escaping_and_part_split(self, spark):
+        from pyspark.sql import functions as F
+
+        from text_to_graph_spark.sources.sitemap import (
+            build_sitemaps,
+            parse_sitemaps,
+        )
+
+        rows = [
+            ("https://h1.test/a?x=1&y=<2>", "2025-01-01 00:00:01"),
+            ("https://h1.test/b", "2025-01-01 00:00:02"),
+            ("https://h1.test/c", "2025-01-01 00:00:03"),
+            ("https://h2.test/only", "2025-01-01 00:00:04"),
+        ]
+        pages = spark.createDataFrame(
+            rows, "url string, ts string"
+        ).select("url", F.to_timestamp("ts").alias("warc_ts"))
+        sm = build_sitemaps(pages, max_urls_per_file=2)
+        files = {(r.host, r.part): r.xml for r in sm.collect()}
+        # h1 has 3 urls at cap 2 -> parts 0 and 1; h2 -> one part
+        assert set(files) == {("h1.test", 0), ("h1.test", 1), ("h2.test", 0)}
+        # adversarial URL is XML-escaped on the wire
+        assert "&amp;" in files[("h1.test", 0)]
+        assert "y=<2>" not in files[("h1.test", 0)]
+        got = {
+            (r.host, r.part, r.loc, r.lastmod)
+            for r in parse_sitemaps(sm).collect()
+        }
+        assert got == {
+            ("h1.test", 0, "https://h1.test/a?x=1&y=<2>", "2025-01-01T00:00:01Z"),
+            ("h1.test", 0, "https://h1.test/b", "2025-01-01T00:00:02Z"),
+            ("h1.test", 1, "https://h1.test/c", "2025-01-01T00:00:03Z"),
+            ("h2.test", 0, "https://h2.test/only", "2025-01-01T00:00:04Z"),
+        }
+
+    def test_file_bytes_invariant_to_partitioning(self, spark):
+        from pyspark.sql import functions as F
+
+        from text_to_graph_spark.sources.sitemap import build_sitemaps
+        from text_to_graph_spark.sources.pages import synthesize_pages
+
+        pages = synthesize_pages(spark, "/root/testdata/sf0.001")
+        a = {
+            (r.host, r.part): r.xml
+            for r in build_sitemaps(pages).collect()
+        }
+        b = {
+            (r.host, r.part): r.xml
+            for r in build_sitemaps(pages.repartition(13)).collect()
+        }
+        assert a == b and a
