@@ -2830,6 +2830,13 @@ def _q_events_rollup_cube(spark, sf_dir):
     return EV.hypertable_rollup(_events(spark, sf_dir))
 
 
+def _q_events_kmv_intersection(spark, sf_dir):
+    # theta-sketch set operations from KMV sketches alone: pairwise
+    # audience union/intersection/jaccard per event-type pair, exact
+    # integer estimator (overflow-safe (matches * est_union) DIV k form)
+    return EV.kmv_intersection(_events(spark, sf_dir))
+
+
 def _q_events_kmv_distinct(spark, sf_dir):
     # deterministic k-minimum-values distinct sketch (md5 52-bit space,
     # exact-integer estimator) — reproducible across engines and cluster
@@ -3487,6 +3494,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _q_events_range_join,
         "events_rollup_cube": _q_events_rollup_cube,
         "events_kmv_distinct": _q_events_kmv_distinct,
+        "events_kmv_intersection": _q_events_kmv_intersection,
         "events_sessionize_stateful": _q_events_sessionize_stateful,
         "events_hourly_streamed": _q_events_hourly_streamed,
         "events_enrich_streamed": _q_events_enrich_streamed,
@@ -6103,6 +6111,61 @@ WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 """,
         # LSH bucket-load histogram: C(size,2) mass per (band, log2 size)
+        # theta-sketch pair estimates from truncated KMV sketches: union
+        # sample = k smallest of the two k-sketches, matches = rows in
+        # both; identical integer divisions on both engines
+        "events_kmv_intersection": """
+WITH hashed AS (
+  SELECT DISTINCT event_type AS grp,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS bigint)
+           AS h
+  FROM events
+),
+sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM hashed) WHERE rn <= 64
+),
+g AS (SELECT DISTINCT grp FROM sk),
+pr AS (SELECT a.grp AS grp_a, b.grp AS grp_b FROM g a JOIN g b
+       ON a.grp < b.grp),
+pooled AS (
+  SELECT grp_a, grp_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT p.grp_a, p.grp_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM pr p JOIN sk s ON s.grp = p.grp_a
+    UNION ALL
+    SELECT p.grp_a, p.grp_b, s.h, 0, 1
+    FROM pr p JOIN sk s ON s.grp = p.grp_b
+  ) GROUP BY 1, 2, 3
+),
+sample AS (
+  SELECT * FROM (
+    SELECT pooled.*, row_number() OVER (PARTITION BY grp_a, grp_b
+                                        ORDER BY h) AS rn
+    FROM pooled) WHERE rn <= 64
+),
+per AS (
+  SELECT grp_a, grp_b, count(*) AS n_seen,
+         max(CASE WHEN rn = 64 THEN h END) AS h_k,
+         sum(in_a * in_b) AS matches
+  FROM sample GROUP BY 1, 2
+),
+est AS (
+  SELECT per.*,
+         CAST(CASE WHEN h_k IS NULL THEN n_seen
+                   ELSE (63 * 4503599627370496) // h_k END AS bigint)
+           AS est_union
+  FROM per
+)
+SELECT grp_a, grp_b, est_union,
+       CAST(CASE WHEN h_k IS NULL THEN matches
+                 ELSE (matches * est_union) // 64 END AS bigint)
+         AS est_intersection,
+       CAST(matches * 1000000 // least(n_seen, 64) AS bigint)
+         AS jaccard_sketch_ppm,
+       h_k IS NOT NULL AS is_estimate
+FROM est
+""",
         # sitemap round trip: the parse must recover exactly the per-host
         # URL list with protocol lastmod stamps and rank-derived parts
         "web_sitemap": f"""

@@ -648,3 +648,54 @@ class TestBloom:
             # bit positions are 0..62 by construction: registers stay
             # non-negative, so the DuckDB oracle's checked 1<<bit works
             assert r.bits >= 0
+
+
+class TestKmvIntersection:
+    def test_exact_path_below_k_and_disjoint_pairs(self, spark):
+        from pyspark.sql import functions as F
+
+        from text_to_graph_spark.operators.events import kmv_intersection
+
+        # A = {1..10}, B = {6..15} (overlap 5), C = {100..104} (disjoint)
+        rows = (
+            [(u, "a") for u in range(1, 11)]
+            + [(u, "b") for u in range(6, 16)]
+            + [(u, "c") for u in range(100, 105)]
+        )
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_type string"
+        )
+        got = {
+            (r.grp_a, r.grp_b): r
+            for r in kmv_intersection(ev, k=64).collect()
+        }
+        ab = got[("a", "b")]
+        assert not ab.is_estimate  # union 15 < k: sketches are complete
+        assert ab.est_union == 15 and ab.est_intersection == 5
+        assert ab.jaccard_sketch_ppm == 5 * 1_000_000 // 15
+        ac = got[("a", "c")]
+        assert (ac.est_union, ac.est_intersection) == (15, 0)
+
+    def test_estimate_quality_on_planted_overlap(self, spark):
+        from text_to_graph_spark.operators.events import kmv_intersection
+
+        # |A| = 2000, |B| = 2000, |A ∩ B| = 1000 -> union 3000. The k=64
+        # KMV estimate must land within the sketch's error envelope
+        # (~1/sqrt(k) ≈ 12.5%; allow 3 sigma)
+        rows = [(u, "a") for u in range(0, 2000)] + [
+            (u, "b") for u in range(1000, 3000)
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, event_type string")
+        r = kmv_intersection(ev, k=64).collect()[0]
+        assert r.is_estimate
+        assert abs(r.est_union - 3000) / 3000 < 0.4
+        assert abs(r.est_intersection - 1000) / 1000 < 0.5
+
+    def test_deterministic_across_partitionings(self, spark):
+        from text_to_graph_spark.operators.events import kmv_intersection
+
+        rows = [(u % 500, f"t{u % 3}") for u in range(3000)]
+        ev = spark.createDataFrame(rows, "user_id long, event_type string")
+        a = sorted(map(tuple, kmv_intersection(ev).collect()))
+        b = sorted(map(tuple, kmv_intersection(ev.repartition(11)).collect()))
+        assert a == b and a

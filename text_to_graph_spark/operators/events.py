@@ -252,6 +252,103 @@ def kmv_distinct(
     )
 
 
+def kmv_intersection(
+    events: DataFrame,
+    key: str = "user_id",
+    group: str = "event_type",
+    k: int = 64,
+) -> DataFrame:
+    """Theta-sketch-style pairwise set-operation estimates from KMV
+    sketches (Beyer et al. 2007, "On synopses for distinct value
+    estimation under multiset operations"): for every unordered pair of
+    groups, estimate |A ∪ B| and |A ∩ B| from the two groups' k-minimum-
+    value sketches ALONE — the mergeable-summary property that lets a
+    100 TB pipeline answer audience-overlap questions from
+    register-width state instead of re-scanning either side.
+
+    Estimator: per-side sketches truncate at k (exactly
+    :func:`kmv_distinct`'s sample); the union sketch is the k smallest of
+    their union with threshold h_k; ``matches`` counts union-sample
+    hashes present in BOTH sides. union_est = (k-1)*2^52 DIV h_k;
+    inter_est = (matches * union_est) DIV k — matches <= k keeps the
+    product inside int64 for ANY corpus size (the naive
+    matches*(k-1)*2^52 form overflows at k=64), and both engines apply
+    the identical integer divisions, so the oracle is bit-exact. Pairs
+    whose union sample holds fewer than k hashes carry both sketches in
+    full and report EXACT counts (is_estimate = false).
+
+    Output: (grp_a, grp_b, est_union, est_intersection,
+    jaccard_sketch_ppm, is_estimate) with grp_a < grp_b.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    hashed = events.select(F.col(group).alias("grp"), h.alias("h")).distinct()
+    # the same two-level tournament as kmv_distinct: per-(grp, salt) top-k
+    # first, so no group funnels all its hashes through one sort
+    salted = hashed.withColumn("salt", F.pmod(F.col("h"), F.lit(64)))
+    w1 = Window.partitionBy("grp", "salt").orderBy(F.col("h").asc())
+    survivors = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= k)
+        .drop("salt", "rn1")
+    )
+    w_side = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    sketch = (
+        survivors.withColumn("rn", F.row_number().over(w_side))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    groups = sketch.select("grp").distinct()
+    # group-label pair dim: |groups|^2 rows over the LABEL table (metadata
+    # scale — event-type cardinality, never data scale)
+    pairs = groups.select(F.col("grp").alias("grp_a")).join(
+        groups.select(F.col("grp").alias("grp_b")),
+        F.col("grp_a") < F.col("grp_b"),
+    )
+    pooled = (
+        pairs.join(
+            sketch.select(F.col("grp").alias("grp_a"), "h"), "grp_a"
+        )
+        .select("grp_a", "grp_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(
+                sketch.select(F.col("grp").alias("grp_b"), "h"), "grp_b"
+            ).select(
+                "grp_a", "grp_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w_pair = Window.partitionBy("grp_a", "grp_b").orderBy(F.col("h").asc())
+    sample = pooled.withColumn("rn", F.row_number().over(w_pair)).where(
+        F.col("rn") <= k
+    )
+    per = sample.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("matches"),
+    )
+    union_est = F.when(F.col("h_k").isNull(), F.col("n_seen")).otherwise(
+        F.expr(f"CAST({(k - 1) * _KMV_SPACE} AS BIGINT) DIV h_k")
+    )
+    per = per.withColumn("est_union", union_est.cast("bigint"))
+    inter_est = F.when(F.col("h_k").isNull(), F.col("matches")).otherwise(
+        F.expr(f"(matches * est_union) DIV {k}")
+    )
+    return per.select(
+        "grp_a",
+        "grp_b",
+        "est_union",
+        inter_est.cast("bigint").alias("est_intersection"),
+        F.expr("matches * 1000000 DIV least(n_seen, " + str(k) + ")")
+        .cast("bigint")
+        .alias("jaccard_sketch_ppm"),
+        F.col("h_k").isNotNull().alias("is_estimate"),
+    )
+
+
 def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Broadcast dim join + rollup by market segment."""
     dim = customer.select(
