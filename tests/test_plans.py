@@ -1150,3 +1150,52 @@ def test_ccnet_buckets_single_language_window_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in s
     assert python_eval_count(out) == 0
     assert "Window" in plan_str(out, "formatted")
+
+
+def test_wordpiece_counts_udf_free_no_cartesian(spark):
+    """WordPiece trainer + greedy apply: entirely JVM (the chain walk is a
+    fold, not a UDF), vocab join is an equi-join on the piece."""
+    from text_to_graph_spark.operators.tokenizer import wordpiece_counts
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab abc"), (2, "b c")], "doc_id long, text string"
+    )
+    out = wordpiece_counts(docs)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0
+
+
+def test_sitemap_round_trip_udf_free(spark):
+    """Sitemap build + parse stays JVM-side end to end: one window rank +
+    one (host, part) aggregation building, regex projection parsing."""
+    from text_to_graph_spark.sources.pages import synthesize_pages
+    from text_to_graph_spark.sources.sitemap import (
+        build_sitemaps,
+        parse_sitemaps,
+    )
+
+    out = parse_sitemaps(
+        build_sitemaps(synthesize_pages(spark, SF_SMOKE))
+    )
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert python_eval_count(out) == 0
+
+
+def test_kmv_intersection_data_plane_equijoins_only(spark):
+    """KMV pair estimates: the pair dim is a driver-built literal over the
+    collected group LABELS (model-scale metadata), so every join in the
+    plan is a plain equi-join — no cartesian, no nested loop, no UDF."""
+    from text_to_graph_spark.operators.events import kmv_intersection
+
+    ev = spark.createDataFrame(
+        [(u % 50, f"t{u % 3}") for u in range(300)],
+        "user_id long, event_type string",
+    )
+    out = kmv_intersection(ev)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert python_eval_count(out) == 0

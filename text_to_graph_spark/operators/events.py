@@ -299,12 +299,24 @@ def kmv_intersection(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
-    groups = sketch.select("grp").distinct()
-    # group-label pair dim: |groups|^2 rows over the LABEL table (metadata
-    # scale — event-type cardinality, never data scale)
-    pairs = groups.select(F.col("grp").alias("grp_a")).join(
-        groups.select(F.col("grp").alias("grp_b")),
-        F.col("grp_a") < F.col("grp_b"),
+    # group labels are model-scale metadata (event-type cardinality):
+    # collect them and build the unordered-pair dim driver-side, so every
+    # data-plane join below is a plain equi-join — no nested loop anywhere
+    labels = sorted(
+        r["grp"] for r in sketch.select("grp").distinct().collect()
+    )
+    from pyspark.sql.types import StructField, StructType
+
+    spark = events.sparkSession
+    pair_schema = StructType(
+        [
+            StructField("grp_a", sketch.schema["grp"].dataType),
+            StructField("grp_b", sketch.schema["grp"].dataType),
+        ]
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(labels) for b in labels[i + 1 :]],
+        pair_schema,
     )
     pooled = (
         pairs.join(
