@@ -1727,6 +1727,53 @@ def _q_kg_edge_confidence(spark, sf_dir):
     )
 
 
+def _q_olap_constraints(spark, sf_dir):
+    # declarative expectations gate over the warehouse tables: key
+    # uniqueness, null bound, two value predicates (one with real
+    # violations — discounts run to 0.10), and both FK edges of the
+    # orders chain as left_anti orphan scans
+    from text_to_graph_spark.operators.profile import constraint_audit
+
+    dfs = {
+        "orders": spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        "customer": spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        "lineitem": spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    }
+    return constraint_audit(
+        dfs,
+        [
+            {"kind": "unique", "table": "orders", "col": "o_orderkey"},
+            {"kind": "not_null", "table": "lineitem", "col": "l_orderkey"},
+            {
+                "kind": "check",
+                "table": "lineitem",
+                "name": "qty_positive",
+                "expr": "l_quantity > 0",
+            },
+            {
+                "kind": "check",
+                "table": "lineitem",
+                "name": "discount_band",
+                "expr": "l_discount <= 0.05",
+            },
+            {
+                "kind": "foreign_key",
+                "table": "orders",
+                "col": "o_custkey",
+                "ref_table": "customer",
+                "ref_col": "c_custkey",
+            },
+            {
+                "kind": "foreign_key",
+                "table": "lineitem",
+                "col": "l_orderkey",
+                "ref_table": "orders",
+                "ref_col": "o_orderkey",
+            },
+        ],
+    )
+
+
 def _q_docs_profile(spark, sf_dir):
     # one-scan column profiler over the documents table: per-column nulls,
     # exact distincts, min/max — the corpus-drop data-quality gate
@@ -3420,6 +3467,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_skew_profile": _q_kg_skew_profile,
         "kg_edge_confidence": _q_kg_edge_confidence,
         "docs_profile": _q_docs_profile,
+        "olap_constraints": _q_olap_constraints,
         "layout_zorder": _q_layout_zorder,
         "layout_compaction": _q_layout_compaction,
         "layout_manifest_compaction": _q_layout_manifest_compaction,
@@ -6111,6 +6159,58 @@ WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 """,
         # LSH bucket-load histogram: C(size,2) mass per (band, log2 size)
+        # expectations audit: six constraints, one row each; the discount
+        # band intentionally fails (corpus discounts run to 0.10)
+        "olap_constraints": """
+SELECT 'unique:orders.o_orderkey' AS constraint,
+       CAST(count(o_orderkey) AS bigint) AS n_checked,
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS bigint)
+         AS n_violations,
+       count(o_orderkey) = count(DISTINCT o_orderkey) AS passed
+FROM orders
+UNION ALL
+SELECT 'not_null:lineitem.l_orderkey',
+       CAST(count(*) AS bigint),
+       CAST(count(*) - count(l_orderkey) AS bigint),
+       count(*) = count(l_orderkey)
+FROM lineitem
+UNION ALL
+SELECT 'check:lineitem.qty_positive',
+       CAST(count(*) AS bigint),
+       CAST(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS bigint),
+       sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'check:lineitem.discount_band',
+       CAST(count(*) AS bigint),
+       CAST(sum(CASE WHEN l_discount <= 0.05 THEN 0 ELSE 1 END) AS bigint),
+       sum(CASE WHEN l_discount <= 0.05 THEN 0 ELSE 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'foreign_key:orders.o_custkey->customer.c_custkey',
+       (SELECT CAST(count(*) AS bigint) FROM orders
+        WHERE o_custkey IS NOT NULL),
+       (SELECT CAST(count(*) AS bigint) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)),
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) = 0
+UNION ALL
+SELECT 'foreign_key:lineitem.l_orderkey->orders.o_orderkey',
+       (SELECT CAST(count(*) AS bigint) FROM lineitem
+        WHERE l_orderkey IS NOT NULL),
+       (SELECT CAST(count(*) AS bigint) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT count(*) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) = 0
+""",
         # theta-sketch pair estimates from truncated KMV sketches: union
         # sample = k smallest of the two k-sketches, matches = rows in
         # both; identical integer divisions on both engines

@@ -302,3 +302,46 @@ class TestPartitionEvolution:
         assert re.search(r"PartitionFilters: \[[^\]]*lang", plan), (
             "new-spec scan did not prune on lang as a partition filter"
         )
+
+
+class TestConstraintAudit:
+    def test_each_kind_counts_violations_exactly(self, spark):
+        from text_to_graph_spark.operators.profile import constraint_audit
+
+        parent = spark.createDataFrame(
+            [(1,), (2,)], "pk long"
+        )
+        child = spark.createDataFrame(
+            [(1, 1, 5), (2, 1, -3), (3, 9, 2), (4, None, 1), (4, 2, 0)],
+            "ck long, fk long, v long",
+        )
+        got = {
+            r.constraint: (r.n_checked, r.n_violations, r.passed)
+            for r in constraint_audit(
+                {"c": child, "p": parent},
+                [
+                    {"kind": "unique", "table": "c", "col": "ck"},
+                    {"kind": "not_null", "table": "c", "col": "fk"},
+                    {"kind": "check", "table": "c", "name": "v_pos",
+                     "expr": "v > 0"},
+                    {"kind": "foreign_key", "table": "c", "col": "fk",
+                     "ref_table": "p", "ref_col": "pk"},
+                ],
+            ).collect()
+        }
+        assert got["unique:c.ck"] == (5, 1, False)       # ck=4 twice
+        assert got["not_null:c.fk"] == (5, 1, False)     # one null fk
+        assert got["check:c.v_pos"] == (5, 2, False)     # -3 and 0
+        # fk=9 is an orphan; the null fk is not checked by the FK rule
+        assert got["foreign_key:c.fk->p.pk"] == (4, 1, False)
+
+    def test_unknown_kind_and_empty_list_raise(self, spark):
+        import pytest
+
+        from text_to_graph_spark.operators.profile import constraint_audit
+
+        df = spark.createDataFrame([(1,)], "x long")
+        with pytest.raises(ValueError, match="unknown constraint kind"):
+            constraint_audit({"t": df}, [{"kind": "nope", "table": "t"}])
+        with pytest.raises(ValueError, match="empty constraint list"):
+            constraint_audit({"t": df}, [])
