@@ -3111,6 +3111,14 @@ def _q_mm_audio_meta(spark, sf_dir):
     return MM.decode_wav_metadata(MM.attach_wav_payload(_docs(spark, sf_dir)))
 
 
+def _q_mm_audio_energy(spark, sf_dir):
+    # loudness gate over the REAL decoded PCM16 stream: exact integer
+    # energy + peak, RMS from exact-integer inputs (double sqrt is then
+    # bit-identical on both engines); the oracle re-derives the sample
+    # rule arithmetically, so only a true RIFF parse + int16 decode matches
+    return MM.wav_energy(MM.attach_wav_payload(_docs(spark, sf_dir)))
+
+
 def _q_mm_video_frames(spark, sf_dir):
     # REAL video path: per-document T2GV container of 4 genuine PNG frames;
     # every other frame demuxed (index-validated) and fully PNG-decoded;
@@ -3551,6 +3559,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_streamed": _q_dedup_streamed,
         "mm_meta": _q_mm_meta,
         "mm_audio_meta": _q_mm_audio_meta,
+        "mm_audio_energy": _q_mm_audio_energy,
         "mm_video_frames": _q_mm_video_frames,
         "mm_frames": _q_mm_frames,
         "mm_features": _q_mm_features,
@@ -9043,6 +9052,24 @@ GROUP BY d.doc_id, d.width, d.height
         # bytes and decodes the int16 stream; the oracle recomputes the
         # encoder's sample rule — abs_sum = sum |((doc_id*13 + i*7) % 2048)
         # - 1024| over n = 64 + doc_id % 256 samples at 8 kHz
+        # loudness: exact integer energy/peak over the same analytic
+        # sample rule; rms from exact-integer inputs via double sqrt
+        "mm_audio_energy": """
+WITH dims AS (
+  SELECT doc_id, CAST(64 + doc_id % 256 AS bigint) AS n_samples
+  FROM documents
+),
+s AS (
+  SELECT d.doc_id, d.n_samples,
+         ((d.doc_id * 13 + i.i * 7) % 2048) - 1024 AS v
+  FROM dims d, unnest(generate_series(0, d.n_samples - 1)) AS i(i)
+)
+SELECT doc_id, n_samples,
+       CAST(sum(v * v) AS bigint) AS sum_sq,
+       CAST(max(abs(v)) AS bigint) AS peak_abs,
+       CAST(floor(sqrt(sum(v * v) / count(*)) * 1000) AS bigint) AS rms_e3
+FROM s GROUP BY doc_id, n_samples
+""",
         "mm_audio_meta": """
 WITH dims AS (
   SELECT doc_id, CAST(64 + doc_id % 256 AS bigint) AS n_samples

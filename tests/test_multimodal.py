@@ -289,3 +289,34 @@ def test_resize_identity_when_already_target_size(spark):
     thumb = resize_gray8_thumbs(media, 8, 8).collect()[0]
     assert (meta.width, meta.height) == (8, 8)
     assert thumb.thumb_sum == meta.pixel_sum
+
+
+def test_wav_energy_matches_direct_sample_math(spark):
+    """Energy/peak/RMS computed from the DECODED stream must equal the
+    values computed directly from the generation rule (only a real RIFF
+    parse + int16 decode can agree)."""
+    import math
+
+    from text_to_graph_spark.operators.multimodal import (
+        attach_wav_payload,
+        wav_energy,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (0, 1, 7, 255)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_samples, r.sum_sq, r.peak_abs, r.rms_e3)
+        for r in wav_energy(attach_wav_payload(docs)).collect()
+    }
+    for d in (0, 1, 7, 255):
+        n = 64 + d % 256
+        s = [((d * 13 + i * 7) % 2048) - 1024 for i in range(n)]
+        sum_sq = sum(v * v for v in s)
+        want = (
+            n,
+            sum_sq,
+            max(abs(v) for v in s),
+            int(math.floor(math.sqrt(sum_sq / n) * 1000)),
+        )
+        assert got[d] == want, d

@@ -468,3 +468,54 @@ def resize_gray8_thumbs(
             )
 
     return media.mapInPandas(_batches, schema=THUMB_SCHEMA)
+
+
+WAV_ENERGY_SCHEMA = (
+    "doc_id long, n_samples bigint, sum_sq bigint, peak_abs bigint, "
+    "rms_e3 bigint"
+)
+
+
+def wav_energy(media: DataFrame) -> DataFrame:
+    """Loudness features over the REAL decoded PCM16 stream — the audio
+    twin of the byte-histogram image features: exact integer sum of
+    squares and peak amplitude, plus RMS in milli-units
+    (``floor(sqrt(sum_sq / n) * 1000)`` — exact-integer inputs keep the
+    double sqrt bit-identical across engines). The energy/peak pair is
+    the standard clip-level filter a speech-data pipeline gates on
+    (silence and clipping both surface here) before paying for
+    transcription.
+
+    Same Arrow batch shape as :func:`decode_wav_metadata`; production
+    swaps the stdlib decoder for ffmpeg behind the identical contract.
+    """
+    import math
+
+    import numpy as np
+
+    from text_to_graph_spark.kit.wav import decode_wav_pcm16
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, _, n, raw = decode_wav_pcm16(bytes(payload))
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                sum_sq = int((s * s).sum())
+                peak = int(np.abs(s).max()) if n else 0
+                rms_e3 = (
+                    int(math.floor(math.sqrt(sum_sq / n) * 1000)) if n else 0
+                )
+                rows.append((doc_id, n, sum_sq, peak, rms_e3))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "sum_sq",
+                    "peak_abs",
+                    "rms_e3",
+                ],
+            )
+
+    return media.mapInPandas(_batches, schema=WAV_ENERGY_SCHEMA)
