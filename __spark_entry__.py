@@ -3111,6 +3111,14 @@ def _q_mm_audio_meta(spark, sf_dir):
     return MM.decode_wav_metadata(MM.attach_wav_payload(_docs(spark, sf_dir)))
 
 
+def _q_mm_dhash(spark, sf_dir):
+    # perceptual dHash image dedup: 9x8 nearest-neighbor grid over the
+    # REAL decoded pixels, one bit per horizontal neighbor pair, plus the
+    # exact-bucket sharing count; the oracle recomputes the whole hash
+    # arithmetically from the pixel rule, so only a true decode matches
+    return MM.dhash_dedup_groups(MM.attach_png_payload(_docs(spark, sf_dir)))
+
+
 def _q_mm_audio_energy(spark, sf_dir):
     # loudness gate over the REAL decoded PCM16 stream: exact integer
     # energy + peak, RMS from exact-integer inputs (double sqrt is then
@@ -3560,6 +3568,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta": _q_mm_meta,
         "mm_audio_meta": _q_mm_audio_meta,
         "mm_audio_energy": _q_mm_audio_energy,
+        "mm_dhash": _q_mm_dhash,
         "mm_video_frames": _q_mm_video_frames,
         "mm_frames": _q_mm_frames,
         "mm_features": _q_mm_features,
@@ -9052,6 +9061,44 @@ GROUP BY d.doc_id, d.width, d.height
         # bytes and decodes the int16 stream; the oracle recomputes the
         # encoder's sample rule — abs_sum = sum |((doc_id*13 + i*7) % 2048)
         # - 1024| over n = 64 + doc_id % 256 samples at 8 kHz
+        # dHash: the 9x8 thumb and its horizontal-neighbor bits derived
+        # arithmetically from the pixel rule; bytes packed MSB-first and
+        # hex-joined row-major, then exact hash-bucket sharing counts
+        "mm_dhash": """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(8 + octet_length(encode(text)) % 24 AS int) AS width,
+         CAST(8 + doc_id % 16 AS int) AS height
+  FROM documents
+),
+thumb AS (
+  SELECT d.doc_id, d.width, d.height, r.r, c.c,
+         (d.doc_id * 31 + ((r.r * d.height) // 8) * 7
+          + ((c.c * d.width) // 9) * 13) % 256 AS v
+  FROM dims d,
+       unnest(generate_series(0, 7)) AS r(r),
+       unnest(generate_series(0, 8)) AS c(c)
+),
+bits AS (
+  SELECT a.doc_id, a.r, a.c,
+         CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+  FROM thumb a JOIN thumb b
+    ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8
+),
+bytes AS (
+  SELECT doc_id, r, sum(bit * (1 << (7 - c))) AS byte
+  FROM bits GROUP BY 1, 2
+),
+hashes AS (
+  SELECT doc_id, string_agg(printf('%02x', CAST(byte AS int)), '' ORDER BY r) AS dhash
+  FROM bytes GROUP BY 1
+),
+counts AS (SELECT dhash, CAST(count(*) AS bigint) AS n_sharing
+           FROM hashes GROUP BY 1)
+SELECT h.doc_id, d.width, d.height, h.dhash, c.n_sharing
+FROM hashes h JOIN dims d USING (doc_id) JOIN counts c USING (dhash)
+""",
         # loudness: exact integer energy/peak over the same analytic
         # sample rule; rms from exact-integer inputs via double sqrt
         "mm_audio_energy": """

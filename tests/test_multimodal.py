@@ -320,3 +320,33 @@ def test_wav_energy_matches_direct_sample_math(spark):
             int(math.floor(math.sqrt(sum_sq / n) * 1000)),
         )
         assert got[d] == want, d
+
+
+def test_dhash_brightness_invariant_and_discriminative(spark):
+    """dHash must be invariant to a uniform brightness shift (neighbor
+    ORDER is unchanged — the property byte hashing lacks) while
+    distinguishing genuinely different patterns, and the group counts
+    must reflect the hash buckets exactly."""
+    from text_to_graph_spark.kit.png import encode_gray8
+    from text_to_graph_spark.operators.multimodal import dhash_dedup_groups
+
+    def png(fn, w=16, h=12):
+        px = bytes(fn(r, c) % 256 for r in range(h) for c in range(w))
+        return encode_gray8(w, h, px)
+
+    base = lambda r, c: (r * 3 + c * 5) % 200
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(png(base)), "image/png"),
+            (2, bytearray(png(lambda r, c: base(r, c) + 20)), "image/png"),
+            (3, bytearray(png(lambda r, c: (r * 31) ^ (c * 17))), "image/png"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    got = {
+        r.doc_id: (r.dhash, r.n_sharing)
+        for r in dhash_dedup_groups(media).collect()
+    }
+    assert got[1][0] == got[2][0]          # brightness shift: same hash
+    assert got[1][0] != got[3][0]          # different pattern: different
+    assert got[1][1] == 2 and got[3][1] == 1

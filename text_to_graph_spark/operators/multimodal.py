@@ -519,3 +519,57 @@ def wav_energy(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_batches, schema=WAV_ENERGY_SCHEMA)
+
+
+DHASH_SCHEMA = "doc_id long, width int, height int, dhash string"
+
+
+def dhash_images(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over the REAL decoded pixel
+    lattice — the image near-duplicate fingerprint every multimodal
+    dataset pipeline runs (resize-, brightness-, and compression-robust,
+    unlike byte hashing): nearest-neighbor downsample to a 9x8 grid and
+    emit one bit per horizontal neighbor pair (left < right), packed
+    row-wise MSB-first into 16 hex chars.
+
+    Same Arrow batch shape as :func:`resize_gray8_thumbs` (pure 1:1
+    projection, zero shuffle); equal hashes then bucket images for the
+    exact dedup groupBy, and Hamming-banded hashes slot into the SimHash
+    banding machinery unchanged — dHash IS a 64-bit SimHash-style code,
+    which is why it composes with the existing near-dup family.
+    """
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _depth, _ctype, px = decode_gray8(bytes(payload))
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                rr = (np.arange(8, dtype=np.int64) * h) // 8
+                cc = (np.arange(9, dtype=np.int64) * w) // 9
+                t = img[rr][:, cc].astype(np.int64)
+                bits = (t[:, :8] < t[:, 1:]).astype(np.int64)
+                weights = 1 << (7 - np.arange(8, dtype=np.int64))
+                row_bytes = (bits * weights).sum(axis=1)
+                dhash = "".join(f"{int(b):02x}" for b in row_bytes)
+                rows.append((int(doc_id), w, h, dhash))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "dhash"]
+            )
+
+    return media.mapInPandas(_batches, schema=DHASH_SCHEMA)
+
+
+def dhash_dedup_groups(media: DataFrame) -> DataFrame:
+    """(doc_id, width, height, dhash, n_sharing): each image's perceptual
+    hash plus how many corpus images share it — the exact-bucket stage of
+    image dedup (one partial-agg'd shuffle on the 8-byte hash; near-dup
+    extends via the SimHash Hamming bands)."""
+    hashed = dhash_images(media)
+    counts = hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sharing")
+    )
+    return hashed.join(counts, "dhash").select(
+        "doc_id", "width", "height", "dhash", "n_sharing"
+    )
