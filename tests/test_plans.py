@@ -1199,3 +1199,45 @@ def test_kmv_intersection_data_plane_equijoins_only(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert python_eval_count(out) == 0
+
+
+def test_native_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The co-located join the 100 TB design leans on: two tables written
+    ``bucketBy`` the join key join with ZERO shuffle exchanges — the
+    SortMergeJoin reads pre-bucketed, pre-sorted files directly (the
+    native-catalog twin of sinks/graph_tables' manual url-hash
+    bucketing). Broadcast is disabled so the plan can't cheat."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("va")
+        )
+        b = spark.range(1000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("vb")
+        )
+        spark.sql("DROP TABLE IF EXISTS t2g_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t2g_bkt_b")
+        a.write.bucketBy(8, "k").sortBy("k").option(
+            "path", str(tmp_path / "a")
+        ).mode("overwrite").saveAsTable("t2g_bkt_a")
+        b.write.bucketBy(8, "k").sortBy("k").option(
+            "path", str(tmp_path / "b")
+        ).mode("overwrite").saveAsTable("t2g_bkt_b")
+        j = spark.table("t2g_bkt_a").join(spark.table("t2g_bkt_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Exchange hashpartitioning", plan), (
+            "bucketed join re-shuffled"
+        )
+        assert "SortMergeJoin" in plan
+        assert j.count() == 10 * 10 * 100  # 10 rows per key per side
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t2g_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t2g_bkt_b")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    import os
+
+    assert not os.path.exists("spark-warehouse"), "warehouse leaked to cwd"
