@@ -3111,6 +3111,14 @@ def _q_mm_audio_meta(spark, sf_dir):
     return MM.decode_wav_metadata(MM.attach_wav_payload(_docs(spark, sf_dir)))
 
 
+def _q_mm_audio_fingerprint(spark, sf_dir):
+    # audio member of the near-dup family: 16-frame exact-integer energy
+    # deltas over the REAL decoded PCM16 stream, 15 bits packed to hex,
+    # plus exact-bucket sharing counts; oracle re-derives everything from
+    # the analytic sample rule
+    return MM.audio_dedup_groups(MM.attach_wav_payload(_docs(spark, sf_dir)))
+
+
 def _q_mm_dhash(spark, sf_dir):
     # perceptual dHash image dedup: 9x8 nearest-neighbor grid over the
     # REAL decoded pixels, one bit per horizontal neighbor pair, plus the
@@ -3569,6 +3577,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_meta": _q_mm_audio_meta,
         "mm_audio_energy": _q_mm_audio_energy,
         "mm_dhash": _q_mm_dhash,
+        "mm_audio_fingerprint": _q_mm_audio_fingerprint,
         "mm_video_frames": _q_mm_video_frames,
         "mm_frames": _q_mm_frames,
         "mm_features": _q_mm_features,
@@ -9061,6 +9070,36 @@ GROUP BY d.doc_id, d.width, d.height
         # bytes and decodes the int16 stream; the oracle recomputes the
         # encoder's sample rule — abs_sum = sum |((doc_id*13 + i*7) % 2048)
         # - 1024| over n = 64 + doc_id % 256 samples at 8 kHz
+        # audio fingerprint: frame energies from the analytic sample rule,
+        # 15 successor-comparison bits packed MSB-first to 4 hex chars
+        "mm_audio_fingerprint": """
+WITH dims AS (
+  SELECT doc_id, CAST(64 + doc_id % 256 AS bigint) AS n FROM documents
+),
+s AS (
+  SELECT d.doc_id, d.n, i.i,
+         ((d.doc_id * 13 + i.i * 7) % 2048) - 1024 AS v,
+         (i.i * 16) // d.n AS f
+  FROM dims d, unnest(generate_series(0, d.n - 1)) AS i(i)
+),
+e AS (SELECT doc_id, n, f, sum(v * v) AS energy FROM s GROUP BY 1, 2, 3),
+bits AS (
+  SELECT a.doc_id, a.n, a.f,
+         CASE WHEN a.energy < b.energy THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+  WHERE a.f < 15
+),
+codes AS (
+  SELECT doc_id, n AS n_samples,
+         printf('%04x', CAST(sum(bit * (1 << (14 - f))) AS int))
+           AS fingerprint
+  FROM bits GROUP BY 1, 2
+),
+counts AS (SELECT fingerprint, CAST(count(*) AS bigint) AS n_sharing
+           FROM codes GROUP BY 1)
+SELECT c.doc_id, c.n_samples, c.fingerprint, t.n_sharing
+FROM codes c JOIN counts t USING (fingerprint)
+""",
         # dHash: the 9x8 thumb and its horizontal-neighbor bits derived
         # arithmetically from the pixel rule; bytes packed MSB-first and
         # hex-joined row-major, then exact hash-bucket sharing counts

@@ -350,3 +350,30 @@ def test_dhash_brightness_invariant_and_discriminative(spark):
     assert got[1][0] == got[2][0]          # brightness shift: same hash
     assert got[1][0] != got[3][0]          # different pattern: different
     assert got[1][1] == 2 and got[3][1] == 1
+
+
+def test_audio_fingerprint_gain_invariant_and_discriminative(spark):
+    """Doubling every sample (a gain change) must keep the fingerprint
+    identical — energies scale uniformly, comparisons survive — while a
+    reordered energy profile produces a different code."""
+    from text_to_graph_spark.kit.wav import encode_wav_pcm16
+    from text_to_graph_spark.operators.multimodal import audio_dedup_groups
+
+    base = [((i * 37) % 997) - 498 for i in range(160)]
+    louder = [v * 2 for v in base]
+    different = list(reversed(base))
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav_pcm16(8000, base)), "audio/wav"),
+            (2, bytearray(encode_wav_pcm16(8000, louder)), "audio/wav"),
+            (3, bytearray(encode_wav_pcm16(8000, different)), "audio/wav"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    got = {
+        r.doc_id: (r.fingerprint, r.n_sharing)
+        for r in audio_dedup_groups(media).collect()
+    }
+    assert got[1][0] == got[2][0]   # gain change: same code
+    assert got[1][0] != got[3][0]   # reversed profile: different code
+    assert got[1][1] == 2 and got[3][1] == 1

@@ -573,3 +573,59 @@ def dhash_dedup_groups(media: DataFrame) -> DataFrame:
     return hashed.join(counts, "dhash").select(
         "doc_id", "width", "height", "dhash", "n_sharing"
     )
+
+
+AUDIO_FP_SCHEMA = (
+    "doc_id long, n_samples bigint, fingerprint string"
+)
+
+
+def audio_fingerprint(media: DataFrame, n_frames: int = 16) -> DataFrame:
+    """Energy-delta audio fingerprint over the REAL decoded PCM16 stream —
+    the audio member of the near-dup family (text: MinHash/SimHash; image:
+    dHash): samples bucket into ``n_frames`` equal frames by
+    ``frame(j) = j * n_frames DIV n``, each frame's exact integer energy
+    (sum of squares) is compared to its successor, and the n_frames-1
+    left<right bits pack MSB-first into a hex code. Gain-robust the same
+    way dHash is brightness-robust: scaling every sample scales every
+    frame energy, preserving strict comparisons.
+
+    Equal codes bucket clips for exact dedup; the bit code slots into the
+    SimHash Hamming bands for near-dup, identical to the image path.
+    """
+    import numpy as np
+
+    from text_to_graph_spark.kit.wav import decode_wav_pcm16
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, _, n, raw = decode_wav_pcm16(bytes(payload))
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                frames = (np.arange(n, dtype=np.int64) * n_frames) // max(n, 1)
+                energy = np.zeros(n_frames, dtype=np.int64)
+                np.add.at(energy, frames, s * s)
+                bits = (energy[:-1] < energy[1:]).astype(np.int64)
+                code = 0
+                for b in bits:
+                    code = (code << 1) | int(b)
+                width = (n_frames - 1 + 3) // 4
+                rows.append((int(doc_id), n, format(code, f"0{width}x")))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "fingerprint"]
+            )
+
+    return media.mapInPandas(_batches, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_dedup_groups(media: DataFrame, n_frames: int = 16) -> DataFrame:
+    """(doc_id, n_samples, fingerprint, n_sharing) — fingerprint plus the
+    exact-bucket sharing count (one partial-agg'd shuffle on the code)."""
+    fp = audio_fingerprint(media, n_frames)
+    counts = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sharing")
+    )
+    return fp.join(counts, "fingerprint").select(
+        "doc_id", "n_samples", "fingerprint", "n_sharing"
+    )
