@@ -3111,6 +3111,13 @@ def _q_mm_audio_meta(spark, sf_dir):
     return MM.decode_wav_metadata(MM.attach_wav_payload(_docs(spark, sf_dir)))
 
 
+def _q_mm_video_fingerprint(spark, sf_dir):
+    # clip-level code: per-frame dHash bits reduced by strict per-bit
+    # majority across the 4 decoded frames; oracle re-derives the whole
+    # reduction from the frame pixel rule
+    return MM.video_dedup_groups(MM.attach_video_payload(_docs(spark, sf_dir)))
+
+
 def _q_mm_audio_fingerprint(spark, sf_dir):
     # audio member of the near-dup family: 16-frame exact-integer energy
     # deltas over the REAL decoded PCM16 stream, 15 bits packed to hex,
@@ -3578,6 +3585,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_energy": _q_mm_audio_energy,
         "mm_dhash": _q_mm_dhash,
         "mm_audio_fingerprint": _q_mm_audio_fingerprint,
+        "mm_video_fingerprint": _q_mm_video_fingerprint,
         "mm_video_frames": _q_mm_video_frames,
         "mm_frames": _q_mm_frames,
         "mm_features": _q_mm_features,
@@ -9070,6 +9078,51 @@ GROUP BY d.doc_id, d.width, d.height
         # bytes and decodes the int16 stream; the oracle recomputes the
         # encoder's sample rule — abs_sum = sum |((doc_id*13 + i*7) % 2048)
         # - 1024| over n = 64 + doc_id % 256 samples at 8 kHz
+        # video fingerprint: per-frame dHash bits from the analytic pixel
+        # rule, strict per-bit majority over the 4 frames, hex-packed
+        "mm_video_fingerprint": """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 8 AS int) AS w,
+         CAST(8 + (doc_id // 3) % 8 AS int) AS h
+  FROM documents
+),
+thumb AS (
+  SELECT d.doc_id, f.f, r.r, c.c,
+         (d.doc_id * 31 + f.f * 17 + ((r.r * d.h) // 8) * 7
+          + ((c.c * d.w) // 9) * 13) % 256 AS v
+  FROM dims d,
+       unnest(generate_series(0, 3)) AS f(f),
+       unnest(generate_series(0, 7)) AS r(r),
+       unnest(generate_series(0, 8)) AS c(c)
+),
+bits AS (
+  SELECT a.doc_id, a.f, a.r, a.c,
+         CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+  FROM thumb a JOIN thumb b
+    ON b.doc_id = a.doc_id AND b.f = a.f AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8
+),
+maj AS (
+  SELECT doc_id, r, c,
+         CASE WHEN sum(bit) * 2 > 4 THEN 1 ELSE 0 END AS mbit
+  FROM bits GROUP BY 1, 2, 3
+),
+bytes AS (
+  SELECT doc_id, r, sum(mbit * (1 << (7 - c))) AS byte
+  FROM maj GROUP BY 1, 2
+),
+codes AS (
+  SELECT doc_id, CAST(4 AS int) AS n_frames,
+         string_agg(printf('%02x', CAST(byte AS int)), '' ORDER BY r)
+           AS vhash
+  FROM bytes GROUP BY 1
+),
+counts AS (SELECT vhash, CAST(count(*) AS bigint) AS n_sharing
+           FROM codes GROUP BY 1)
+SELECT c.doc_id, c.n_frames, c.vhash, t.n_sharing
+FROM codes c JOIN counts t USING (vhash)
+""",
         # audio fingerprint: frame energies from the analytic sample rule,
         # 15 successor-comparison bits packed MSB-first to 4 hex chars
         "mm_audio_fingerprint": """

@@ -377,3 +377,37 @@ def test_audio_fingerprint_gain_invariant_and_discriminative(spark):
     assert got[1][0] == got[2][0]   # gain change: same code
     assert got[1][0] != got[3][0]   # reversed profile: different code
     assert got[1][1] == 2 and got[3][1] == 1
+
+
+def test_video_fingerprint_majority_survives_one_corrupted_frame(spark):
+    """A clip with one frame replaced by noise keeps its majority code
+    (3 of 4 frames agree) — the robustness the per-bit majority buys."""
+    from text_to_graph_spark.kit.png import encode_gray8
+    from text_to_graph_spark.kit.video import encode_container
+    from text_to_graph_spark.operators.multimodal import video_dedup_groups
+
+    w, h = 12, 10
+
+    def frame(fn):
+        return encode_gray8(
+            w, h, bytes(fn(r, c) % 256 for r in range(h) for c in range(w))
+        )
+
+    base = lambda r, c: (r * 5 + c * 11) % 240
+    noise = lambda r, c: ((r * 31) ^ (c * 17)) * 7
+    clean = [frame(base)] * 4
+    dirty = [frame(base)] * 3 + [frame(noise)]
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_container(clean)), "video/t2gv"),
+            (2, bytearray(encode_container(dirty)), "video/t2gv"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    got = {
+        r.doc_id: (r.vhash, r.n_sharing)
+        for r in video_dedup_groups(media).collect()
+    }
+    # strict majority (3-1 on every bit) keeps the code identical
+    assert got[1][0] == got[2][0]
+    assert got[1][1] == 2

@@ -629,3 +629,58 @@ def audio_dedup_groups(media: DataFrame, n_frames: int = 16) -> DataFrame:
     return fp.join(counts, "fingerprint").select(
         "doc_id", "n_samples", "fingerprint", "n_sharing"
     )
+
+
+VIDEO_FP_SCHEMA = "doc_id long, n_frames int, vhash string"
+
+
+def video_fingerprint(media: DataFrame) -> DataFrame:
+    """Clip-level video fingerprint — per-frame dHash bits reduced by
+    per-bit STRICT MAJORITY across frames (ties to 0), the SimHash-style
+    aggregation that makes the code robust to any single corrupted or
+    resampled frame while staying 64 bits regardless of clip length.
+    Completes the modality symmetry: MinHash/SimHash (text), dHash
+    (image), energy-delta (audio), majority-dHash (video).
+
+    Demux validates the container index (``kit/video.py``) and every
+    frame is fully PNG-decoded — same honesty bar as the other mm paths.
+    """
+    import numpy as np
+
+    from text_to_graph_spark.kit.video import decode_container
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_container(bytes(payload))
+                acc = np.zeros((8, 8), dtype=np.int64)
+                for fb in frames:
+                    w, h, _d, _t, px = decode_gray8(fb)
+                    img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                    rr = (np.arange(8, dtype=np.int64) * h) // 8
+                    cc = (np.arange(9, dtype=np.int64) * w) // 9
+                    t = img[rr][:, cc].astype(np.int64)
+                    acc += (t[:, :8] < t[:, 1:]).astype(np.int64)
+                maj = (acc * 2 > len(frames)).astype(np.int64)
+                weights = 1 << (7 - np.arange(8, dtype=np.int64))
+                row_bytes = (maj * weights).sum(axis=1)
+                vhash = "".join(f"{int(b):02x}" for b in row_bytes)
+                rows.append((int(doc_id), len(frames), vhash))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "vhash"]
+            )
+
+    return media.mapInPandas(_batches, schema=VIDEO_FP_SCHEMA)
+
+
+def video_dedup_groups(media: DataFrame) -> DataFrame:
+    """(doc_id, n_frames, vhash, n_sharing) — the exact-bucket stage of
+    video dedup, one partial-agg'd shuffle on the 8-byte code."""
+    fp = video_fingerprint(media)
+    counts = fp.groupBy("vhash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sharing")
+    )
+    return fp.join(counts, "vhash").select(
+        "doc_id", "n_frames", "vhash", "n_sharing"
+    )
