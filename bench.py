@@ -43,6 +43,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from text_to_graph_spark.operators import curation as CUR
+    from text_to_graph_spark.operators import multimodal as MM
     from text_to_graph_spark.operators import dedup as D
     from text_to_graph_spark.operators import events as EV
     from text_to_graph_spark.operators import olap as OL
@@ -318,6 +319,11 @@ def main() -> int:
         ),
         "text_quality": lambda: _force(TS.quality_stats(docs)),
         "text_pii": lambda: _force(_pii_redact(docs)),
+        # multimodal throughput: synthesize + fully decode a real PNG
+        # per doc, perceptual-hash it, and count hash buckets
+        "mm_dhash": lambda: _force(
+            MM.dhash_dedup_groups(MM.attach_png_payload(docs))
+        ),
         "docs_classifier": lambda: _force(CUR.classifier_scores(docs)),
         "dedup_keep_best": lambda: _force(D.neardup_keep_best(docs)),
         "dedup_spans": lambda: _force(D.duplicated_span_stats(docs)),
