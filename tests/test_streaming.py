@@ -574,6 +574,91 @@ class TestStreamStreamJoin:
         }
         assert got == {(1, 2), (3, None)}
 
+    def test_join_state_survives_kill_and_restart(self, spark, tmp_path):
+        """The state-store recovery property: a view ingested before the
+        job 'dies' must still join a purchase that only arrives after the
+        restart — proving buffered join state is recovered from the
+        checkpoint, not rebuilt from the (already-consumed) source."""
+        import os
+        import shutil
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from text_to_graph_spark.streaming.ingest import (
+            run_to_parquet,
+            stream_events,
+            streaming_view_purchase_join,
+        )
+        from text_to_graph_spark.streaming.stateful import (
+            write_time_sliced_landing,
+        )
+
+        base = 1_700_000_000
+        rows = [
+            (1, 0, 9, "view", 0.0),       # slice 0 filler
+            (2, 20, 1, "view", 0.0),      # phase-1 view …
+            (3, 70, 1, "purchase", 5.0),  # … joined by a PHASE-2 purchase
+            (4, 95, 2, "purchase", 7.0),  # phase-2, no view -> no pair
+        ]
+        ev = spark.createDataFrame(
+            [
+                (eid, base + m * 60, u, t, val, "{}")
+                for eid, m, u, t, val in rows
+            ],
+            "event_id long, sec long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.to_timestamp(F.from_unixtime("sec"))
+            .cast("timestamp_ntz")
+            .alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+            "sec",
+        )
+        staging = str(tmp_path / "staging")
+        write_time_sliced_landing(ev, staging, n_slices=4)
+        slices = sorted(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def run():
+            q = run_to_parquet(
+                streaming_view_purchase_join(
+                    stream_events(spark, str(landing)),
+                    stream_events(spark, str(landing)),
+                ),
+                out,
+                ckpt,
+            )
+            q.awaitTermination(600)
+
+        # phase 1: the first two slices land (both views, no purchase yet),
+        # the job drains and "dies"
+        for f in slices[:2]:
+            shutil.copy(f"{staging}/{f}", landing / f)
+            _time.sleep(0.05)
+        run()
+        assert spark.read.parquet(out).count() == 0  # nothing matched yet
+
+        # phase 2: the purchases land; RESTART against the same checkpoint
+        for f in slices[2:]:
+            shutil.copy(f"{staging}/{f}", landing / f)
+            _time.sleep(0.05)
+        run()
+        got = {
+            (r.view_id, r.purchase_id)
+            for r in spark.read.parquet(out).collect()
+        }
+        # the cross-restart pair exists iff phase-1 view state survived
+        assert got == {(2, 3)}
+
     def test_streamed_pairs_equal_batch_interval_join(self, spark, tmp_path):
         from pyspark.sql import functions as F
 
