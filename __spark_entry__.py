@@ -2335,6 +2335,16 @@ def _q_emb_kmeans(spark, sf_dir):
     return SIM.kmeans_train(_emb(spark, sf_dir), k=4, n_iter=2)
 
 
+def _q_kg_tokenizer_compare(spark, sf_dir):
+    # the which-tokenizer decision table: unit totals + exact-ppm
+    # fertility for whitespace / BPE-pretoken / WordPiece over the same
+    # corpus (operators/tokenizer.py); oracle shares the recursive
+    # WordPiece chain with text_wordpiece
+    from text_to_graph_spark.operators.tokenizer import tokenizer_comparison
+
+    return tokenizer_comparison(_docs(spark, sf_dir))
+
+
 def _q_text_wordpiece(spark, sf_dir):
     # WordPiece family (BERT): trainer + greedy longest-match tokenizer
     # composed, fully JVM (no loop, no UDF — the greedy step is
@@ -3521,6 +3531,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ccnet_buckets": _q_text_ccnet_buckets,
         "text_quality": _q_text_quality,
         "text_wordpiece": _q_text_wordpiece,
+        "kg_tokenizer_compare": _q_kg_tokenizer_compare,
         "text_line_repetition": _q_text_line_repetition,
         "text_line_dedup": _q_text_line_dedup,
         "text_pii": _q_text_pii,
@@ -3823,6 +3834,48 @@ def _sssp_cte(
 )"""
         )
     return ",\n".join(parts)
+
+
+_WORDPIECE_CTE = """words AS (
+  SELECT w AS word, CAST(count(*) AS bigint) AS cnt
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+          AS w FROM documents)
+  GROUP BY 1
+),
+cand AS (
+  SELECT word, cnt, i AS pos, l,
+         CASE WHEN i = 1 THEN substr(word, i, l)
+              ELSE '##' || substr(word, i, l) END AS piece
+  FROM words,
+       unnest(generate_series(1, len(word))) AS gi(i),
+       unnest(generate_series(1, 6)) AS gl(l)
+  WHERE i + l - 1 <= len(word)
+),
+freq AS (SELECT piece, sum(cnt) AS freq FROM cand GROUP BY 1),
+vocab AS (
+  SELECT piece FROM freq
+  WHERE freq >= 3
+     OR len(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END = 1
+),
+steps AS (
+  SELECT c.word, c.pos, max(c.l) AS l
+  FROM cand c JOIN vocab v ON v.piece = c.piece
+  GROUP BY 1, 2
+),
+rec AS (
+  SELECT word, cnt, CAST(1 AS bigint) AS pos FROM words
+  UNION ALL
+  SELECT r.word, r.cnt, r.pos + s.l
+  FROM rec r JOIN steps s ON s.word = r.word AND s.pos = r.pos
+  WHERE r.pos <= len(r.word)
+),
+emitted AS (
+  SELECT CASE WHEN r.pos = 1 THEN substr(r.word, 1, s.l)
+              ELSE '##' || substr(r.word, r.pos, s.l) END AS piece,
+         r.cnt
+  FROM rec r JOIN steps s ON s.word = r.word AND s.pos = r.pos
+  WHERE r.pos <= len(r.word)
+)"""
 
 
 def _kmeans_cte(k: int = 4, n_iter: int = 2, src_where: str = "") -> str:
@@ -6319,49 +6372,31 @@ FROM ranked
         # WordPiece: vocab = weighted substring freq >= 3 or single chars;
         # steps = per-(word, pos) longest vocab match; the greedy chain is
         # path-independent, so a recursive CTE follows the step table
-        "text_wordpiece": """
-WITH RECURSIVE words AS (
-  SELECT w AS word, CAST(count(*) AS bigint) AS cnt
-  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
-          AS w FROM documents)
-  GROUP BY 1
-),
-cand AS (
-  SELECT word, cnt, i AS pos, l,
-         CASE WHEN i = 1 THEN substr(word, i, l)
-              ELSE '##' || substr(word, i, l) END AS piece
-  FROM words,
-       unnest(generate_series(1, len(word))) AS gi(i),
-       unnest(generate_series(1, 6)) AS gl(l)
-  WHERE i + l - 1 <= len(word)
-),
-freq AS (SELECT piece, sum(cnt) AS freq FROM cand GROUP BY 1),
-vocab AS (
-  SELECT piece FROM freq
-  WHERE freq >= 3
-     OR len(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END = 1
-),
-steps AS (
-  SELECT c.word, c.pos, max(c.l) AS l
-  FROM cand c JOIN vocab v ON v.piece = c.piece
-  GROUP BY 1, 2
-),
-rec AS (
-  SELECT word, cnt, CAST(1 AS bigint) AS pos FROM words
-  UNION ALL
-  SELECT r.word, r.cnt, r.pos + s.l
-  FROM rec r JOIN steps s ON s.word = r.word AND s.pos = r.pos
-  WHERE r.pos <= len(r.word)
-),
-emitted AS (
-  SELECT CASE WHEN r.pos = 1 THEN substr(r.word, 1, s.l)
-              ELSE '##' || substr(r.word, r.pos, s.l) END AS piece,
-         r.cnt
-  FROM rec r JOIN steps s ON s.word = r.word AND s.pos = r.pos
-  WHERE r.pos <= len(r.word)
-)
+        "text_wordpiece": "WITH RECURSIVE " + _WORDPIECE_CTE + """
 SELECT piece, CAST(sum(cnt) AS bigint) AS n FROM emitted GROUP BY 1
 """,
+        # the which-tokenizer table: whitespace words, BPE pretokens, and
+        # WordPiece pieces over the same corpus, fertility in exact ppm
+        "kg_tokenizer_compare": "WITH RECURSIVE " + _WORDPIECE_CTE + f""",
+base AS (
+  SELECT CAST(sum(len(list_filter(string_split(text, ' '),
+                                  t -> t <> ''))) AS bigint) AS n_words,
+         CAST(sum(len(regexp_extract_all(text, '{_PRETOKEN_SQL}')))
+              AS bigint) AS n_pre
+  FROM documents
+),
+wp AS (SELECT CAST(coalesce(sum(cnt), 0) AS bigint) AS n_wp FROM emitted)
+SELECT 'whitespace' AS tokenizer, n_words AS n_units,
+       CAST(1000000 AS bigint) AS units_per_word_ppm FROM base
+UNION ALL
+SELECT 'bpe_pretoken', n_pre,
+       CAST(n_pre * 1000000 // greatest(n_words, 1) AS bigint) FROM base
+UNION ALL
+SELECT 'wordpiece', n_wp,
+       CAST(n_wp * 1000000 // greatest(n_words, 1) AS bigint)
+FROM base, wp
+""",
+
         # measured LSH recall: banded candidate set vs exact 3-gram
         # Jaccard >= 0.5 truth (same shingle family), exact integer ppm
         "dedup_minhash_recall": f"""

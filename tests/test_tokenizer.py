@@ -202,3 +202,23 @@ def test_wordpiece_matches_python_mirror_on_randomized_corpus(spark):
         for r in wordpiece_counts(docs, max_len=max_len, min_count=min_count).collect()
     }
     assert got == dict(want)
+
+
+def test_tokenizer_comparison_diverges_on_contractions(spark):
+    from text_to_graph_spark.operators.tokenizer import tokenizer_comparison
+
+    docs = spark.createDataFrame(
+        [(1, "don't stop now now now")], "doc_id long, text string"
+    )
+    got = {
+        r.tokenizer: (r.n_units, r.units_per_word_ppm)
+        for r in tokenizer_comparison(docs).collect()
+    }
+    assert got["whitespace"] == (5, 1_000_000)
+    # "don't" -> don + 't : the BPE pre-tokenizer sees 6 units
+    assert got["bpe_pretoken"] == (6, 1_200_000)
+    # wordpiece on this tiny corpus falls back to chars for rare words,
+    # whole-piece for the 3x-repeated "now" -> strictly more units than
+    # words, and the ppm is exactly units/words
+    n_wp, ppm = got["wordpiece"]
+    assert n_wp > 5 and ppm == n_wp * 1_000_000 // 5

@@ -326,3 +326,70 @@ def wordpiece_counts(
         .groupBy("piece")
         .agg(F.sum("cnt").cast("bigint").alias("n"))
     )
+
+
+def tokenizer_comparison(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_len: int = 6,
+    min_count: int = 3,
+) -> DataFrame:
+    """The which-tokenizer decision table: corpus unit totals and
+    fertility (units per whitespace word, exact ppm) for the three
+    shipped families over the SAME text — whitespace words, the BPE
+    byte-level pre-tokenizer, and greedy WordPiece with its
+    corpus-trained vocab. Mixture designs divide token budgets by
+    exactly this table; computing it inside the engine keeps the choice
+    measured instead of assumed.
+
+    One corpus scan covers the two regex families (a single two-column
+    aggregate); the WordPiece total reuses :func:`wordpiece_counts`'
+    shuffles; the three 1-row aggregates cross-join as broadcast
+    waterlines and unpivot in-plan to one row per tokenizer.
+    """
+    from text_to_graph_spark.kit.bpe import PRETOKEN_PATTERN
+
+    base = docs.agg(
+        F.sum(
+            F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+        )
+        .cast("bigint")
+        .alias("n_words"),
+        F.sum(
+            F.size(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(PRETOKEN_PATTERN), F.lit(0)
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("n_pre"),
+    )
+    wp = wordpiece_counts(docs, text_col, max_len, min_count).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_wp")
+    )
+    one = base.crossJoin(wp)  # two 1-row aggregates — waterline pattern
+    rows = F.array(
+        F.struct(
+            F.lit("whitespace").alias("tokenizer"),
+            F.col("n_words").alias("n_units"),
+        ),
+        F.struct(
+            F.lit("bpe_pretoken").alias("tokenizer"),
+            F.col("n_pre").alias("n_units"),
+        ),
+        F.struct(
+            F.lit("wordpiece").alias("tokenizer"),
+            F.col("n_wp").alias("n_units"),
+        ),
+    )
+    return (
+        one.select(F.col("n_words"), F.explode(rows).alias("t"))
+        .select(
+            F.col("t.tokenizer").alias("tokenizer"),
+            F.col("t.n_units").alias("n_units"),
+            F.expr("t.n_units * 1000000 DIV greatest(n_words, 1)")
+            .cast("bigint")
+            .alias("units_per_word_ppm"),
+        )
+    )
