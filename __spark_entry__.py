@@ -1494,7 +1494,7 @@ def _q_dedup_embedding(spark, sf_dir):
     # bucket equi-join, then exact cosine verify); the brute-force twin is
     # the fixture-scale recall oracle in tests/test_dedup_similarity.py and
     # a plan test asserts this query compiles with no CartesianProduct
-    return D.embedding_neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.3)
+    return D.embedding_neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.3, dim=64)
 
 
 def _q_kg_edges_checkpointed(spark, sf_dir):
@@ -2365,6 +2365,15 @@ def _q_text_line_repetition(spark, sf_dir):
     # word-n-gram rule) — zero-shuffle projection over array higher-order
     # functions (textstats.py)
     return TS.line_repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_text_gopher_rules(spark, sf_dir):
+    # the published Gopher table-A1 + C4 document-filter battery
+    # (textstats.py gopher_rules) — per-rule exact-ppm metrics, per-rule
+    # pass flags, composed gates; one zero-shuffle projection. The
+    # stopword list is per-corpus config (published English list is the
+    # default); the synthetic corpus's function words are the/a
+    return TS.gopher_rules(_docs(spark, sf_dir), stopwords=("the", "a"))
 
 
 def _q_docs_token_budget(spark, sf_dir):
@@ -3284,7 +3293,15 @@ def _q_events_quantile_sketch(spark, sf_dir):
 
 
 def _q_docs_curated(spark, sf_dir):
-    return CUR.curated_corpus(_docs(spark, sf_dir), min_quality=0.62, min_tokens=20)
+    # the composed curation gate now also requires the published Gopher
+    # rule battery (textstats.gopher_rules, corpus stopword config) —
+    # VERDICT r4 item 4's "wired into docs_curated"
+    return CUR.curated_corpus(
+        _docs(spark, sf_dir),
+        min_quality=0.62,
+        min_tokens=20,
+        gopher_stopwords=("the", "a"),
+    )
 
 
 def _q_docs_pack_sequences(spark, sf_dir):
@@ -3293,12 +3310,20 @@ def _q_docs_pack_sequences(spark, sf_dir):
     return CUR.pack_sequences(_docs(spark, sf_dir), budget_tokens=1024)
 
 
-# The driver's correctness gate samples the FIRST 50 registry entries; this
-# head is an explicit cross-family sample (kg core, dedup, ANN, text,
-# curation, events/streaming, web, olap, multimodal, layout, pii) so the
-# recorded CORRECTNESS_r*.json exercises every operator family, not just
-# the kg_* prefix. queries() reorders the full dict to put these first.
-_GATE_HEAD = [
+# The driver's correctness gate samples the FIRST 50 registry entries.
+# Round 3 made that head a fixed cross-family sample; round 5 makes it
+# ROTATE: a pinned flagship core stays first every round, and the rest of
+# the 50 is a stratified per-round draw — families interleaved round-robin
+# (so every operator family appears in every round's gate), members within
+# each family ordered by md5(name | round). Successive rounds therefore
+# record oracle results for DIFFERENT slices of the 255-query registry
+# instead of re-checking the same 50 forever (VERDICT r4 item 7); across
+# rounds the union of driver-gate samples walks the whole registry. The
+# round index is read from the CORRECTNESS_r*.json files the driver itself
+# leaves in the repo root (falls back to SPARK_GRAFT_ROUND, then 1), so the
+# rotation needs no out-of-band state and is deterministic for a given
+# checkout.
+_GATE_PINNED = [
     "kg_pages",
     "kg_extract_text",
     "kg_chunks",
@@ -3306,59 +3331,57 @@ _GATE_HEAD = [
     "kg_triples",
     "kg_edges",
     "kg_nodes",
-    "kg_degree",
-    "kg_components",
-    "kg_pagerank",
-    "kg_random_walks",
-    "kg_curated_pipeline",
-    "dedup_exact",
-    "dedup_span_trim",
-    "dedup_minhash_pairs",
-    "dedup_band_load",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "dedup_incremental",
-    "dedup_simhash_pairs",
-    "ann_topk_bucketed",
-    "ann_topk_ivf_trained",
-    "emb_semdedup",
-    "emb_kmeans",
-    "text_quality",
-    "text_langid",
-    "text_ccnet_buckets",
-    "text_tfidf",
-    "text_contamination",
-    "docs_split",
-    "docs_sample_stratified",
-    "docs_balanced_mixture",
-    "docs_curated",
-    "docs_pack_sequences",
-    "events_hll",
-    "events_quantile_sketch",
-    "events_sessionize",
-    "events_asof",
-    "events_hourly_streamed",
-    "kg_edges_streamed_incremental",
-    "web_links",
-    "web_host_rank",
-    "web_boilerplate",
-    "web_url_dedup",
-    "olap_pricing_summary",
-    "olap_ship_priority",
-    "mm_meta",
-    "mm_frames",
-    "layout_zorder",
-    "text_pii",
 ]
+
+
+def _gate_round() -> int:
+    import glob
+    import os
+    import re
+
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env and env.isdigit():
+        return int(env)
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _rotated_order(names: list[str], rnd: int) -> list[str]:
+    """Pinned core first, then families round-robin interleaved, members
+    and family order both md5(token | round)-permuted."""
+    import hashlib
+
+    def h(token: str) -> str:
+        return hashlib.md5(f"{token}|r{rnd}".encode()).hexdigest()
+
+    rest = [n for n in names if n not in _GATE_PINNED]
+    fams: dict[str, list[str]] = {}
+    for n in rest:
+        fams.setdefault(n.split("_")[0], []).append(n)
+    for members in fams.values():
+        members.sort(key=h)
+    order = list(_GATE_PINNED)
+    queues = [fams[f] for f in sorted(fams, key=h)]
+    while queues:
+        nxt = []
+        for q in queues:
+            order.append(q.pop(0))
+            if q:
+                nxt.append(q)
+        queues = nxt
+    return order
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     d = _all_queries()
-    missing = [n for n in _GATE_HEAD if n not in d]
-    assert not missing, f"_GATE_HEAD names not in registry: {missing}"
-    ordered = {n: d[n] for n in _GATE_HEAD}
-    ordered.update((k, v) for k, v in d.items() if k not in ordered)
-    return ordered
+    missing = [n for n in _GATE_PINNED if n not in d]
+    assert not missing, f"_GATE_PINNED names not in registry: {missing}"
+    return {n: d[n] for n in _rotated_order(list(d), _gate_round())}
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3530,6 +3553,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup_probe": _q_emb_semdedup_probe,
         "text_ccnet_buckets": _q_text_ccnet_buckets,
         "text_quality": _q_text_quality,
+        "text_gopher_rules": _q_text_gopher_rules,
         "text_wordpiece": _q_text_wordpiece,
         "kg_tokenizer_compare": _q_kg_tokenizer_compare,
         "text_line_repetition": _q_text_line_repetition,
@@ -3834,6 +3858,57 @@ def _sssp_cte(
 )"""
         )
     return ",\n".join(parts)
+
+
+# Gopher table-A1 + C4 battery as a reusable oracle CTE: yields f
+# (per-rule metrics + per-rule pass flags); consumers add the composed
+# gates. Shared by text_gopher_rules and docs_curated so the two
+# oracles can never drift.
+_GOPHER_CTE = """gop_base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS bigint) AS n_words,
+         CAST(length(replace(text, ' ', '')) AS bigint) AS word_chars,
+         CAST((length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3
+           + (length(text) - length(replace(text, '…', ''))) AS bigint) AS n_symbols,
+         CAST(len(string_split(text, chr(10))) AS bigint) AS n_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+              l -> substring(l, 1, 1) IN ('•', '‣', '▪', '-', '*'))) AS bigint) AS n_bullet_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+              l -> l LIKE '%...' OR l LIKE '%…')) AS bigint) AS n_ellipsis_lines,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x <> '' AND regexp_matches(x, '[A-Za-z]'))) AS bigint) AS n_alpha_words,
+         CAST(len(list_intersect(
+              list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')),
+              ['the', 'a'])) AS bigint) AS stopword_hits,
+         CAST((length(text) - length(replace(text, '.', '')))
+           + (length(text) - length(replace(text, '!', '')))
+           + (length(text) - length(replace(text, '?', ''))) AS bigint) AS n_sentences,
+         contains(text, '{') AS has_curly,
+         contains(lower(text), 'lorem ipsum') AS has_lorem
+  FROM documents
+),
+gop_m AS (
+  SELECT doc_id, n_words,
+         CAST(word_chars * 1000000 // greatest(n_words, 1) AS bigint) AS mean_word_len_ppm,
+         CAST(n_symbols * 1000000 // greatest(n_words, 1) AS bigint) AS symbol_word_ppm,
+         CAST(n_bullet_lines * 1000000 // greatest(n_lines, 1) AS bigint) AS bullet_line_ppm,
+         CAST(n_ellipsis_lines * 1000000 // greatest(n_lines, 1) AS bigint) AS ellipsis_line_ppm,
+         CAST(n_alpha_words * 1000000 // greatest(n_words, 1) AS bigint) AS alpha_word_ppm,
+         stopword_hits, n_sentences, has_curly, has_lorem
+  FROM gop_base
+),
+f AS (
+  SELECT *,
+         n_words BETWEEN 50 AND 100000 AS pass_word_count,
+         mean_word_len_ppm BETWEEN 3000000 AND 10000000 AS pass_mean_word_len,
+         symbol_word_ppm <= 100000 AS pass_symbol_ratio,
+         bullet_line_ppm <= 900000 AS pass_bullet_lines,
+         ellipsis_line_ppm <= 300000 AS pass_ellipsis_lines,
+         alpha_word_ppm >= 800000 AS pass_alpha_words,
+         stopword_hits >= 2 AS pass_stopwords
+  FROM gop_m
+)"""
 
 
 _WORDPIECE_CTE = """words AS (
@@ -6359,10 +6434,10 @@ FROM est
         "web_sitemap": f"""
 WITH RECURSIVE {PAGES_ORACLE_CTE.strip()},
 ranked AS (
-  SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, url,
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, url,
          strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS lastmod,
          row_number() OVER (
-           PARTITION BY regexp_extract(url, '^https?://([^/]+)/', 1)
+           PARTITION BY regexp_extract(url, '^https?://([^/]+)', 1)
            ORDER BY url) AS rn
   FROM pages
 )
@@ -7882,6 +7957,17 @@ SELECT doc_id,
        (floor(((n_chars - (len(w) - 1)) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) AS avg_token_len,
        (floor(((floor((len(list_distinct(w)) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0) * 0.5 + (1.0 - (floor((len(list_filter(w, x -> x IN ('the', 'a'))) / CAST(len(w) AS double)) * 10000.0 + 0.5) / 10000.0)) * 0.3 + least(len(w) / 100.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0) AS quality_score
 FROM t
+""",
+        # Gopher table-A1 + C4 rule battery: identical replace/length
+        # occurrence counting, identical integer-ppm divisions, identical
+        # thresholds — every flag must agree bit-for-bit
+        "text_gopher_rules": "WITH " + _GOPHER_CTE + """
+SELECT *,
+       (pass_word_count AND pass_mean_word_len AND pass_symbol_ratio
+        AND pass_bullet_lines AND pass_ellipsis_lines AND pass_alpha_words
+        AND pass_stopwords) AS passes_gopher,
+       (n_sentences >= 3 AND NOT has_curly AND NOT has_lorem) AS passes_c4
+FROM f
 """,
         # Gopher-style line-repetition signals; same line tokenization rule
         # as the Spark projection (trimmed non-empty lines), duplicate
@@ -9536,8 +9622,12 @@ FROM ranked WHERE rank <= keep_target
 """,
         # composed curation gate: exact-dedup representative AND
         # quality_score >= 0.62 AND langid agreement AND >= 20 tokens
-        "docs_curated": """
-WITH rep AS (
+        "docs_curated": "WITH " + _GOPHER_CTE + """,
+gop AS (SELECT doc_id FROM f
+        WHERE pass_word_count AND pass_mean_word_len AND pass_symbol_ratio
+          AND pass_bullet_lines AND pass_ellipsis_lines AND pass_alpha_words
+          AND pass_stopwords),
+rep AS (
   SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id FROM documents
 ),
 base AS (SELECT doc_id, text, lang, source FROM rep WHERE doc_id = rep_id),
@@ -9559,6 +9649,7 @@ WHERE quality_score >= 0.62 AND n_tokens >= 20
                   WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
                   WHEN s_en >= s_de THEN 'en'
                   ELSE 'de' END
+  AND doc_id IN (SELECT doc_id FROM gop)
 """,
         # per-stratum prefix sum in id order; integer DIV/mod mirror the
         # Spark window exactly

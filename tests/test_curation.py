@@ -792,3 +792,91 @@ class TestBottomKSample:
         for ranks in per.values():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
             assert len(ranks) <= 5
+
+
+def test_gopher_rules_battery(spark):
+    from text_to_graph_spark.operators.textstats import gopher_rules
+
+    good = "the quick brown fox jumps over a lazy dog " * 6  # 60 words
+    docs = spark.createDataFrame(
+        [
+            (1, good.strip()),
+            (2, "the a " + "ok " * 58),  # mean word len < 3 -> fails rule 2
+            (3, good.strip() + " ###### ###### ###### ######"),  # symbols
+            (4, "\n".join(["- item the a"] * 20)),  # all-bullet lines
+            (5, "\n".join(["the a trailing..."] * 10)),  # ellipsis lines
+            (6, ("12345 " * 60 + "the a").strip()),  # non-alpha words
+            (7, "word " * 60),  # zero stopword hits
+            (8, "the a few words only"),  # word count < 50
+            (9, good.strip() + " {code} lorem ipsum text."),  # C4 tells
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in gopher_rules(docs, stopwords=("the", "a")).collect()
+    }
+    assert got[1]["passes_gopher"] and all(
+        got[1][f]
+        for f in (
+            "pass_word_count",
+            "pass_mean_word_len",
+            "pass_symbol_ratio",
+            "pass_bullet_lines",
+            "pass_ellipsis_lines",
+            "pass_alpha_words",
+            "pass_stopwords",
+        )
+    )
+    assert not got[2]["pass_mean_word_len"] and not got[2]["passes_gopher"]
+    assert not got[3]["pass_symbol_ratio"]
+    assert got[4]["bullet_line_ppm"] == 1_000_000
+    assert not got[4]["pass_bullet_lines"]
+    assert got[5]["ellipsis_line_ppm"] == 1_000_000
+    assert not got[5]["pass_ellipsis_lines"]
+    assert not got[6]["pass_alpha_words"]
+    assert got[7]["stopword_hits"] == 0 and not got[7]["pass_stopwords"]
+    assert not got[8]["pass_word_count"]
+    # C4: doc 1 has no sentences (no terminal punct) -> fails; doc 9 has
+    # a sentence but trips both the curly-brace and lorem-ipsum tells
+    assert not got[1]["passes_c4"]
+    assert got[9]["has_curly"] and got[9]["has_lorem"]
+    assert not got[9]["passes_c4"]
+
+
+def test_gopher_rules_is_shuffle_free(spark):
+    from text_to_graph_spark.operators.textstats import gopher_rules
+
+    docs = spark.createDataFrame([(1, "the a x")], "doc_id int, text string")
+    plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_curated_corpus_gopher_gate_subsets(spark):
+    """gopher_stopwords=None is unchanged behavior; with the battery on,
+    the kept set is a subset (docs failing any published rule drop)."""
+    from text_to_graph_spark.operators.curation import curated_corpus
+
+    base = "the quick brown fox jumps over a lazy dog " * 6
+    rows = [
+        (1, base.strip(), "en", "s0"),
+        (2, ("word " * 60).strip(), "en", "s0"),  # no stopwords -> gopher drop
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    loose = {
+        r["doc_id"]
+        for r in curated_corpus(docs, min_quality=0.0, min_tokens=1).collect()
+    }
+    tight = {
+        r["doc_id"]
+        for r in curated_corpus(
+            docs,
+            min_quality=0.0,
+            min_tokens=1,
+            gopher_stopwords=("the", "a"),
+        ).collect()
+    }
+    assert tight <= loose
+    assert 1 in tight and 2 not in tight

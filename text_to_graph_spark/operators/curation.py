@@ -285,22 +285,32 @@ def curated_corpus(
     min_tokens: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    gopher_stopwords: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """The composed curation gate a pretraining corpus actually ships
     through: exact-dedup representative AND quality score >= threshold AND
-    declared-vs-predicted language agreement AND minimum length.
+    declared-vs-predicted language agreement AND minimum length AND
+    (optionally) the published Gopher rule battery.
 
     One DAG: the dedup representative is a min-over-window on the content
     hash (one shuffle), quality/langid are per-row expressions fused into
-    the same stage. Returns the kept docs with their gate metrics.
+    the same stage. Passing ``gopher_stopwords`` additionally requires
+    ``passes_gopher`` from :func:`~text_to_graph_spark.operators.textstats.
+    gopher_rules` (published thresholds, caller-supplied stopword config) —
+    another zero-shuffle projection joined on doc_id, so the composed gate
+    stays one scan wide. Returns the kept docs with their gate metrics.
     """
-    from text_to_graph_spark.operators.textstats import language_id, quality_stats
+    from text_to_graph_spark.operators.textstats import (
+        gopher_rules,
+        language_id,
+        quality_stats,
+    )
 
     rep = F.min(id_col).over(Window.partitionBy(F.md5(F.col(text_col))))
     base = docs.withColumn("rep_id", rep).where(F.col(id_col) == F.col("rep_id"))
     q = quality_stats(base, id_col, text_col)
     l = language_id(base, id_col, text_col)
-    return (
+    out = (
         base.select(F.col(id_col).alias("doc_id"), "lang", "source")
         .join(q.select("doc_id", "n_tokens", "quality_score"), "doc_id")
         .join(l.select("doc_id", "is_match"), "doc_id")
@@ -309,8 +319,13 @@ def curated_corpus(
             & (F.col("n_tokens") >= min_tokens)
             & F.col("is_match")
         )
-        .select("doc_id", "lang", "source", "n_tokens", "quality_score")
     )
+    if gopher_stopwords is not None:
+        g = gopher_rules(base, id_col, text_col, stopwords=gopher_stopwords)
+        out = out.join(
+            g.where("passes_gopher").select("doc_id"), "doc_id", "left_semi"
+        )
+    return out.select("doc_id", "lang", "source", "n_tokens", "quality_score")
 
 
 def site_stats(pages: DataFrame) -> DataFrame:

@@ -432,6 +432,7 @@ def embedding_neardup_pairs_lsh(
     threshold: float = 0.5,
     n_bits: int = 8,
     n_tables: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed — the 100 TB path.
 
@@ -445,7 +446,12 @@ def embedding_neardup_pairs_lsh(
     1-(1-(1-θ/π)^n_bits)^n_tables: near-duplicates (θ→0) are found with
     probability ~1, uncorrelated pairs collide in ~n_tables/2^n_bits of
     cases — the standard SimHash-for-angles dedup contract.
-    Output (id_a, id_b, cos)."""
+    Output (id_a, id_b, cos).
+
+    ``dim`` is the embedding dimensionality, a dataset-config constant at
+    scale (every production embedding table pins it); when omitted it is
+    probed with a LIMIT-1 job — pass it explicitly in pipelines to avoid
+    that extra (cheap but nonzero) Spark job per call."""
     from text_to_graph_spark.operators.similarity import (
         cosine_expr,
         hyperplane_codes,
@@ -453,10 +459,12 @@ def embedding_neardup_pairs_lsh(
         with_norm,
     )
 
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        raise ValueError("embedding_neardup_pairs_lsh: empty input")
-    planes = hyperplanes(first["d"], n_bits, n_tables)
+    if dim is None:
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("embedding_neardup_pairs_lsh: empty input")
+        dim = first["d"]
+    planes = hyperplanes(dim, n_bits, n_tables)
 
     codes = hyperplane_codes(emb, planes, id_col, vec_col, "vid")
     codes = codes.localCheckpoint(eager=True)  # reused on both join sides

@@ -270,10 +270,13 @@ def kmv_intersection(
     :func:`kmv_distinct`'s sample); the union sketch is the k smallest of
     their union with threshold h_k; ``matches`` counts union-sample
     hashes present in BOTH sides. union_est = (k-1)*2^52 DIV h_k;
-    inter_est = (matches * union_est) DIV k — matches <= k keeps the
-    product inside int64 for ANY corpus size (the naive
-    matches*(k-1)*2^52 form overflows at k=64), and both engines apply
-    the identical integer divisions, so the oracle is bit-exact. Pairs
+    inter_est = (matches * union_est) DIV k — matches <= k bounds the
+    product by k * union_est, which stays inside int64 whenever
+    union_est < 2^57, i.e. for any corpus below ~1.4e17 distinct keys
+    (the naive matches*(k-1)*2^52 form overflows ALWAYS at k=64; this
+    form only in the astronomically-small-h_k regime, h_k < k*2^-5,
+    unreachable in practice). Both engines apply the identical integer
+    divisions, so the oracle is bit-exact. Pairs
     whose union sample holds fewer than k hashes carry both sketches in
     full and report EXACT counts (is_estimate = false).
 

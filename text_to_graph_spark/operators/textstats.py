@@ -103,6 +103,165 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# Gopher rule 7's published stopword list (Rae et al. 2021, table A1:
+# "contains at least 2 of the following stop words"); the list is an
+# English-specific CONFIG, so callers curating a different corpus (or the
+# synthetic fixture, whose function words are just the/a) pass their own.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_BULLET_CHARS = ("•", "‣", "▪", "-", "*")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_word_ppm: int = 100_000,
+    max_bullet_line_ppm: int = 900_000,
+    max_ellipsis_line_ppm: int = 300_000,
+    min_alpha_word_ppm: int = 800_000,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher document-quality rule battery (Rae et al. 2021,
+    arXiv:2112.11446, table A1) plus the C4 doc-level filters (Raffel et
+    al. 2020, arXiv:1910.10683 §2.2), as ONE zero-shuffle projection —
+    per-rule exact-integer ppm metrics, per-rule pass flags, and the
+    composed gates. Defaults are the published thresholds:
+
+    1. word count in [50, 100 000]
+    2. mean word length in [3, 10] characters
+    3. symbol-to-word ratio (``#`` or ellipsis) <= 0.1
+    4. <= 90% of lines start with a bullet character
+    5. <= 30% of lines end with an ellipsis
+    6. >= 80% of words contain at least one alphabetic character
+    7. contains >= 2 stopwords from the (configurable) list
+
+    C4 extras: no ``{`` (code/markup tell), no "lorem ipsum", and at least
+    3 sentences (sentences approximated as terminal-punctuation count —
+    the cross-engine-exact form of C4's sentence split).
+
+    Counting is replace/length arithmetic and array higher-order functions
+    only — every metric is an integer, every ratio an exact ``ppm`` via
+    integer DIV, so Spark and the DuckDB oracle hash identically. Scale
+    shape: pure projection, no shuffle, no UDF; at 100 TB this runs at
+    parquet-scan speed with the read pruned to (id, text), and the
+    composed boolean is exactly the filter a curation job pushes down.
+    """
+    t = F.col(text_col)
+
+    def occurrences(token: str):
+        return (F.length(t) - F.length(F.replace(t, F.lit(token)))) / len(token)
+
+    words = F.filter(F.split(t, " "), lambda x: x != F.lit(""))
+    lines = F.split(t, "\n")
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("bigint").alias("n_words"),
+        # words come from a single-space split, so total word chars ==
+        # chars with separators removed — no per-word aggregate needed
+        F.length(F.replace(t, F.lit(" "))).cast("bigint").alias("word_chars"),
+        (occurrences("#") + occurrences("...") + occurrences("…"))
+        .cast("bigint")
+        .alias("n_symbols"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(l, 1, 1).isin(*_BULLET_CHARS),
+            )
+        )
+        .cast("bigint")
+        .alias("n_bullet_lines"),
+        F.size(
+            F.filter(
+                lines, lambda l: l.endswith("...") | l.endswith("…")
+            )
+        )
+        .cast("bigint")
+        .alias("n_ellipsis_lines"),
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+        .cast("bigint")
+        .alias("n_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(
+                    F.filter(F.split(F.lower(t), " "), lambda x: x != F.lit(""))
+                ),
+                stop_arr,
+            )
+        )
+        .cast("bigint")
+        .alias("stopword_hits"),
+        (occurrences(".") + occurrences("!") + occurrences("?"))
+        .cast("bigint")
+        .alias("n_sentences"),
+        t.contains("{").alias("has_curly"),
+        F.lower(t).contains("lorem ipsum").alias("has_lorem"),
+    )
+
+    def ppm(part: str, total: str):
+        return F.expr(f"{part} * 1000000 DIV greatest({total}, 1)").cast(
+            "bigint"
+        )
+
+    m = base.select(
+        "doc_id",
+        "n_words",
+        ppm("word_chars", "n_words").alias("mean_word_len_ppm"),
+        ppm("n_symbols", "n_words").alias("symbol_word_ppm"),
+        ppm("n_bullet_lines", "n_lines").alias("bullet_line_ppm"),
+        ppm("n_ellipsis_lines", "n_lines").alias("ellipsis_line_ppm"),
+        ppm("n_alpha_words", "n_words").alias("alpha_word_ppm"),
+        "stopword_hits",
+        "n_sentences",
+        "has_curly",
+        "has_lorem",
+    )
+    flags = m.select(
+        "*",
+        F.col("n_words").between(min_words, max_words).alias("pass_word_count"),
+        F.col("mean_word_len_ppm")
+        .between(min_mean_word_len * 1_000_000, max_mean_word_len * 1_000_000)
+        .alias("pass_mean_word_len"),
+        (F.col("symbol_word_ppm") <= max_symbol_word_ppm).alias(
+            "pass_symbol_ratio"
+        ),
+        (F.col("bullet_line_ppm") <= max_bullet_line_ppm).alias(
+            "pass_bullet_lines"
+        ),
+        (F.col("ellipsis_line_ppm") <= max_ellipsis_line_ppm).alias(
+            "pass_ellipsis_lines"
+        ),
+        (F.col("alpha_word_ppm") >= min_alpha_word_ppm).alias(
+            "pass_alpha_words"
+        ),
+        (F.col("stopword_hits") >= min_stopword_hits).alias("pass_stopwords"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_word_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_bullet_lines")
+            & F.col("pass_ellipsis_lines")
+            & F.col("pass_alpha_words")
+            & F.col("pass_stopwords")
+        ).alias("passes_gopher"),
+        (
+            (F.col("n_sentences") >= 3)
+            & ~F.col("has_curly")
+            & ~F.col("has_lorem")
+        ).alias("passes_c4"),
+    )
+
+
 def line_repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

