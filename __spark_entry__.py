@@ -2255,6 +2255,16 @@ def _q_dedup_span_trim(spark, sf_dir):
     return D.span_trim(_docs(spark, sf_dir))
 
 
+def _q_dedup_span_trim_maximal(spark, sf_dir):
+    # the published variable-length ExactSubstr rule (Lee et al. 2022):
+    # duplicated 8-gram anchors merge into maximal runs (gaps-and-islands)
+    # and only runs >= min_run words are excised — short incidental
+    # overlaps survive, unlike the fixed-8 cut above. min_run=20 is the
+    # paper's 50-token rule scaled to the 10-99-word fixture docs; at
+    # this setting the corpus has both kept (<20) and excised runs
+    return D.span_trim_maximal(_docs(spark, sf_dir), min_run=20)
+
+
 def _q_ann_topk_ivf(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return SIM.topk_ivf(emb, emb.where("vec_id < 10"), k=5, n_centroids=8)
@@ -3502,6 +3512,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_spans": _q_dedup_spans,
         "dedup_span_trim": _q_dedup_span_trim,
+        "dedup_span_trim_maximal": _q_dedup_span_trim_maximal,
         "corpus_overlap": _q_corpus_overlap,
         "docs_split": _q_docs_split,
         "dedup_incremental": _q_dedup_incremental,
@@ -7612,6 +7623,64 @@ SELECT doc_id,
        CAST(count(*) AS bigint) AS n_words,
        CAST(sum(covered) AS bigint) AS n_removed
 FROM cov GROUP BY doc_id
+""",
+        # variable-length ExactSubstr: same anchor machinery, anchors
+        # merged into maximal runs (gap > 8 breaks a run), runs under 20
+        # words kept — the cleaned text must match byte for byte
+        "dedup_span_trim_maximal": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (
+  SELECT doc_id, i - 1 AS pos,
+         substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS key
+  FROM t, unnest(generate_series(1, len(w) - 7)) AS g(i)
+  WHERE len(w) >= 8
+),
+multi AS (SELECT key FROM pos GROUP BY key
+          HAVING count(DISTINCT doc_id) >= 2),
+starts AS (
+  SELECT DISTINCT p.doc_id, p.pos
+  FROM pos p JOIN multi m ON m.key = p.key
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS new_run
+  FROM starts
+),
+runs AS (
+  SELECT doc_id, pos,
+         sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM isl
+),
+ext AS (
+  SELECT doc_id, run_id, min(pos) AS s, max(pos) + 7 AS e
+  FROM runs GROUP BY 1, 2
+  HAVING max(pos) + 7 - min(pos) + 1 >= 20
+),
+covpos AS (
+  SELECT doc_id, g.p AS pos
+  FROM ext, unnest(generate_series(s, e)) AS g(p)
+),
+words AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS word
+  FROM t, unnest(generate_series(1, len(w))) AS g(i)
+),
+cov AS (
+  SELECT wd.doc_id, wd.pos, wd.word,
+         CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END AS covered
+  FROM words wd LEFT JOIN covpos c
+    ON c.doc_id = wd.doc_id AND c.pos = wd.pos
+),
+nr AS (SELECT doc_id, CAST(count(*) AS bigint) AS n_runs FROM ext GROUP BY 1)
+SELECT cov.doc_id,
+       coalesce(string_agg(word, ' ' ORDER BY pos)
+                FILTER (WHERE covered = 0), '') AS text,
+       CAST(count(*) AS bigint) AS n_words,
+       CAST(sum(covered) AS bigint) AS n_removed,
+       coalesce(any_value(nr.n_runs), 0) AS n_runs
+FROM cov LEFT JOIN nr ON nr.doc_id = cov.doc_id
+GROUP BY cov.doc_id
 """,
         "dedup_clusters": f"""
 WITH RECURSIVE {_MINHASH_CTE},

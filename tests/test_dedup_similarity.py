@@ -1085,3 +1085,58 @@ def test_span_trim_matches_python_mirror_on_randomized_corpus(spark):
         for r in span_trim(sdf, n=n).collect()
     }
     assert got == want
+
+
+def test_span_trim_maximal_vs_fixed_differ_on_short_overlap(spark):
+    """The distinguishing case between the fixed-8 cut and the published
+    variable-length ExactSubstr rule: two docs sharing exactly one 8-gram
+    (an idiom-sized overlap). span_trim excises those 8 words; the
+    maximal rule with min_run=10 keeps them because the maximal run is
+    shorter than the threshold."""
+    from text_to_graph_spark.operators.dedup import span_trim, span_trim_maximal
+
+    idiom = "i1 i2 i3 i4 i5 i6 i7 i8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {idiom} a4 a5 a6"),
+            (2, f"b1 b2 {idiom} b3 b4 b5 b6"),
+        ],
+        "doc_id long, text string",
+    )
+    fixed = {r.doc_id: r for r in span_trim(docs, n=8).collect()}
+    maximal = {
+        r.doc_id: r for r in span_trim_maximal(docs, n=8, min_run=10).collect()
+    }
+    assert fixed[1].n_removed == 8 and fixed[2].n_removed == 8
+    assert maximal[1].n_removed == 0 and maximal[2].n_removed == 0
+    assert maximal[1].text == "a1 a2 a3 " + idiom + " a4 a5 a6"
+    assert maximal[1].n_runs == 0
+
+
+def test_span_trim_maximal_excises_long_runs_whole(spark):
+    """A 12-word shared run (5 overlapping 8-gram anchors) crosses a
+    min_run=10 threshold: the whole run — and nothing else — is excised
+    as ONE maximal run, and two runs separated by enough unique words
+    stay separate islands."""
+    from text_to_graph_spark.operators.dedup import span_trim_maximal
+
+    run_a = " ".join(f"r{i}" for i in range(12))
+    run_b = " ".join(f"q{i}" for i in range(11))
+    gap = " ".join(f"u{i}" for i in range(9))  # > n words, breaks islands
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {run_a} {gap} {run_b} x3"),
+            (2, f"y1 {run_a} y2 y3"),
+            (3, f"{run_b} z1 z2 z3"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r for r in span_trim_maximal(docs, n=8, min_run=10).collect()
+    }
+    assert got[1].n_removed == 23 and got[1].n_runs == 2
+    assert got[1].text == "x1 x2 " + gap + " x3"
+    assert got[2].n_removed == 12 and got[2].n_runs == 1
+    assert got[2].text == "y1 y2 y3"
+    assert got[3].n_removed == 11 and got[3].n_runs == 1
+    assert got[3].text == "z1 z2 z3"
