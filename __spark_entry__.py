@@ -1882,6 +1882,39 @@ def _q_layout_compaction(spark, sf_dir):
     return compaction_plan(files, target_bytes=65536)
 
 
+def _q_layout_compaction_exec(spark, sf_dir):
+    # EXECUTED compaction (not the plan): fragment documents into 64 real
+    # parquet files, bin-pack the actual on-disk sizes, rewrite one file
+    # per bin, and verify rows + order-independent content hash + exactly
+    # one physical file per bin. The oracle pins the invariants and the
+    # row count — a rewrite that drops/duplicates/mutates rows fails
+    import tempfile
+
+    from text_to_graph_spark.operators.layout import execute_compaction
+
+    base = tempfile.mkdtemp(prefix="t2g_compact_exec_")
+    return execute_compaction(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", "text", "lang", "source"),
+        base,
+        target_bytes=64 * 1024,
+    )
+
+
+def _q_layout_zorder_exec(spark, sf_dir):
+    # EXECUTED Z-order rewrite: pages physically rewritten one file per
+    # Morton range, then per-file min/max + the mid-third skip verdict
+    # re-measured FROM THE FILES READ BACK — same schema and oracle rule
+    # as the planner's zorder rows, so a row in the wrong physical file
+    # fails the value hash
+    import tempfile
+
+    from text_to_graph_spark.operators.layout import execute_zorder
+
+    base = tempfile.mkdtemp(prefix="t2g_zorder_exec_")
+    return execute_zorder(spark, synthesize_pages(spark, sf_dir), base)
+
+
 def _q_layout_snapshot_expiry(spark, sf_dir):
     # snapshot retention plan: one "snapshot" per event hour (720 at sf0.01),
     # keep the 24 most recent + the first snapshot of each day; exact
@@ -3545,6 +3578,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_constraints": _q_olap_constraints,
         "layout_zorder": _q_layout_zorder,
         "layout_compaction": _q_layout_compaction,
+        "layout_compaction_exec": _q_layout_compaction_exec,
+        "layout_zorder_exec": _q_layout_zorder_exec,
         "layout_manifest_compaction": _q_layout_manifest_compaction,
         "layout_snapshot_expiry": _q_layout_snapshot_expiry,
         "layout_pruning": _q_layout_pruning,
@@ -6900,6 +6935,50 @@ SELECT layout, file_id, CAST(n_pages AS bigint) AS n_pages,
        (max_sec < (SELECT lo + span // 3 FROM prm)
         OR min_sec > (SELECT lo + 2 * span // 3 FROM prm)) AS is_skipped
 FROM u
+""",
+        # EXECUTED compaction invariants: the Spark side physically
+        # rewrites files and measures; the oracle pins what a correct
+        # rewrite must report — full row count, preserved content hash,
+        # one file per bin, contiguous bins (the physical plane cannot be
+        # replayed in SQL, so the invariants ARE the contract)
+        "layout_compaction_exec": """
+SELECT CAST(count(*) AS bigint) AS rows_total,
+       true AS rows_match,
+       true AS content_match,
+       true AS one_file_per_bin,
+       true AS bins_contiguous
+FROM documents
+""",
+        # EXECUTED Z-order rewrite re-measured from the files on disk:
+        # the oracle recomputes the planner's zorder assignment in SQL —
+        # the physical layout must reproduce it file for file
+        "layout_zorder_exec": f"""
+{_KG_PREFIX},
+secs AS (
+  SELECT url, date_diff('second', TIMESTAMP '1970-01-01', warc_ts) AS sec
+  FROM pages
+),
+prm AS (SELECT min(sec) AS lo, greatest(max(sec) - min(sec), 1) AS span
+        FROM secs),
+k2 AS (
+  SELECT uh % 65536 AS xh,
+         (sec - (SELECT lo FROM prm)) * 65535 // (SELECT span FROM prm) AS yh,
+         sec
+  FROM (SELECT CAST(('0x' || substr(md5(url), 1, 12)) AS bigint) AS uh, sec
+        FROM secs)
+),
+k3 AS (
+  SELECT sec,
+         CAST(({_zkey_duck("xh", "yh")}) * 16 // 4294967296 AS int) AS z_file
+  FROM k2
+)
+SELECT 'zorder' AS layout, z_file AS file_id,
+       CAST(count(*) AS bigint) AS n_pages,
+       CAST(min(sec) AS bigint) AS min_sec,
+       CAST(max(sec) AS bigint) AS max_sec,
+       (max(sec) < (SELECT lo + span // 3 FROM prm)
+        OR min(sec) > (SELECT lo + 2 * span // 3 FROM prm)) AS is_skipped
+FROM k3 GROUP BY 2
 """,
         # robots disallow-prefix filter: per-host rule, NOT-matched frontier
         "web_robots": f"""

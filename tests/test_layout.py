@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 from text_to_graph_spark.operators.layout import (
     compaction_plan,
     zorder_file_stats,
@@ -345,3 +347,60 @@ class TestConstraintAudit:
             constraint_audit({"t": df}, [{"kind": "nope", "table": "t"}])
         with pytest.raises(ValueError, match="empty constraint list"):
             constraint_audit({"t": df}, [])
+
+
+class TestExecutedRewrites:
+    def test_execute_compaction_invariants_hold(self, spark, tmp_path):
+        from text_to_graph_spark.operators.layout import execute_compaction
+
+        df = spark.createDataFrame(
+            [(i, f"text {i} " * 20, "en", f"s{i % 3}") for i in range(200)],
+            "doc_id long, text string, lang string, source string",
+        )
+        row = execute_compaction(
+            spark, df, str(tmp_path / "c"), target_bytes=16 * 1024, fragments=16
+        ).collect()[0]
+        assert row.rows_total == 200
+        assert row.rows_match and row.content_match
+        assert row.one_file_per_bin and row.bins_contiguous
+
+    def test_table_hash_detects_single_row_mutation(self, spark):
+        from text_to_graph_spark.operators.layout import _table_hash
+
+        a = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(50)], "id long, v string"
+        )
+        b = spark.createDataFrame(
+            [(i, "vX" if i == 17 else f"v{i}") for i in range(50)],
+            "id long, v string",
+        )
+        ha = _table_hash(a, "t").collect()[0]
+        hb = _table_hash(b, "t").collect()[0]
+        assert ha.rows_t == hb.rows_t == 50
+        assert ha.hash_t != hb.hash_t
+        # column order does not matter (sorted internally)
+        hc = _table_hash(a.select("v", "id"), "t").collect()[0]
+        assert hc.hash_t == ha.hash_t
+
+    def test_execute_zorder_matches_planner_assignment(self, spark, tmp_path):
+        """The physical rewrite must realize the planner's zone-map story:
+        per-file min/max from the files READ BACK equal the planned
+        Z-range assignment's, and a mid-range predicate skips files."""
+        from text_to_graph_spark.operators.layout import (
+            execute_zorder,
+            zone_map_pruning,
+        )
+        from text_to_graph_spark.sources.pages import synthesize_pages
+
+        pages = synthesize_pages(spark, SF_SMOKE)
+        physical = {
+            r.file_id: (r.n_pages, r.min_sec, r.max_sec, r.is_skipped)
+            for r in execute_zorder(spark, pages, str(tmp_path / "z")).collect()
+        }
+        planned = {
+            r.file_id: (r.n_pages, r.min_sec, r.max_sec, r.is_skipped)
+            for r in zone_map_pruning(pages).collect()
+            if r.layout == "zorder"
+        }
+        assert physical == planned
+        assert any(v[3] for v in physical.values())  # some files skipped

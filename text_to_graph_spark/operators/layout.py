@@ -24,6 +24,8 @@ __all__ = [
     "zorder_key_expr",
     "zorder_file_stats",
     "compaction_plan",
+    "execute_compaction",
+    "execute_zorder",
     "manifest_compaction_plan",
     "snapshot_expiry_plan",
     "zone_map_pruning",
@@ -300,6 +302,211 @@ def zone_map_pruning(
         "max_sec",
         ((F.col("max_sec") < F.lit(p_lo)) | (F.col("min_sec") > F.lit(p_hi)))
         .alias("is_skipped"),
+    )
+
+
+def _table_hash(df: DataFrame, label: str) -> DataFrame:
+    """Order-independent full-table content hash: per-row 48-bit md5
+    prefix of the sorted-column string image, summed. One partial-agg'd
+    scan; the 48-bit width keeps the sum inside int64 up to ~3e4 billion
+    rows. Used to prove a physical rewrite moved every row and invented
+    none."""
+    cols = sorted(df.columns)
+    row = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    h = F.conv(F.substring(row, 1, 12), 16, 10).cast("bigint")
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias(f"rows_{label}"),
+        F.sum(h).cast("bigint").alias(f"hash_{label}"),
+    )
+
+
+def execute_compaction(
+    spark,
+    df: DataFrame,
+    base_dir: str,
+    target_bytes: int = 64 * 1024,
+    fragments: int = 64,
+    fragment_key: str | None = None,
+) -> DataFrame:
+    """EXECUTE a small-files compaction, not just plan it: fragment the
+    table into many physical parquet files, bin-pack the REAL on-disk file
+    list with :func:`compaction_plan`, rewrite each bin as one output
+    file, and verify the rewrite end to end. This is the data-plane half
+    the plan operators deliberately stop short of — the rewrite job an
+    Iceberg ``rewrite_data_files`` maintenance action runs.
+
+    Steps:
+    1. write ``df`` hash-partitioned into ``fragments`` files (the
+       degraded small-files state a streaming ingest leaves behind);
+    2. list the written files (driver-side: the metadata plane — at 100 TB
+       this list is the table format's manifest, ~1e6 rows);
+    3. assign file -> bin with the plan's closed form (``cum_before DIV
+       target_bytes`` over the name-ordered real byte sizes);
+    4. read the fragments, broadcast-join the file->bin map on
+       ``input_file_name``, ``repartition(bin_id)`` (each bin lands whole
+       in one task) and write ``partitionBy(bin_id)`` — exactly one file
+       per bin;
+    5. read the compacted table back and verify: row count preserved,
+       order-independent content hash preserved, exactly one physical
+       file per bin, bins contiguous from 0.
+
+    Returns ONE row of invariants: (rows_total, rows_match, content_match,
+    one_file_per_bin, bins_contiguous). The file list, plan, and both
+    hashes come from real files — a rewrite that drops, duplicates, or
+    mutates any row fails the hash; a mis-bucketed write fails the
+    per-bin file check.
+    """
+    import os
+
+    frag_dir = os.path.join(base_dir, "fragmented")
+    comp_dir = os.path.join(base_dir, "compacted")
+    key = fragment_key or df.columns[0]
+    df.repartition(fragments, F.col(key)).write.mode("overwrite").parquet(
+        frag_dir
+    )
+
+    names = sorted(
+        e.name
+        for e in os.scandir(frag_dir)
+        if e.name.endswith(".parquet") and not e.name.startswith(".")
+    )
+    sizes = [
+        (n, os.path.getsize(os.path.join(frag_dir, n))) for n in names
+    ]
+    files = spark.createDataFrame(sizes, "file_name string, bytes bigint")
+    mapping = files.select(
+        "file_name",
+        F.expr(
+            f"coalesce(sum(bytes) OVER (ORDER BY file_name ROWS BETWEEN "
+            f"UNBOUNDED PRECEDING AND 1 PRECEDING), 0) DIV {target_bytes}"
+        ).cast("bigint").alias("bin_id"),
+    )
+
+    frag = spark.read.parquet(frag_dir).withColumn(
+        "file_name", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    binned = frag.join(F.broadcast(mapping), "file_name").drop("file_name")
+    binned.repartition("bin_id").write.mode("overwrite").partitionBy(
+        "bin_id"
+    ).parquet(comp_dir)
+
+    after = spark.read.parquet(comp_dir)
+    hb = _table_hash(df, "before")
+    ha = _table_hash(after.drop("bin_id"), "after")
+    per_bin = (
+        after.select("bin_id", F.input_file_name().alias("fn"))
+        .groupBy("bin_id")
+        .agg(F.count_distinct("fn").alias("nf"))
+    )
+    fstats = per_bin.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.max("nf").alias("max_files_per_bin"),
+        F.min("bin_id").alias("min_bin"),
+        F.max("bin_id").alias("max_bin"),
+    )
+    plan_n = mapping.agg(
+        F.count_distinct("bin_id").cast("bigint").alias("plan_bins")
+    )
+    return (
+        hb.crossJoin(ha)
+        .crossJoin(fstats)
+        .crossJoin(plan_n)
+        .select(
+            F.col("rows_before").alias("rows_total"),
+            (F.col("rows_after") == F.col("rows_before")).alias("rows_match"),
+            (F.col("hash_after") == F.col("hash_before")).alias(
+                "content_match"
+            ),
+            (
+                (F.col("max_files_per_bin") == 1)
+                & (F.col("n_bins") == F.col("plan_bins"))
+            ).alias("one_file_per_bin"),
+            (
+                (F.col("min_bin") == 0)
+                & (F.col("max_bin") == F.col("n_bins") - 1)
+            ).alias("bins_contiguous"),
+        )
+    )
+
+
+def execute_zorder(
+    spark,
+    pages: DataFrame,
+    base_dir: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> DataFrame:
+    """EXECUTE the Z-order rewrite and re-measure zone-map pruning on the
+    files actually written — the physical-plane proof behind
+    :func:`zone_map_pruning`'s planning report. The pages table is keyed
+    with the same Morton assignment the planner uses, physically
+    rewritten one file per Z-range (``repartition(z_file)`` +
+    ``partitionBy``), then read BACK from disk; per-file (min, max)
+    warc_ts statistics and the mid-third-range skip verdict are computed
+    from the rewritten files themselves. The output schema matches the
+    planner's zorder rows, so the same oracle that checks the plan checks
+    the executed layout — any row landing in the wrong physical file
+    shifts that file's min/max and fails the value hash.
+
+    Output: (layout='zorder', file_id, n_pages, min_sec, max_sec,
+    is_skipped), one row per non-empty Z-range file on disk.
+    """
+    import os
+
+    z_dir = os.path.join(base_dir, "zordered")
+    sec = F.expr(
+        "timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', warc_ts)"
+    )
+    lo, hi = pages.agg(F.min(sec), F.max(sec)).first()
+    lo, hi = int(lo), int(hi)
+    span = max(hi - lo, 1)
+    top = 2 ** bits - 1
+    zspace = 2 ** (2 * bits)
+    keyed = pages.select(
+        "*",
+        F.pmod(
+            F.conv(F.substring(F.md5("url"), 1, 12), 16, 10).cast("bigint"),
+            F.lit(2 ** bits),
+        ).alias("xh"),
+        F.expr(
+            f"(timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', "
+            f"warc_ts) - {lo}) * {top} DIV {span}"
+        )
+        .cast("bigint")
+        .alias("yh"),
+    )
+    keyed = keyed.withColumn(
+        "z_file",
+        F.expr(
+            f"({zorder_key_expr('xh', 'yh', bits)}) * {n_files} DIV {zspace}"
+        ).cast("int"),
+    ).drop("xh", "yh")
+    keyed.repartition("z_file").write.mode("overwrite").partitionBy(
+        "z_file"
+    ).parquet(z_dir)
+
+    back = spark.read.parquet(z_dir)
+    p_lo = lo + span // 3
+    p_hi = lo + 2 * span // 3
+    return (
+        back.select(F.col("z_file").alias("file_id"), sec.alias("sec"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("sec").alias("min_sec"),
+            F.max("sec").alias("max_sec"),
+        )
+        .select(
+            F.lit("zorder").alias("layout"),
+            "file_id",
+            "n_pages",
+            "min_sec",
+            "max_sec",
+            (
+                (F.col("max_sec") < F.lit(p_lo))
+                | (F.col("min_sec") > F.lit(p_hi))
+            ).alias("is_skipped"),
+        )
     )
 
 
