@@ -906,6 +906,38 @@ def _q_kg_negative_samples(spark, sf_dir):
     return negative_samples(_edges(spark, sf_dir), k=2)
 
 
+def _q_kg_transe_epoch(spark, sf_dir):
+    # exact-integer TransE batch epoch (graphalgo.transe_epoch): the
+    # trainer the negative-sample/dataloader tables feed — L1 sign
+    # gradients over (positive, corrupted) pairs, summed per (parameter,
+    # dim) and applied once, so the learned table is bit-identical across
+    # shuffle orders; the oracle unrolls the identical recurrence
+    from text_to_graph_spark.operators.graphalgo import transe_epoch
+
+    return transe_epoch(
+        _edges(spark, sf_dir), dim=16, margin=100, step=10, epochs=1
+    )
+
+
+def _q_kg_transe_eval(spark, sf_dir):
+    # link-prediction report card: filtered MRR/Hits of the 3-epoch
+    # TransE table vs its random init over all-entity candidate ranking —
+    # training must beat init (the pytest pins it; the oracle recomputes
+    # both rows exactly)
+    from text_to_graph_spark.operators.graphalgo import (
+        transe_epoch,
+        transe_init,
+        transe_rank_eval,
+    )
+
+    edges = _edges(spark, sf_dir)
+    init = transe_init(edges, dim=16)
+    trained = transe_epoch(edges, dim=16, margin=100, step=10, epochs=3)
+    return transe_rank_eval(edges, init, "init").unionByName(
+        transe_rank_eval(edges, trained, "trained")
+    )
+
+
 def _q_kg_weighted_sssp(spark, sf_dir):
     # bounded-hop Bellman-Ford (operators/graphalgo.py): exact bigint
     # min-plus recurrence, 8 rounds, root 'customer'; the oracle unrolls the
@@ -3479,6 +3511,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_incremental": _q_kg_pagerank_incremental,
         "kg_dense_vocab": _q_kg_dense_vocab,
         "kg_negative_samples": _q_kg_negative_samples,
+        "kg_transe_epoch": _q_kg_transe_epoch,
+        "kg_transe_eval": _q_kg_transe_eval,
         "kg_walk_training_pairs": _q_kg_walk_training_pairs,
         "kg_weighted_sssp": _q_kg_weighted_sssp,
         "kg_triangles": _q_kg_triangles,
@@ -4369,6 +4403,128 @@ vo AS (SELECT b, coalesce(sum(n) OVER (ORDER BY b
 vocab AS (SELECT vr.node, CAST(vo.off + vr.rn - 1 AS bigint) AS vid
           FROM vr JOIN vo ON vo.b = vr.b),
 nn AS (SELECT count(*) AS n FROM vocab)"""
+
+
+def _transe_cte(
+    epochs: int = 1,
+    dim: int = 16,
+    margin: int = 100,
+    step: int = 10,
+    init_scale: int = 100,
+) -> str:
+    """Unrolled TransE batch epochs (graphalgo.transe_epoch): md5 integer
+    init, deterministic k=1 corrupted negatives (the kg_negative_samples
+    rule at sample_idx=0), per-epoch L1 margin violations -> sign
+    gradients -> (kind, name, dim)-summed batch update. Expects ``edges``
+    and the :func:`_vocab_cte` CTEs; emits ``emb0`` .. ``emb{epochs}``
+    (kind, name, d, val)."""
+    span = 2 * init_scale + 1
+    parts = [
+        f"""cd1 AS (
+  SELECT subj, pred, obj,
+         CAST(('0x' || substr(md5(subj || '|' || pred || '|' || obj
+               || '|0'), 1, 12)) AS bigint) % (SELECT n FROM nn) AS cid
+  FROM edges
+),
+prs AS MATERIALIZED (
+  SELECT cd1.subj, cd1.pred, cd1.obj,
+         CASE WHEN v1.node = cd1.obj THEN v2.node ELSE v1.node END AS neg_obj
+  FROM cd1 JOIN vocab v1 ON v1.vid = cd1.cid
+           JOIN vocab v2 ON v2.vid = (cd1.cid + 1) % (SELECT n FROM nn)
+),
+emb0 AS MATERIALIZED (
+  SELECT kind, name, d,
+         CAST(CAST(('0x' || substr(md5(name || '|' || kind || '|'
+              || CAST(d AS varchar)), 1, 12)) AS bigint)
+              % {span} - {init_scale} AS bigint) AS val
+  FROM (SELECT 'e' AS kind, node AS name FROM
+          (SELECT DISTINCT subj AS node FROM edges UNION SELECT obj FROM edges)
+        UNION ALL
+        SELECT 'r', pred FROM (SELECT DISTINCT pred FROM edges)),
+       unnest(generate_series(0, {dim - 1})) AS g(d)
+)"""
+    ]
+    for k in range(1, epochs + 1):
+        p = k - 1
+        parts.append(
+            f"""x{k} AS (
+  SELECT p.subj, p.pred, p.obj, p.neg_obj, h.d,
+         h.val + r.val - t.val  AS dp,
+         h.val + r.val - t2.val AS dn
+  FROM prs p
+  JOIN emb{p} h  ON h.kind = 'e' AND h.name = p.subj
+  JOIN emb{p} r  ON r.kind = 'r' AND r.name = p.pred AND r.d = h.d
+  JOIN emb{p} t  ON t.kind = 'e' AND t.name = p.obj AND t.d = h.d
+  JOIN emb{p} t2 ON t2.kind = 'e' AND t2.name = p.neg_obj AND t2.d = h.d
+),
+f{k} AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *,
+           sum(abs(dp)) OVER (PARTITION BY subj, pred, obj, neg_obj) AS dpos,
+           sum(abs(dn)) OVER (PARTITION BY subj, pred, obj, neg_obj) AS dneg
+    FROM x{k})
+  WHERE dpos + {margin} > dneg
+),
+c{k} AS (
+  SELECT 'e' AS kind, subj AS name, d,
+         {step} * (CAST(sign(dn) AS bigint) - CAST(sign(dp) AS bigint)) AS dd
+  FROM f{k}
+  UNION ALL SELECT 'e', obj, d, {step} * CAST(sign(dp) AS bigint) FROM f{k}
+  UNION ALL SELECT 'e', neg_obj, d, -{step} * CAST(sign(dn) AS bigint) FROM f{k}
+  UNION ALL SELECT 'r', pred, d,
+         {step} * (CAST(sign(dn) AS bigint) - CAST(sign(dp) AS bigint))
+  FROM f{k}
+),
+dl{k} AS (SELECT kind, name, d, sum(dd) AS delta FROM c{k} GROUP BY 1, 2, 3),
+emb{k} AS MATERIALIZED (
+  SELECT e.kind, e.name, e.d,
+         CAST(e.val + coalesce(dl.delta, 0) AS bigint) AS val
+  FROM emb{p} e LEFT JOIN dl{k} dl
+    ON dl.kind = e.kind AND dl.name = e.name AND dl.d = e.d
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _transe_eval_select(tbl: str, model: str) -> str:
+    """Per-model TransE link-prediction rollup (graphalgo.transe_rank_eval
+    over graphalgo.ranking_eval): all-entity candidates per (subj, pred)
+    query, rank by (-L1 distance DESC, candidate ASC), filtered MRR/Hits
+    in exact integer ppm. Expects ``edges`` and the ``{tbl}`` embedding
+    CTE; yields one row."""
+    return f"""(
+  WITH sc AS (
+    SELECT c.subj, c.pred, c.cand,
+           -sum(abs(h.val + r.val - e2.val)) AS neg_dist
+    FROM (SELECT q.subj, q.pred, v.cand
+          FROM (SELECT DISTINCT subj, pred FROM edges) q
+          CROSS JOIN (SELECT DISTINCT name AS cand FROM {tbl}
+                      WHERE kind = 'e') v) c
+    JOIN {tbl} h  ON h.kind = 'e' AND h.name = c.subj
+    JOIN {tbl} r  ON r.kind = 'r' AND r.name = c.pred AND r.d = h.d
+    JOIN {tbl} e2 ON e2.kind = 'e' AND e2.name = c.cand AND e2.d = h.d
+    GROUP BY 1, 2, 3
+  ),
+  rk AS (
+    SELECT sc.subj || '|' || sc.pred AS qid,
+           ed.obj IS NOT NULL AS pos,
+           row_number() OVER (PARTITION BY sc.subj, sc.pred
+                              ORDER BY sc.neg_dist DESC, sc.cand ASC) AS rank
+    FROM sc LEFT JOIN (SELECT DISTINCT subj, pred, obj FROM edges) ed
+      ON ed.subj = sc.subj AND ed.pred = sc.pred AND ed.obj = sc.cand
+  )
+  SELECT '{model}' AS model,
+         CAST(count(DISTINCT CASE WHEN pos THEN qid END) AS bigint) AS n_queries,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS bigint) AS n_positives,
+         CAST(sum(CASE WHEN pos THEN 1000000 // rank ELSE 0 END)
+              // sum(CASE WHEN pos THEN 1 ELSE 0 END) AS bigint) AS mrr_ppm,
+         CAST(sum(CASE WHEN pos AND rank <= 1 THEN 1 ELSE 0 END) AS bigint) AS hits1,
+         CAST(sum(CASE WHEN pos AND rank <= 3 THEN 1 ELSE 0 END) AS bigint) AS hits3,
+         CAST(sum(CASE WHEN pos AND rank <= 10 THEN 1 ELSE 0 END) AS bigint) AS hits10,
+         CAST(1000000 * sum(CASE WHEN pos AND rank <= 10 THEN 1 ELSE 0 END)
+              // sum(CASE WHEN pos THEN 1 ELSE 0 END) AS bigint) AS hits10_ppm
+  FROM rk
+)"""
 
 
 def _ppr_cte(
@@ -5550,6 +5706,25 @@ SELECT node, vid FROM vocab
 """,
         # deterministic filtered negative sampling: hash-draw into the dense
         # vocabulary, shift by one on collision with the true object
+        # TransE batch epoch: the oracle unrolls the identical integer
+        # recurrence (init -> violations -> sign gradients -> one batch
+        # update); output is the full trained parameter table
+        "kg_transe_epoch": f"""
+{_KG_PREFIX},
+{_vocab_cte()},
+{_transe_cte(epochs=1, dim=16, margin=100, step=10)}
+SELECT kind, name, CAST(d AS int) AS dim, val FROM emb1
+""",
+        # TransE eval: filtered MRR/Hits for the 3-epoch table vs its
+        # init, both recomputed exactly from the unrolled recurrence
+        "kg_transe_eval": f"""
+{_KG_PREFIX},
+{_vocab_cte()},
+{_transe_cte(epochs=3, dim=16, margin=100, step=10)}
+SELECT * FROM {_transe_eval_select("emb0", "init")}
+UNION ALL
+SELECT * FROM {_transe_eval_select("emb3", "trained")}
+""",
         "kg_negative_samples": f"""
 {_KG_PREFIX},
 {_vocab_cte()},

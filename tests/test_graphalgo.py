@@ -1363,3 +1363,98 @@ def test_wl_refinement_regular_graph_single_class(spark):
     rows = wl_refinement(edges, rounds=3).collect()
     assert len({r.wl_color for r in rows}) == 1
     assert all(r.n_class == 3 for r in rows)
+
+
+class TestTransE:
+    def test_epoch_is_shuffle_order_invariant_and_improves_mrr(self, spark):
+        """Batch semantics: the trained table must be bit-identical no
+        matter how the edge list is partitioned, and training must beat
+        the random init on filtered MRR (the whole point of the epoch)."""
+        from text_to_graph_spark.operators.graphalgo import (
+            transe_epoch,
+            transe_init,
+            transe_rank_eval,
+        )
+
+        rows = [
+            ("a", "likes", "b"), ("b", "likes", "c"), ("c", "likes", "d"),
+            ("d", "knows", "a"), ("a", "knows", "c"), ("b", "knows", "d"),
+            ("e", "likes", "a"), ("e", "knows", "b"), ("c", "knows", "e"),
+            ("d", "likes", "e"),
+        ]
+        edges = spark.createDataFrame(rows, "subj string, pred string, obj string")
+        t1 = {
+            (r.kind, r.name, r.dim): r.val
+            for r in transe_epoch(edges, dim=8, epochs=2).collect()
+        }
+        t2 = {
+            (r.kind, r.name, r.dim): r.val
+            for r in transe_epoch(
+                edges.repartition(7, "obj"), dim=8, epochs=2
+            ).collect()
+        }
+        assert t1 == t2
+        init_mrr = transe_rank_eval(
+            edges, transe_init(edges, dim=8), "init"
+        ).collect()[0].mrr_ppm
+        trained_mrr = transe_rank_eval(
+            edges, transe_epoch(edges, dim=8, epochs=8), "trained"
+        ).collect()[0].mrr_ppm
+        assert trained_mrr > init_mrr
+
+    def test_epoch_matches_python_mirror(self, spark):
+        """One epoch on a two-triple graph vs an independent python
+        replay of the recurrence (same init hash, same negative draw,
+        same sign-gradient batch update) — value-exact."""
+        import hashlib
+
+        from text_to_graph_spark.operators.graphalgo import (
+            negative_samples,
+            transe_epoch,
+        )
+
+        rows = [("a", "p", "b"), ("b", "p", "c")]
+        edges = spark.createDataFrame(rows, "subj string, pred string, obj string")
+        dim, margin, step, scale = 4, 50, 5, 100
+
+        def h48(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+        ents = sorted({r[0] for r in rows} | {r[2] for r in rows})
+        emb = {
+            ("e", n, d): h48(f"{n}|e|{d}") % (2 * scale + 1) - scale
+            for n in ents
+            for d in range(dim)
+        }
+        emb.update(
+            {
+                ("r", p, d): h48(f"{p}|r|{d}") % (2 * scale + 1) - scale
+                for p in {r[1] for r in rows}
+                for d in range(dim)
+            }
+        )
+        negs = {
+            (r.subj, r.pred, r.obj): r.neg_obj
+            for r in negative_samples(edges, k=1).collect()
+        }
+        delta: dict = {}
+        for s_, p_, o_ in rows:
+            n_ = negs[(s_, p_, o_)]
+            dp = [emb[("e", s_, d)] + emb[("r", p_, d)] - emb[("e", o_, d)] for d in range(dim)]
+            dn = [emb[("e", s_, d)] + emb[("r", p_, d)] - emb[("e", n_, d)] for d in range(dim)]
+            if sum(map(abs, dp)) + margin > sum(map(abs, dn)):
+                sg = lambda v: (v > 0) - (v < 0)
+                for d in range(dim):
+                    s, s2 = sg(dp[d]), sg(dn[d])
+                    delta[("e", s_, d)] = delta.get(("e", s_, d), 0) + step * (s2 - s)
+                    delta[("e", o_, d)] = delta.get(("e", o_, d), 0) + step * s
+                    delta[("e", n_, d)] = delta.get(("e", n_, d), 0) - step * s2
+                    delta[("r", p_, d)] = delta.get(("r", p_, d), 0) + step * (s2 - s)
+        want = {k: v + delta.get(k, 0) for k, v in emb.items()}
+        got = {
+            (r.kind, r.name, r.dim): r.val
+            for r in transe_epoch(
+                edges, dim=dim, margin=margin, step=step, epochs=1
+            ).collect()
+        }
+        assert got == want

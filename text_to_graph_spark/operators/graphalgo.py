@@ -1661,3 +1661,250 @@ def wl_refinement(
         F.col("color").alias("wl_color"),
         F.count(F.lit(1)).over(cls).cast("bigint").alias("n_class"),
     )
+
+
+def transe_init(
+    edges: DataFrame,
+    dim: int = 8,
+    init_scale: int = 100,
+) -> DataFrame:
+    """Deterministic integer initialization for TransE embeddings: one
+    row per (kind, name, dim) with val = 48-bit md5(name|kind|dim) mapped
+    to [-init_scale, init_scale] micro-units. Entities come from the
+    union of subject/object labels, relations from the predicate
+    vocabulary. No rand(): the init — like every other model parameter in
+    this repo — is bit-identical across engines, partitionings, and
+    reruns, which is what makes the trainer oracle-checkable.
+
+    Output: (kind 'e'|'r', name, dim, val)."""
+    e = edges.select("subj", "pred", "obj").distinct()
+    ents = (
+        e.select(F.col("subj").alias("name"))
+        .unionByName(e.select(F.col("obj").alias("name")))
+        .distinct()
+        .withColumn("kind", F.lit("e"))
+    )
+    rels = (
+        e.select(F.col("pred").alias("name"))
+        .distinct()
+        .withColumn("kind", F.lit("r"))
+    )
+    span = 2 * init_scale + 1
+    both = ents.unionByName(rels).select(
+        "kind", "name", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("dim")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "name", "kind", F.col("dim").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return both.select(
+        "kind",
+        "name",
+        F.col("dim").cast("int").alias("dim"),
+        (F.pmod(h, F.lit(span)) - F.lit(init_scale)).cast("long").alias("val"),
+    )
+
+
+def transe_epoch(
+    edges: DataFrame,
+    dim: int = 8,
+    margin: int = 50,
+    step: int = 5,
+    epochs: int = 1,
+    init_scale: int = 100,
+) -> DataFrame:
+    """TransE training (Bordes et al., NeurIPS 2013) as a BATCH epoch in
+    exact integer micro-units — the trainer the walk/skip-gram/negative
+    dataloader tables feed. L1 scoring makes every gradient a sign
+    (∂|x|/∂x ∈ {-1,0,1}), so with integer embeddings, an integer margin,
+    and an integer step the whole epoch stays in int64 and the learned
+    parameters are bit-identical across shuffle orders, retries, and
+    engines — the same batch-update trick as the perceptron trainer
+    (``curation.train_linear_classifier``): score everything against the
+    CURRENT parameters, aggregate all violated-pair gradients
+    per (parameter, dim) in one partial-agg'd shuffle, apply once.
+
+    Per epoch, for every positive (h, r, t) and its deterministic
+    corrupted negative (h, r, t') (:func:`negative_samples`, k=1):
+    violation iff d(h+r,t) + margin > d(h+r,t') under L1; for violated
+    pairs, with s_d = sign(h+r-t)_d and s'_d = sign(h+r-t')_d, gradient
+    descent contributes step*(s'_d - s_d) to h_d and r_d, +step*s_d to
+    t_d, and -step*s'_d to t'_d. Batch aggregation makes the update a
+    pure sum — order-independent by construction.
+
+    Scale shape: the training join is (pairs × dim) rows — four equi-
+    joins against the parameter tables (hash-partitioned on name at
+    corpus scale; a 1e9-entity model shards naturally since no step needs
+    a global view); the per-pair distance is a bounded window (dim rows
+    per pair); the update is one (kind, name, dim)-keyed partial agg.
+    Epoch count is the only driver loop, with a localCheckpoint lineage
+    cut per epoch.
+
+    Output: (kind 'e'|'r', name, dim, val) — the trained parameters.
+    """
+    e = edges.select("subj", "pred", "obj").distinct()
+    pairs = (
+        negative_samples(e, k=1)
+        .select("subj", "pred", "obj", "neg_obj")
+        .localCheckpoint(eager=True)
+    )
+    emb = transe_init(edges, dim, init_scale).localCheckpoint(eager=True)
+    pw = Window.partitionBy("subj", "pred", "obj", "neg_obj")
+    for _ in range(epochs):
+        ent = emb.where(F.col("kind") == "e")
+        rel = emb.where(F.col("kind") == "r")
+        x = (
+            pairs.join(
+                ent.select(
+                    F.col("name").alias("subj"), "dim", F.col("val").alias("h")
+                ),
+                "subj",
+            )
+            .join(
+                rel.select(
+                    F.col("name").alias("pred"), "dim", F.col("val").alias("r")
+                ),
+                ["pred", "dim"],
+            )
+            .join(
+                ent.select(
+                    F.col("name").alias("obj"), "dim", F.col("val").alias("t")
+                ),
+                ["obj", "dim"],
+            )
+            .join(
+                ent.select(
+                    F.col("name").alias("neg_obj"),
+                    "dim",
+                    F.col("val").alias("t2"),
+                ),
+                ["neg_obj", "dim"],
+            )
+            .withColumn("dp", F.col("h") + F.col("r") - F.col("t"))
+            .withColumn("dn", F.col("h") + F.col("r") - F.col("t2"))
+            .withColumn("dpos", F.sum(F.abs("dp")).over(pw))
+            .withColumn("dneg", F.sum(F.abs("dn")).over(pw))
+            .where(F.col("dpos") + F.lit(margin) > F.col("dneg"))
+            .withColumn("s", F.signum("dp").cast("long"))
+            .withColumn("s2", F.signum("dn").cast("long"))
+        )
+        contrib = x.select(
+            "dim",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("e").alias("kind"),
+                        F.col("subj").alias("name"),
+                        (F.lit(step) * (F.col("s2") - F.col("s"))).alias("d"),
+                    ),
+                    F.struct(
+                        F.lit("e").alias("kind"),
+                        F.col("obj").alias("name"),
+                        (F.lit(step) * F.col("s")).alias("d"),
+                    ),
+                    F.struct(
+                        F.lit("e").alias("kind"),
+                        F.col("neg_obj").alias("name"),
+                        (-F.lit(step) * F.col("s2")).alias("d"),
+                    ),
+                    F.struct(
+                        F.lit("r").alias("kind"),
+                        F.col("pred").alias("name"),
+                        (F.lit(step) * (F.col("s2") - F.col("s"))).alias("d"),
+                    ),
+                )
+            ).alias("c"),
+        ).select("dim", "c.kind", "c.name", "c.d")
+        delta = contrib.groupBy("kind", "name", "dim").agg(
+            F.sum("d").cast("long").alias("delta")
+        )
+        emb = (
+            emb.join(delta, ["kind", "name", "dim"], "left")
+            .select(
+                "kind",
+                "name",
+                "dim",
+                (F.col("val") + F.coalesce(F.col("delta"), F.lit(0)))
+                .cast("long")
+                .alias("val"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return emb
+
+
+def transe_rank_eval(
+    edges: DataFrame,
+    emb: DataFrame,
+    model: str,
+) -> DataFrame:
+    """Link-prediction report card for a TransE parameter table: for every
+    distinct (subj, pred) query, rank ALL entities by ascending L1
+    distance ||h + r - c|| (deterministic tiebreak by candidate label)
+    and feed the ranked candidates — positives marked where the graph
+    asserts (subj, pred, c) — through :func:`ranking_eval`. Output is the
+    one-row MRR/Hits summary tagged with ``model``, so a trained table
+    and its init can be unioned and compared directly.
+
+    Scale shape: candidate generation is query × entity — at corpus scale
+    the candidate set comes from a blocked ANN probe instead, but the
+    rank-window (per query) and the single-row rollup are the same; exact
+    integer distances end to end.
+    """
+    e = edges.select("subj", "pred", "obj").distinct()
+    ent = emb.where(F.col("kind") == "e")
+    rel = emb.where(F.col("kind") == "r")
+    queries = e.select("subj", "pred").distinct()
+    cands = queries.crossJoin(
+        ent.select("name").distinct().select(F.col("name").alias("cand"))
+    )
+    scored = (
+        cands.join(
+            ent.select(
+                F.col("name").alias("subj"), "dim", F.col("val").alias("h")
+            ),
+            "subj",
+        )
+        .join(
+            rel.select(
+                F.col("name").alias("pred"), "dim", F.col("val").alias("r")
+            ),
+            ["pred", "dim"],
+        )
+        .join(
+            ent.select(
+                F.col("name").alias("cand"), "dim", F.col("val").alias("c")
+            ),
+            ["cand", "dim"],
+        )
+        .groupBy("subj", "pred", "cand")
+        .agg(
+            (-F.sum(F.abs(F.col("h") + F.col("r") - F.col("c"))))
+            .cast("long")
+            .alias("neg_dist")
+        )
+    )
+    labeled = scored.join(
+        e.select("subj", "pred", F.col("obj").alias("cand")).withColumn(
+            "is_linked", F.lit(True)
+        ),
+        ["subj", "pred", "cand"],
+        "left",
+    ).select(
+        F.concat_ws("|", "subj", "pred").alias("qid"),
+        "cand",
+        "neg_dist",
+        F.coalesce("is_linked", F.lit(False)).alias("is_linked"),
+    )
+    return ranking_eval(
+        labeled,
+        group_col="qid",
+        item_col="cand",
+        score_col="neg_dist",
+        label_col="is_linked",
+    ).select(F.lit(model).alias("model"), "*")
