@@ -3246,11 +3246,18 @@ def _q_mm_video_frames(spark, sf_dir):
 
 
 def _q_mm_frames(spark, sf_dir):
-    return MM.frame_sample(MM.attach_payload(_docs(spark, sf_dir)), k=3)
+    # REAL container demux: T2GV index parse + per-frame PNG signature and
+    # length-verified IHDR read over the actual sliced frame bytes — the
+    # cheap frame-triage pass before full decode; the oracle re-derives
+    # dimensions from the generation rule, so only a true demux matches
+    return MM.demux_frame_headers(MM.attach_video_payload(_docs(spark, sf_dir)))
 
 
 def _q_mm_features(spark, sf_dir):
-    return MM.byte_histogram_features(MM.attach_payload(_docs(spark, sf_dir)))
+    # bag-of-features over DECODED pixels (full PNG decode then bincount):
+    # the histogram exists only in the unfiltered pixel lattice, so a
+    # header-sniffing fake decoder cannot produce these counts
+    return MM.pixel_histogram_features(MM.attach_png_payload(_docs(spark, sf_dir)))
 
 
 def _q_mm_resize(spark, sf_dir):
@@ -9468,12 +9475,10 @@ FROM runs WHERE is_ent GROUP BY 1
         # VARCHAR substr == utf-8 byte slice and sha256(varchar) ==
         # sha256(bytes) — the oracle stays expressible without blob substring
         "mm_frames": """
-WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents)
-SELECT doc_id, CAST(i AS int) AS frame_index,
-       sha256(substr(text, (n * i) // 3 + 1,
-                     (n * (i + 1)) // 3 - (n * i) // 3)) AS frame_sha256,
-       CAST((n * (i + 1)) // 3 - (n * i) // 3 AS bigint) AS n_bytes
-FROM t, unnest(generate_series(0, 2)) AS g(i)
+SELECT doc_id, CAST(i AS int) AS frame_index, true AS is_png,
+       CAST(8 + doc_id % 8 AS int) AS width,
+       CAST(8 + (doc_id // 3) % 8 AS int) AS height
+FROM documents, unnest(generate_series(0, 3)) AS g(i)
 """,
         # real-PNG metadata: the Spark side DECODES synthesized PNG bytes
         # (CRC + inflate + unfilter); the oracle recomputes the encoder's
@@ -9786,12 +9791,17 @@ GROUP BY 1
         # byte-histogram bag-of-features over the payload (ASCII corpus:
         # varchar chars == bytes); sparse rows, empty buckets omitted
         "mm_features": """
-WITH chars AS (
-  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
-  WHERE length(text) > 0
+WITH dims AS (
+  SELECT doc_id, 8 + octet_length(encode(text)) % 24 AS w, 8 + doc_id % 16 AS h
+  FROM documents
 )
-SELECT doc_id, CAST(ord(ch) % 16 AS int) AS bucket, count(*) AS n
-FROM chars GROUP BY 1, 2
+SELECT d.doc_id,
+       CAST((d.doc_id * 31 + r.r * 7 + c.c * 13) % 256 % 16 AS int) AS bucket,
+       CAST(count(*) AS bigint) AS n
+FROM dims d,
+     unnest(generate_series(0, d.h - 1)) AS r(r),
+     unnest(generate_series(0, d.w - 1)) AS c(c)
+GROUP BY 1, 2
 """,
         # exact type-1 percentiles at integer rank ceil(p*n/100) — no
         # percentile_cont float-interpolation seam between engines

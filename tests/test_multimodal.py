@@ -121,27 +121,60 @@ def test_attach_and_decode_png_roundtrip_spark(spark):
         assert r["pixel_sum"] == sum(_pixels(d["doc_id"], w, h))
 
 
-def test_frame_sample_and_features_shapes(spark):
+def test_demux_frame_headers_real_container(spark):
+    """Demux must parse the T2GV index and read each REAL frame's IHDR:
+    dimensions follow the generation rule for every frame, and a corrupt
+    frame is reported (is_png=false), not decoded or crashed on."""
+    from text_to_graph_spark.kit.video import encode_container
     from text_to_graph_spark.operators.multimodal import (
-        attach_payload,
-        byte_histogram_features,
-        frame_sample,
+        attach_video_payload,
+        demux_frame_headers,
     )
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(10)
-    media = attach_payload(docs)
-    frames = frame_sample(media, k=3).collect()
-    assert len(frames) == 30
-    for r in frames:
-        assert 0 <= r["frame_index"] < 3
-        assert len(r["frame_sha256"]) == 64
-    feats = byte_histogram_features(media).collect()
-    per_doc = {}
+    rows = demux_frame_headers(attach_video_payload(docs)).collect()
+    assert len(rows) == 40  # 4 frames per doc
+    for r in rows:
+        assert r["is_png"]
+        assert r["width"] == 8 + r["doc_id"] % 8
+        assert r["height"] == 8 + (r["doc_id"] // 3) % 8
+    bad = spark.createDataFrame(
+        [(99, bytearray(encode_container([b"not-a-png-frame"])))],
+        "doc_id long, payload binary",
+    )
+    got = demux_frame_headers(bad).collect()
+    assert len(got) == 1
+    assert not got[0]["is_png"] and got[0]["width"] == 0
+
+
+def test_pixel_histogram_is_over_decoded_pixels(spark):
+    """The feature histogram must come from the DECODED pixel lattice:
+    totals equal width*height (not payload byte counts), and per-bucket
+    counts match the generation rule replayed in python."""
+    from text_to_graph_spark.operators.multimodal import (
+        attach_png_payload,
+        pixel_histogram_features,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(10)
+    feats = pixel_histogram_features(attach_png_payload(docs)).collect()
+    texts = {d["doc_id"]: d["text"] for d in docs.collect()}
+    per_doc: dict = {}
+    got: dict = {}
     for r in feats:
         per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n"]
-    texts = {d["doc_id"]: d["text"] for d in docs.collect()}
-    for doc_id, total in per_doc.items():
-        assert total == len(texts[doc_id].encode("utf-8"))
+        got[(r["doc_id"], r["bucket"])] = r["n"]
+    for doc_id, text in texts.items():
+        w = 8 + len(text.encode("utf-8")) % 24
+        h = 8 + doc_id % 16
+        assert per_doc[doc_id] == w * h
+        want: dict = {}
+        for rr in range(h):
+            for cc in range(w):
+                b = (doc_id * 31 + rr * 7 + cc * 13) % 256 % 16
+                want[b] = want.get(b, 0) + 1
+        for b, n in want.items():
+            assert got[(doc_id, b)] == n
 
 
 def test_wav_roundtrip_and_validation():

@@ -11,18 +11,14 @@ emitting typed metadata including a checksum over the DECODED pixels. The
 oracle recomputes width/height/pixel_sum from the generation rule, so a
 decoder that skipped CRC, inflate, or unfiltering would mismatch.
 
-Audio/video decoding needs native libs (ffmpeg) not present in this
-container, so those paths keep the clearly-marked deterministic stand-ins
-with real Spark plumbing:
-
-- ``attach_payload``: binary payload column (utf-8 bytes of the text) +
-  media_type.
-- ``decode_metadata``: the generic-stub twin of ``decode_png_metadata`` —
-  swap ``_decode_stub`` for ffmpeg in production; batch iteration and
-  schema stay identical.
-- ``frame_sample``: UDTF-shaped expansion — k deterministic "frames" per
-  payload (offset slices), the 1->N mapInPandas expansion pattern a video
-  pipeline needs.
+The AUDIO and VIDEO paths are equally real: RIFF/WAVE PCM16 parsing
+(``kit/wav.py``) and a T2GV container of genuine PNG frames
+(``kit/video.py``) with demux (``demux_frame_headers``), stride-sampled
+full decode (``sample_video_frames``), and per-modality near-dup
+fingerprints. Compressed codecs (JPEG/MP3/H.264) need native libs not in
+this container; each decoder's docstring marks the exact PIL/ffmpeg swap
+point behind the same ``mapInPandas`` contract — the batch iteration,
+schema, and plan shape are production-true as-is.
 """
 
 from __future__ import annotations
@@ -40,14 +36,6 @@ META_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, sha256 string, "
     "width int, height int"
 )
-
-
-def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
-        F.lit("image/fake").alias("media_type"),
-    )
 
 
 def attach_png_payload(
@@ -311,76 +299,23 @@ def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
     return media.mapInPandas(_batches, schema=VIDEO_FRAME_SCHEMA)
 
 
-def _decode_stub(payload: bytes) -> tuple[int, str, int, int]:
-    """Deterministic fake decoder. A real implementation would be:
-
-        raise NotImplementedError("install pillow/ffmpeg and decode here")
-
-    We return byte-length-derived fake dimensions instead so the plumbing is
-    end-to-end testable without native deps.
-    """
-    n = len(payload)
-    return n, hashlib.sha256(payload).hexdigest(), n % 640, n % 480
-
-
-def decode_metadata(media: DataFrame) -> DataFrame:
-    """(doc_id, payload, media_type) -> typed metadata via Arrow batches."""
-
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            decoded = pdf["payload"].map(_decode_stub)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": decoded.map(lambda t: t[0]),
-                    "sha256": decoded.map(lambda t: t[1]),
-                    "width": decoded.map(lambda t: t[2]),
-                    "height": decoded.map(lambda t: t[3]),
-                }
-            )
-
-    return media.mapInPandas(_batches, schema=META_SCHEMA)
-
-
-FRAME_SCHEMA = "doc_id long, frame_index int, frame_sha256 string, n_bytes long"
-
-
-def frame_sample(media: DataFrame, k: int = 3) -> DataFrame:
-    """1->N expansion: k deterministic byte-slice 'frames' per payload."""
-
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
-                for i in range(k):
-                    lo = (n * i) // k
-                    hi = (n * (i + 1)) // k
-                    frame = bytes(payload[lo:hi])
-                    rows.append(
-                        (doc_id, i, hashlib.sha256(frame).hexdigest(), hi - lo)
-                    )
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_index", "frame_sha256", "n_bytes"]
-            )
-
-    return media.mapInPandas(_batches, schema=FRAME_SCHEMA)
-
-
 FEATURE_SCHEMA = "doc_id long, bucket int, n bigint"
 N_BUCKETS = 16
 
 
-def byte_histogram_features(media: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
-    """Vectorized payload feature extraction: byte-value histogram (mod
-    ``n_buckets``) per payload, exploded to (doc_id, bucket, n) rows.
-
-    Stand-in for a real embedding model (CLIP/whisper features) with the
-    identical Spark shape: numpy over the Arrow batch — ``frombuffer`` +
-    ``bincount``, no per-byte Python — then a 1->N expansion. Counts are
-    integers so the contract is bit-exact across engines; empty buckets are
-    omitted (sparse form, like a real bag-of-features).
+def pixel_histogram_features(
+    media: DataFrame, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Bag-of-features over DECODED image pixels: full PNG decode
+    (CRC verify + inflate + unfilter, ``kit/png.py``), then a value
+    histogram (mod ``n_buckets``) of the actual pixel lattice, exploded
+    to (doc_id, bucket, n) rows — the stand-in for a real embedding model
+    (CLIP-style features) with the identical Spark shape: numpy over the
+    Arrow batch (``frombuffer`` + ``bincount``, no per-pixel Python),
+    then a 1->N expansion. Counts are integers so the contract is
+    bit-exact; empty buckets are omitted (sparse form). A header-sniffing
+    fake decoder cannot produce these counts — they exist only in the
+    decoded pixels.
     """
     import numpy as np
 
@@ -388,7 +323,8 @@ def byte_histogram_features(media: DataFrame, n_buckets: int = N_BUCKETS) -> Dat
         for pdf in it:
             ids, buckets, counts = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                _w, _h, _d, _ct, px = decode_gray8(bytes(payload))
+                arr = np.frombuffer(px, dtype=np.uint8)
                 if arr.size == 0:
                     continue
                 hist = np.bincount(arr % n_buckets, minlength=n_buckets)
@@ -399,6 +335,55 @@ def byte_histogram_features(media: DataFrame, n_buckets: int = N_BUCKETS) -> Dat
             yield pd.DataFrame({"doc_id": ids, "bucket": buckets, "n": counts})
 
     return media.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+DEMUX_SCHEMA = (
+    "doc_id long, frame_index int, is_png boolean, width int, height int"
+)
+
+
+def demux_frame_headers(media: DataFrame) -> DataFrame:
+    """Container DEMUX without full decode — the cheap first pass a video
+    pipeline runs before deciding which frames to decode: parse the T2GV
+    index (``kit/video.py``), slice each REAL frame payload out of the
+    container, and validate only its header — PNG signature check plus a
+    length-verified IHDR width/height read. 1->N ``mapInPandas``
+    expansion, one output row per frame.
+
+    Complements :func:`sample_video_frames` (which fully decodes a frame
+    subset): demux touches every frame but only its first bytes, so at
+    100 TB the two passes differ by the inflate cost — exactly the
+    planner's frame-triage split. Output: (doc_id, frame_index, is_png,
+    width, height); a corrupt or non-PNG frame reports is_png=false and
+    zero dimensions rather than failing the batch.
+    """
+    import struct as _struct
+
+    from text_to_graph_spark.kit.video import decode_container
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, frame in enumerate(decode_container(bytes(payload))):
+                    ok = (
+                        len(frame) >= 24
+                        and frame[:8] == sig
+                        and frame[12:16] == b"IHDR"
+                    )
+                    if ok:
+                        w, h = _struct.unpack(">II", frame[16:24])
+                        rows.append((doc_id, i, True, w, h))
+                    else:
+                        rows.append((doc_id, i, False, 0, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_index", "is_png", "width", "height"],
+            )
+
+    return media.mapInPandas(_batches, schema=DEMUX_SCHEMA)
 
 
 THUMB_SCHEMA = (
