@@ -159,13 +159,32 @@ sym AS (SELECT subj AS u, obj AS v FROM edges UNION SELECT obj, subj FROM edges)
 _CACHE: dict = {}
 
 
+
+def _pages_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages table honoring the gate's replicate knob: every page-family
+    query routes here so `check_correctness.py --replicate N` tiles the
+    Spark side exactly as it tiles the oracle's pages CTE (copy k of doc
+    d -> url suffix /k). Default (no env) is the plain corpus."""
+    import os
+
+    rep = int(os.environ.get("SPARK_GRAFT_GATE_REPLICATE", "1"))
+    return synthesize_pages(spark, sf_dir, replicate=rep)
+
+
 def _stages(spark: SparkSession, sf_dir: str) -> dict:
-    key = (id(spark), sf_dir)
+    import os
+
+    # replicate-aware gate mode (tools/check_correctness.py --replicate N):
+    # deterministically tile the corpus so the flagship family is
+    # CORRECTNESS-verified — not just timed — at bench-scale volume; the
+    # oracle side tiles its pages CTE with the same /copy_id url rule
+    replicate = int(os.environ.get("SPARK_GRAFT_GATE_REPLICATE", "1"))
+    key = (id(spark), sf_dir, replicate)
     if key not in _CACHE:
         from text_to_graph_spark.session import tune_session
 
         tune_session(spark)  # arrow/UTC + one-time ICU collation warm-up
-        pages = synthesize_pages(spark, sf_dir)
+        pages = synthesize_pages(spark, sf_dir, replicate=replicate)
         extracted = extract_text(pages)
         chunks = chunk_pages(extracted).localCheckpoint(eager=False)
         triples = extract_triples(chunks, "vocab", impl="pandas").localCheckpoint(
@@ -211,7 +230,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_kg_pages(spark, sf_dir):
-    return synthesize_pages(spark, sf_dir).select(
+    return _pages_tiled(spark, sf_dir).select(
         "url",
         F.col("warc_ts").cast("long").alias("warc_epoch"),
         "lang",
@@ -230,7 +249,7 @@ def _q_web_sitemap(spark, sf_dir):
     )
 
     return parse_sitemaps(
-        build_sitemaps(synthesize_pages(spark, sf_dir), max_urls_per_file=200)
+        build_sitemaps(_pages_tiled(spark, sf_dir), max_urls_per_file=200)
     )
 
 
@@ -247,7 +266,7 @@ def _q_kg_pages_jsonl(spark, sf_dir):
     )
 
     d = tempfile.mkdtemp(prefix="t2g_jsonl_")
-    write_pages_jsonl(synthesize_pages(spark, sf_dir), d)
+    write_pages_jsonl(_pages_tiled(spark, sf_dir), d)
     back = pages_from_jsonl(spark, d)
     return extract_text(back)
 
@@ -263,7 +282,7 @@ def _q_kg_pages_warc(spark, sf_dir):
         warc_segments_to_pages,
     )
 
-    segs = pages_to_warc_segments(synthesize_pages(spark, sf_dir))
+    segs = pages_to_warc_segments(_pages_tiled(spark, sf_dir))
     return extract_text(warc_segments_to_pages(segs))
 
 
@@ -283,7 +302,7 @@ def _q_kg_pages_charset(spark, sf_dir):
 
 def _q_kg_extract_text(spark, sf_dir):
     # html binary -> text must be byte-identical to the source text per url
-    return extract_text(synthesize_pages(spark, sf_dir))
+    return extract_text(_pages_tiled(spark, sf_dir))
 
 
 def _q_kg_chunks(spark, sf_dir):
@@ -300,7 +319,7 @@ def _q_kg_chunks_bpe(spark, sf_dir):
     from text_to_graph_spark.operators.chunking import chunk_pages
     from text_to_graph_spark.operators.extraction import extract_text
 
-    pages = synthesize_pages(spark, sf_dir)
+    pages = _pages_tiled(spark, sf_dir)
     return chunk_pages(extract_text(pages), token_counter="pretoken")
 
 
@@ -315,7 +334,7 @@ def _q_kg_bpe_train(spark, sf_dir):
     from text_to_graph_spark.operators.extraction import extract_text
     from text_to_graph_spark.operators.tokenizer import train_bpe_merges
 
-    pages = synthesize_pages(spark, sf_dir)
+    pages = _pages_tiled(spark, sf_dir)
     return train_bpe_merges(extract_text(pages), n_merges=8)
 
 
@@ -334,7 +353,7 @@ def _q_kg_subword_counts(spark, sf_dir):
         train_bpe_merges,
     )
 
-    text = extract_text(synthesize_pages(spark, sf_dir)).localCheckpoint(
+    text = extract_text(_pages_tiled(spark, sf_dir)).localCheckpoint(
         eager=True
     )
     model = train_bpe_merges(text, n_merges=8).orderBy("rank").collect()
@@ -357,7 +376,7 @@ def _q_kg_tokenizer_fertility(spark, sf_dir):
         train_bpe_merges,
     )
 
-    pages = synthesize_pages(spark, sf_dir)
+    pages = _pages_tiled(spark, sf_dir)
     text = extract_text(pages).localCheckpoint(eager=True)
     model = train_bpe_merges(text, n_merges=8).orderBy("rank").collect()
     counts = subword_token_counts(
@@ -406,7 +425,7 @@ def _q_kg_chunks_gpt2(spark, sf_dir):
     from text_to_graph_spark.operators.extraction import extract_text
     from text_to_graph_spark.operators.tokenizer import train_bpe_merges
 
-    text = extract_text(synthesize_pages(spark, sf_dir)).localCheckpoint(
+    text = extract_text(_pages_tiled(spark, sf_dir)).localCheckpoint(
         eager=True
     )
     model = train_bpe_merges(text, n_merges=8).orderBy("rank").collect()
@@ -436,7 +455,7 @@ def _q_kg_graphs_catalog(spark, sf_dir):
 
     cfg_a = PipelineConfig()
     cfg_b = PipelineConfig(chunk_size=500, overlap=100, token_counter="pretoken")
-    ext = extract_text(synthesize_pages(spark, sf_dir)).localCheckpoint(
+    ext = extract_text(_pages_tiled(spark, sf_dir)).localCheckpoint(
         eager=True
     )
     runs = chunk_pages(
@@ -482,7 +501,7 @@ def _q_kg_triples(spark, sf_dir):
 
 def _q_kg_triples_fused(spark, sf_dir):
     # the single-UDF fused path must agree with the staged contract path
-    t = extract_triples_from_pages(synthesize_pages(spark, sf_dir))
+    t = extract_triples_from_pages(_pages_tiled(spark, sf_dir))
     return t.select("url", "subj", "pred", "obj").distinct()
 
 
@@ -1075,7 +1094,7 @@ def _q_kg_fact_history(spark, sf_dir):
     from text_to_graph_spark.operators.temporal import fact_history
 
     return fact_history(
-        _stages(spark, sf_dir)["triples"], synthesize_pages(spark, sf_dir)
+        _stages(spark, sf_dir)["triples"], _pages_tiled(spark, sf_dir)
     )
 
 
@@ -1086,7 +1105,7 @@ def _q_kg_fact_intervals(spark, sf_dir):
 
     return fact_validity_intervals(
         _stages(spark, sf_dir)["triples"],
-        synthesize_pages(spark, sf_dir),
+        _pages_tiled(spark, sf_dir),
         max_gap_s=20,
     )
 
@@ -1098,7 +1117,7 @@ def _q_kg_active_facts(spark, sf_dir):
 
     return active_facts(
         _stages(spark, sf_dir)["triples"],
-        synthesize_pages(spark, sf_dir),
+        _pages_tiled(spark, sf_dir),
         max_gap_s=20,
     )
 
@@ -1542,7 +1561,7 @@ def _q_kg_edges_checkpointed(spark, sf_dir):
 
     wd = tempfile.mkdtemp(prefix="t2g_ck_")
     st = run_pipeline_checkpointed(
-        spark, synthesize_pages(spark, sf_dir), wd, PipelineConfig()
+        spark, _pages_tiled(spark, sf_dir), wd, PipelineConfig()
     )
     return st["edges"].select(
         F.col("subj_key").alias("subj"),
@@ -1633,7 +1652,7 @@ def _q_kg_triples_overlap(spark, sf_dir):
 
     st = run_pipeline(
         spark,
-        synthesize_pages(spark, sf_dir),
+        _pages_tiled(spark, sf_dir),
         PipelineConfig(overlap=100),
     )
     return st["triples"].select("url", "subj", "pred", "obj").distinct()
@@ -1643,7 +1662,7 @@ def _sliced_chunks(spark, sf_dir, size: int = 50):
     """Fixed-size token slices as the SQL-expressible chunk frame (the
     greedy packer emits one chunk per doc on this corpus; the slice frame
     is what gives the windowed context ops real neighbors to pad with)."""
-    pages = synthesize_pages(spark, sf_dir)
+    pages = _pages_tiled(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     return (
         pages.select("url", toks.alias("w"))
@@ -1705,7 +1724,7 @@ def _q_kg_triples_streamed(spark, sf_dir):
 
     base = tempfile.mkdtemp(prefix="t2g_stream_")
     landing, out, ckpt = f"{base}/landing", f"{base}/out", f"{base}/ckpt"
-    synthesize_pages(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(
+    _pages_tiled(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(
         landing
     )
     q = run_to_parquet(
@@ -1729,7 +1748,7 @@ def _q_kg_edges_streamed_incremental(spark, sf_dir):
 
     base = tempfile.mkdtemp(prefix="t2g_incr_stream_")
     landing = f"{base}/landing"
-    synthesize_pages(spark, sf_dir).repartition(8).write.mode(
+    _pages_tiled(spark, sf_dir).repartition(8).write.mode(
         "overwrite"
     ).parquet(landing)
     q, state = streaming_incremental_edges(
@@ -1876,7 +1895,7 @@ def _q_layout_pruning(spark, sf_dir):
     # url-hash layout (skips nothing) vs the Z-order layout (skips files)
     from text_to_graph_spark.operators.layout import zone_map_pruning
 
-    return zone_map_pruning(synthesize_pages(spark, sf_dir))
+    return zone_map_pruning(_pages_tiled(spark, sf_dir))
 
 
 def _q_web_robots(spark, sf_dir):
@@ -1899,7 +1918,7 @@ def _q_layout_zorder(spark, sf_dir):
     # stats — the Iceberg data-layout evidence table
     from text_to_graph_spark.operators.layout import zorder_file_stats
 
-    return zorder_file_stats(synthesize_pages(spark, sf_dir))
+    return zorder_file_stats(_pages_tiled(spark, sf_dir))
 
 
 def _q_layout_compaction(spark, sf_dir):
@@ -1907,7 +1926,7 @@ def _q_layout_compaction(spark, sf_dir):
     # compacted outputs — the small-files table-maintenance pass
     from text_to_graph_spark.operators.layout import compaction_plan
 
-    files = synthesize_pages(spark, sf_dir).select(
+    files = _pages_tiled(spark, sf_dir).select(
         F.col("url").alias("file_name"),
         F.length("html").alias("bytes"),
     )
@@ -1944,7 +1963,7 @@ def _q_layout_zorder_exec(spark, sf_dir):
     from text_to_graph_spark.operators.layout import execute_zorder
 
     base = tempfile.mkdtemp(prefix="t2g_zorder_exec_")
-    return execute_zorder(spark, synthesize_pages(spark, sf_dir), base)
+    return execute_zorder(spark, _pages_tiled(spark, sf_dir), base)
 
 
 def _q_layout_snapshot_expiry(spark, sf_dir):
@@ -1976,7 +1995,7 @@ def _q_layout_manifest_compaction(spark, sf_dir):
     # pages (spec = first hex digit of md5(url), entries ~ html size / 64)
     from text_to_graph_spark.operators.layout import manifest_compaction_plan
 
-    pages = synthesize_pages(spark, sf_dir)
+    pages = _pages_tiled(spark, sf_dir)
     manifests = pages.select(
         F.substring(F.md5("url"), 1, 1).alias("spec"),
         F.col("url").alias("manifest"),
@@ -2039,7 +2058,7 @@ def _q_kg_lineage_rollup(spark, sf_dir):
 
     wd = tempfile.mkdtemp(prefix="t2g_lin_")
     st = run_pipeline_checkpointed(
-        spark, synthesize_pages(spark, sf_dir), wd, PipelineConfig()
+        spark, _pages_tiled(spark, sf_dir), wd, PipelineConfig()
     )
     ck = st["checkpoint"]
     return ck.metrics().groupBy("stage").agg(
@@ -2210,7 +2229,7 @@ def _q_kg_entity_timeline(spark, sf_dir):
 
     return entity_timeline(
         _stages(spark, sf_dir)["triples"].select("url", "subj", "obj"),
-        synthesize_pages(spark, sf_dir),
+        _pages_tiled(spark, sf_dir),
     )
 
 
@@ -2234,7 +2253,7 @@ def _q_events_transitions(spark, sf_dir):
 def _q_kg_extraction_yield(spark, sf_dir):
     # per-document extraction yield: triples per input token in exact ppm —
     # the pipeline-observability row behind "is this crawl slice worth it"
-    pages = synthesize_pages(spark, sf_dir).select(
+    pages = _pages_tiled(spark, sf_dir).select(
         "url", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     )
     tri = (
@@ -2273,7 +2292,7 @@ def _q_kg_graph_delta(spark, sf_dir):
 
     return snapshot_delta(
         _stages(spark, sf_dir)["triples"].select("url", "subj", "pred", "obj"),
-        synthesize_pages(spark, sf_dir),
+        _pages_tiled(spark, sf_dir),
     )
 
 

@@ -236,6 +236,25 @@ def main() -> int:
             ).localCheckpoint(eager=True)
         return _triples_cache["t"]
 
+    def q_kg_transe():
+        # exact-integer TransE: 3 batch epochs on the canonical edge list
+        # + the all-candidate MRR eval (graphalgo.transe_epoch/rank_eval)
+        from text_to_graph_spark.operators.graphalgo import (
+            transe_epoch,
+            transe_rank_eval,
+        )
+
+        pages = synthesize_pages(spark, SF_DIR)
+        chunks = chunk_pages(extract_text(pages))
+        t = extract_triples(chunks, "vocab", impl="sql")
+        e = triples_to_canonical_edges(t).select(
+            F.col("subj_key").alias("subj"),
+            F.col("pred_key").alias("pred"),
+            F.col("obj_key").alias("obj"),
+        )
+        trained = transe_epoch(e, dim=16, margin=100, step=10, epochs=3)
+        _force(transe_rank_eval(e, trained, "trained"))
+
     def q_kg_fusion():
         from text_to_graph_spark.operators.fusion import (
             fused_facts,
@@ -340,6 +359,12 @@ def main() -> int:
         "kg_skew_join_unsalted": lambda: _skew_join(salted=False),
         "kg_skew_join_salted": lambda: _skew_join(salted=True),
         "kg_fusion": q_kg_fusion,
+        # published variable-length ExactSubstr rule: anchors -> maximal
+        # runs (gaps-and-islands) -> sub-threshold filter -> excision
+        "dedup_span_trim_maximal": lambda: _force(
+            D.span_trim_maximal(docs, min_run=20)
+        ),
+        "kg_transe": q_kg_transe,
         "kg_rules": q_kg_rules,
         "olap_ship_priority": lambda: _force(
             OL.ship_priority(

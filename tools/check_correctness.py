@@ -5,7 +5,8 @@ on DuckDB over the same sf dir, then compares row count, column names, and
 order-insensitive values (columns sorted by name, rows sorted, exact value
 equality with numeric-width tolerance). Exit code 1 if any query mismatches.
 
-Usage: PYTHONPATH=/root/repo python3 tools/check_correctness.py [sf_dir] [name ...]
+Usage: PYTHONPATH=/root/repo python3 tools/check_correctness.py [sf_dir]
+       [--replicate N] [name ...]
 """
 
 from __future__ import annotations
@@ -99,8 +100,37 @@ def schema_audit(sf_dir: str) -> int:
     return 1 if offenders else 0
 
 
+def _tile_oracle(sql: str, replicate: int) -> str:
+    """Rewrite an oracle's replicate=1 pages CTE to the deterministic
+    ``replicate``-way tiling bench.py uses (copy k of doc d gets url
+    suffix /k, identical html/text/warc_ts) — so the flagship family can
+    be value-verified at bench-scale volume, not just timed. Oracles
+    without the pages CTE are returned unchanged (their Spark twin reads
+    documents directly and is equally unreplicated)."""
+    from text_to_graph_spark.sources.pages import PAGES_ORACLE_CTE
+
+    base = PAGES_ORACLE_CTE.strip()
+    if base not in sql or replicate <= 1:
+        return sql
+    tiled = base.replace("|| '/0' AS url", "|| '/' || g.k AS url").replace(
+        "FROM documents\n)",
+        f"FROM documents, unnest(generate_series(0, {replicate - 1})) AS g(k)\n)",
+    )
+    assert tiled != base, "pages CTE shape changed; update _tile_oracle"
+    return sql.replace(base, tiled)
+
+
 def main() -> int:
+    import os
+
     argv = [a for a in sys.argv[1:] if a != "--schema-audit"]
+    replicate = 1
+    if "--replicate" in argv:
+        i = argv.index("--replicate")
+        replicate = int(argv[i + 1])
+        del argv[i : i + 2]
+        # the Spark side tiles inside __spark_entry__._stages
+        os.environ["SPARK_GRAFT_GATE_REPLICATE"] = str(replicate)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     if "--schema-audit" in sys.argv:
         return schema_audit(sf_dir)
@@ -128,7 +158,7 @@ def main() -> int:
             print(f"rows-only {name}: {len(sdf)} rows ({time.monotonic()-t0:.1f}s)")
             continue
         try:
-            ddf = con.execute(oracles[name]).df()
+            ddf = con.execute(_tile_oracle(oracles[name], replicate)).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
