@@ -172,6 +172,12 @@ def main() -> int:
     # noisy-neighbor contention, not engine behavior (observed: ceiling 0.955
     # and 0.66 on the same VM 2h apart)
     ap.add_argument("--min-ceiling", type=float, default=0.0)
+    # same idea for the MEMORY-BANDWIDTH ceiling: the binding limit for
+    # this string-heavy pipeline. Observed: a window with local load 0 and
+    # CPU ceiling 0.73 measured bw ceiling 0.212 (4x processes got LESS
+    # aggregate memcpy than 1x) — any Spark pair measured there is host
+    # noise, and the gate skips it before burning ~5 min on the pair
+    ap.add_argument("--min-bw-ceiling", type=float, default=0.0)
     # one bench run per listed core count (e.g. "4,8,16,32") recorded as the
     # saturation curve: where triples/sec stops rising, the BOX is the
     # limiter (shared bandwidth), not the plan — the plan audit shows no
@@ -181,13 +187,18 @@ def main() -> int:
 
     ceiling = hw_ceiling(args.low, args.high)
     bwc = bw_ceiling(args.low, args.high)
-    if ceiling["ceiling_efficiency"] < args.min_ceiling:
+    if (
+        ceiling["ceiling_efficiency"] < args.min_ceiling
+        or bwc["ceiling_efficiency"] < args.min_bw_ceiling
+    ):
         print(
             json.dumps(
                 {
                     "skipped": "host contended",
                     "hw_ceiling_efficiency": ceiling["ceiling_efficiency"],
+                    "bw_ceiling_efficiency": bwc["ceiling_efficiency"],
                     "min_ceiling": args.min_ceiling,
+                    "min_bw_ceiling": args.min_bw_ceiling,
                 }
             )
         )
