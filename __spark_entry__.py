@@ -3405,6 +3405,16 @@ def _q_docs_curated(spark, sf_dir):
     )
 
 
+def _q_docs_dsir(spark, sf_dir):
+    # DSIR importance weighting (curation.dsir_gate): hashed unigram+bigram
+    # buckets, target = declared-en docs, exact-ppm ratio weights, per-source
+    # top-25% selection — the published data-selection recipe with the
+    # log-sum linearized to stay bit-exact (documented in the docstring)
+    from text_to_graph_spark.operators.curation import dsir_gate
+
+    return dsir_gate(_docs(spark, sf_dir))
+
+
 def _q_docs_pack_sequences(spark, sf_dir):
     # training-sequence packing (operators/curation.py): per-source prefix
     # sum in doc_id order, integer DIV/mod — deterministic dataloader layout
@@ -3747,6 +3757,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_bottomk_lang": _q_docs_sample_bottomk_lang,
         "docs_balanced_mixture": _q_docs_balanced_mixture,
         "docs_curated": _q_docs_curated,
+        "docs_dsir": _q_docs_dsir,
         "docs_pack_sequences": _q_docs_pack_sequences,
     }
 
@@ -9974,6 +9985,62 @@ FROM ranked WHERE rank <= keep_target
 """,
         # composed curation gate: exact-dedup representative AND
         # quality_score >= 0.62 AND langid agreement AND >= 20 tokens
+        # DSIR: identical hashed-bucket distributions, staged integer
+        # divisions in the same documented order, per-source rank gate
+        "docs_dsir": """
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang = 'en' AS is_target, w[i] AS gram
+  FROM toks, unnest(generate_series(1, len(w))) AS g(i)
+  UNION ALL
+  SELECT doc_id, lang = 'en', w[i] || ' ' || w[i+1]
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS g(i)
+),
+bk AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substr(md5(gram), 1, 12)) AS bigint) % 1024 AS bucket
+  FROM grams
+),
+counts AS (
+  SELECT bucket, count(*) AS cnt_r,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS cnt_t
+  FROM bk GROUP BY 1
+),
+tot AS (SELECT sum(cnt_r) AS tot_r, sum(cnt_t) AS tot_t FROM counts),
+ratio AS (
+  SELECT bucket,
+         ((cnt_t + 1) * 1000000 // (tot_t + 1024)) * 1000000
+           // greatest((cnt_r + 1) * 1000000 // (tot_r + 1024), 1) AS ratio_ppm
+  FROM counts, tot
+),
+per AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(ratio_ppm) // count(*) AS weight_ppm
+  FROM bk JOIN ratio USING (bucket) GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(p.n_grams, 0) AS bigint) AS n_grams,
+         CAST(coalesce(p.weight_ppm, 0) AS bigint) AS weight_ppm
+  FROM documents d LEFT JOIN per p USING (doc_id)
+),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY weight_ppm DESC, doc_id ASC) AS src_rank,
+         count(*) OVER (PARTITION BY source) AS src_docs
+  FROM scored
+)
+SELECT doc_id, source, n_grams, weight_ppm,
+       CAST(src_rank AS bigint) AS src_rank,
+       CAST(src_docs AS bigint) AS src_docs,
+       src_rank * 100 <= 25 * src_docs AS kept
+FROM rk
+""",
         "docs_curated": "WITH " + _GOPHER_CTE + """,
 gop AS (SELECT doc_id FROM f
         WHERE pass_word_count AND pass_mean_word_len AND pass_symbol_ratio

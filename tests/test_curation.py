@@ -880,3 +880,35 @@ def test_curated_corpus_gopher_gate_subsets(spark):
     }
     assert tight <= loose
     assert 1 in tight and 2 not in tight
+
+
+def test_dsir_gate_prefers_target_distribution(spark):
+    """Docs whose n-grams come from the target distribution's vocabulary
+    must outweigh off-distribution docs, the kept set is the per-source
+    top-25% exactly, and the whole gate is partitioning-invariant."""
+    from text_to_graph_spark.operators.curation import dsir_gate
+
+    target_text = "the quick brown fox jumps over a lazy dog again"
+    offdist_text = "zzq wwx vvy uut rrs ppq nno llm jjk hhi"
+    rows = []
+    for i in range(8):
+        rows.append((i, target_text, "en", "s0"))          # target members
+    for i in range(8, 12):
+        rows.append((i, target_text + " extra", "de", "s0"))  # on-dist, non-target
+    for i in range(12, 16):
+        rows.append((i, offdist_text, "de", "s0"))         # off-distribution
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.doc_id: r for r in dsir_gate(docs, keep_pct=25).collect()}
+    on_dist = min(out[i].weight_ppm for i in range(8, 12))
+    off_dist = max(out[i].weight_ppm for i in range(12, 16))
+    assert on_dist > off_dist
+    kept = {i for i, r in out.items() if r.kept}
+    assert len(kept) == 4  # 25% of 16
+    assert kept <= set(range(12))  # never the off-distribution docs
+    out2 = {
+        r.doc_id: (r.weight_ppm, r.kept)
+        for r in dsir_gate(docs.repartition(7, "lang"), keep_pct=25).collect()
+    }
+    assert out2 == {i: (r.weight_ppm, r.kept) for i, r in out.items()}

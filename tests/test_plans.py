@@ -1241,3 +1241,46 @@ def test_native_bucketed_tables_join_without_shuffle(spark, tmp_path):
     import os
 
     assert not os.path.exists("spark-warehouse"), "warehouse leaked to cwd"
+
+
+def test_span_trim_maximal_no_cartesian_and_partial_agg(spark):
+    """The maximal-run excision must stay equi-join + window shaped: no
+    cartesian anywhere, hash-partial aggregation on the shingle-key rollup
+    (the shuffle rows carry md5 prefixes, and the sub-threshold island
+    filter runs before any per-word join)."""
+    from text_to_graph_spark.operators.dedup import span_trim_maximal
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = span_trim_maximal(docs, min_run=20)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "HashAggregate" in s or "ObjectHashAggregate" in s
+
+
+def test_transe_training_join_has_no_cartesian(spark):
+    """The TransE epoch's (pairs x dim) scoring is four equi-joins against
+    the parameter tables — a cartesian or nested-loop join here would be
+    the n_entities x n_triples scale-killer. (The EVAL's query x entity
+    candidate cross join is deliberate and documented; training is not
+    allowed one.)"""
+    from text_to_graph_spark.operators.graphalgo import transe_epoch
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "q", "a")],
+        "subj string, pred string, obj string",
+    )
+    out = transe_epoch(edges, dim=4, epochs=1)
+    s = plan_str(out, "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_gopher_rules_single_stage_projection(spark):
+    """The whole rule battery must compile to one shuffle-free projection
+    over the scan — per-rule metrics, flags, and composed gates included."""
+    from text_to_graph_spark.operators.textstats import gopher_rules
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = gopher_rules(docs)
+    assert count_exchanges(out) == 0

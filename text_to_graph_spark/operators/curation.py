@@ -894,3 +894,110 @@ def token_budget_mixture(
         cum.cast("bigint").alias("cum_tokens"),
         (cum <= budget).alias("kept"),
     )
+
+
+def dsir_gate(
+    docs: DataFrame,
+    target_filter: str = "lang = 'en'",
+    n_buckets: int = 1024,
+    keep_pct: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Hashed n-gram importance weighting for data selection — the DSIR
+    recipe (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"), exact-integer end to end: featurize every
+    document as hashed unigram+bigram bucket counts, estimate the target
+    (``target_filter`` rows) and raw bucket distributions with add-one
+    smoothing, weight each document by its average per-gram importance
+    ratio, and keep the per-``group_col`` top ``keep_pct``% by weight.
+
+    Deliberate, documented deviation from the paper: the per-bucket
+    LOG-ratio sum (a float log per bucket) is replaced by the first-order
+    ratio average — weight_ppm = (Σ_g ratio_ppm[bucket(g)]) DIV n_grams
+    with ratio_ppm[b] = p̂_target[b]/p̂_raw[b] in exact ppm — so the whole
+    weight is integer arithmetic, bit-identical across engines, shuffle
+    orders, and retries (the same reason CCNet's KenLM became terciles and
+    the quality gate avoids percent_rank). Ranking behavior matches the
+    log form wherever ratios are moderate; the gate contract is the
+    bit-exact weight itself. Selection mirrors
+    :func:`quality_percentile_gate`: rank*100 <= keep_pct*count per
+    group, deterministic ties by doc id — no global single-reducer sort.
+
+    Scale shape: one explode + one partial-agg'd shuffle on the 48-bit-md5
+    bucket key builds the two distributions (``n_buckets`` rows — model
+    state); the ratio table broadcast-joins back onto the gram stream; the
+    per-doc rollup reuses the doc_id exchange; the rank is one window per
+    group. Output: (doc_id, source, n_grams, weight_ppm, src_rank,
+    src_docs, kept).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("source"),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("w"),
+        F.expr(target_filter).alias("is_target"),
+    )
+    bis = F.expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)), "
+        "(x, i) -> concat_ws(' ', slice(w, i + 1, 2)))"
+    )
+    g = base.select(
+        "doc_id",
+        "is_target",
+        F.explode(F.concat(F.col("w"), bis)).alias("gram"),
+    ).select(
+        "doc_id",
+        "is_target",
+        F.pmod(
+            F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("bigint"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+    counts = g.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_r"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_t"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t")
+    )
+    # staged integer divisions, documented order (overflow-safe: each
+    # factor stays under 1e6 before the final DIV)
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(
+            f"((cnt_t + 1) * 1000000 DIV (tot_t + {n_buckets})) * 1000000 "
+            f"DIV greatest((cnt_r + 1) * 1000000 DIV (tot_r + {n_buckets}), 1)"
+        )
+        .cast("bigint")
+        .alias("ratio_ppm"),
+    )
+    per = (
+        g.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.expr("sum(ratio_ppm) DIV count(1)").cast("bigint").alias(
+                "weight_ppm"
+            ),
+        )
+    )
+    scored = base.select("doc_id", "source").join(per, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("weight_ppm", F.lit(0)).cast("bigint").alias("weight_ppm"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("weight_ppm").desc(), F.col("doc_id").asc()
+    )
+    cnt = Window.partitionBy("source")
+    return scored.select(
+        "*",
+        F.row_number().over(win).cast("bigint").alias("src_rank"),
+        F.count(F.lit(1)).over(cnt).cast("bigint").alias("src_docs"),
+    ).withColumn(
+        "kept", F.col("src_rank") * 100 <= F.lit(keep_pct) * F.col("src_docs")
+    )
