@@ -440,6 +440,26 @@ def main() -> int:
         "degree assortativity (two node-keyed joins, exact decimal scalar agg)": (
             GQ.degree_assortativity(triples_to_canonical_edges(triples))
         ),
+        "Gopher/C4 rule battery (zero-shuffle projection, composed gates)": (
+            TS.gopher_rules(docs)
+        ),
+        "maximal-run ExactSubstr trim (anchor islands -> threshold -> excision)": (
+            D.span_trim_maximal(docs, min_run=20)
+        ),
+        # the epoch operator localCheckpoints its result (lineage cut per
+        # epoch), so its returned plan is a checkpoint scan; the eval's
+        # scoring join has the identical (rows x dim) equi-join shape and
+        # is what the audit should show
+        "TransE scoring joins (h/r/candidate equi-joins + per-query rollup)": (
+            (lambda e: GA.transe_rank_eval(e, GA.transe_init(e, dim=4), "init"))(
+                triples_to_canonical_edges(triples).selectExpr(
+                    "subj_key AS subj", "pred_key AS pred", "obj_key AS obj"
+                )
+            )
+        ),
+        "DSIR importance gate (bucket partial-agg + broadcast ratio table)": (
+            CUR.dsir_gate(docs)
+        ),
         "redirect resolution (log-round pointer-doubling equi-joins)": (
             resolve_redirects(
                 triples.select(
