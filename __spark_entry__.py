@@ -3415,6 +3415,21 @@ def _q_docs_dsir(spark, sf_dir):
     return dsir_gate(_docs(spark, sf_dir))
 
 
+def _q_docs_dsir_probe(spark, sf_dir):
+    # incremental DSIR admission: model fit ONCE on the even-doc reference
+    # window (frozen n_buckets-row ratio table), the odd-doc "new crawl"
+    # scored against it with a broadcast probe — cost proportional to the
+    # batch, never the corpus; unseen buckets score 0
+    from text_to_graph_spark.operators.curation import (
+        dsir_admit,
+        dsir_bucket_ratios,
+    )
+
+    docs = _docs(spark, sf_dir)
+    model = dsir_bucket_ratios(docs.where("doc_id % 2 = 0"))
+    return dsir_admit(docs.where("doc_id % 2 = 1"), model)
+
+
 def _q_docs_pack_sequences(spark, sf_dir):
     # training-sequence packing (operators/curation.py): per-source prefix
     # sum in doc_id order, integer DIV/mod — deterministic dataloader layout
@@ -3758,6 +3773,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_balanced_mixture": _q_docs_balanced_mixture,
         "docs_curated": _q_docs_curated,
         "docs_dsir": _q_docs_dsir,
+        "docs_dsir_probe": _q_docs_dsir_probe,
         "docs_pack_sequences": _q_docs_pack_sequences,
     }
 
@@ -9985,6 +10001,62 @@ FROM ranked WHERE rank <= keep_target
 """,
         # composed curation gate: exact-dedup representative AND
         # quality_score >= 0.62 AND langid agreement AND >= 20 tokens
+        # incremental DSIR probe: model from even docs only, odd docs
+        # scored with a left join (unseen buckets -> 0), fixed threshold
+        "docs_dsir_probe": """
+WITH tg AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents WHERE doc_id % 2 = 0
+),
+fit AS (
+  SELECT is_target, w[i] AS gram
+  FROM tg, unnest(generate_series(1, len(w))) AS g(i)
+  UNION ALL
+  SELECT is_target, w[i] || ' ' || w[i+1]
+  FROM tg, unnest(generate_series(1, len(w) - 1)) AS g(i)
+),
+counts AS (
+  SELECT CAST(('0x' || substr(md5(gram), 1, 12)) AS bigint) % 1024 AS bucket,
+         count(*) AS cnt_r,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS cnt_t
+  FROM fit GROUP BY 1
+),
+tot AS (SELECT sum(cnt_r) AS tot_r, sum(cnt_t) AS tot_t FROM counts),
+ratio AS (
+  SELECT bucket,
+         ((cnt_t + 1) * 1000000 // (tot_t + 1024)) * 1000000
+           // greatest((cnt_r + 1) * 1000000 // (tot_r + 1024), 1) AS ratio_ppm
+  FROM counts, tot
+),
+nt AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents WHERE doc_id % 2 = 1
+),
+ng AS (
+  SELECT doc_id, w[i] AS gram
+  FROM nt, unnest(generate_series(1, len(w))) AS g(i)
+  UNION ALL
+  SELECT doc_id, w[i] || ' ' || w[i+1]
+  FROM nt, unnest(generate_series(1, len(w) - 1)) AS g(i)
+),
+nb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(gram), 1, 12)) AS bigint) % 1024 AS bucket
+  FROM ng
+),
+per AS (
+  SELECT nb.doc_id, count(*) AS n_grams,
+         sum(coalesce(r.ratio_ppm, 0)) // count(*) AS weight_ppm
+  FROM nb LEFT JOIN ratio r USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS bigint) AS n_grams,
+       CAST(coalesce(p.weight_ppm, 0) AS bigint) AS weight_ppm,
+       coalesce(p.weight_ppm, 0) >= 1000000 AS admitted
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN per p USING (doc_id)
+""",
         # DSIR: identical hashed-bucket distributions, staged integer
         # divisions in the same documented order, per-source rank gate
         "docs_dsir": """

@@ -912,3 +912,35 @@ def test_dsir_gate_prefers_target_distribution(spark):
         for r in dsir_gate(docs.repartition(7, "lang"), keep_pct=25).collect()
     }
     assert out2 == {i: (r.weight_ppm, r.kept) for i, r in out.items()}
+
+
+def test_dsir_admit_scores_against_frozen_model(spark):
+    """The probe must score against the FROZEN fit-time table: a doc made
+    of grams never seen at fit time scores 0 (not smoothed into the
+    model), on-distribution docs clear the 1.0 threshold, and refitting
+    is never triggered by the probe (model rows unchanged)."""
+    from text_to_graph_spark.operators.curation import (
+        dsir_admit,
+        dsir_bucket_ratios,
+    )
+
+    fit_docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over a lazy dog", "en")
+         for i in range(6)]
+        + [(i, "der schnelle braune fuchs springt", "de")
+           for i in range(6, 10)],
+        "doc_id long, text string, lang string",
+    )
+    model = dsir_bucket_ratios(fit_docs).localCheckpoint(eager=True)
+    n_model_rows = model.count()
+    probe = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps"),        # target-like
+            (101, "zzzz yyyy xxxx wwww vvvv uuuu"),    # unseen grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dsir_admit(probe, model).collect()}
+    assert got[100].admitted and got[100].weight_ppm >= 1_000_000
+    assert got[101].weight_ppm == 0 and not got[101].admitted
+    assert model.count() == n_model_rows  # probe never mutates the model

@@ -1001,3 +1001,117 @@ def dsir_gate(
     ).withColumn(
         "kept", F.col("src_rank") * 100 <= F.lit(keep_pct) * F.col("src_docs")
     )
+
+
+def dsir_bucket_ratios(
+    docs: DataFrame,
+    target_filter: str = "lang = 'en'",
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """The DSIR model alone: the (bucket, ratio_ppm) importance table
+    :func:`dsir_gate` fits — hashed unigram+bigram bucket counts over the
+    reference window, target vs raw with add-one smoothing, exact-ppm
+    staged divisions. ``n_buckets`` rows: model state, broadcastable.
+    Fit once on a reference window; admit forever with
+    :func:`dsir_admit`."""
+    base = docs.select(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("w"),
+        F.expr(target_filter).alias("is_target"),
+    )
+    bis = F.expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)), "
+        "(x, i) -> concat_ws(' ', slice(w, i + 1, 2)))"
+    )
+    g = base.select(
+        "is_target", F.explode(F.concat(F.col("w"), bis)).alias("gram")
+    ).select(
+        "is_target",
+        F.pmod(
+            F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("bigint"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+    counts = g.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_r"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_t"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(
+            f"((cnt_t + 1) * 1000000 DIV (tot_t + {n_buckets})) * 1000000 "
+            f"DIV greatest((cnt_r + 1) * 1000000 DIV (tot_r + {n_buckets}), 1)"
+        )
+        .cast("bigint")
+        .alias("ratio_ppm"),
+    )
+
+
+def dsir_admit(
+    new_docs: DataFrame,
+    ratios: DataFrame,
+    min_weight_ppm: int = 1_000_000,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental DSIR admission — the streaming-arrival half of the
+    selection story (mirrors ``emb_semdedup_probe`` / the incremental
+    near-dup probe): score a NEW batch against the FROZEN importance
+    table from :func:`dsir_bucket_ratios` and admit documents whose
+    average per-gram importance clears ``min_weight_ppm`` (1e6 = "looks
+    exactly like the raw distribution"; above that, target-like).
+
+    No re-fit, no rank window, no corpus-wide state: one explode over the
+    new batch, a broadcast join against the ``n_buckets``-row model, one
+    doc_id rollup — the probe's cost is proportional to the BATCH, never
+    the corpus, which is what makes per-crawl admission viable at 100 TB.
+    Buckets unseen at fit time carry no row in the model; their grams
+    score 0 (maximally out-of-distribution), matching add-one smoothing's
+    intent without the probe ever touching fit-time totals.
+
+    Output: (doc_id, n_grams, weight_ppm, admitted)."""
+    base = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("w"),
+    )
+    bis = F.expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)), "
+        "(x, i) -> concat_ws(' ', slice(w, i + 1, 2)))"
+    )
+    g = base.select(
+        "doc_id", F.explode(F.concat(F.col("w"), bis)).alias("gram")
+    ).select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("bigint"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+    per = (
+        g.join(F.broadcast(ratios), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.expr("sum(coalesce(ratio_ppm, 0)) DIV count(1)")
+            .cast("bigint")
+            .alias("weight_ppm"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("weight_ppm", F.lit(0)).cast("bigint").alias("weight_ppm"),
+            (F.coalesce("weight_ppm", F.lit(0)) >= min_weight_ppm).alias(
+                "admitted"
+            ),
+        )
+    )
