@@ -160,6 +160,32 @@ def main() -> int:
         _force(pagerank(e, "src", "dst", iterations=5))
         _force(strongly_connected_components(e, "src", "dst"))
 
+    def q_transe_stress():
+        # trainer under volume: ONE exact-integer TransE epoch on a
+        # Zipf-skewed synthetic graph (same generator as graph_stress,
+        # predicates = hash of the endpoints). The training join is
+        # (pairs x dim) rows through four equi-joins + a bounded per-pair
+        # window + one batch update — the no-cliff evidence for the newest
+        # scale-sensitive component. Edge count via SPARK_GRAFT_TRANSE_EDGES.
+        from text_to_graph_spark.operators.graphalgo import transe_epoch
+        from text_to_graph_spark.sources.synthetic import (
+            synthesize_powerlaw_edges,
+        )
+
+        n_edges = int(os.environ.get("SPARK_GRAFT_TRANSE_EDGES", "200000"))
+        e = (
+            synthesize_powerlaw_edges(spark, n_edges)
+            .select(
+                F.col("src").cast("string").alias("subj"),
+                F.pmod(F.col("src") + F.col("dst"), F.lit(16))
+                .cast("string")
+                .alias("pred"),
+                F.col("dst").cast("string").alias("obj"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _force(transe_epoch(e, dim=8, epochs=1))
+
     def q_dedup_stress():
         # near-dup family under volume: the corpus tiled x TILES with a
         # copy-specific token appended, so copies are NEAR-duplicates (not
@@ -375,6 +401,7 @@ def main() -> int:
         ),
         "graph_stress": q_graph_stress,
         "dedup_stress": q_dedup_stress,
+        "transe_stress": q_transe_stress,
         "kg_neighbor_sample": lambda: q_kg_neighbor_sample(),
         "web_redirect_resolve": lambda: q_web_redirect_resolve(),
     }
@@ -383,7 +410,7 @@ def main() -> int:
     # long-running stress entries run once — min-of-3 on a ~40 s fixpoint
     # suite would triple the bench wall for noise reduction it doesn't need
     # (its signal is the cross-volume ratio in BASELINE.md, not ±5%)
-    single_shot = {"graph_stress", "dedup_stress"}
+    single_shot = {"graph_stress", "dedup_stress", "transe_stress"}
 
     for name, fn in benches.items():
         if ONLY and name not in ONLY:
