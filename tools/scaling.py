@@ -156,15 +156,16 @@ def main() -> int:
     ap.add_argument("--update-baseline", action="store_true")
     # interleaved (N, 4N) measurement pairs: the shared-host VM has noisy
     # neighbors whose contention can invert a single measurement (observed:
-    # the same job 4x slower at 32 cores minutes apart). Contention during
-    # EITHER level of a pair only ever lowers that pair's measured
-    # efficiency, so the max over repeated pairs is the least-contaminated
-    # estimate; all pairs are recorded for transparency.
+    # the same job 4x slower at 32 cores minutes apart). Contention is
+    # ASYMMETRIC: during the high level it lowers a pair's efficiency
+    # (max-over-pairs discards it), during the low level it INFLATES it —
+    # which is why superlinear pairs are rejected above and only accepted
+    # (<= 1.0) pairs compete for the max; all pairs recorded either way.
     ap.add_argument("--pairs", type=int, default=3)
-    # retain the best measurement across harness invocations: external host
-    # contention varies on ~10-minute timescales and only ever depresses
-    # measured efficiency, so the max across sessions (same code, same
-    # input) is the least-contaminated estimate
+    # retain the best ACCEPTED measurement across harness invocations:
+    # external host contention varies on ~10-minute timescales; the max
+    # across sessions over non-superlinear pairs is the least-contaminated
+    # honest estimate (a >1.0 prior is never adopted)
     ap.add_argument("--keep-best", action="store_true")
     # skip the (expensive) measurement entirely when the host itself cannot
     # scale right now: if plain multiprocessing gets < min-ceiling efficiency
@@ -209,7 +210,21 @@ def main() -> int:
         lo = run_level(args.low, args.sf_dir, 1, args.replicate)
         hi = run_level(args.high, args.sf_dir, 1, args.replicate)
         eff = round(lo["kg_pipeline_s"] / hi["kg_pipeline_s"] / ratio, 3)
-        pairs.append({"low": lo, "high": hi, "efficiency": eff})
+        # HONESTY GUARD: contention is not symmetric. Contention during the
+        # HIGH level lowers a pair's efficiency (harmless — max-over-pairs
+        # discards it), but contention during the LOW level INFLATES it:
+        # a slowed-down N-core run makes 4N look superlinear. A measured
+        # efficiency > 1.0 on this workload is exactly that signature
+        # (observed: a 2-core level 65% slower than its own quiet-window
+        # best produced a bogus 1.185 "pair"), so superlinear pairs are
+        # recorded for transparency but never adopted as the result.
+        if eff > 1.0:
+            pairs.append(
+                {"low": lo, "high": hi, "efficiency": eff,
+                 "rejected": "superlinear: low level contended"}
+            )
+        else:
+            pairs.append({"low": lo, "high": hi, "efficiency": eff})
     curve = None
     if args.curve:
         curve = []
@@ -230,7 +245,12 @@ def main() -> int:
                 s_lo["kg_pipeline_s"] / s_hi["kg_pipeline_s"] / 4.0, 3
             ),
         }
-    best = max(pairs, key=lambda p: p["efficiency"])
+    accepted = [p for p in pairs if "rejected" not in p]
+    best = max(
+        accepted or [{"low": pairs[0]["low"], "high": pairs[0]["high"],
+                      "efficiency": 0.0}],
+        key=lambda p: p["efficiency"],
+    )
     report_replicate = args.replicate
     scaling_path = os.path.join(REPO, "SCALING.json")
     if args.keep_best and os.path.exists(scaling_path):
@@ -239,7 +259,8 @@ def main() -> int:
                 prior = json.load(f)
             # efficiency is a ratio, comparable across replicate levels —
             # adopt the prior whenever it is the less-contaminated estimate
-            if prior.get("value", 0) > best["efficiency"]:
+            # (never a superlinear prior: same honesty guard as above)
+            if 1.0 >= prior.get("value", 0) > best["efficiency"]:
                 pairs.append(
                     {
                         "low": prior["levels"][0],
@@ -281,6 +302,20 @@ def main() -> int:
         ),
         "levels": [low, high],
         "all_pairs": [p["efficiency"] for p in pairs],
+        "rejected_pairs": [
+            {"efficiency": p["efficiency"], "why": p["rejected"],
+             "low_s": p["low"]["kg_pipeline_s"],
+             "high_s": p["high"]["kg_pipeline_s"]}
+            for p in pairs if "rejected" in p
+        ],
+        # each level at its own best across this run's pairs — the
+        # cross-window estimator that cancels one-sided contention
+        "envelope_efficiency_same_run": round(
+            min(p["low"]["kg_pipeline_s"] for p in pairs)
+            / min(p["high"]["kg_pipeline_s"] for p in pairs)
+            / ratio,
+            3,
+        ),
         "curve": curve,
         "secondary_8_vs_32": secondary,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -326,10 +361,13 @@ def main() -> int:
             f"Same job (`bench.py`, flagship `kg_pipeline`: pages → extract → chunk →\n"
             f"triples → canonical nodes+edges), same input (`{args.sf_dir}` tiled\n"
             f"deterministically ×{report_replicate} so each core has real work), fresh JVM\n"
-            f"per level, {len(pairs)} interleaved (N, 4N) pairs with the\n"
-            f"least-noise-contaminated pair reported (noisy-neighbor contention\n"
-            f"only ever lowers a pair's measured efficiency; all pairs:\n"
-            f"{[p['efficiency'] for p in pairs]}):\n\n"
+            f"per level, {len(pairs)} interleaved (N, 4N) pairs with the best\n"
+            f"ACCEPTED pair reported — contention during the high level only\n"
+            f"lowers a pair (discarded by the max), contention during the LOW\n"
+            f"level inflates it, so superlinear pairs are rejected as\n"
+            f"low-level contamination rather than adopted (all pairs:\n"
+            f"{[p['efficiency'] for p in pairs]}; rejected:\n"
+            f"{[p['efficiency'] for p in pairs if 'rejected' in p]}):\n\n"
             f"| cores | kg_pipeline wall (s) | triples | triples/sec |\n"
             f"|---|---|---|---|\n"
             f"| local[{args.low}] (N) | {low['kg_pipeline_s']} | {low['n_triples']} | {low['triples_per_sec']} |\n"
