@@ -370,6 +370,8 @@ def main() -> int:
             MM.dhash_dedup_groups(MM.attach_png_payload(docs))
         ),
         "docs_classifier": lambda: _force(CUR.classifier_scores(docs)),
+        # DSIR: hashed-bucket fit + broadcast ratio probe + per-source gate
+        "docs_dsir": lambda: _force(CUR.dsir_gate(docs)),
         "dedup_keep_best": lambda: _force(D.neardup_keep_best(docs)),
         "dedup_spans": lambda: _force(D.duplicated_span_stats(docs)),
         "dedup_span_trim": lambda: _force(D.span_trim(docs)),
