@@ -754,3 +754,56 @@ class TestStreamStaticEnrichment:
             for r in enrich_with_customer(events, customer).collect()
         }
         assert got == want
+
+
+def test_streaming_dsir_admission_equals_batch(spark, tmp_path):
+    """Stream admission against the frozen DSIR model must equal the
+    batch operator row for row, and restarting the checkpointed query
+    must not re-admit already-processed files."""
+    from text_to_graph_spark.operators.curation import (
+        dsir_admit,
+        dsir_bucket_ratios,
+    )
+    from text_to_graph_spark.streaming.ingest import (
+        run_dsir_admission,
+        stream_docs,
+    )
+
+    fit = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over a lazy dog", "en")
+         for i in range(6)]
+        + [(i, "unrelated words entirely here", "de") for i in range(6, 10)],
+        "doc_id long, text string, lang string",
+    )
+    model = dsir_bucket_ratios(fit).localCheckpoint(eager=True)
+
+    a = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "zz yy xx ww")],
+        "doc_id bigint, text string",
+    )
+    b = spark.createDataFrame(
+        [(102, "a lazy dog jumps")], "doc_id bigint, text string"
+    )
+    landing = str(tmp_path / "landing")
+    a.coalesce(1).write.mode("overwrite").parquet(landing)
+    b.coalesce(1).write.mode("append").parquet(landing)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = run_dsir_admission(stream_docs(spark, landing), model, out, ckpt)
+    q.awaitTermination(300)
+
+    got = {
+        r.doc_id: (r.n_grams, r.weight_ppm, r.admitted)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_grams, r.weight_ppm, r.admitted)
+        for r in dsir_admit(a.unionByName(b), model).collect()
+    }
+    assert got == want
+    assert got[100][2] and not got[101][2]
+
+    # restart with the same checkpoint: no new files -> no new rows
+    q2 = run_dsir_admission(stream_docs(spark, landing), model, out, ckpt)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == len(want)

@@ -433,3 +433,49 @@ def read_edge_snapshot(
     if batch_id not in ids:
         raise ValueError(f"no snapshot v{batch_id}; have {ids}")
     return spark.read.parquet(f"{out_dir}/v{batch_id}")
+
+
+def run_dsir_admission(
+    docs_stream: DataFrame,
+    ratios: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_weight_ppm: int = 1_000_000,
+    n_buckets: int = 1024,
+):
+    """Streaming DSIR admission — the continuous-ingest twin of
+    ``operators.curation.dsir_admit``: every arriving micro-batch of
+    documents is scored against the FROZEN importance table (fit once on
+    a reference window by ``dsir_bucket_ratios``) and written with its
+    admission verdict. ``foreachBatch`` because the per-doc rollup is
+    WITHIN a batch by construction (each document arrives once; no
+    cross-batch state at all), so the streaming job inherits the batch
+    operator's exact-integer semantics verbatim — stream output ==
+    batch output on the same rows, which the pytest pins.
+
+    Scale shape: stateless stream-static broadcast join per batch
+    (model = ``n_buckets`` rows), admission cost proportional to each
+    batch; checkpointed source offsets make the job kill-and-resume
+    safe with no re-admission of processed files. Model REFRESH is a
+    deliberate non-goal here: production swaps the ratio table between
+    runs (it's a parameter, like the classifier weights), never inside
+    one.
+    """
+    from text_to_graph_spark.operators.curation import dsir_admit
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            dsir_admit(
+                batch_df, ratios, min_weight_ppm, n_buckets
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
