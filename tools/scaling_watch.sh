@@ -32,7 +32,7 @@ while true; do
   i=$((i + 1))
   echo "$(date -u +%FT%TZ) probing ${low}v${high} x${rep} (best so far: $val)"
   PYTHONPATH=/root/repo python3 tools/scaling.py \
-    --low "$low" --high "$high" --replicate "$rep" --pairs 1 \
+    --low "$low" --high "$high" --replicate "$rep" --pairs "${SCALING_PAIRS:-2}" \
     --min-ceiling "${SCALING_MIN_CEILING:-0.8}" \
     --min-bw-ceiling "$minbw" \
     --keep-best --update-baseline
