@@ -957,6 +957,21 @@ def _q_kg_transe_eval(spark, sf_dir):
     )
 
 
+def _q_kg_hard_negatives(spark, sf_dir):
+    # model-based hard-negative mining: the 3-epoch TransE table ranks
+    # filtered corrupted objects per (subj, pred); the k=2 closest
+    # non-asserted candidates join back onto every positive — the
+    # trainer feeding the sampler (graphalgo.transe_hard_negatives)
+    from text_to_graph_spark.operators.graphalgo import (
+        transe_epoch,
+        transe_hard_negatives,
+    )
+
+    edges = _edges(spark, sf_dir)
+    trained = transe_epoch(edges, dim=16, margin=100, step=10, epochs=3)
+    return transe_hard_negatives(edges, trained, k=2)
+
+
 def _q_kg_weighted_sssp(spark, sf_dir):
     # bounded-hop Bellman-Ford (operators/graphalgo.py): exact bigint
     # min-plus recurrence, 8 rounds, root 'customer'; the oracle unrolls the
@@ -3564,6 +3579,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_transe_epoch": _q_kg_transe_epoch,
         "kg_transe_eval": _q_kg_transe_eval,
+        "kg_hard_negatives": _q_kg_hard_negatives,
         "kg_walk_training_pairs": _q_kg_walk_training_pairs,
         "kg_weighted_sssp": _q_kg_weighted_sssp,
         "kg_triangles": _q_kg_triangles,
@@ -5759,6 +5775,43 @@ SELECT node, vid FROM vocab
 """,
         # deterministic filtered negative sampling: hash-draw into the dense
         # vocabulary, shift by one on collision with the true object
+        # hard-negative mining from the 3-epoch table: same scoring-join
+        # recurrence, filtered rank per (subj, pred), k=2, joined back to
+        # every positive
+        "kg_hard_negatives": f"""
+{_KG_PREFIX},
+{_vocab_cte()},
+{_transe_cte(epochs=3, dim=16, margin=100, step=10)},
+sc AS (
+  SELECT c.subj, c.pred, c.cand,
+         sum(abs(h.val + r.val - e2.val)) AS neg_dist
+  FROM (SELECT q.subj, q.pred, v.cand
+        FROM (SELECT DISTINCT subj, pred FROM edges) q
+        CROSS JOIN (SELECT DISTINCT name AS cand FROM emb3
+                    WHERE kind = 'e') v) c
+  JOIN emb3 h  ON h.kind = 'e' AND h.name = c.subj
+  JOIN emb3 r  ON r.kind = 'r' AND r.name = c.pred AND r.d = h.d
+  JOIN emb3 e2 ON e2.kind = 'e' AND e2.name = c.cand AND e2.d = h.d
+  GROUP BY 1, 2, 3
+),
+open_c AS (
+  SELECT sc.* FROM sc
+  LEFT JOIN (SELECT DISTINCT subj, pred, obj FROM edges) ed
+    ON ed.subj = sc.subj AND ed.pred = sc.pred AND ed.obj = sc.cand
+  WHERE ed.obj IS NULL
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY subj, pred
+                               ORDER BY neg_dist ASC, cand ASC) AS neg_rank
+  FROM open_c
+)
+SELECT e.subj, e.pred, e.obj, rk.cand AS neg_obj,
+       CAST(rk.neg_rank AS int) AS neg_rank,
+       CAST(rk.neg_dist AS bigint) AS neg_dist
+FROM (SELECT DISTINCT subj, pred, obj FROM edges) e
+JOIN rk ON rk.subj = e.subj AND rk.pred = e.pred
+WHERE rk.neg_rank <= 2
+""",
         # TransE batch epoch: the oracle unrolls the identical integer
         # recurrence (init -> violations -> sign gradients -> one batch
         # update); output is the full trained parameter table

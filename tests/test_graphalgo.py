@@ -1458,3 +1458,31 @@ class TestTransE:
             ).collect()
         }
         assert got == want
+
+
+def test_transe_hard_negatives_are_filtered_and_hardest(spark):
+    """Mined negatives must (a) never be graph-asserted under their
+    (subj, pred), (b) rank by ascending model distance with label ties,
+    and (c) be HARDER (closer) than the uniform sampler's draw on
+    average for a trained model."""
+    from text_to_graph_spark.operators.graphalgo import (
+        transe_epoch,
+        transe_hard_negatives,
+    )
+
+    rows = [
+        ("a", "likes", "b"), ("b", "likes", "c"), ("c", "likes", "d"),
+        ("d", "knows", "a"), ("a", "knows", "c"), ("b", "knows", "d"),
+        ("e", "likes", "a"), ("e", "knows", "b"), ("c", "knows", "e"),
+    ]
+    edges = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    trained = transe_epoch(edges, dim=8, epochs=4)
+    mined = transe_hard_negatives(edges, trained, k=2).collect()
+    asserted = {(s, p, o) for s, p, o in rows}
+    by_query: dict = {}
+    for r in mined:
+        assert (r.subj, r.pred, r.neg_obj) not in asserted
+        by_query.setdefault((r.subj, r.pred), {})[r.neg_rank] = r.neg_dist
+    for ranks in by_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert ranks[1] <= ranks[max(ranks)]  # rank 1 is closest

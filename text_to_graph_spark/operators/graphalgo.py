@@ -1908,3 +1908,84 @@ def transe_rank_eval(
         score_col="neg_dist",
         label_col="is_linked",
     ).select(F.lit(model).alias("model"), "*")
+
+
+def transe_hard_negatives(
+    edges: DataFrame,
+    emb: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Model-based HARD negative mining — the feedback loop that closes
+    the trainer story (standard KG-embedding practice: after a few
+    epochs, uniform corruptions are trivially easy; the informative
+    negatives are the ones the CURRENT model scores best): for every
+    positive (subj, pred, obj), rank all corrupted objects by ascending
+    L1 distance ||h + r - c|| under the supplied parameter table and emit
+    the ``k`` hardest (closest) candidates that are NOT the true object
+    and not asserted by the graph elsewhere under the same (subj, pred)
+    — the "filtered" rule, same as the uniform sampler.
+
+    Deterministic end to end: integer distances, ties broken by candidate
+    label. Scale shape: the scoring join is the same (candidates × dim)
+    equi-join chain as :func:`transe_rank_eval` (at corpus scale the
+    candidate set comes from an ANN probe over the entity table instead
+    of the full cross join — same downstream rank window either way); the
+    per-(subj, pred, obj) top-k is a bounded window.
+
+    Output: (subj, pred, obj, neg_obj, neg_rank, neg_dist).
+    """
+    e = edges.select("subj", "pred", "obj").distinct()
+    ent = emb.where(F.col("kind") == "e")
+    rel = emb.where(F.col("kind") == "r")
+    queries = e.select("subj", "pred").distinct()
+    cands = queries.crossJoin(
+        ent.select("name").distinct().select(F.col("name").alias("cand"))
+    )
+    scored = (
+        cands.join(
+            ent.select(
+                F.col("name").alias("subj"), "dim", F.col("val").alias("h")
+            ),
+            "subj",
+        )
+        .join(
+            rel.select(
+                F.col("name").alias("pred"), "dim", F.col("val").alias("r")
+            ),
+            ["pred", "dim"],
+        )
+        .join(
+            ent.select(
+                F.col("name").alias("cand"), "dim", F.col("val").alias("c")
+            ),
+            ["cand", "dim"],
+        )
+        .groupBy("subj", "pred", "cand")
+        .agg(
+            F.sum(F.abs(F.col("h") + F.col("r") - F.col("c")))
+            .cast("long")
+            .alias("neg_dist")
+        )
+    )
+    # filtered: drop candidates the graph asserts under this (subj, pred)
+    open_cands = scored.join(
+        e.select("subj", "pred", F.col("obj").alias("cand")),
+        ["subj", "pred", "cand"],
+        "left_anti",
+    )
+    ranked = open_cands.withColumn(
+        "neg_rank",
+        F.row_number().over(
+            Window.partitionBy("subj", "pred").orderBy(
+                F.col("neg_dist").asc(), F.col("cand").asc()
+            )
+        ),
+    ).where(F.col("neg_rank") <= k)
+    return e.join(ranked, ["subj", "pred"]).select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("cand").alias("neg_obj"),
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+        "neg_dist",
+    )
