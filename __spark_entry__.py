@@ -2476,6 +2476,13 @@ def _q_text_line_repetition(spark, sf_dir):
     return TS.line_repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_text_vocab_concentration(spark, sf_dir):
+    # Zipf-head telemetry per source: type/token counts + exact-ppm mass
+    # share of the top-10/top-100 types (textstats.vocab_concentration) —
+    # the boilerplate-heaviness signal a mixture designer reads
+    return TS.vocab_concentration(_docs(spark, sf_dir))
+
+
 def _q_text_gopher_rules(spark, sf_dir):
     # the published Gopher table-A1 + C4 document-filter battery
     # (textstats.py gopher_rules) — per-rule exact-ppm metrics, per-rule
@@ -3701,6 +3708,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ccnet_buckets": _q_text_ccnet_buckets,
         "text_quality": _q_text_quality,
         "text_gopher_rules": _q_text_gopher_rules,
+        "text_vocab_concentration": _q_text_vocab_concentration,
         "text_wordpiece": _q_text_wordpiece,
         "kg_tokenizer_compare": _q_kg_tokenizer_compare,
         "text_line_repetition": _q_text_line_repetition,
@@ -8390,6 +8398,31 @@ FROM t
         # Gopher table-A1 + C4 rule battery: identical replace/length
         # occurrence counting, identical integer-ppm divisions, identical
         # thresholds — every flag must agree bit-for-bit
+        # Zipf-head report: identical (count desc, token asc) rank rule,
+        # exact-ppm top-k mass
+        "text_vocab_concentration": """
+WITH tok AS (
+  SELECT source AS grp, t.token
+  FROM (SELECT source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+       unnest(w) AS t(token)
+),
+counts AS (SELECT grp, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY grp
+                               ORDER BY cnt DESC, token ASC) AS rnk
+  FROM counts
+)
+SELECT grp AS source,
+       CAST(count(*) AS bigint) AS vocab_size,
+       CAST(sum(cnt) AS bigint) AS total_tokens,
+       CAST(sum(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END) * 1000000
+            // sum(cnt) AS bigint) AS top10_mass_ppm,
+       CAST(sum(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END) * 1000000
+            // sum(cnt) AS bigint) AS top100_mass_ppm
+FROM ranked GROUP BY 1
+""",
         "text_gopher_rules": "WITH " + _GOPHER_CTE + """
 SELECT *,
        (pass_word_count AND pass_mean_word_len AND pass_symbol_ratio

@@ -893,3 +893,53 @@ def rake_corpus_keyphrases(
             "corpus_score_e6",
         )
     )
+
+
+def vocab_concentration(
+    docs: DataFrame,
+    ks: tuple[int, ...] = (10, 100),
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-concentration report — how much of each slice's token
+    mass its most frequent types carry (the Zipf-head telemetry a mixture
+    designer reads next to the source-overlap matrix: a slice whose top-10
+    types cover half its tokens is template/boilerplate-heavy and gains
+    little from upsampling). Per ``group_col``: type count, token count,
+    and the exact-ppm mass share of the top-k types for each k in ``ks``
+    (ranked by count desc, token asc — deterministic ties).
+
+    Scale shape: one explode + one (group, token) partial-agg'd shuffle;
+    the rank window partitions per group over the TYPE table (vocabulary-
+    sized, not corpus-sized); the final rollup is group-count rows. Exact
+    integer ppm end to end.
+    """
+    w = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    tok = docs.select(
+        F.col(group_col).alias("grp"), F.explode(w).alias("token")
+    )
+    counts = tok.groupBy("grp", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ranked = counts.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(
+                F.col("cnt").desc(), F.col("token").asc()
+            )
+        ),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.expr(
+                f"sum(CASE WHEN rnk <= {k} THEN cnt ELSE 0 END) * 1000000 "
+                f"DIV sum(cnt)"
+            )
+            .cast("bigint")
+            .alias(f"top{k}_mass_ppm")
+        )
+    return ranked.groupBy(F.col("grp").alias(group_col)).agg(*aggs)
