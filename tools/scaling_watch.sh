@@ -17,7 +17,7 @@ cd /root/repo
 i=0
 while true; do
   val=$(python3 -c "import json;print(json.load(open('SCALING.json'))['value'])" 2>/dev/null || echo 0)
-  if python3 -c "import sys; sys.exit(0 if float('${val:-0}') >= 0.8 else 1)"; then
+  if python3 -c "import sys; sys.exit(0 if float('${val:-0}') >= ${SCALING_TARGET:-0.8} else 1)"; then
     echo "$(date -u +%FT%TZ) target met: $val"
     break
   fi
