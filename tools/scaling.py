@@ -205,6 +205,7 @@ def main() -> int:
         )
         return 0
     ratio = args.high / args.low
+    metric_label = f"scaling_efficiency_{args.low}_vs_{args.high}"
     pairs = []
     for _ in range(max(args.pairs, 1)):
         lo = run_level(args.low, args.sf_dir, 1, args.replicate)
@@ -270,6 +271,10 @@ def main() -> int:
                 )
                 best = pairs[-1]
                 report_replicate = prior.get("replicate", args.replicate)
+                # the metric label must describe the ADOPTED pair's level
+                # config, not this invocation's (a 8v32 run adopting a 2v8
+                # prior otherwise mislabels the levels)
+                metric_label = prior.get("metric", metric_label)
                 # the ceiling must come from the same measurement window as
                 # the adopted pair, else the normalization is inconsistent
                 if prior.get("hw_ceiling_efficiency"):
@@ -285,7 +290,7 @@ def main() -> int:
         "ceiling_efficiency"
     ] else None
     result = {
-        "metric": f"scaling_efficiency_{args.low}_vs_{args.high}",
+        "metric": metric_label,
         "value": efficiency,
         "unit": "fraction",
         "sf_dir": args.sf_dir,
